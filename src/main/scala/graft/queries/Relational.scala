@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface extracted from the reference
+  * (`/root/reference/Supplemental_Data_1.R`, see SURVEY.md §2) and
+  * exercised over the driver-provided TPC-H-ish parquet tables.
+  *
+  * Every query here is deterministic, every computed column is aliased
+  * identically in the Spark plan and the DuckDB oracle SQL, and floating
+  * point outputs are either exact (sums of integer-valued doubles,
+  * divisions of exact values) or rounded to a stable precision.
+  *
+  * Operator coverage (SURVEY.md §2 ids in brackets):
+  *  - group-by aggregates [A1,A2,A3]          q01, q11, q12
+  *  - filter/project/cast/arith [P1,P3,P7,P8] q02, q18
+  *  - left join + NA-fill/coalesce [J1,P9]    q03
+  *  - multiway broadcast dim join [J2,J5]     q04
+  *  - one-hot encode via when [P4]            q05 (R:197-201)
+  *  - regex replace, first-occurrence [P5]    q06 (R:150-152)
+  *  - stable row-id via window [P10]          q07 (R:192-196)
+  *  - row-wise argmax vote + threshold [W1-4] q08 (R:362-389)
+  *  - union-all [U1]                          q09 (R:348)
+  *  - distinct [A4]                           q10 (R:230)
+  *  - whole-column %-stats [A3]               q12 (R:459-476)
+  *  - deterministic stratified sample [U3]    q13 (R:826-844)
+  *  - per-group top-k [U4 extension]          q14
+  *  - event-time window agg                   q15
+  *  - single-pass pivot to wide table [J5]    q16 (R:209-228)
+  *  - semi/anti join                          q17
+  */
+object Relational {
+  import Tables.t
+
+  private val knuth = 2654435761L // Knuth multiplicative hash constant
+
+  def all: Seq[Q] = Seq(
+    Q("q01_agg_sum", q01, Some(q01Sql)),
+    Q("q02_filter_project", q02, Some(q02Sql)),
+    Q("q03_left_join_nafill", q03, Some(q03Sql)),
+    Q("q04_dim_join", q04, Some(q04Sql)),
+    Q("q05_onehot", q05, Some(q05Sql)),
+    Q("q06_regex", q06, Some(q06Sql)),
+    Q("q07_rowid", q07, Some(q07Sql)),
+    Q("q08_argmax_vote", q08, Some(q08Sql)),
+    Q("q09_union", q09, Some(q09Sql)),
+    Q("q10_distinct", q10, Some(q10Sql)),
+    Q("q11_group_minmax", q11, Some(q11Sql)),
+    Q("q12_stats_pct", q12, Some(q12Sql)),
+    Q("q13_hash_sample", q13, Some(q13Sql)),
+    Q("q14_topk_per_group", q14, Some(q14Sql)),
+    Q("q15_time_window", q15, Some(q15Sql)),
+    Q("q16_pivot_wide", q16, Some(q16Sql)),
+    Q("q17_semi_anti", q17, Some(q17Sql))
+  )
+
+  // --- q01: the classic groupBy aggregate (A1/A3) -------------------------
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q02: filter + projection, pushed to the parquet scan (P1/P3) ------
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 45
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- q03: left join with misses + coalesce NA-fill (J1/P9, R:229) ------
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select("c_custkey", "c_mktsegment")
+    t(s, dir, "orders")
+      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("n_orders"))
+      .orderBy("segment")
+  }
+
+  private val q03Sql =
+    """SELECT COALESCE(c.c_mktsegment, 'NONE') AS segment,
+      |  COUNT(*) AS n_orders
+      |FROM orders o LEFT JOIN
+      |  (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+      |  ON o.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q04: multiway broadcast dimension join (J2/J5) ---------------------
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("sum_bal"))
+      .orderBy("r_name", "n_name")
+
+  private val q04Sql =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust, SUM(c_acctbal) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q05: one-hot encode (P4, the ifelse(Training.Class==k,1,0) of
+  // R:197-201), then column-sum the indicator matrix (A3, R:352) ----------
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def hot(p: String): Column =
+      when(col("o_orderpriority") === p, 1).otherwise(0)
+    o.select(col("o_orderstatus"),
+        hot("1-URGENT").as("is_urgent"), hot("2-HIGH").as("is_high"),
+        hot("3-MEDIUM").as("is_medium"), hot("4-NOT SPECIFIED").as("is_notspec"),
+        hot("5-LOW").as("is_low"))
+      .groupBy("o_orderstatus")
+      .agg(sum("is_urgent").as("n_urgent"), sum("is_high").as("n_high"),
+        sum("is_medium").as("n_medium"), sum("is_notspec").as("n_notspec"),
+        sum("is_low").as("n_low"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q05Sql =
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q06: regex replace, first occurrence only (P5) — the reference's
+  // str_replace("Goode_","") semantics (R:150-152) = anchored replace ------
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_replace(col("p_name"), "^[a-z]+ ", "").as("name_tail"),
+        upper(col("p_brand")).as("brand_uc"),
+        concat_ws("_", lit("Output"), col("p_type")).as("tagged"))
+      .orderBy("p_partkey")
+
+  private val q06Sql =
+    """SELECT p_partkey, REGEXP_REPLACE(p_name, '^[a-z]+ ', '') AS name_tail,
+      |  UPPER(p_brand) AS brand_uc,
+      |  CONCAT_WS('_', 'Output', p_type) AS tagged
+      |FROM part ORDER BY 1""".stripMargin
+
+  // --- q07: stable contiguous row-id (P10) — never
+  // monotonically_increasing_id; row_number over a total order (R:192-196) -
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumn("training_id",
+        row_number().over(Window.orderBy("s_suppkey")))
+      .select("training_id", "s_suppkey", "s_name")
+      .orderBy("training_id")
+
+  private val q07Sql =
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS training_id,
+      |  s_suppkey, s_name
+      |FROM supplier ORDER BY 1""".stripMargin
+
+  // --- q08: the vote — row-wise argmax over 5 probability columns with
+  // which.max first-max tie-break and the strict <0.5 threshold
+  // (W1-W4, R:362-389). Buckets of l_linenumber stand in for the 5
+  // driver-probability columns; all divisions are of exact sums. ----------
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def bucket(i: Int): Column =
+      sum(when(pmod(col("l_linenumber"), lit(5)) === i, col("l_quantity"))
+        .otherwise(0.0))
+    val agg = li.groupBy("l_orderkey")
+      .agg(bucket(0).as("b0"), bucket(1).as("b1"), bucket(2).as("b2"),
+        bucket(3).as("b3"), bucket(4).as("b4"),
+        sum("l_quantity").as("tot"))
+    val ps = (0 to 4).map(i => (col(s"b$i") / col("tot")).as(s"p$i"))
+    val withP = agg.select((col("l_orderkey") +: ps): _*)
+    val probs = (0 to 4).map(i => col(s"p$i"))
+    val mx = greatest(probs: _*)
+    withP.select(
+        col("l_orderkey"),
+        when(mx < 0.5, 0L)
+          .otherwise(array_position(array(probs: _*), mx)).as("class"),
+        mx.as("confidence"))
+      .orderBy("l_orderkey")
+  }
+
+  private val q08Sql =
+    """WITH agg AS (
+      |  SELECT l_orderkey,
+      |    SUM(CASE WHEN l_linenumber % 5 = 0 THEN l_quantity ELSE 0 END) AS b0,
+      |    SUM(CASE WHEN l_linenumber % 5 = 1 THEN l_quantity ELSE 0 END) AS b1,
+      |    SUM(CASE WHEN l_linenumber % 5 = 2 THEN l_quantity ELSE 0 END) AS b2,
+      |    SUM(CASE WHEN l_linenumber % 5 = 3 THEN l_quantity ELSE 0 END) AS b3,
+      |    SUM(CASE WHEN l_linenumber % 5 = 4 THEN l_quantity ELSE 0 END) AS b4,
+      |    SUM(l_quantity) AS tot
+      |  FROM lineitem GROUP BY 1),
+      |p AS (
+      |  SELECT l_orderkey, b0/tot AS p0, b1/tot AS p1, b2/tot AS p2,
+      |    b3/tot AS p3, b4/tot AS p4,
+      |    GREATEST(b0/tot, b1/tot, b2/tot, b3/tot, b4/tot) AS mx
+      |  FROM agg)
+      |SELECT l_orderkey,
+      |  CAST(CASE WHEN mx < 0.5 THEN 0
+      |    WHEN p0 >= p1 AND p0 >= p2 AND p0 >= p3 AND p0 >= p4 THEN 1
+      |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 2
+      |    WHEN p2 >= p3 AND p2 >= p4 THEN 3
+      |    WHEN p3 >= p4 THEN 4 ELSE 5 END AS BIGINT) AS class,
+      |  mx AS confidence
+      |FROM p ORDER BY 1""".stripMargin
+
+  // --- q09: union-all of the regional outputs pattern (U1, R:348) --------
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"),
+        col("s_acctbal").as("acctbal"), lit("supplier").as("side"))
+    val cus = t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("side"))
+    sup.unionByName(cus)
+      .groupBy("side", "nationkey")
+      .agg(count(lit(1)).as("n"), max("acctbal").as("max_bal"))
+      .orderBy("side", "nationkey")
+  }
+
+  private val q09Sql =
+    """SELECT side, nationkey, COUNT(*) AS n, MAX(acctbal) AS max_bal
+      |FROM (
+      |  SELECT CAST(s_nationkey AS INT) AS nationkey, s_acctbal AS acctbal,
+      |    'supplier' AS side FROM supplier
+      |  UNION ALL
+      |  SELECT CAST(c_nationkey AS INT) AS nationkey, c_acctbal AS acctbal,
+      |    'customer' AS side FROM customer)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q10: distinct (A4, R:230-231) --------------------------------------
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+      .distinct()
+      .orderBy("nationkey", "segment")
+
+  private val q10Sql =
+    """SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey,
+      |  c_mktsegment AS segment
+      |FROM customer ORDER BY 1, 2""".stripMargin
+
+  // --- q11: group-by dedup with min/max/count (the R:516-520 pattern,
+  // exact aggregates only — no order-dependent double sums) ----------------
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"),
+        max("value").as("max_v"))
+      .orderBy("user_id", "event_type")
+
+  private val q11Sql =
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      |  MIN(value) AS min_v, MAX(value) AS max_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q12: whole-column %-classified stats (A3, R:459-476) ---------------
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.agg(
+        sum("l_quantity").as("total_qty"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(0.0)).as("returned_qty"))
+      .select(col("total_qty"), col("returned_qty"),
+        (col("returned_qty") / col("total_qty") * 100.0).as("returned_pct"))
+  }
+
+  private val q12Sql =
+    """SELECT SUM(l_quantity) AS total_qty,
+      |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS returned_qty,
+      |  SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+      |    / SUM(l_quantity) * 100.0 AS returned_pct
+      |FROM lineitem""".stripMargin
+
+  // --- q13: deterministic hash-based stratified sample (U3, R:826-844 —
+  // rand() replaced by a splittable counter hash so the oracle agrees) -----
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(pmod(pmod(col("o_orderkey") * knuth, lit(4294967296L)),
+        lit(100L)) < 20)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("o_orderstatus")
+
+  private val q13Sql =
+    """SELECT o_orderstatus, COUNT(*) AS n_sampled
+      |FROM orders
+      |WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 20
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q14: per-group top-k with deterministic tie-break ------------------
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    t(s, dir, "supplier")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("s_nationkey").cast("int").as("nationkey"),
+        col("rk"), col("s_suppkey"), col("s_acctbal"))
+      .orderBy("nationkey", "rk")
+  }
+
+  private val q14Sql =
+    """SELECT CAST(s_nationkey AS INT) AS nationkey, CAST(rk AS INT) AS rk,
+      |  s_suppkey, s_acctbal
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY s_nationkey
+      |    ORDER BY s_acctbal DESC, s_suppkey) AS rk FROM supplier)
+      |WHERE rk <= 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q15: event-time window aggregation (batch analog of the streaming
+  // surface; reference has no streaming — SURVEY.md §2.10) -----------------
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min("value").as("min_v"))
+      .orderBy("hour", "event_type")
+
+  private val q15Sql =
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+      |  COUNT(*) AS n, MIN(value) AS min_v
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q16: single-pass pivot to the wide table — replaces the reference's
+  // 85-fold left-join chain (J5, R:209-228) with one shuffle ---------------
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum("l_quantity"))
+      .withColumnRenamed("A", "qty_a")
+      .withColumnRenamed("N", "qty_n")
+      .withColumnRenamed("R", "qty_r")
+      .na.fill(0.0, Seq("qty_a", "qty_n", "qty_r"))
+      .orderBy("l_linestatus")
+
+  private val q16Sql =
+    """SELECT l_linestatus,
+      |  COALESCE(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0) AS qty_a,
+      |  COALESCE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0) AS qty_n,
+      |  COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0) AS qty_r
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q17: semi/anti join (EXISTS / NOT EXISTS) ---------------------------
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select("o_custkey")
+    val c = t(s, dir, "customer")
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("side"), col("c_custkey"))
+    val without = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("without_orders").as("side"), col("c_custkey"))
+    withO.unionByName(without)
+      .groupBy("side").agg(count(lit(1)).as("n"))
+      .orderBy("side")
+  }
+
+  private val q17Sql =
+    """SELECT side, COUNT(*) AS n FROM (
+      |  SELECT 'with_orders' AS side, c_custkey FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  UNION ALL
+      |  SELECT 'without_orders' AS side, c_custkey FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+}
