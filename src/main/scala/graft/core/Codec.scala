@@ -1,0 +1,136 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+
+/** Tile payload codec: raster pixel blocks carried as `bytes:binary`
+  * rows of the Iceberg-shaped image table (BASELINE.json `input_hint`).
+  *
+  * Formats:
+  *  - `f32`  : lossless; bands stored band-major as little-endian
+  *             float32, no header (w, h, band count live in columns).
+  *  - `png16`: lossy-quantized; single band as 16-bit grayscale PNG of
+  *             round(value * Png16Scale) — exercises the PSNR >= 40 dB
+  *             invariant for lossy payloads.
+  *
+  * The reference reads GeoTIFF rasters eagerly into vectors
+  * (`Supplemental_Data_1.R:211,216-218`); our decode is the per-tile
+  * analog feeding the raster->vector explode (SURVEY.md §2.1 S3).
+  */
+object Codec {
+
+  /** Quantization scale for png16: value range [0, 1024) maps onto
+    * 16-bit codes with 1/64 granularity. */
+  val Png16Scale = 64.0
+
+  def encodeF32(bands: Array[Array[Float]]): Array[Byte] = {
+    val per = bands(0).length
+    val buf = ByteBuffer.allocate(4 * per * bands.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    var b = 0
+    while (b < bands.length) {
+      require(bands(b).length == per, "ragged bands")
+      val fb = buf.asFloatBuffer()
+      fb.position(b * per)
+      fb.put(bands(b))
+      buf.position(0)
+      b += 1
+    }
+    buf.array()
+  }
+
+  /** Decode one band of an f32 multiband payload. */
+  def decodeF32Band(bytes: Array[Byte], nPixels: Int, band: Int): Array[Float] = {
+    val out = new Array[Float](nPixels)
+    val fb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    fb.position(band * nPixels)
+    fb.get(out)
+    out
+  }
+
+  def bandCount(bytes: Array[Byte], nPixels: Int): Int = bytes.length / (4 * nPixels)
+
+  def encodePng16(band: Array[Float], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < band.length) {
+      val code = math.max(0, math.min(65535, math.round(band(i) * Png16Scale).toInt))
+      raster.setSample(i % w, i / w, 0, code)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  def decodePng16(bytes: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Float](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (raster.getSample(i % w, i / w, 0) / Png16Scale).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Decode dispatch on the table's `fmt` column. */
+  def decodeBand(fmt: String, bytes: Array[Byte], nPixels: Int, band: Int): Array[Float] =
+    fmt match {
+      case "f32" => decodeF32Band(bytes, nPixels, band)
+      case "png16" =>
+        require(band == 0, "png16 payloads are single-band")
+        decodePng16(bytes)
+      case other => throw new IllegalArgumentException(s"unknown fmt: $other")
+    }
+
+  /** Peak signal-to-noise ratio in dB; infinite for identical inputs. */
+  def psnr(a: Array[Float], b: Array[Float], peak: Double): Double = {
+    require(a.length == b.length, "length mismatch")
+    var sse = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      sse += d * d
+      i += 1
+    }
+    if (sse == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(peak * peak * a.length / sse)
+  }
+
+  /** 64-bit perceptual hash of a pixel block: 8x8 block-mean average
+    * hash (bit set where the block mean exceeds the global mean) — the
+    * `phash` column of the input table. */
+  def phash(band: Array[Float], w: Int, h: Int): Long = {
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < band.length) {
+      val bx = math.min(7, (i % w) * 8 / w)
+      val by = math.min(7, (i / w) * 8 / h)
+      val k = by * 8 + bx
+      sums(k) += band(i)
+      counts(k) += 1
+      i += 1
+    }
+    var total = 0.0
+    var n = 0L
+    var k = 0
+    while (k < 64) { total += sums(k); n += counts(k); k += 1 }
+    val mean = if (n == 0) 0.0 else total / n
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      val m = if (counts(k) == 0) 0.0 else sums(k) / counts(k)
+      if (m > mean) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+}

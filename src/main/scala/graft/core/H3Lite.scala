@@ -1,0 +1,84 @@
+package graft.core
+
+/** H3-compatible hierarchical cell index over an equirectangular
+  * quadtree ("H3-lite").
+  *
+  * No H3/S2 jars exist in the zero-egress sandbox, so the engine ships
+  * its own 64-bit hierarchical id with the same API shape as H3
+  * (encode(lat,lng,res), parent, kRing): at resolution r the globe is an
+  * equirectangular grid of 2^r latitude bands x 2^(r+1) longitude bands;
+  * each finer resolution splits a cell in 4. Ids are bit-packed so parent
+  * derivation is pure shifts — codegen friendly (SURVEY.md §2.8 G1).
+  *
+  * Id layout (64 bits): [unused:12][res:4][row:24][col:24], 1-bit set at
+  * bit 62 as a validity marker so id 0 is never a valid cell.
+  */
+object H3Lite {
+  val MaxRes = 15
+
+  @inline private def rowsAt(res: Int): Int = 1 << res
+  @inline private def colsAt(res: Int): Int = 1 << (res + 1)
+
+  @inline def pack(res: Int, row: Int, col: Int): Long =
+    (1L << 62) | (res.toLong << 48) | (row.toLong << 24) | col.toLong
+
+  @inline def res(id: Long): Int = ((id >> 48) & 0xF).toInt
+  @inline def row(id: Long): Int = ((id >> 24) & 0xFFFFFF).toInt
+  @inline def col(id: Long): Int = (id & 0xFFFFFF).toInt
+  @inline def isValid(id: Long): Boolean = (id >> 62) == 1L
+
+  /** lat in [-90, 90], lng in [-180, 180) -> cell id at `res`. */
+  def encode(lat: Double, lng: Double, res: Int): Long = {
+    require(res >= 0 && res <= MaxRes, s"res $res out of [0,$MaxRes]")
+    val nr = rowsAt(res)
+    val nc = colsAt(res)
+    val r0 = math.floor((lat + 90.0) / 180.0 * nr).toInt
+    val c0 = math.floor((lng + 180.0) / 360.0 * nc).toInt
+    val r = math.min(math.max(r0, 0), nr - 1)
+    // wrap longitude
+    val c = ((c0 % nc) + nc) % nc
+    pack(res, r, c)
+  }
+
+  /** Parent of `id` at coarser resolution `toRes`. */
+  def parent(id: Long, toRes: Int): Long = {
+    val r = res(id)
+    require(toRes <= r, s"parent res $toRes finer than id res $r")
+    val shift = r - toRes
+    pack(toRes, row(id) >> shift, col(id) >> shift)
+  }
+
+  /** Centroid (lat, lng) of a cell. */
+  def centroid(id: Long): (Double, Double) = {
+    val r = res(id)
+    val lat = (row(id) + 0.5) / rowsAt(r) * 180.0 - 90.0
+    val lng = (col(id) + 0.5) / colsAt(r) * 360.0 - 180.0
+    (lat, lng)
+  }
+
+  /** All cells within Chebyshev distance k (the H3 kRing analog),
+    * including the center. Longitude wraps; latitude clamps at poles.
+    * Deterministic order: by (dr, dc). */
+  def kRing(id: Long, k: Int): Array[Long] = {
+    val r = res(id)
+    val nr = rowsAt(r)
+    val nc = colsAt(r)
+    val r0 = row(id)
+    val c0 = col(id)
+    val out = Array.newBuilder[Long]
+    var dr = -k
+    while (dr <= k) {
+      val rr = r0 + dr
+      if (rr >= 0 && rr < nr) {
+        var dc = -k
+        while (dc <= k) {
+          val cc = (((c0 + dc) % nc) + nc) % nc
+          out += pack(r, rr, cc)
+          dc += 1
+        }
+      }
+      dr += 1
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.world.WorldSpec
+
+/** The nearest-neighbor "Expand" fixed point (SURVEY.md §2.8 G4): the
+  * reference pauses and runs ArcGIS's Expand tool by hand
+  * (`Supplemental_Data_1.R:445-454`); here it is a native iterative
+  * 8-neighborhood dilation: every uncertain cell (class 0) adopts the
+  * minimum positive class among its 8 grid neighbors; repeat to fixed
+  * point. Tie-break (documented, deterministic — ArcGIS's is
+  * unspecified): lowest class id wins.
+  *
+  * Scale design: each step is 8 derived-key equi-joins expressed as one
+  * explode+join (shuffle on cell id, broadcast of the 8-offset table),
+  * never a theta/range join; lineage is truncated every iteration with
+  * localCheckpoint so the plan doesn't grow with the iteration count;
+  * convergence = zero adopted cells (a count on the adopted side only,
+  * not the full frame).
+  */
+object Expand {
+
+  /** @param cls DataFrame(cell_id: long, final_class: long) covering the
+    *            grid (class 0 = uncertain).
+    * @return DataFrame(cell_id, final_class, iters) at fixed point (or
+    *         after maxIters). */
+  def run(s: SparkSession, spec: WorldSpec, cls: DataFrame,
+      maxIters: Int): DataFrame = {
+    import s.implicits._
+    val C = spec.cols
+    val offsets = for {
+      dr <- Seq(-1, 0, 1); dc <- Seq(-1, 0, 1) if dr != 0 || dc != 0
+    } yield (dr, dc)
+    val offDF = broadcast(offsets.toDF("dr", "dc"))
+
+    var cur = cls.select(col("cell_id"), col("final_class").cast("long")
+      .as("final_class")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      val uncertain = cur.filter(col("final_class") === 0)
+        .select(col("cell_id"),
+          (floor((col("cell_id") - 1) / C) + 1).as("row"),
+          ((col("cell_id") - 1) % C + 1).as("col"))
+      val nbr = uncertain.crossJoin(offDF)
+        .filter((col("row") + col("dr")).between(1, spec.rows) &&
+          (col("col") + col("dc")).between(1, C))
+        .select(col("cell_id"),
+          ((col("row") + col("dr") - 1) * C + col("col") + col("dc"))
+            .cast("long").as("nbr_id"))
+      val adopted = nbr
+        .join(cur.filter(col("final_class") > 0)
+            .select(col("cell_id").as("nbr_id"),
+              col("final_class").as("nbr_class")),
+          Seq("nbr_id"))
+        .groupBy("cell_id").agg(min("nbr_class").as("adopted"))
+        .localCheckpoint(true)
+      val nAdopted = adopted.count()
+      if (nAdopted == 0) converged = true
+      else {
+        cur = cur.join(adopted, Seq("cell_id"), "left")
+          .select(col("cell_id"),
+            when(col("final_class") === 0, coalesce(col("adopted"), lit(0L)))
+              .otherwise(col("final_class")).as("final_class"))
+          .localCheckpoint(true)
+        iters += 1
+      }
+    }
+    cur.withColumn("iters", lit(iters))
+  }
+}

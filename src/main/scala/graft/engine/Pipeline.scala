@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Cart
+import graft.sql.GraftFunctions._
+import graft.world.{World, WorldSpec}
+
+/** The model pipeline core (SURVEY.md §3.1 stages 4-9): build the wide
+  * feature table from the tile scan, fit per-(region, driver) CART
+  * trees on the collected training slice, and score every loss-bearing
+  * cell with the vote.
+  *
+  * Architecture notes (vs the reference):
+  *  - the 85-fold join chain (R:209-228/249-269) is ONE decode+explode
+  *    pass producing all feature columns — no join at all;
+  *  - training is ~5k rows (R:204-205): collected to the driver and fit
+  *    there (SURVEY.md §2.9 M1); the 35 fitted trees ship back inside
+  *    closed-form `when`-chain Catalyst expressions (M3), so inference
+  *    is whole-stage-codegen'd and needs no UDF, no broadcast variable,
+  *    and no extra shuffle: the region dispatch + 5 probability columns
+  *    + argmax vote evaluate in a single projection over the feature
+  *    frame;
+  *  - classes 6 and 7 are dropped from training by default (notebook
+  *    cell 36 intent; the R script only drops 7 at R:204 — configurable
+  *    via `dropClasses`).
+  */
+object Pipeline {
+
+  val NumDrivers = 5
+
+  final case class Config(
+      dropClasses: Set[Int] = Set(6, 7),
+      confidenceFloor: Double = 0.5, // strict < keeps the class (R:382)
+      lossFloor: Double = 0.005, // R:407
+      cartParams: Cart.Params = Cart.Params(),
+      pruneCp: Double = 0.02) // R:313
+
+  /** Decoded per-cell frame: (cell_id, loss, b1..b5) from the tile
+    * table — the raster->vector scan (S3). */
+  def decodedCells(s: SparkSession, spec: WorldSpec): DataFrame = {
+    val tiles = World.tilesDF(s, spec)
+    val nb = spec.nBands
+    val zipped = arrays_zip((0 until nb).map(b =>
+      decode_band(col("bytes"), col("fmt"), spec.pixPerTile, b).as(s"b$b")): _*)
+    val C = spec.cols
+    val T = spec.tile
+    val TX = spec.tilesX
+    tiles.select(col("tile_id"), posexplode(zipped).as(Seq("p", "v")))
+      .select(
+        (((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
+          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long").as("cell_id") +:
+          col("v.b0").cast("double").as("loss") +:
+          (1 until nb).map(b => col(s"v.b$b").cast("double").as(s"b$b"))): _*)
+  }
+
+  /** Feature frame with region attached via the PIP expression; rows
+    * outside every polygon are dropped (R:273-274). */
+  def featuresWithRegion(s: SparkSession, spec: WorldSpec): DataFrame = {
+    val px = ((col("cell_id") - 1) % spec.cols).cast("double") + 0.5
+    val py = floor((col("cell_id") - 1) / spec.cols).cast("double") + 0.5
+    decodedCells(s, spec)
+      .withColumn("region_id", region_of(px, py, World.polygons(spec)))
+      .filter(col("region_id").isNotNull)
+  }
+
+  /** Compile a fitted tree into a when-chain Column over feature cols. */
+  def treeColumn(t: Cart.Tree, feats: IndexedSeq[Column]): Column = t match {
+    case Cart.Leaf(v, _, _) => lit(v)
+    case Cart.Split(f, thr, lo, hi, _, _, _) =>
+      when(feats(f) < thr, treeColumn(lo, feats))
+        .otherwise(treeColumn(hi, feats))
+  }
+
+  /** Fit the (region x driver) tree matrix from the collected training
+    * slice. Key: (region_id, driver) -> pruned tree. */
+  def fitTrees(training: Array[(Int, Int, Array[Double])], nRegions: Int,
+      cfg: Config): Map[(Int, Int), Cart.Tree] = {
+    (1 to nRegions).flatMap { r =>
+      val regional = training.filter(_._1 == r)
+      (1 to NumDrivers).map { d =>
+        val xs = regional.map(_._3)
+        val y = regional.map(t => if (t._2 == d) 1.0 else 0.0)
+        val tree =
+          if (xs.isEmpty) Cart.Leaf(0.0, 0, 0.0)
+          else Cart.prune(Cart.fit(xs, y, cfg.cartParams), cfg.pruneCp)
+        (r, d) -> tree
+      }
+    }.toMap
+  }
+
+  /** Full fit-predict-vote over the synthetic world: returns
+    * (cell_id, region_id, class, confidence) for loss-bearing cells.
+    * Matches reference stages 4-9 (R:191-411). */
+  def fitPredictVote(s: SparkSession, spec: WorldSpec,
+      cfg: Config = Config()): DataFrame = {
+    val feats = featuresWithRegion(s, spec)
+
+    // training slice: labeled cells, excluded classes dropped (R:204-205
+    // vs nb cell 36), collected driver-side.
+    val trainLabel =
+      when((((col("cell_id") * 13) * World.Knuth) % World.M32) % 64 < 4,
+        ((((col("cell_id") * 13 + 1) * World.Knuth) % World.M32) % 7)
+          .cast("int") + 1).otherwise(0)
+    val nb = spec.nBands
+    val featCols = (1 until nb).map(b => col(s"b$b"))
+    val training = feats
+      .withColumn("tclass", trainLabel)
+      .filter(col("tclass") > 0 &&
+        !col("tclass").isInCollection(cfg.dropClasses))
+      .select(col("region_id") +: col("tclass") +: featCols: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        (2 until 2 + (nb - 1)).map(r.getDouble).toArray))
+
+    val trees = fitTrees(training, spec.nRegions, cfg)
+
+    // single-projection inference: per driver, region-dispatched tree
+    // expression; then the vote.
+    val probCols = (1 to NumDrivers).map { d =>
+      (1 to spec.nRegions).foldLeft(lit(0.0)) { (acc, r) =>
+        when(col("region_id") === r,
+          treeColumn(trees((r, d)), featCols.toIndexedSeq)).otherwise(acc)
+      }.as(s"p$d")
+    }
+    val scored = feats.filter(col("loss") > 0) // predict loss-bearing cells
+      .select(col("cell_id") +: col("region_id") +: col("loss") +: probCols: _*)
+    val ps = (1 to NumDrivers).map(d => col(s"p$d"))
+    val mx = greatest(ps: _*)
+    scored.select(col("cell_id"), col("region_id"),
+        when(col("loss") < cfg.lossFloor, 0L)
+          .otherwise(when(mx < cfg.confidenceFloor, 0L)
+            .otherwise(array_position(array(ps: _*), mx))).as("class"),
+        mx.as("confidence"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Codec
+import graft.world.WorldSpec
+
+/** The raster-encode sink (SURVEY.md §2.2 K2): the vector->raster
+  * inverse of the decode scan, reproducing `rastOut`
+  * (`Supplemental_Data_1.R:53-72`) semantics per tile: missing cells
+  * become NaN (R's NA), pixel order is row-major within the tile.
+  *
+  * Determinism at scale: pixel order does NOT rely on any implicit row
+  * ordering (Spark has none, SURVEY.md §2.7 U2) — pixels are sorted
+  * inside the per-tile aggregation by their in-tile index, and the
+  * aggregation shuffles on tile_id (range partitioning keeps tiles of a
+  * region together for downstream sequential writes).
+  */
+object Rasterize {
+
+  def apply(s: SparkSession, spec: WorldSpec, df: DataFrame,
+      valueCol: String): DataFrame = {
+    val C = spec.cols
+    val T = spec.tile
+    val TX = spec.tilesX
+    val id = col("cell_id")
+    val row0 = floor((id - 1) / C) // 0-based
+    val col0 = (id - 1) % C
+    val tileId = (floor(row0 / T) * TX + floor(col0 / T)).cast("int")
+    val pix = ((row0 % T) * T + col0 % T).cast("int")
+
+    val nPix = spec.pixPerTile
+    val encode = udf { (pixs: Seq[Int], vs: Seq[Double]) =>
+      val band = Array.fill[Float](nPix)(Float.NaN)
+      var i = 0
+      while (i < pixs.length) {
+        band(pixs(i)) = vs(i).toFloat
+        i += 1
+      }
+      Codec.encodeF32(Array(band))
+    }
+
+    df.select(id, col(valueCol).cast("double").as("v"))
+      .withColumn("tile_id", tileId)
+      .withColumn("pix", pix)
+      .repartitionByRange(col("tile_id"))
+      .groupBy("tile_id")
+      .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
+      .select(col("tile_id"),
+        format_string("tile_%05d", col("tile_id")).as("image_id"),
+        encode(col("pv.pix"), col("pv.v")).as("bytes"),
+        lit(T).as("w"), lit(T).as("h"), lit("f32").as("fmt"))
+  }
+}

@@ -1,8 +1,398 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.world.{World, WorldSpec}
+import graft.sql.GraftFunctions._
+
 /** Spatial operator queries over the deterministic synthetic mini-Goode
-  * world (FIXTURES.md §1-§5). Populated as the spatial engine lands.
+  * world (FIXTURES.md). The world is pure integer/dyadic arithmetic on
+  * the cell id, so each query's DuckDB oracle regenerates the identical
+  * values from `range()` + the same formulas — giving the driver's
+  * compare bit-exact coverage of decode, grid indexing, PIP join, zonal
+  * aggregation, the vote, and the expand step (SURVEY.md §2.8, §2.6).
+  *
+  * The `sfDir` argument is ignored: the spatial surface is self-
+  * generating (TESTDATA.md's tables only cover the relational surface).
   */
 object Spatial {
-  def all: Seq[Q] = Seq.empty
+  private val spec: WorldSpec = World.tiny
+  private val N = spec.nCells // 6144
+  private val C = spec.cols   // 96
+  private val T = spec.tile   // 16
+  private val TX = spec.tilesX // 6
+
+  def all: Seq[Q] = Seq(
+    Q("q20_grid_index", q20, Some(q20Sql)),
+    Q("q21_pip_region", q21, Some(q21Sql)),
+    Q("q22_decode_zonal", q22, Some(q22Sql)),
+    Q("q23_vote_threshold", q23, Some(q23Sql)),
+    Q("q24_expand_step", q24, Some(q24Sql)),
+    Q("q25_wide_features", q25, Some(q25Sql)),
+    Q("q26_region_stats", q26, Some(q26Sql)),
+    Q("q27_h3_partition", q27, Some(q27Sql)),
+    Q("q28_rasterize", q28, None),
+    Q("q29_tree_fit_predict", q29, None),
+    Q("q30_expand_fixpoint", q30, None),
+    Q("q31_psnr_png16", q31, None)
+  )
+
+  // ---- shared builders ----------------------------------------------------
+
+  /** The dense cell spine (S4, R:117-120): a Range leaf, no shuffle. */
+  private def spine(s: SparkSession): DataFrame =
+    s.range(1, N + 1).toDF("cell_id")
+
+  /** Knuth 32-bit counter hash as a Column (matches World.h). */
+  private def hc(k: Column): Column = (k * World.Knuth) % World.M32
+
+  private def cellCol: Column = col("cell_id")
+  private def lossCol(id: Column): Column =
+    when(hc(id) % 16 < 6, 0.0)
+      .otherwise((hc(id) % 1024).cast("double") / 1024.0)
+  private def bandCol(id: Column, b: Int): Column =
+    (hc(id * 7 + b) % 256).cast("double")
+  private def probCol(id: Column, cls: Int): Column =
+    (hc(id * 11 + cls) % 64).cast("double") / 64.0
+  private def trainCol(id: Column): Column =
+    when(hc(id * 13) % 64 < 4, (hc(id * 13 + 1) % 7).cast("int") + 1)
+      .otherwise(0)
+
+  private def rowCol(id: Column): Column = floor((id - 1) / C).cast("long") + 1
+  private def colCol(id: Column): Column = (id - 1) % C + 1
+  private def pxCol(id: Column): Column = ((id - 1) % C).cast("double") + 0.5
+  private def pyCol(id: Column): Column =
+    floor((id - 1) / C).cast("double") + 0.5
+  private def tileCol(id: Column): Column =
+    (floor(floor((id - 1) / C) / T) * TX +
+      floor(((id - 1) % C) / T)).cast("long")
+
+  // Oracle fragments (identical formulas in DuckDB SQL).
+  private val cellsCte =
+    s"WITH cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r)"
+  private def hSql(k: String) = s"((($k) * 2654435761) % 4294967296)"
+  private def lossSql(id: String) =
+    s"(CASE WHEN ${hSql(id)} % 16 < 6 THEN 0.0 ELSE (${hSql(id)} % 1024) / 1024.0 END)"
+  private def bandSql(id: String, b: Int) =
+    s"(CAST(${hSql(s"($id) * 7 + $b")} % 256 AS DOUBLE))"
+  private def probSql(id: String, c: Int) =
+    s"((${hSql(s"($id) * 11 + $c")} % 64) / 64.0)"
+  private def trainSql(id: String) =
+    s"(CASE WHEN ${hSql(s"($id) * 13")} % 64 < 4 THEN CAST(${hSql(s"($id) * 13 + 1")} % 7 + 1 AS INT) ELSE 0 END)"
+  private def rowSql(id: String) = s"(CAST(FLOOR((($id) - 1) / $C) AS BIGINT) + 1)"
+  private def colSql(id: String) = s"((($id) - 1) % $C + 1)"
+  private def pxSql(id: String) = s"(CAST((($id) - 1) % $C AS DOUBLE) + 0.5)"
+  private def pySql(id: String) = s"(CAST(FLOOR((($id) - 1) / $C) AS DOUBLE) + 0.5)"
+  private def tileSql(id: String) =
+    s"(CAST(FLOOR(FLOOR((($id) - 1) / $C) / $T) * $TX + FLOOR(((($id) - 1) % $C) / $T) AS BIGINT))"
+
+  /** Polygon edge list as a SQL VALUES literal (kept in sync with the
+    * engine's polygons by construction). */
+  private def edgesValues: String =
+    World.edges(spec).map { case (r, x1, y1, x2, y2) =>
+      s"($r, CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE), CAST($x2 AS DOUBLE), CAST($y2 AS DOUBLE))"
+    }.mkString(", ")
+
+  /** Even-odd ray-cast as SQL: odd crossing count per (cell, region),
+    * lowest region wins (mirrors Geom.regionOf exactly — the dyadic
+    * edge geometry guarantees identical float comparisons). */
+  private def pipCte: String =
+    s"""edges(region_id, x1, y1, x2, y2) AS (VALUES $edgesValues),
+       |pts AS (SELECT cell_id, ${pxSql("cell_id")} AS px, ${pySql("cell_id")} AS py FROM cells),
+       |pip AS (
+       |  SELECT p.cell_id, e.region_id
+       |  FROM pts p JOIN edges e
+       |    ON ((e.y1 > p.py) != (e.y2 > p.py))
+       |   AND p.px < e.x1 + (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1)
+       |  GROUP BY p.cell_id, e.region_id
+       |  HAVING COUNT(*) % 2 = 1),
+       |region_of AS (
+       |  SELECT cell_id, MIN(region_id) AS region_id FROM pip GROUP BY 1)""".stripMargin
+
+  /** Spark-side PIP lookup via the codegen'd RegionOf expression. */
+  private def regionDF(s: SparkSession): DataFrame =
+    spine(s).select(cellCol,
+      region_of(pxCol(cellCol), pyCol(cellCol), World.polygons(spec))
+        .as("region_id"))
+      .filter(col("region_id").isNotNull)
+
+  /** Decoded long-format pixels: (cell_id, loss, b1..b5) from the tile
+    * table — decode expression + posexplode + key derivation at decode
+    * time (replaces the reference's positional zip, R:221-225). */
+  private def decodedCells(s: SparkSession, bands: Seq[Int]): DataFrame = {
+    val tiles = World.tilesDF(s, spec)
+    val zipped = arrays_zip(
+      (0 +: bands).map(b =>
+        decode_band(col("bytes"), col("fmt"), spec.pixPerTile, b).as(s"b$b")): _*)
+    tiles.select(col("tile_id"), posexplode(zipped).as(Seq("p", "v")))
+      .select(
+        (((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
+          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long").as("cell_id") +:
+          col("v.b0").cast("double").as("loss") +:
+          bands.map(b => col(s"v.b$b").cast("double").as(s"b$b"))): _*)
+  }
+
+  // ---- q20: grid indexing (G1): id <-> row/col/tile/centroid ------------
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    spine(s).select(cellCol,
+        rowCol(cellCol).as("row"), colCol(cellCol).as("col"),
+        tileCol(cellCol).as("tile_id"),
+        pxCol(cellCol).as("px"), pyCol(cellCol).as("py"))
+      .orderBy("cell_id")
+
+  private def q20Sql =
+    s"""$cellsCte
+       |SELECT cell_id, ${rowSql("cell_id")} AS row, ${colSql("cell_id")} AS col,
+       |  ${tileSql("cell_id")} AS tile_id,
+       |  ${pxSql("cell_id")} AS px, ${pySql("cell_id")} AS py
+       |FROM cells ORDER BY 1""".stripMargin
+
+  // ---- q21: the PIP spatial join (G3) ------------------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    regionDF(s).orderBy("cell_id")
+
+  private def q21Sql =
+    s"""$cellsCte,
+       |${pipCte}
+       |SELECT cell_id, region_id FROM region_of ORDER BY 1""".stripMargin
+
+  // ---- q22: decode -> explode -> zonal aggregation (S3/G5/A6) ------------
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    decodedCells(s, Seq(1))
+      .groupBy(tileCol(cellCol).as("tile_id"))
+      .agg(
+        sum(when(col("loss") > 0, 1).otherwise(0)).as("n_loss_cells"),
+        sum("loss").as("loss_sum"),
+        sum("b1").as("b1_sum"),
+        max("b1").as("b1_max"))
+      .orderBy("tile_id")
+
+  private def q22Sql =
+    s"""$cellsCte
+       |SELECT ${tileSql("cell_id")} AS tile_id,
+       |  CAST(SUM(CASE WHEN ${lossSql("cell_id")} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_loss_cells,
+       |  SUM(${lossSql("cell_id")}) AS loss_sum,
+       |  SUM(${bandSql("cell_id", 1)}) AS b1_sum,
+       |  MAX(${bandSql("cell_id", 1)}) AS b1_max
+       |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q23: the vote — argmax + strict <0.5 threshold + 0.005 loss
+  // floor (W1-W4, R:362-411). Coarse dyadic probs force ties, pinning
+  // which.max first-max semantics. ----------------------------------------
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val ps = (1 to 5).map(c => probCol(cellCol, c).as(s"p$c"))
+    val withP = spine(s).select((cellCol +: ps): _*)
+    val probs = (1 to 5).map(c => col(s"p$c"))
+    val mx = greatest(probs: _*)
+    withP.select(cellCol,
+        when(mx < 0.5, 0L).otherwise(array_position(array(probs: _*), mx))
+          .as("class"),
+        mx.as("confidence"),
+        lossCol(cellCol).as("loss"))
+      .withColumn("final_class",
+        when(col("loss") < 0.005, 0L).otherwise(col("class")))
+      .select("cell_id", "class", "confidence", "loss", "final_class")
+      .orderBy("cell_id")
+  }
+
+  private def q23Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |v AS (SELECT cell_id, loss, GREATEST(p1, p2, p3, p4, p5) AS confidence,
+       |  CAST(CASE WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS class
+       |  FROM p)
+       |SELECT cell_id, class, confidence, loss,
+       |  CAST(CASE WHEN loss < 0.005 THEN 0 ELSE class END AS BIGINT) AS final_class
+       |FROM v ORDER BY 1""".stripMargin
+  }
+
+  // ---- q24: one expand step (G4): uncertain cells adopt the minimum
+  // positive class among their 8 neighbors, via 8 equi-joins on derived
+  // neighbor ids (the shuffle-friendly formulation; no theta join) --------
+  private def classifiedDF(s: SparkSession): DataFrame = {
+    val ps = (1 to 5).map(c => probCol(cellCol, c))
+    val mx = greatest(ps: _*)
+    spine(s).select(cellCol,
+      when(lossCol(cellCol) < 0.005, 0L)
+        .otherwise(when(mx < 0.5, 0L)
+          .otherwise(array_position(array(ps: _*), mx))).as("final_class"))
+  }
+
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val cls = classifiedDF(s)
+    val offsets = Seq(-1, 0, 1).flatMap(dr => Seq(-1, 0, 1).map(dc => (dr, dc)))
+      .filterNot { case (dr, dc) => dr == 0 && dc == 0 }
+    import s.implicits._
+    val offDF = offsets.toDF("dr", "dc")
+    val uncertain = cls.filter(col("final_class") === 0)
+      .select(cellCol, rowCol(cellCol).as("row"), colCol(cellCol).as("col"))
+    val nbr = uncertain.crossJoin(broadcast(offDF))
+      .filter((col("col") + col("dc")).between(1, C) &&
+        (col("row") + col("dr")).between(1, spec.rows))
+      .select(cellCol, ((col("row") + col("dr") - 1) * C + col("col") + col("dc"))
+        .cast("long").as("nbr_id"))
+    val adopted = nbr
+      .join(cls.filter(col("final_class") > 0)
+          .withColumnRenamed("cell_id", "nbr_id")
+          .withColumnRenamed("final_class", "nbr_class"),
+        Seq("nbr_id"))
+      .groupBy("cell_id").agg(min("nbr_class").as("adopted"))
+    cls.join(adopted, Seq("cell_id"), "left")
+      .select(cellCol,
+        when(col("final_class") === 0, coalesce(col("adopted"), lit(0L)))
+          .otherwise(col("final_class")).as("class_expanded"))
+      .orderBy("cell_id")
+  }
+
+  private def q24Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |cls AS (SELECT cell_id,
+       |  CAST(CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS final_class
+       |  FROM p),
+       |offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+       |adopted AS (
+       |  SELECT u.cell_id, MIN(n.final_class) AS adopted
+       |  FROM cls u CROSS JOIN offs o
+       |  JOIN cls n ON n.cell_id = (${rowSql("u.cell_id")} + o.dr - 1) * $C + ${colSql("u.cell_id")} + o.dc
+       |  WHERE u.final_class = 0 AND n.final_class > 0
+       |    AND ${rowSql("u.cell_id")} + o.dr BETWEEN 1 AND ${spec.rows}
+       |    AND ${colSql("u.cell_id")} + o.dc BETWEEN 1 AND $C
+       |  GROUP BY 1)
+       |SELECT c.cell_id,
+       |  CASE WHEN c.final_class = 0 THEN COALESCE(a.adopted, 0) ELSE c.final_class END AS class_expanded
+       |FROM cls c LEFT JOIN adopted a ON c.cell_id = a.cell_id
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---- q25: the wide feature table in ONE pass (J5 replacing the 85-fold
+  // join chain R:209-228; mask-by-loss first R:236-242; NA->0 R:247;
+  // region join + drop-null R:270-274) ------------------------------------
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val cells = decodedCells(s, Seq(1, 2))
+      .filter(col("loss") > 0)
+    val training = spine(s)
+      .select(cellCol, trainCol(cellCol).as("tclass"))
+      .filter(col("tclass") > 0)
+    cells
+      .join(training, Seq("cell_id"), "left")
+      .na.fill(0, Seq("tclass"))
+      .join(regionDF(s), Seq("cell_id"), "inner")
+      .select(col("cell_id"), col("region_id"), col("tclass"),
+        col("b1"), col("b2"))
+      .orderBy("cell_id")
+  }
+
+  private def q25Sql =
+    s"""$cellsCte,
+       |${pipCte}
+       |SELECT c.cell_id, r.region_id,
+       |  CASE WHEN ${trainSql("c.cell_id")} > 0 THEN ${trainSql("c.cell_id")} ELSE 0 END AS tclass,
+       |  ${bandSql("c.cell_id", 1)} AS b1, ${bandSql("c.cell_id", 2)} AS b2
+       |FROM cells c JOIN region_of r ON c.cell_id = r.cell_id
+       |WHERE ${lossSql("c.cell_id")} > 0
+       |ORDER BY 1""".stripMargin
+
+  // ---- q26: loss-weighted classified-% per region (K5/A3, R:459-476) ----
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    classifiedDF(s)
+      .withColumn("loss", lossCol(cellCol))
+      .join(regionDF(s), Seq("cell_id"))
+      .groupBy("region_id")
+      .agg(
+        sum("loss").as("total_loss"),
+        sum(when(col("final_class") > 0, col("loss")).otherwise(0.0))
+          .as("classified_loss"))
+      .select(col("region_id"), col("total_loss"), col("classified_loss"),
+        (col("classified_loss") / col("total_loss") * 100.0)
+          .as("classified_pct"))
+      .orderBy("region_id")
+
+  private def q26Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |${pipCte},
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |cls AS (SELECT cell_id, loss,
+       |  CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS final_class
+       |  FROM p)
+       |SELECT r.region_id, SUM(c.loss) AS total_loss,
+       |  SUM(CASE WHEN c.final_class > 0 THEN c.loss ELSE 0.0 END) AS classified_loss,
+       |  SUM(CASE WHEN c.final_class > 0 THEN c.loss ELSE 0.0 END)
+       |    / SUM(c.loss) * 100.0 AS classified_pct
+       |FROM cls c JOIN region_of r ON c.cell_id = r.cell_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q27: hierarchical partition-key derivation (G1/north_rule: the
+  // H3-res-4-parent partitioning, expressed as pure id arithmetic) --------
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val r4 = floor((rowCol(cellCol) - 1) * 16 / spec.rows)
+    val c4 = floor((colCol(cellCol) - 1) * 32 / C)
+    spine(s)
+      .groupBy((r4 * 32 + c4).cast("long").as("h3r4_key"))
+      .agg(count(lit(1)).as("n_cells"),
+        min("cell_id").as("min_cell"), max("cell_id").as("max_cell"))
+      .orderBy("h3r4_key")
+  }
+
+  private def q27Sql =
+    s"""$cellsCte
+       |SELECT CAST(FLOOR((${rowSql("cell_id")} - 1) * 16 / ${spec.rows}) * 32
+       |    + FLOOR((${colSql("cell_id")} - 1) * 32 / $C) AS BIGINT) AS h3r4_key,
+       |  COUNT(*) AS n_cells, MIN(cell_id) AS min_cell, MAX(cell_id) AS max_cell
+       |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- rows-only queries (non-SQL-expressible; golden-tested in
+  // ScalaTest instead) -----------------------------------------------------
+
+  /** q28: the raster-encode sink (K2/G6, rastOut R:53-72): per-tile
+    * ordered pixel collect + f32 encode; emits tile checksums. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val cls = classifiedDF(s)
+    graft.engine.Rasterize(s, spec, cls, "final_class")
+      .select(col("tile_id"), col("image_id"), length(col("bytes")).as("n_bytes"),
+        crc32(col("bytes")).as("crc"))
+      .orderBy("tile_id")
+  }
+
+  /** q29: fit-and-predict (M1-M3): per (region, driver) CART trees on
+    * the synthetic training cells, inference as codegen when-chains. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Pipeline.fitPredictVote(s, spec).orderBy("cell_id")
+
+  /** q30: the expand fixed-point loop (G4, the ArcGIS "Expand" analog,
+    * R:445-454) with documented tie-break (min class). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Expand.run(s, spec, classifiedDF(s), maxIters = 8)
+      .orderBy("cell_id")
+
+  /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
+    * tile (input_hint). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(0, spec.nTiles).map { t =>
+      val bands = World.tileBands(spec, t.toInt)
+      val png = graft.core.Codec.encodePng16(bands(0), spec.tile, spec.tile)
+      val back = graft.core.Codec.decodePng16(png)
+      val p = graft.core.Codec.psnr(bands(0), back, peak = 1.0)
+      (t, p, p >= 40.0)
+    }.toDF("tile_id", "psnr", "pass").orderBy("tile_id")
+  }
 }

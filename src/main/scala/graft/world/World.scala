@@ -1,0 +1,162 @@
+package graft.world
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core.{Codec, GridSpec, Polygon}
+
+/** Deterministic synthetic mini-Goode world (FIXTURES.md §1-§5): the
+  * engine's spatial test/bench input, standing in for the reference's
+  * 1737x4008 @10 km global grid (`Supplemental_Data_1.R:54-70`) and its
+  * 85 predictor rasters + loss mask + training points.
+  *
+  * Every value is a pure integer/dyadic function of the cell id (Knuth
+  * multiplicative hashing, dyadic fractions only), so:
+  *  - generation is splittable and reproducible per row (no RNG state);
+  *  - the exact same values are expressible in DuckDB SQL, giving the
+  *    driver's oracle compare full coverage of the decode -> index ->
+  *    join -> aggregate path with bit-exact floats.
+  *
+  * Bands (stored band-major as f32 in the tile payload):
+  *   band 0      = loss fraction in [0,1), ~37% zeros, dyadic /1024
+  *                 (LossMaskFull analog, R:116; floor rule R:407)
+  *   bands 1..5  = predictor variables, small integers 0..255
+  *                 (the 85-raster manifest analog, R:142-166)
+  */
+final case class WorldSpec(rows: Int, cols: Int, tile: Int, nRegions: Int) {
+  require(rows % tile == 0 && cols % tile == 0, "tile must divide grid")
+  val nCells: Long = rows.toLong * cols
+  val tilesX: Int = cols / tile
+  val tilesY: Int = rows / tile
+  val nTiles: Int = tilesX * tilesY
+  val nBands: Int = 6
+  val pixPerTile: Int = tile * tile
+  /** Half the grid height — slant-edge midpoint; rows must make this a
+    * power of two so the PIP oracle arithmetic is exactly dyadic. */
+  require((rows & (rows - 1)) == 0, "rows must be a power of two")
+
+  def grid: GridSpec = GridSpec(rows, cols, 1.0, 0.0, rows.toDouble)
+
+  /** 1-based row-major cell id of pixel p (row-major within tile t). */
+  def cellId(t: Int, p: Int): Long = {
+    val row0 = (t / tilesX) * tile + p / tile // 0-based global row
+    val col0 = (t % tilesX) * tile + p % tile
+    row0.toLong * cols + col0 + 1
+  }
+
+  def tileOfCell(id: Long): Int = {
+    val row0 = ((id - 1) / cols).toInt
+    val col0 = ((id - 1) % cols).toInt
+    (row0 / tile) * tilesX + col0 / tile
+  }
+}
+
+object World {
+  /** Unit/correctness scale: 24 tiles of 16x16 over 64x96 cells. */
+  val tiny = WorldSpec(rows = 64, cols = 96, tile = 16, nRegions = 3)
+  /** Bench scale: 384 tiles of 64x64 over 1024x1536 cells. */
+  val bench = WorldSpec(rows = 1024, cols = 1536, tile = 64, nRegions = 7)
+
+  val Knuth = 2654435761L
+  val M32 = 4294967296L
+
+  /** Splittable counter hash: 32-bit Knuth multiplicative. */
+  @inline def h(k: Long): Long = (k * Knuth) % M32
+
+  /** Loss fraction of a cell: 0 for ~37%, else dyadic k/1024 with a
+    * populated band below the 0.005 floor (R:407). */
+  def loss(id: Long): Double =
+    if (h(id) % 16 < 6) 0.0 else (h(id) % 1024).toDouble / 1024.0
+
+  /** Predictor band b (1..5): small integer 0..255 (f32-exact). */
+  def band(id: Long, b: Int): Double = (h(id * 7 + b) % 256).toDouble
+
+  /** Synthetic per-class probability c (1..5): dyadic k/64 — coarse on
+    * purpose so argmax ties occur and pin first-max semantics (R:370). */
+  def prob(id: Long, c: Int): Double = (h(id * 11 + c) % 64).toDouble / 64.0
+
+  /** Training label: ~6% of cells carry a class 1..7 (6 and 7 present to
+    * pin the exclusion rule, R:204-205 vs notebook cell 36). */
+  def trainingClass(id: Long): Option[Int] =
+    if (h(id * 13) % 64 < 4) Some(1 + (h(id * 13 + 1) % 7).toInt) else None
+
+  /** Region polygons: nRegions vertical strips with inward-slanting
+    * right edges. All non-axis edges have power-of-two y-extent so the
+    * ray-cast intersection arithmetic is exactly dyadic (identical in
+    * Spark and DuckDB, never landing on a half-integer centroid). Strip
+    * gaps leave ~2-col bands of region-less cells (dropped downstream,
+    * matching `filter(!is.na(Region))`, R:273-274). */
+  def polygons(spec: WorldSpec): Array[Polygon] = {
+    val ymid = spec.rows / 2
+    (1 to spec.nRegions).map { i =>
+      val xl = ((i - 1).toLong * spec.cols / spec.nRegions).toInt + 1
+      val xr = (i.toLong * spec.cols / spec.nRegions).toInt - 1
+      Polygon(i,
+        Array(xl, xr, xr - 4, xr, xl).map(_.toDouble),
+        Array(0, 0, ymid, spec.rows, spec.rows).map(_.toDouble))
+    }.toArray
+  }
+
+  /** Polygon edge list (region_id, x1, y1, x2, y2) for SQL oracles. */
+  def edges(spec: WorldSpec): Seq[(Int, Double, Double, Double, Double)] =
+    polygons(spec).flatMap { p =>
+      val n = p.xs.length
+      (0 until n).map { i =>
+        val j = (i + n - 1) % n
+        (p.regionId, p.xs(j), p.ys(j), p.xs(i), p.ys(i))
+      }
+    }.toSeq
+
+  /** Centroid of a cell in grid coords: (col-0.5, row-0.5), y growing
+    * down in row direction (polygons use the same frame). */
+  @inline def px(spec: WorldSpec, id: Long): Double =
+    ((id - 1) % spec.cols).toDouble + 0.5
+  @inline def py(spec: WorldSpec, id: Long): Double =
+    ((id - 1) / spec.cols).toDouble + 0.5
+
+  /** Decoded bands of tile t, band-major. */
+  def tileBands(spec: WorldSpec, t: Int): Array[Array[Float]] = {
+    val out = Array.ofDim[Float](spec.nBands, spec.pixPerTile)
+    var p = 0
+    while (p < spec.pixPerTile) {
+      val id = spec.cellId(t, p)
+      out(0)(p) = loss(id).toFloat
+      var b = 1
+      while (b < spec.nBands) {
+        out(b)(p) = band(id, b).toFloat
+        b += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  val tileSchema: StructType = StructType(Seq(
+    StructField("image_id", StringType, nullable = false),
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("w", IntegerType, nullable = false),
+    StructField("h", IntegerType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false),
+    StructField("tile_id", IntegerType, nullable = false)))
+
+  /** The Iceberg-shaped image+caption table (BASELINE.json input_hint):
+    * one row per tile, bytes = band-major f32 payload, generated
+    * distributed (one task per range partition, rows reproducible in
+    * isolation). */
+  def tilesDF(spark: SparkSession, spec: WorldSpec): DataFrame = {
+    val rdd = spark.sparkContext
+      .range(0, spec.nTiles, numSlices = math.min(spec.nTiles, 32))
+      .map { t =>
+        val ti = t.toInt
+        val bands = tileBands(spec, ti)
+        val bytes = Codec.encodeF32(bands)
+        val row0 = (ti / spec.tilesX) * spec.tile
+        val col0 = (ti % spec.tilesX) * spec.tile
+        Row(f"tile_$ti%05d", bytes, spec.tile, spec.tile, "f32",
+          s"tile r$row0 c$col0 ${spec.tile}x${spec.tile} bands=${spec.nBands}",
+          Codec.phash(bands(0), spec.tile, spec.tile), ti)
+      }
+    spark.createDataFrame(rdd, tileSchema)
+  }
+}

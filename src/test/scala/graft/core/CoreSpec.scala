@@ -1,0 +1,268 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded pseudo-property tests (scalatestplus bridge unavailable in the
+  * offline cache, so sampling is a plain seeded loop).
+  */
+trait SeededChecks {
+  def checkN[A](n: Int)(gen: scala.util.Random => A)(body: A => Unit): Unit = {
+    val rng = new scala.util.Random(42)
+    (0 until n).foreach(_ => body(gen(rng)))
+  }
+}
+
+class GridSpec_Test extends AnyFunSuite with SeededChecks {
+  val g = GoodeGrid.reference
+
+  test("reference grid constants (R:54,63,117)") {
+    assert(g.nCells == 6961896L)
+    assert(g.rows == 1737 && g.cols == 4008)
+  }
+
+  test("id <-> rowcol bijection over the full domain") {
+    checkN(2000)(r => 1L + r.nextLong(g.nCells)) { id =>
+      assert(g.id(g.row(id), g.col(id)) == id)
+    }
+    assert(g.row(1L) == 1 && g.col(1L) == 1)
+    assert(g.row(g.nCells) == g.rows && g.col(g.nCells) == g.cols)
+    assert(g.col(4008L) == 4008 && g.row(4008L) == 1)
+    assert(g.col(4009L) == 1 && g.row(4009L) == 2)
+  }
+
+  test("centroid -> idAt round-trip") {
+    checkN(2000)(r => 1L + r.nextLong(g.nCells)) { id =>
+      assert(g.idAt(g.centroidX(id), g.centroidY(id)) == id)
+    }
+  }
+
+  test("idAt outside extent is -1") {
+    assert(g.idAt(g.xMin - 1.0, g.yMax - 5000.0) == -1L)
+    assert(g.idAt(g.xMin + 5000.0, g.yMax + 1.0) == -1L)
+  }
+}
+
+class IghSpec extends AnyFunSuite with SeededChecks {
+
+  test("equator maps to y=0, x = R*lon") {
+    val (x, y) = Igh.forward(0.0, 0.0)
+    assert(math.abs(x) < 1e-6 && math.abs(y) < 1e-6)
+    val (x2, _) = Igh.forward(90.0, 0.0)
+    assert(math.abs(x2 - Igh.R * math.Pi / 2) < 1e-3)
+  }
+
+  test("forward/inverse round-trip across lobes and the blend latitude") {
+    checkN(5000) { r =>
+      (r.nextDouble() * 359.8 - 179.9, r.nextDouble() * 178.0 - 89.0)
+    } { case (lon, lat) =>
+      val (x, y) = Igh.forward(lon, lat)
+      val (lon2, lat2) = Igh.inverse(x, y)
+      assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat -> $lat2")
+      assert(math.abs(lon2 - lon) < 1e-7, s"lon $lon at lat $lat -> $lon2")
+    }
+  }
+
+  test("continuity at the Mollweide/sinusoidal blend") {
+    for (lon <- Seq(-170.0, -50.0, 0.0, 100.0, 179.0)) {
+      val phi = 40.0 + 44.0 / 60 + 11.8 / 3600
+      val (x1, y1) = Igh.forward(lon, phi - 1e-9)
+      val (x2, y2) = Igh.forward(lon, phi + 1e-9)
+      assert(math.abs(y1 - y2) < 1.0, s"y discontinuity at lon $lon: $y1 vs $y2")
+      assert(math.abs(x1 - x2) < 10.0, s"x discontinuity at lon $lon: $x1 vs $x2")
+    }
+  }
+
+  test("projected extent roughly matches the reference grid") {
+    val (xw, _) = Igh.forward(-180.0, 0.0)
+    assert(math.abs(xw - -20037508.34) < 10.0)
+    val (_, yn) = Igh.forward(0.0, 90.0)
+    assert(yn > 8.5e6 && yn < 8.8e6, s"north pole y = $yn")
+  }
+}
+
+class H3LiteSpec extends AnyFunSuite with SeededChecks {
+
+  test("encode/centroid stability: centroid re-encodes to same cell") {
+    checkN(2000) { r =>
+      (r.nextDouble() * 179.8 - 89.9, r.nextDouble() * 359.8 - 179.9,
+        r.nextInt(16))
+    } { case (lat, lng, res) =>
+      val id = H3Lite.encode(lat, lng, res)
+      val (clat, clng) = H3Lite.centroid(id)
+      assert(H3Lite.encode(clat, clng, res) == id)
+    }
+  }
+
+  test("parent nests with direct coarse encode") {
+    checkN(2000) { r =>
+      (r.nextDouble() * 179.8 - 89.9, r.nextDouble() * 359.8 - 179.9,
+        1 + r.nextInt(15))
+    } { case (lat, lng, res) =>
+      val id = H3Lite.encode(lat, lng, res)
+      assert(H3Lite.parent(id, res - 1) == H3Lite.encode(lat, lng, res - 1))
+    }
+  }
+
+  test("kRing size and wrap") {
+    val id = H3Lite.encode(0.0, 179.9, 4)
+    val ring = H3Lite.kRing(id, 1)
+    assert(ring.length == 9)
+    assert(ring.distinct.length == 9)
+    assert(ring.contains(id))
+    val top = H3Lite.pack(4, (1 << 4) - 1, 0)
+    assert(H3Lite.kRing(top, 1).length == 6)
+  }
+
+  test("ids are valid and res round-trips") {
+    (0 to 15).foreach { res =>
+      val id = H3Lite.encode(12.3, 45.6, res)
+      assert(H3Lite.isValid(id) && H3Lite.res(id) == res)
+    }
+  }
+}
+
+class GeomSpec extends AnyFunSuite with SeededChecks {
+
+  /** Independent winding-number oracle. */
+  private def windingContains(p: Polygon, px: Double, py: Double): Boolean = {
+    var wn = 0
+    val n = p.xs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val (x1, y1, x2, y2) = (p.xs(i), p.ys(i), p.xs(j), p.ys(j))
+      val isLeft = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+      if (y1 <= py) { if (y2 > py && isLeft > 0) wn += 1 }
+      else if (y2 <= py && isLeft < 0) wn -= 1
+      i += 1
+    }
+    wn != 0
+  }
+
+  test("ray-cast matches winding oracle on random convex polygons") {
+    checkN(3000) { r =>
+      val cx = r.nextDouble() * 100 - 50
+      val cy = r.nextDouble() * 100 - 50
+      val rad = 1.0 + r.nextDouble() * 29
+      val k = 3 + r.nextInt(8)
+      val poly = Polygon(1,
+        Array.tabulate(k)(i => cx + rad * math.cos(2 * math.Pi * i / k)),
+        Array.tabulate(k)(i => cy + rad * math.sin(2 * math.Pi * i / k)))
+      (poly, r.nextDouble() * 120 - 60, r.nextDouble() * 120 - 60)
+    } { case (poly, px, py) =>
+      assert(poly.contains(px, py) == windingContains(poly, px, py))
+    }
+  }
+
+  test("pinned cases: square") {
+    val sq = Polygon(1, Array(0, 10, 10, 0).map(_.toDouble),
+      Array(0, 0, 10, 10).map(_.toDouble))
+    assert(sq.contains(5.5, 5.5))
+    assert(!sq.contains(10.5, 5.5))
+    assert(!sq.contains(-0.5, 5.5))
+  }
+
+  test("regionOf picks lowest region id on overlap, -1 outside") {
+    val a = Polygon(2, Array(0.0, 10.0, 10.0, 0.0), Array(0.0, 0.0, 10.0, 10.0))
+    val b = Polygon(1, Array(5.0, 15.0, 15.0, 5.0), Array(0.0, 0.0, 10.0, 10.0))
+    assert(Geom.regionOf(Array(a, b), 7.5, 5.5) == 1)
+    assert(Geom.regionOf(Array(a, b), 2.5, 5.5) == 2)
+    assert(Geom.regionOf(Array(a, b), 20.0, 5.5) == -1)
+  }
+}
+
+class CodecSpec extends AnyFunSuite {
+
+  test("f32 multiband round-trip is exact") {
+    val bands = Array(
+      Array(0.0f, 1.5f, -2.25f, Float.NaN),
+      Array(100f, 200f, 255f, 0.0009765625f))
+    val bytes = Codec.encodeF32(bands)
+    assert(bytes.length == 4 * 4 * 2)
+    val b0 = Codec.decodeF32Band(bytes, 4, 0)
+    val b1 = Codec.decodeF32Band(bytes, 4, 1)
+    assert(java.util.Arrays.equals(
+      b0.map(java.lang.Float.floatToRawIntBits),
+      bands(0).map(java.lang.Float.floatToRawIntBits)))
+    assert(b1.sameElements(bands(1)))
+    assert(Codec.bandCount(bytes, 4) == 2)
+  }
+
+  test("png16 round-trip PSNR >= 40 dB on loss-like data") {
+    val w = 16; val h = 16
+    val band = Array.tabulate(w * h)(i => ((i * 37 % 1024) / 1024.0).toFloat)
+    val png = Codec.encodePng16(band, w, h)
+    val back = Codec.decodePng16(png)
+    val p = Codec.psnr(band, back, peak = 1.0)
+    assert(p >= 40.0, s"PSNR $p")
+  }
+
+  test("psnr is infinite for identical, finite for perturbed") {
+    val a = Array.tabulate(64)(_.toFloat)
+    assert(Codec.psnr(a, a, 63.0).isPosInfinity)
+    val b = a.clone(); b(0) += 1.0f
+    assert(Codec.psnr(a, b, 63.0) > 0 && !Codec.psnr(a, b, 63.0).isPosInfinity)
+  }
+
+  test("phash deterministic and sensitive") {
+    val w = 16; val h = 16
+    val a = Array.tabulate(w * h)(i => (i % 7).toFloat)
+    val b = Array.tabulate(w * h)(i => ((i / 16) % 5).toFloat)
+    assert(Codec.phash(a, w, h) == Codec.phash(a.clone(), w, h))
+    assert(Codec.phash(a, w, h) != Codec.phash(b, w, h))
+  }
+}
+
+class CartSpec extends AnyFunSuite {
+
+  test("single perfect split on 1 feature") {
+    val xs = Array.tabulate(40)(i => Array(i.toDouble))
+    val y = Array.tabulate(40)(i => if (i < 20) 0.0 else 1.0)
+    val t = Cart.fit(xs, y, Cart.Params(minSplit = 10, minBucket = 3, cp = 0.01))
+    t match {
+      case Cart.Split(0, thr, lo, hi, _, _, _) =>
+        assert(thr == 19.5)
+        assert(lo.asInstanceOf[Cart.Leaf].value == 0.0)
+        assert(hi.asInstanceOf[Cart.Leaf].value == 1.0)
+      case other => fail(s"expected root split, got $other")
+    }
+  }
+
+  test("picks the more informative of two features") {
+    val rng = new scala.util.Random(42)
+    val xs = Array.tabulate(60)(i => Array(rng.nextDouble(), (i % 2).toDouble))
+    val y = Array.tabulate(60)(i => (i % 2).toDouble)
+    val t = Cart.fit(xs, y, Cart.Params(minSplit = 10, minBucket = 3, cp = 0.01))
+    t match {
+      case s: Cart.Split => assert(s.feature == 1)
+      case other => fail(s"expected split, got $other")
+    }
+  }
+
+  test("cp gate stops weak splits; minsplit stops small nodes") {
+    val xs = Array.tabulate(10)(i => Array(i.toDouble))
+    val y = Array.tabulate(10)(i => if (i < 5) 0.0 else 1.0)
+    assert(Cart.fit(xs, y, Cart.Params()) == Cart.Leaf(0.5, 10, 2.5))
+  }
+
+  test("prune collapses low-gain subtrees (cp=0.02, R:313)") {
+    val xs = Array.tabulate(100)(i => Array(i.toDouble))
+    val y = Array.tabulate(100)(i =>
+      if (i < 50) 0.0 else if (i < 75) 1.0 else 1.02)
+    val full = Cart.fit(xs, y, Cart.Params(minSplit = 10, minBucket = 5, cp = 1e-7))
+    assert(full.nLeaves >= 3)
+    val pruned = Cart.prune(full, 0.02)
+    assert(pruned.nLeaves == 2, s"pruned to ${pruned.nLeaves} leaves")
+    assert(Cart.prune(full, 1.1).nLeaves == 1)
+  }
+
+  test("predict descends correctly; importance sums gains") {
+    val xs = Array.tabulate(40)(i => Array(i.toDouble, 0.0))
+    val y = Array.tabulate(40)(i => if (i < 20) 3.0 else 7.0)
+    val t = Cart.fit(xs, y, Cart.Params(minSplit = 10, minBucket = 3, cp = 0.01))
+    assert(t.predict(Array(5.0, 0.0)) == 3.0)
+    assert(t.predict(Array(25.0, 0.0)) == 7.0)
+    val imp = Cart.importance(t, 2)
+    assert(imp(0) > 0 && imp(1) == 0.0)
+  }
+}
