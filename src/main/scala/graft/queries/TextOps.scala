@@ -1,8 +1,356 @@
 package graft.queries
 
-/** Training-data pipeline operators (dedup, similarity, text analysis)
-  * over the `documents` and `embeddings` tables.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force
+  * top-k + LSH-bucketed), and text analysis (language-ID heuristic,
+  * quality scoring, token counting, fingerprinting).
+  *
+  * Parity discipline: all hash arithmetic is 64-bit integer (explicit
+  * BIGINT casts in the oracle — DuckDB would otherwise overflow INT32 or
+  * widen to HUGEINT); all ratios divide exact integers; similarity
+  * outputs carry ids only (ordering ties are broken by id) so IEEE
+  * noise cannot flip a compare.
   */
 object TextOps {
-  def all: Seq[Q] = Seq.empty
+  import Tables.t
+
+  def all: Seq[Q] = Seq(
+    Q("q40_dedup_exact", q40, Some(q40Sql)),
+    Q("q41_shingle_stats", q41, Some(q41Sql)),
+    Q("q42_token_quality", q42, Some(q42Sql)),
+    Q("q43_langid", q43, Some(q43Sql)),
+    Q("q44_minhash_sig", q44, Some(q44Sql)),
+    Q("q45_lsh_candidates", q45, Some(q45Sql)),
+    Q("q46_simhash", q46, Some(q46Sql)),
+    Q("q47_ann_topk", q47, Some(q47Sql)),
+    Q("q48_ann_lsh_bucketed", q48, Some(q48Sql)),
+    Q("q49_embed_neardup", q49, Some(q49Sql)),
+    Q("q50_fingerprint", q50, Some(q50Sql)),
+    Q("q51_media_stub", q51, None)
+  )
+
+  // --- q40: exact dedup — hash group on full content ----------------------
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  private val q40Sql =
+    """SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY 1""".stripMargin
+
+  // --- shared shingle/code builders ---------------------------------------
+  /** Character 3-gram list of `text`. */
+  private def shingles(text: Column): Column =
+    transform(sequence(lit(1), length(text) - 2),
+      i => substr(text, i, lit(3)))
+
+  /** 3-char polynomial code (exact in 64-bit both engines). */
+  private def code3(g: Column): Column =
+    (ascii(substring(g, 1, 1)).cast("long") * 961 +
+      ascii(substring(g, 2, 1)).cast("long") * 31 +
+      ascii(substring(g, 3, 1)).cast("long"))
+
+  private val shinglesSql =
+    "list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))"
+  private def code3Sql(g: String) =
+    s"(CAST(ascii(substr($g, 1, 1)) AS BIGINT) * 961 + CAST(ascii(substr($g, 2, 1)) AS BIGINT) * 31 + CAST(ascii(substr($g, 3, 1)) AS BIGINT))"
+
+  // --- q41: n-gram shingle stats (the Jaccard-dedup building block) -------
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(shingles(col("text")))).as("n_shingles"),
+        size(shingles(col("text"))).as("n_total"))
+      .orderBy("doc_id")
+
+  private val q41Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_distinct($shinglesSql)) AS INT) AS n_shingles,
+       |  CAST(len($shinglesSql) AS INT) AS n_total
+       |FROM documents ORDER BY 1""".stripMargin
+
+  // --- q42: token counting + quality scoring ------------------------------
+  private val stops = Seq("the", "a", "data", "key", "row")
+
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, tk => tk.isin(stops: _*)))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stop"),
+        (nStop.cast("double") / nTok).as("stop_ratio"),
+        ((length(col("text")) - (nTok - 1)).cast("double") / nTok)
+          .as("avg_tok_len"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 20 && col("stop_ratio") < 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private val q42Sql = {
+    val inList = stops.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ($inList))) AS INT) AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_stop,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+       |  CAST(CASE WHEN n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+       |    THEN 1 ELSE 0 END AS INT) AS quality_ok
+       |FROM d ORDER BY 1""".stripMargin
+  }
+
+  // --- q43: language-ID heuristic (marker-token votes, first-max) ---------
+  private val markers = Seq(
+    "grammar" -> Seq("the", "a", "of"),
+    "engine" -> Seq("spark", "vector", "stream", "window"),
+    "schema" -> Seq("customer", "line", "part", "orderkey"))
+
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = markers.map { case (name, ws) =>
+      size(filter(toks, tk => tk.isin(ws: _*))).as(s"s_$name")
+    }
+    val d = t(s, dir, "documents").select((col("doc_id") +: scores): _*)
+    d.select(col("doc_id"), col("s_grammar"), col("s_engine"), col("s_schema"),
+        when(col("s_grammar") >= col("s_engine") &&
+          col("s_grammar") >= col("s_schema"), "grammar")
+          .when(col("s_engine") >= col("s_schema"), "engine")
+          .otherwise("schema").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  private val q43Sql = {
+    def sc(ws: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), tk -> tk IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INT)"
+    s"""WITH d AS (SELECT doc_id,
+       |    ${sc(markers(0)._2)} AS s_grammar,
+       |    ${sc(markers(1)._2)} AS s_engine,
+       |    ${sc(markers(2)._2)} AS s_schema
+       |  FROM documents)
+       |SELECT doc_id, s_grammar, s_engine, s_schema,
+       |  CASE WHEN s_grammar >= s_engine AND s_grammar >= s_schema THEN 'grammar'
+       |    WHEN s_engine >= s_schema THEN 'engine'
+       |    ELSE 'schema' END AS pred
+       |FROM d ORDER BY 1""".stripMargin
+  }
+
+  // --- q44: MinHash signatures over distinct 3-gram shingles --------------
+  private val mhParams = Seq((1103515245L, 12345L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 7777L))
+  private val MersennePrime = 2147483647L
+
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val sh = array_distinct(shingles(col("text")))
+    val sigs = mhParams.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(sh, g => (code3(g) * a + b) % MersennePrime))
+        .as(s"mh$j")
+    }
+    t(s, dir, "documents")
+      .select((col("doc_id") +: sigs): _*)
+      .orderBy("doc_id")
+  }
+
+  private val q44Sql = {
+    val sigs = mhParams.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * $a + $b) % $MersennePrime)) AS mh$j"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $sigs
+       |FROM documents ORDER BY 1""".stripMargin
+  }
+
+  // --- q45: LSH banding — coarse band buckets -> candidate pairs ----------
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val sig = q44(s, dir)
+    val banded = sig.select(col("doc_id"),
+      ((col("mh0") % 64) * 64 + col("mh1") % 64).as("band0"),
+      ((col("mh2") % 64) * 64 + col("mh3") % 64).as("band1"))
+    val b0 = banded.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
+    val b1 = banded.select(col("doc_id"), lit(1).as("band"), col("band1").as("key"))
+    val all = b0.unionByName(b1)
+    val l = all.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+    val r = all.select(col("band"), col("key"), col("doc_id").as("doc_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "band")
+      .distinct()
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        min(col("doc_a") * 100000 + col("doc_b")).as("first_pair"))
+      .orderBy("band")
+  }
+
+  private val q45Sql =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(0)._1} + ${mhParams(0)._2}) % $MersennePrime)) AS mh0,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(1)._1} + ${mhParams(1)._2}) % $MersennePrime)) AS mh1,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(2)._1} + ${mhParams(2)._2}) % $MersennePrime)) AS mh2,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(3)._1} + ${mhParams(3)._2}) % $MersennePrime)) AS mh3
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, 0 AS band, (mh0 % 64) * 64 + mh1 % 64 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, (mh2 % 64) * 64 + mh3 % 64 AS key FROM sig)
+       |, pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT band, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT doc_a) AS n_docs_a,
+       |  MIN(doc_a * 100000 + doc_b) AS first_pair
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q46: 16-bit SimHash over token codes --------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tcode = (tk: Column) => code3(tk)
+    val bits = (0 until 16).map { b =>
+      val p = 1L << b
+      val signSum = aggregate(toks, lit(0L),
+        (acc, tk) => acc +
+          (floor(tcode(tk) / lit(p.toDouble)).cast("long") % 2) * 2 - 1)
+      when(signSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val q46Sql = {
+    val bitTerms = (0 until 16).map { b =>
+      val p = 1L << b
+      s"(CASE WHEN list_sum(list_transform(string_split(text, ' '), tk -> (CAST(FLOOR(${code3Sql("tk")} / $p.0) AS BIGINT) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+       |FROM documents ORDER BY 1""".stripMargin
+  }
+
+  // --- q47: brute-force cosine top-1 neighbor (ANN baseline) --------------
+  private def normedEmb(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    t(s, dir, "embeddings").select(col("vec_id"), v.as("v"),
+      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), _ + _))
+        .as("norm"))
+  }
+
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val e = normedEmb(s, dir)
+    val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("norm").as("nb"))
+    val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), _ + _) / (col("na") * col("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    a.crossJoin(b)
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("sim", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("vec_id", "nn_id")
+      .orderBy("vec_id")
+  }
+
+  private val q47Sql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(embedding, embedding)) AS norm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id, b.vec_id AS nn_id,
+      |    list_dot_product(a.embedding, b.embedding) / (a.norm * b.norm) AS sim
+      |  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+      |r AS (SELECT vec_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+      |  FROM p)
+      |SELECT vec_id, nn_id FROM r WHERE rk = 1 ORDER BY 1""".stripMargin
+
+  // --- q48: LSH-bucketed ANN (the scale path: random-hyperplane sign
+  // buckets; only same-bucket pairs are compared) ---------------------------
+  private val NPlanes = 4
+
+  private def planeW(p: Int): Column => Column = i =>
+    ((((i + lit(p * 64)) * 2654435761L) % 4294967296L) % 1024 - 512)
+      .cast("double") / 512.0
+
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val bucketBits = (0 until NPlanes).map { p =>
+      val dot = aggregate(sequence(lit(0), lit(63)), lit(0.0),
+        (acc, i) => acc + element_at(v, i + 1) * planeW(p)(i))
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    val bucketed = t(s, dir, "embeddings")
+      .select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
+      .orderBy("bucket")
+  }
+
+  private val q48Sql = {
+    val bucketExpr = (0 until NPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(0, 63), i -> embedding[i + 1] * CAST((((i + ${p * 64}) * 2654435761) % 4294967296) % 1024 - 512 AS DOUBLE) / 512.0)) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, CAST($bucketExpr AS INT) AS bucket FROM embeddings)
+       |SELECT bucket, COUNT(*) AS n_vecs, MIN(vec_id) AS min_vec
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- q49: embedding-cosine near-duplicate pairs --------------------------
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val e = normedEmb(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb"))
+    val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0.0), _ + _) / (col("na") * col("nb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", sim)
+      .filter(col("sim") > 0.4)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val q49Sql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(embedding, embedding)) AS norm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding, b.embedding) / (a.norm * b.norm) > 0.4
+      |ORDER BY 1, 2""".stripMargin
+
+  // --- q50: document fingerprint (order-insensitive shingle-code sum) -----
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val sh = array_distinct(shingles(col("text")))
+    val fp = aggregate(sh, lit(0L),
+      (acc, g) => (acc + code3(g) * code3(g)) % MersennePrime)
+    t(s, dir, "documents")
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val q50Sql =
+    s"""SELECT doc_id,
+       |  list_aggregate(list_transform(list_distinct($shinglesSql), g -> ${code3Sql("g")} * ${code3Sql("g")}), 'sum') % $MersennePrime AS fingerprint
+       |FROM documents ORDER BY 1""".stripMargin
+
+  // --- q51: multimodal plumbing stub (rows-only): binary payloads ->
+  // per-partition "decode" (deterministic fake) -> feature columns ---------
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Multimodal.features(
+      graft.engine.Multimodal.syntheticMedia(s)).orderBy("image_id")
 }
