@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import graft.sql.GraftFunctions.dot_f64
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash,
@@ -151,13 +151,12 @@ object TextOps {
   private val MersennePrime = 2147483647L
 
   private def q44(s: SparkSession, dir: String): DataFrame = {
-    val sh = array_distinct(shingles(col("text")))
-    val sigs = mhParams.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(sh, g => (code3(g) * a + b) % MersennePrime))
-        .as(s"mh$j")
-    }
+    val sig = graft.sql.GraftFunctions
+      .minhash_sigs(col("text"), mhParams, MersennePrime)
     t(s, dir, "documents")
-      .select((col("doc_id") +: sigs): _*)
+      .select(col("doc_id"), sig.as("sig"))
+      .select((col("doc_id") +:
+        mhParams.indices.map(j => col("sig").getItem(j).as(s"mh$j"))): _*)
       .orderBy("doc_id")
   }
 
@@ -178,13 +177,21 @@ object TextOps {
       ((col("mh2") % 64) * 64 + col("mh3") % 64).as("band1"))
     val b0 = banded.select(col("doc_id"), lit(0).as("band"), col("band0").as("key"))
     val b1 = banded.select(col("doc_id"), lit(1).as("band"), col("band1").as("key"))
-    val all = b0.unionByName(b1)
+    // Materialize the (tiny) signature frame before self-joining: both
+    // sides of the bucket join would otherwise recompute the full
+    // minhash pipeline over every document.
+    val all = b0.unionByName(b1).localCheckpoint(true)
     val l = all.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = all.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "key"))
+    // Broadcast the (tiny) build side: with a shuffle join one hot LSH
+    // bucket lands its entire O(k^2) pair explosion on a single task;
+    // broadcasting spreads the probe-side fan-out across all partitions.
+    // No distinct needed: within a band each doc has exactly one key,
+    // so a (doc_a, doc_b, band) triple can only be produced once — the
+    // oracle's DISTINCT is a semantic no-op and a 4M-row shuffle here.
+    l.repartition(s.sparkContext.defaultParallelism)
+      .join(broadcast(r), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "band")
-      .distinct()
       .groupBy("band")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_a")).as("n_docs_a"),
@@ -239,28 +246,29 @@ object TextOps {
   }
 
   // --- q47: brute-force cosine top-1 neighbor (ANN baseline) --------------
+  // Scale shape: the n^2 pair loop runs inside ONE whole-stage-codegen'd
+  // projection (DotF64 — no per-element lambda frames), and top-1 is a
+  // partially-aggregable max(struct(sim, -nn_id)) instead of a window,
+  // so the 4M-row pair frame is combined map-side and never shuffled.
   private def normedEmb(s: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     t(s, dir, "embeddings").select(col("vec_id"), v.as("v"),
-      sqrt(aggregate(zip_with(v, v, (x, y) => x * y), lit(0.0), _ + _))
-        .as("norm"))
+      sqrt(dot_f64(v, v)).as("norm"))
   }
 
   private def q47(s: SparkSession, dir: String): DataFrame = {
-    val e = normedEmb(s, dir)
+    val e = normedEmb(s, dir).localCheckpoint(true)
     val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
       col("norm").as("nb"))
-    val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), _ + _) / (col("na") * col("nb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
-    a.crossJoin(b)
+    val sim = dot_f64(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.crossJoin(broadcast(b))
       .filter(col("vec_id") =!= col("nn_id"))
-      .withColumn("sim", sim)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select("vec_id", "nn_id")
+      .select(col("vec_id"), col("nn_id"), sim.as("sim"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("nn_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_id")).as("nn_id"))
       .orderBy("vec_id")
   }
 
@@ -280,15 +288,19 @@ object TextOps {
   // buckets; only same-bucket pairs are compared) ---------------------------
   private val NPlanes = 4
 
-  private def planeW(p: Int): Column => Column = i =>
-    ((((i + lit(p * 64)) * 2654435761L) % 4294967296L) % 1024 - 512)
-      .cast("double") / 512.0
+  /** Deterministic random-hyperplane weights (same formula as the SQL
+    * oracle), materialized driver-side as a literal array so the
+    * per-row work is one DotF64 codegen loop instead of a 64-step
+    * higher-order fold. Summation order is identical (i = 0..63). */
+  private def planeWeights(p: Int): Array[Double] =
+    Array.tabulate(64)(i =>
+      ((((i + p * 64) * 2654435761L) % 4294967296L) % 1024 - 512)
+        .toDouble / 512.0)
 
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val bucketBits = (0 until NPlanes).map { p =>
-      val dot = aggregate(sequence(lit(0), lit(63)), lit(0.0),
-        (acc, i) => acc + element_at(v, i + 1) * planeW(p)(i))
+      val dot = dot_f64(v, typedlit(planeWeights(p)))
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
     val bucketed = t(s, dir, "embeddings")
@@ -309,17 +321,14 @@ object TextOps {
 
   // --- q49: embedding-cosine near-duplicate pairs --------------------------
   private def q49(s: SparkSession, dir: String): DataFrame = {
-    val e = normedEmb(s, dir)
+    val e = normedEmb(s, dir).localCheckpoint(true)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("norm").as("nb"))
-    val sim = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-      lit(0.0), _ + _) / (col("na") * col("nb"))
-    a.crossJoin(b)
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", sim)
-      .filter(col("sim") > 0.4)
+    val sim = dot_f64(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b") && sim > 0.4)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }

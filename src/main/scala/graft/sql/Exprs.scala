@@ -75,6 +75,84 @@ case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon])
     copy(left = newLeft, right = newRight)
 }
 
+/** All k MinHash signature values of a document in ONE pass over its
+  * characters: for each 3-char shingle window, code = c0*961 + c1*31 +
+  * c2 (the same polynomial the SQL oracle uses), and sig_j =
+  * min((code * a_j + b_j) mod prime). Equivalent to
+  * `array_min(transform(array_distinct(shingles), ...))` — min is
+  * duplicate-insensitive, so the distinct is unnecessary — but with
+  * zero per-shingle allocation instead of one UTF8String per window
+  * per signature. Null for texts shorter than one window (no shingles),
+  * matching list_min(empty) = NULL. */
+case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
+    prime: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < 3) return null
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + 2 < n) {
+      val code = s.charAt(i).toLong * 961 + s.charAt(i + 1).toLong * 31 +
+        s.charAt(i + 2).toLong
+      var j = 0
+      while (j < k) {
+        val h = (code * as(j) + bs(j)) % prime
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns, summed left-to-right in
+  * element order (bit-identical to `aggregate(zip_with(a,b,_*_),0.0,_+_)`
+  * and to DuckDB's `list_dot_product`, which both fold sequentially).
+  * Exists because the higher-order-function formulation allocates a
+  * lambda frame per element; this is a tight codegen loop over the
+  * ArrayData — the hot path of the brute-force similarity join. */
+case class DotF64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |double dotAcc = 0.0;
+         |int dotN = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int dotI = 0; dotI < dotN; dotI++) {
+         |  dotAcc += $a.getDouble(dotI) * $b.getDouble(dotI);
+         |}
+         |${ev.value} = dotAcc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn => column, toExpression => expression}
 
@@ -85,4 +163,14 @@ object GraftFunctions {
   /** Region id of point (px, py) among `polys`, null if none. */
   def region_of(px: Column, py: Column, polys: Array[Polygon]): Column =
     column(RegionOf(expression(px), expression(py), polys))
+
+  /** Sequential-order dot product of two array<double> columns. */
+  def dot_f64(a: Column, b: Column): Column =
+    column(DotF64(expression(a), expression(b)))
+
+  /** k MinHash signatures over 3-char shingles in one pass. */
+  def minhash_sigs(text: Column, params: Seq[(Long, Long)],
+      prime: Long): Column =
+    column(MinHashSigs(expression(text), params.map(_._1).toArray,
+      params.map(_._2).toArray, prime))
 }
