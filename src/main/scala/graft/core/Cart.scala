@@ -54,6 +54,78 @@ object Cart {
       case s: Split => 1 + math.max(s.lo.depth, s.hi.depth)
     }
   }
+  /** The 7x5 tree matrix flattened to primitive arrays for branch-walk
+    * inference. The when-chain `Column` compilation (Pipeline.treeColumn)
+    * is correct but generates code proportional to total node count x
+    * region count; at 35 trees x 85 features the generated method blows
+    * past the JIT's huge-method limit and the job degrades to contended
+    * interpreted bytecode (measured: throughput DECREASED with added
+    * cores). This packed form keeps the generated code at one static
+    * call and walks ~tree-depth nodes per row, reading feature bands
+    * lazily from the tile payload.
+    *
+    * Node i: feat(i) < 0 means leaf with value(i); else compare feature
+    * feat(i) (0-based over the predictor bands) against thr(i) and
+    * descend to left(i)/right(i). offsets((region-1)*nDrivers + d-1) is
+    * the root of tree (region, driver d+1). */
+  final case class PackedForest(nDrivers: Int, offsets: Array[Int],
+      feat: Array[Int], thr: Array[Double], left: Array[Int],
+      right: Array[Int], value: Array[Double])
+
+  object PackedForest {
+    def apply(trees: Map[(Int, Int), Tree], nRegions: Int,
+        nDrivers: Int): PackedForest = {
+      val feat = scala.collection.mutable.ArrayBuffer[Int]()
+      val thr = scala.collection.mutable.ArrayBuffer[Double]()
+      val left = scala.collection.mutable.ArrayBuffer[Int]()
+      val right = scala.collection.mutable.ArrayBuffer[Int]()
+      val value = scala.collection.mutable.ArrayBuffer[Double]()
+      def emit(t: Tree): Int = t match {
+        case Leaf(v, _, _) =>
+          val i = feat.length
+          feat += -1; thr += 0.0; left += -1; right += -1; value += v
+          i
+        case Split(f, th, lo, hi, _, _, _) =>
+          val i = feat.length
+          feat += f; thr += th; left += -1; right += -1; value += 0.0
+          val l = emit(lo)
+          val r = emit(hi)
+          left(i) = l; right(i) = r
+          i
+      }
+      val offsets = Array.tabulate(nRegions * nDrivers) { k =>
+        emit(trees((k / nDrivers + 1, k % nDrivers + 1)))
+      }
+      PackedForest(nDrivers, offsets, feat.toArray, thr.toArray,
+        left.toArray, right.toArray, value.toArray)
+    }
+
+    /** The vote over an f32 tile payload: walk the region's nDrivers
+      * trees reading band feat+1 at pixel p lazily, first-max argmax
+      * (which.max semantics, R:370), strict <confFloor -> 0 (R:382),
+      * loss (band 0) < lossFloor -> 0 (R:407). */
+    def classify(pf: PackedForest, bytes: Array[Byte], p: Int, region: Int,
+        nPix: Int, lossFloor: Double, confFloor: Double): Long = {
+      val loss = Codec.floatAt(bytes, p).toDouble
+      if (loss < lossFloor) return 0L
+      var best = Double.NegativeInfinity
+      var bestD = 0
+      val base = (region - 1) * pf.nDrivers
+      var d = 0
+      while (d < pf.nDrivers) {
+        var node = pf.offsets(base + d)
+        while (pf.feat(node) >= 0) {
+          val f = Codec.floatAt(bytes, p + (pf.feat(node) + 1) * nPix).toDouble
+          node = if (f < pf.thr(node)) pf.left(node) else pf.right(node)
+        }
+        val prob = pf.value(node)
+        if (prob > best) { best = prob; bestD = d + 1 }
+        d += 1
+      }
+      if (best < confFloor) 0L else bestD.toLong
+    }
+  }
+
   final case class Leaf(value: Double, n: Int, dev: Double) extends Tree
   final case class Split(feature: Int, threshold: Double, lo: Tree, hi: Tree,
       value: Double, n: Int, dev: Double) extends Tree

@@ -80,6 +80,18 @@ object Codec {
     out
   }
 
+  /** Single float element of an f32 payload (little-endian), by flat
+    * element index (band * nPixels + pixel). The zero-allocation random
+    * access backing the fused pixel pipeline: within one whole-stage
+    * codegen stage the payload stays a byte[] reference, so per-cell
+    * band reads never materialize band arrays or struct rows. */
+  @inline def floatAt(bytes: Array[Byte], idx: Int): Float = {
+    val i = idx << 2
+    java.lang.Float.intBitsToFloat(
+      (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
+        ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24))
+  }
+
   /** Decode dispatch on the table's `fmt` column. */
   def decodeBand(fmt: String, bytes: Array[Byte], nPixels: Int, band: Int): Array[Float] =
     fmt match {

@@ -56,6 +56,24 @@ object H3Lite {
     (lat, lng)
   }
 
+  /** Grid cell id (1-based row-major over a rows x cols grid spanning
+    * the full Goode extent, like the reference's 1737x4008 global grid)
+    * -> H3-lite id at `res`: centroid -> igh inverse projection ->
+    * encode. The per-cell hot path of the headline H3-encode stage —
+    * kept as one static call so the Catalyst expression codegens to a
+    * single invocation. */
+  def gridCellToH3(id: Long, rows: Int, cols: Int, res: Int): Long = {
+    val xMin = -20037506.5671; val xMax = 20042493.4328
+    val yMin = -8683205.0209; val yMax = 8686794.9791
+    val col0 = (id - 1) % cols
+    val row0 = (id - 1) / cols
+    val x = xMin + (col0 + 0.5) * (xMax - xMin) / cols
+    val y = yMax - (row0 + 0.5) * (yMax - yMin) / rows
+    val (lon, lat) = Igh.inverse(x, y)
+    val lngW = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    encode(math.max(-90.0, math.min(90.0, lat)), lngW, res)
+  }
+
   /** All cells within Chebyshev distance k (the H3 kRing analog),
     * including the center. Longitude wraps; latitude clamps at poles.
     * Deterministic order: by (dr, dc). */

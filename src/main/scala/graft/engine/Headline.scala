@@ -1,0 +1,193 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Cart
+import graft.sql.GraftFunctions._
+import graft.world.{World, WorldSpec}
+
+/** The headline benchmark job — the metric BASELINE.json commits to:
+  * "tiles/sec for H3-encode + PIP spatial join + driver-class
+  * assignment on the 10km global forest-loss tile grid".
+  *
+  * World at REFERENCE scale on both axes: 2048 x 3456 = 7,077,888 cells
+  * (reference global grid: 1737 x 4008 = 6,961,896,
+  * `Supplemental_Data_1.R:54,117`) and 85 predictor bands + the loss
+  * band (reference: 85 GeoTIFF variables, R:142-166), as 1728 tiles of
+  * 64x64 in the Iceberg-shaped image+caption table, materialized once
+  * to parquet so the timed job starts from a real columnar scan.
+  *
+  * The timed pipeline is FUSED: only the pixel index is exploded; every
+  * band value is read lazily from the tile's binary payload with the
+  * zero-allocation FloatAt expression. Within the single whole-stage-
+  * codegen stage the payload stays one byte[] reference per tile — no
+  * band arrays, no per-cell structs, no 86-field rows are ever
+  * materialized (the naive arrays_zip + posexplode formulation was
+  * measured GC-bound and scaled at ~0.5 efficiency; this shape is
+  * compute-bound). Stages:
+  *   scan (parquet; column pruning reads only tile_id + bytes)
+  *   -> explode pixel index -> FloatAt band reads
+  *   -> GridH3 (Goode inverse projection + hierarchical encode)
+  *   -> RegionOf ray-cast PIP over broadcast polygons
+  *   -> DriverClassify: packed 7x5 CART forest walk + vote (argmax,
+  *      0.5 confidence, 0.005 loss floor, R:362-411) in one expression
+  *   -> salted zonal aggregation by H3 res-4 parent (Salted).
+  */
+object Headline {
+
+  val spec: WorldSpec = WorldSpec(rows = 2048, cols = 3456, tile = 64,
+    nRegions = 7, nBands = 86)
+  val H3Res = 9
+  val SaltBuckets = 16
+  /** Fixed slice count of the materialized table: the fleet scaling run
+    * assigns one slice directory per executor (partition pruning). */
+  val Slices = 4
+  /** Region polygons densified to production-like vertex counts (256
+    * subdivisions x 5 edges = 1280 edges/region): PIP over realistic
+    * boundaries is the compute core of the metric. Bit-identical
+    * region assignment to the coarse strips (dyadic densification). */
+  val polys: Array[graft.core.Polygon] =
+    World.densify(World.polygons(spec), 256)
+  /** Spec-keyed path so a spec change invalidates the materialization. */
+  val tilesPath: String =
+    s"/tmp/graft_bench_tiles_${spec.rows}x${spec.cols}x${spec.nBands}"
+
+  /** Materialize the tile table to parquet once (64 files so a 32-way
+    * scan has 2 waves of input splits). */
+  def ensureTiles(s: SparkSession): Unit = {
+    val done = new java.io.File(s"$tilesPath/_SUCCESS")
+    if (!done.exists()) {
+      // Hive-style partitioning on a slice directory (tile_id quarter):
+      // the executor-fleet scaling run reads one slice per executor via
+      // partition PRUNING — directories that are not touched at all —
+      // the same mechanism a production table would use. Range
+      // partitioning within a slice keeps files tile-contiguous.
+      World.tilesDF(s, spec)
+        .withColumn("slice",
+          (col("tile_id") * Slices / spec.nTiles).cast("int"))
+        .repartitionByRange(64, col("tile_id"))
+        .sortWithinPartitions("tile_id")
+        .write.mode("overwrite").partitionBy("slice").parquet(tilesPath)
+    }
+  }
+
+  /** Fused pixel frame: (cell_id, bytes, p) — band values are NOT
+    * decoded here; consumers read them lazily via bandCol. */
+  private def fusedCells(tiles: DataFrame): DataFrame = {
+    val T = spec.tile
+    val TX = spec.tilesX
+    val C = spec.cols
+    tiles
+      .select(col("tile_id"), col("bytes"),
+        explode(sequence(lit(0), lit(spec.pixPerTile - 1))).as("p"))
+      .select(
+        ((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
+          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long")
+          .as("cell_id"),
+        col("bytes"), col("p"))
+  }
+
+  /** Band b of the current pixel, read straight from the payload. */
+  private def bandCol(b: Int): Column =
+    float_at(col("bytes"), col("p") + lit(b * spec.pixPerTile))
+      .cast("double")
+
+  private def pxCol: Column = ((col("cell_id") - 1) % spec.cols)
+    .cast("double") + 0.5
+  private def pyCol: Column = floor((col("cell_id") - 1) / spec.cols)
+    .cast("double") + 0.5
+
+  private val treesPath = s"$tilesPath.trees.bin"
+
+  /** Fitted trees, cached to disk so repeated bench workers skip the
+    * (untimed) sample-collect + fit. */
+  def loadOrFitTrees(s: SparkSession): Map[(Int, Int), Cart.Tree] = {
+    val f = new java.io.File(treesPath)
+    if (f.exists()) {
+      val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+      try in.readObject().asInstanceOf[Map[(Int, Int), Cart.Tree]]
+      finally in.close()
+    } else {
+      val trees = fitTrees(s)
+      val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(f))
+      try out.writeObject(trees) finally out.close()
+      trees
+    }
+  }
+
+  /** Fit the 7x5 tree matrix on a ~1/37 tile sample (driver-side fit on
+    * the collected labeled cells, SURVEY.md §2.9 M1) — prep, not part of
+    * the timed job. */
+  def fitTrees(s: SparkSession): Map[(Int, Int), Cart.Tree] = {
+    val cells = fusedCells(
+      s.read.parquet(tilesPath).filter(col("tile_id") % 37 === 0))
+    val trainLabel =
+      when((((col("cell_id") * 13) * World.Knuth) % World.M32) % 64 < 4,
+        ((((col("cell_id") * 13 + 1) * World.Knuth) % World.M32) % 7)
+          .cast("int") + 1).otherwise(0)
+    val cfg = Pipeline.Config()
+    val nf = spec.nBands - 1
+    val training = cells
+      .withColumn("region_id", region_of(pxCol, pyCol, polys))
+      .filter(col("region_id").isNotNull)
+      .withColumn("tclass", trainLabel)
+      .filter(col("tclass") > 0 &&
+        !col("tclass").isInCollection(cfg.dropClasses))
+      .select(col("region_id") +: col("tclass") +:
+        (1 to nf).map(b => bandCol(b).as(s"b$b")): _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        (2 until 2 + nf).map(r.getDouble).toArray))
+    Pipeline.fitTrees(training, spec.nRegions, cfg)
+  }
+
+  /** H3 res-4 parent of a res-9 H3-lite id: pure bit arithmetic
+    * (pack(4, row >> 5, col >> 5)), stays in codegen. */
+  private def h3Parent4(h3: Column): Column = {
+    val row9 = shiftright(h3, 24).bitwiseAND(lit(0xFFFFFFL))
+    val col9 = h3.bitwiseAND(lit(0xFFFFFFL))
+    lit(1L << 62).bitwiseOR(lit(4L << 48))
+      .bitwiseOR(shiftleft(shiftright(row9, 5), 24))
+      .bitwiseOR(shiftright(col9, 5))
+  }
+
+  /** The timed job. Returns the zonal row count (forces evaluation). */
+  def job(s: SparkSession, trees: Map[(Int, Int), Cart.Tree]): Long =
+    plan(s, trees).count()
+
+  /** Plan over input slice `slice` of `nSlices` (slice directories, so
+    * the filter is pure partition pruning). slice 0 of 1 = the full
+    * table; the executor-fleet scaling run gives each of the 4N-level
+    * worker JVMs one of the $Slices slices. */
+  def plan(s: SparkSession, trees: Map[(Int, Int), Cart.Tree],
+      slice: Int = 0, nSlices: Int = 1): DataFrame = {
+    require(nSlices == 1 || nSlices == Slices, s"nSlices must be 1 or $Slices")
+    val tiles = s.read.parquet(tilesPath)
+    planFrom(if (nSlices == 1) tiles
+      else tiles.filter(col("slice") === slice), trees)
+  }
+
+  /** The headline plan over a given tile table (parquet scan or a
+    * cached/cluster-local source). */
+  def planFrom(tiles: DataFrame, trees: Map[(Int, Int), Cart.Tree]): DataFrame = {
+    val cfg = Pipeline.Config()
+    val forest = Cart.PackedForest(trees, spec.nRegions, Pipeline.NumDrivers)
+    val classed = fusedCells(tiles)
+      .withColumn("region_id", region_of(pxCol, pyCol, polys))
+      .filter(col("region_id").isNotNull)
+      .select(col("cell_id"),
+        grid_h3(col("cell_id"), spec.rows, spec.cols, H3Res).as("h3"),
+        driver_classify(col("bytes"), col("p"), col("region_id"), forest,
+          spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor).as("class"),
+        bandCol(0).as("loss"))
+    Salted.aggregate(classed,
+      keys = Seq("h3r4" -> h3Parent4(col("h3"))),
+      saltSrc = col("cell_id"), salts = SaltBuckets,
+      aggs = Seq(
+        Salted.Agg("n_cells", "count", lit(1)),
+        Salted.Agg("n_classified", "sum",
+          when(col("class") > 0, 1L).otherwise(0L)),
+        Salted.Agg("loss_sum", "sum", col("loss")),
+        Salted.Agg("max_class", "max", col("class"))))
+  }
+}

@@ -38,8 +38,11 @@ object Pipeline {
 
   /** Decoded per-cell frame: (cell_id, loss, b1..b5) from the tile
     * table — the raster->vector scan (S3). */
-  def decodedCells(s: SparkSession, spec: WorldSpec): DataFrame = {
-    val tiles = World.tilesDF(s, spec)
+  def decodedCells(s: SparkSession, spec: WorldSpec): DataFrame =
+    decodedCellsFrom(World.tilesDF(s, spec), spec)
+
+  /** Same, from an already-loaded tile table (e.g. a parquet scan). */
+  def decodedCellsFrom(tiles: DataFrame, spec: WorldSpec): DataFrame = {
     val nb = spec.nBands
     val zipped = arrays_zip((0 until nb).map(b =>
       decode_band(col("bytes"), col("fmt"), spec.pixPerTile, b).as(s"b$b")): _*)
@@ -93,8 +96,13 @@ object Pipeline {
     * (cell_id, region_id, class, confidence) for loss-bearing cells.
     * Matches reference stages 4-9 (R:191-411). */
   def fitPredictVote(s: SparkSession, spec: WorldSpec,
+      cfg: Config = Config()): DataFrame =
+    voteFromFeatures(s, spec, featuresWithRegion(s, spec), cfg)
+
+  /** Fit + vote over an already-built feature frame (cell_id, loss,
+    * b1..bK, region_id) — the checkpointable core of stages 6-9. */
+  def voteFromFeatures(s: SparkSession, spec: WorldSpec, feats: DataFrame,
       cfg: Config = Config()): DataFrame = {
-    val feats = featuresWithRegion(s, spec)
 
     // training slice: labeled cells, excluded classes dropped (R:204-205
     // vs nb cell 36), collected driver-side.
@@ -132,5 +140,51 @@ object Pipeline {
           .otherwise(when(mx < cfg.confidenceFloor, 0L)
             .otherwise(array_position(array(ps: _*), mx))).as("class"),
         mx.as("confidence"))
+  }
+
+  /** The full model pipeline (stages 4-13 of SURVEY.md §3.1) as
+    * RESUMABLE checkpointed stages: decode -> PIP features -> fit+vote
+    * -> expand -> rasterize. Each stage snapshots to parquet under
+    * `dir` keyed by a fingerprint of its upstream + config; rerunning
+    * after a kill reloads finished stages and recomputes only the rest
+    * (see store.log). Returns (expanded class frame, store). */
+  def runCheckpointed(s: SparkSession, spec: WorldSpec, dir: String,
+      cfg: Config = Config(), expandIters: Int = 8)
+      : (DataFrame, Checkpoint.Store) = {
+    val store = new Checkpoint.Store(s, dir)
+    val fpCells = Checkpoint.fingerprint("cells", spec)
+    val cells = store.stage("cells", fpCells)(decodedCells(s, spec))
+
+    val fpFeat = Checkpoint.fingerprint("features", fpCells, spec.nRegions)
+    val features = store.stage("features", fpFeat, Seq("cells")) {
+      val px = ((col("cell_id") - 1) % spec.cols).cast("double") + 0.5
+      val py = floor((col("cell_id") - 1) / spec.cols).cast("double") + 0.5
+      cells.withColumn("region_id",
+          region_of(px, py, World.polygons(spec)))
+        .filter(col("region_id").isNotNull)
+    }
+
+    val fpScored = Checkpoint.fingerprint("scored", fpFeat, cfg)
+    val scored = store.stage("scored", fpScored, Seq("features")) {
+      voteFromFeatures(s, spec, features, cfg)
+    }
+
+    val fpExpanded =
+      Checkpoint.fingerprint("expanded", fpScored, expandIters)
+    val expanded = store.stage("expanded", fpExpanded, Seq("scored")) {
+      // Expand runs over the full grid: absent cells are uncertain (0).
+      val full = s.range(1, spec.nCells + 1).toDF("cell_id")
+        .join(scored.select(col("cell_id"), col("class")), Seq("cell_id"),
+          "left")
+        .select(col("cell_id"),
+          coalesce(col("class"), lit(0L)).as("final_class"))
+      Expand.run(s, spec, full, maxIters = expandIters)
+    }
+
+    val fpRaster = Checkpoint.fingerprint("rasterized", fpExpanded)
+    store.stage("rasterized", fpRaster, Seq("expanded")) {
+      Rasterize(s, spec, expanded, "final_class")
+    }
+    (expanded, store)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, Codege
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import graft.core.{Codec, Geom, Polygon}
+import graft.core.{Cart, Codec, Geom, H3Lite, Polygon}
 
 /** Custom Catalyst expressions for the operators Spark lacks
   * (SURVEY.md §2.11): tile decode (image bytes -> pixel array) and
@@ -73,6 +73,81 @@ case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon])
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Random access into an f32 tile payload: float element at flat index
+  * (band * nPixels + pixel). Pairs with an exploded pixel index to give
+  * the fused scan->decode->classify pipeline zero per-cell allocation:
+  * band arrays and per-cell structs are never materialized. */
+case class FloatAt(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = FloatType
+  override def nullSafeEval(bytes: Any, idx: Any): Any =
+    Codec.floatAt(bytes.asInstanceOf[Array[Byte]], idx.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val codec = Codec.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, idx) =>
+      s"${ev.value} = $codec.floatAt($bytes, $idx);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The driver-class vote over a tile payload: per-pixel CART forest
+  * walk + argmax + confidence/loss floors, as ONE expression over
+  * (bytes, pixel, region). See Cart.PackedForest for why this replaces
+  * the 35-way when-chain forest in the hot path. */
+case class DriverClassify(first: Expression, second: Expression,
+    third: Expression, forest: Cart.PackedForest, nPix: Int,
+    lossFloor: Double, confFloor: Double)
+  extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(bytes: Any, p: Any, region: Any): Any =
+    Cart.PackedForest.classify(forest, bytes.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[Int], region.asInstanceOf[Int], nPix, lossFloor,
+      confFloor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pfRef = ctx.addReferenceObj("forest", forest,
+      classOf[Cart.PackedForest].getName)
+    val cls = Cart.PackedForest.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, p, region) =>
+      s"${ev.value} = $cls.classify($pfRef, $bytes, $p, $region, $nPix, " +
+        s"$lossFloor, $confFloor);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
+  * centroid in the Goode extent, inverse-projected through the
+  * interrupted homolosine, then hierarchically encoded. Codegens to a
+  * single static call so the projection math stays inside whole-stage
+  * codegen. */
+case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(id: Any): Any =
+    H3Lite.gridCellToH3(id.asInstanceOf[Long], rows, cols, res)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h3 = H3Lite.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = $h3.gridCellToH3($id, $rows, $cols, $res);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** All k MinHash signature values of a document in ONE pass over its
@@ -167,6 +242,21 @@ object GraftFunctions {
   /** Sequential-order dot product of two array<double> columns. */
   def dot_f64(a: Column, b: Column): Column =
     column(DotF64(expression(a), expression(b)))
+
+  /** Per-pixel driver-class vote over an f32 payload. */
+  def driver_classify(bytes: Column, p: Column, region: Column,
+      forest: Cart.PackedForest, nPix: Int, lossFloor: Double,
+      confFloor: Double): Column =
+    column(DriverClassify(expression(bytes), expression(p),
+      expression(region), forest, nPix, lossFloor, confFloor))
+
+  /** Float element at flat index `idx` of an f32 payload. */
+  def float_at(bytes: Column, idx: Column): Column =
+    column(FloatAt(expression(bytes), expression(idx)))
+
+  /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
+  def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =
+    column(GridH3(expression(cellId), rows, cols, res))
 
   /** k MinHash signatures over 3-char shingles in one pass. */
   def minhash_sigs(text: Column, params: Seq[(Long, Long)],

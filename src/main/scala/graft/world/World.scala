@@ -22,13 +22,13 @@ import graft.core.{Codec, GridSpec, Polygon}
   *   bands 1..5  = predictor variables, small integers 0..255
   *                 (the 85-raster manifest analog, R:142-166)
   */
-final case class WorldSpec(rows: Int, cols: Int, tile: Int, nRegions: Int) {
+final case class WorldSpec(rows: Int, cols: Int, tile: Int, nRegions: Int,
+    nBands: Int = 6) {
   require(rows % tile == 0 && cols % tile == 0, "tile must divide grid")
   val nCells: Long = rows.toLong * cols
   val tilesX: Int = cols / tile
   val tilesY: Int = rows / tile
   val nTiles: Int = tilesX * tilesY
-  val nBands: Int = 6
   val pixPerTile: Int = tile * tile
   /** Half the grid height — slant-edge midpoint; rows must make this a
     * power of two so the PIP oracle arithmetic is exactly dyadic. */
@@ -94,6 +94,36 @@ object World {
         Array(xl, xr, xr - 4, xr, xl).map(_.toDouble),
         Array(0, 0, ymid, spec.rows, spec.rows).map(_.toDouble))
     }.toArray
+  }
+
+  /** Densified copy of polygons: each edge subdivided into `k` equal
+    * sub-segments. With k a power of two and integer-valued vertices the
+    * interpolated points are exact dyadic doubles, so ray-cast PIP
+    * results are bit-identical to the coarse polygons — while costing a
+    * realistic number of edge tests per point (continental region
+    * boundaries on a 10 km grid have thousands of vertices, not five;
+    * the bench world uses this so the PIP stage carries production-like
+    * compute density). */
+  def densify(polys: Array[Polygon], k: Int): Array[Polygon] = {
+    require(k > 0 && (k & (k - 1)) == 0, "k must be a power of two")
+    polys.map { p =>
+      val n = p.xs.length
+      val xs = new Array[Double](n * k)
+      val ys = new Array[Double](n * k)
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        var t = 0
+        while (t < k) {
+          val f = t.toDouble / k
+          xs(i * k + t) = p.xs(i) + (p.xs(j) - p.xs(i)) * f
+          ys(i * k + t) = p.ys(i) + (p.ys(j) - p.ys(i)) * f
+          t += 1
+        }
+        i += 1
+      }
+      Polygon(p.regionId, xs, ys)
+    }
   }
 
   /** Polygon edge list (region_id, x1, y1, x2, y2) for SQL oracles. */

@@ -1,0 +1,260 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Cart, Codec, Geom}
+import graft.engine.{Checkpoint, Expand, Pipeline, Rasterize, Salted}
+import graft.world.World
+
+/** End-to-end Spark tests: the golden oracle (a plain-Scala
+  * transcription of the reference semantics, R:191-441, over in-memory
+  * collections) vs the engine; determinism across partitionings;
+  * PackedForest vs when-chain inference equality; input-table
+  * invariants (caption equality, phash recompute, PSNR >= 40 dB per
+  * BASELINE.json input_hint); salted aggregation correctness on skew;
+  * checkpoint/resume with partition lineage.
+  */
+class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val spec = World.tiny
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // ---- the plain-Scala golden oracle (R:191-411 semantics) --------------
+
+  /** (cell_id -> (region, class, confidence)) for loss-bearing cells. */
+  private def oracleVote(cfg: Pipeline.Config)
+      : Map[Long, (Int, Long, Double)] = {
+    val polys = World.polygons(spec)
+    def region(id: Long): Int =
+      Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+    def feats(id: Long): Array[Double] =
+      (1 until spec.nBands).map(b => World.band(id, b).toFloat.toDouble)
+        .toArray
+
+    val training = (1L to spec.nCells).flatMap { id =>
+      val r = region(id)
+      // mirrors featuresWithRegion: region first, label from the hash
+      if (r < 0) None
+      else World.trainingClass(id) match {
+        case Some(c) if c > 0 && !cfg.dropClasses(c) =>
+          Some((r, c, feats(id)))
+        case _ => None
+      }
+    }.toArray
+    val trees = Pipeline.fitTrees(training, spec.nRegions, cfg)
+
+    (1L to spec.nCells).flatMap { id =>
+      val r = region(id)
+      val loss = World.loss(id).toFloat.toDouble
+      if (r < 0 || loss <= 0) None
+      else {
+        val x = feats(id)
+        val probs = (1 to Pipeline.NumDrivers)
+          .map(d => trees((r, d)).predict(x))
+        val mx = probs.max
+        val arg = probs.indexOf(mx) + 1 // first max (which.max, R:370)
+        val cls =
+          if (loss < cfg.lossFloor) 0L
+          else if (mx < cfg.confidenceFloor) 0L
+          else arg.toLong
+        Some(id -> ((r, cls, mx)))
+      }
+    }.toMap
+  }
+
+  test("golden: fitPredictVote matches the plain-Scala oracle exactly") {
+    val cfg = Pipeline.Config()
+    val engine = Pipeline.fitPredictVote(spark, spec, cfg).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val oracle = oracleVote(cfg)
+    assert(engine.keySet == oracle.keySet, "cell coverage differs")
+    val diffs = oracle.collect {
+      case (id, o) if engine(id) != o => (id, o, engine(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("PackedForest.classify equals the when-chain vote per tile") {
+    val cfg = Pipeline.Config()
+    // trees from the oracle path (same fit as the engine)
+    val polys = World.polygons(spec)
+    val oracle = oracleVote(cfg)
+    val trees = {
+      val training = (1L to spec.nCells).flatMap { id =>
+        val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+        if (r < 0) None
+        else World.trainingClass(id) match {
+          case Some(c) if c > 0 && !cfg.dropClasses(c) =>
+            Some((r, c, (1 until spec.nBands)
+              .map(b => World.band(id, b).toFloat.toDouble).toArray))
+          case _ => None
+        }
+      }.toArray
+      Pipeline.fitTrees(training, spec.nRegions, cfg)
+    }
+    val pf = Cart.PackedForest(trees, spec.nRegions, Pipeline.NumDrivers)
+    (0 until spec.nTiles).foreach { t =>
+      val bytes = Codec.encodeF32(World.tileBands(spec, t))
+      (0 until spec.pixPerTile).foreach { p =>
+        val id = spec.cellId(t, p)
+        val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+        if (r > 0 && World.loss(id) > 0) {
+          val got = Cart.PackedForest.classify(pf, bytes, p, r,
+            spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor)
+          assert(got == oracle(id)._2, s"cell $id tile $t pix $p")
+        }
+      }
+    }
+  }
+
+  test("determinism: identical results under different partitionings") {
+    val a = Pipeline.decodedCells(spark, spec).repartition(3)
+    val b = Pipeline.decodedCells(spark, spec).repartition(13)
+    val fp = (df: DataFrame) => df.orderBy("cell_id").collect().toSeq
+    assert(fp(a) == fp(b))
+  }
+
+  test("input-table invariants: caption, phash recompute, PSNR (input_hint)") {
+    val rows = World.tilesDF(spark, spec).collect()
+    assert(rows.length == spec.nTiles)
+    rows.foreach { r =>
+      val t = r.getAs[Int]("tile_id")
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      val band0 = Codec.decodeF32Band(bytes, spec.pixPerTile, 0)
+      val expected = World.tileBands(spec, t)
+      // decoded pixels identical (f32 lossless; PSNR = inf >= 40 dB)
+      assert(Codec.psnr(band0, expected(0), 1.0).isPosInfinity)
+      // caption equality per row (input_hint invariant)
+      val row0 = (t / spec.tilesX) * spec.tile
+      val col0 = (t % spec.tilesX) * spec.tile
+      assert(r.getAs[String]("caption") ==
+        s"tile r$row0 c$col0 ${spec.tile}x${spec.tile} bands=${spec.nBands}")
+      // phash column matches a recompute from decoded pixels
+      assert(r.getAs[Long]("phash") ==
+        Codec.phash(band0, spec.tile, spec.tile))
+    }
+  }
+
+  test("lossy payload: png16 round-trip keeps PSNR >= 40 dB per tile") {
+    (0 until spec.nTiles).foreach { t =>
+      val band = World.tileBands(spec, t)(0)
+      val back = Codec.decodePng16(Codec.encodePng16(band, spec.tile, spec.tile))
+      assert(Codec.psnr(band, back, peak = 1.0) >= 40.0, s"tile $t")
+    }
+  }
+
+  test("salted aggregation equals plain groupBy on heavily skewed keys") {
+    import spark.implicits._
+    // 90% of rows share key 0 — the tropical-hotspot shape.
+    val df = spark.range(0, 100000)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, 0L).otherwise(col("id") % 97).as("k"),
+        (col("id") % 1000).cast("double").as("v"))
+    val salted = Salted.aggregate(df, Seq("k" -> col("k")), col("id"), 16,
+      Seq(Salted.Agg("n", "count", lit(1)),
+        Salted.Agg("sv", "sum", col("v")),
+        Salted.Agg("mx", "max", col("v"))))
+      .orderBy("k").collect().toSeq
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"), max("v").as("mx"))
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("checkpoint/resume: second run loads, invalidation recomputes " +
+    "downstream only, partition lineage recorded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (out1, store1) = Pipeline.runCheckpointed(spark, spec, dir)
+    val result1 = out1.orderBy("cell_id").collect().toSeq
+    assert(store1.log.forall(_._2 == "computed"), store1.log.toString)
+
+    // lineage: per-stage partition metrics sum to the stage row count
+    val meta = store1.meta("scored").get
+    assert(meta.partitions.nonEmpty)
+    assert(meta.partitions.map(_.records).sum == meta.rows)
+    assert(meta.rows ==
+      spark.read.parquet(s"$dir/stages/scored").count())
+
+    // resume: everything loads, nothing recomputes, same answer
+    val (out2, store2) = Pipeline.runCheckpointed(spark, spec, dir)
+    assert(store2.log.forall(_._2 == "loaded"), store2.log.toString)
+    assert(out2.orderBy("cell_id").collect().toSeq == result1)
+
+    // config change invalidates scored + downstream, not the scan/PIP
+    val (_, store3) = Pipeline.runCheckpointed(spark, spec, dir,
+      Pipeline.Config(lossFloor = 0.01))
+    val m = store3.log.toMap
+    assert(m("cells") == "loaded" && m("features") == "loaded")
+    assert(m("scored") == "computed" && m("expanded") == "computed")
+  }
+
+  test("expand fixpoint: no uncertain cell with a classified neighbor " +
+    "survives; classified cells never change") {
+    import spark.implicits._
+    val cls = Pipeline.fitPredictVote(spark, spec)
+    val full = spark.range(1, spec.nCells + 1).toDF("cell_id")
+      .join(cls.select(col("cell_id"), col("class")), Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("class"), lit(0L)).as("final_class"))
+    val before = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = Expand.run(spark, spec, full, maxIters = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // classified cells unchanged
+    before.foreach { case (id, c) => if (c > 0) assert(after(id) == c) }
+    // fixpoint: any 0 cell has no positive neighbor
+    val C = spec.cols
+    after.foreach { case (id, c) =>
+      if (c == 0) {
+        val row = ((id - 1) / C + 1).toInt
+        val col0 = ((id - 1) % C + 1).toInt
+        for (dr <- -1 to 1; dc <- -1 to 1 if dr != 0 || dc != 0) {
+          val (r2, c2) = (row + dr, col0 + dc)
+          if (r2 >= 1 && r2 <= spec.rows && c2 >= 1 && c2 <= C) {
+            val nid = (r2 - 1).toLong * C + c2
+            assert(after(nid) == 0L, s"cell $id uncertain next to $nid")
+          }
+        }
+      }
+    }
+  }
+
+  test("rasterize inverts the decode scan (vector -> raster, K2)") {
+    val loss = Pipeline.decodedCells(spark, spec).select("cell_id", "loss")
+    val tiles = Rasterize(spark, spec, loss, "loss").collect()
+    assert(tiles.length == spec.nTiles)
+    tiles.foreach { r =>
+      val t = r.getAs[Int]("tile_id")
+      val got = Codec.decodeF32Band(r.getAs[Array[Byte]]("bytes"),
+        spec.pixPerTile, 0)
+      val want = World.tileBands(spec, t)(0)
+      assert(java.util.Arrays.equals(got, want), s"tile $t")
+    }
+  }
+
+  test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
+    import graft.core.H3Lite
+    import graft.sql.GraftFunctions.grid_h3
+    val n = 2048
+    val got = spark.range(1, n + 1).toDF("cell_id")
+      .select(col("cell_id"),
+        grid_h3(col("cell_id"), spec.rows, spec.cols, 9).as("h3"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, h3) =>
+      assert(h3 == H3Lite.gridCellToH3(id, spec.rows, spec.cols, 9))
+      assert(H3Lite.isValid(h3) && H3Lite.res(h3) == 9)
+      val p4 = H3Lite.parent(h3, 4)
+      assert(H3Lite.res(p4) == 4)
+      assert(H3Lite.row(p4) == (H3Lite.row(h3) >> 5))
+      assert(H3Lite.col(p4) == (H3Lite.col(h3) >> 5))
+    }
+  }
+}
