@@ -53,8 +53,35 @@ object Relational {
     Q("q14_topk_per_group", q14, Some(q14Sql)),
     Q("q15_time_window", q15, Some(q15Sql)),
     Q("q16_pivot_wide", q16, Some(q16Sql)),
-    Q("q17_semi_anti", q17, Some(q17Sql))
+    Q("q17_semi_anti", q17, Some(q17Sql)),
+    Q("q18_stratified_exactn", q18, Some(q18Sql))
   )
+
+  // --- q18: exact-n-per-stratum sampling (U3, the reference's
+  // sample_n at R:826-844): deterministic order by a Knuth hash of the
+  // row key stands in for the RNG, row_number <= n keeps exactly n ----
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val key = col("l_orderkey") * 10 + col("l_linenumber")
+    val h = (key * knuth) % 4294967296L
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(h.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rk")
+  }
+
+  private val q18Sql =
+    s"""WITH ranked AS (
+       |  SELECT l_returnflag, l_orderkey, l_linenumber,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |      ORDER BY ((l_orderkey * 10 + l_linenumber) * $knuth) % 4294967296,
+       |        l_orderkey, l_linenumber) AS rk
+       |  FROM lineitem)
+       |SELECT l_returnflag, rk, l_orderkey, l_linenumber
+       |FROM ranked WHERE rk <= 5 ORDER BY 1, 2""".stripMargin
 
   // --- q01: the classic groupBy aggregate (A1/A3) -------------------------
   private def q01(s: SparkSession, dir: String): DataFrame =

@@ -34,7 +34,9 @@ object Spatial {
     Q("q28_rasterize", q28, None),
     Q("q29_tree_fit_predict", q29, None),
     Q("q30_expand_fixpoint", q30, None),
-    Q("q31_psnr_png16", q31, None)
+    Q("q31_psnr_png16", q31, None),
+    Q("q32_tile_knn_context", q32, Some(q32Sql)),
+    Q("q33_importance", q33, None)
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -382,6 +384,87 @@ object Spatial {
   private def q30(s: SparkSession, dir: String): DataFrame =
     graft.engine.Expand.run(s, spec, classifiedDF(s), maxIters = 8)
       .orderBy("cell_id")
+
+  // ---- q32: kNN context join over the tile grid (G4 / north_star's
+  // "kNN-joined to neighboring tiles for the spatial context
+  // features"): per tile, the k=1 ring of neighbor tiles is derived by
+  // key arithmetic (explode a broadcast offset table, never a theta
+  // join), equi-joined back to the per-tile zonal aggregate -------------
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val TY = spec.tilesY
+    val tileLoss = spine(s)
+      .groupBy(tileCol(cellCol).as("tile_id"))
+      .agg(sum(lossCol(cellCol)).as("loss_sum"))
+    val offs = Seq(-1, 0, 1).flatMap(dr => Seq(-1, 0, 1).map(dc => (dr, dc)))
+      .filterNot { case (dr, dc) => dr == 0 && dc == 0 }.toDF("dr", "dc")
+    val tx = col("tile_id") % TX
+    val ty = floor(col("tile_id") / TX)
+    val pairs = tileLoss.select(col("tile_id")).crossJoin(broadcast(offs))
+      .filter((tx + col("dc")).between(0, TX - 1) &&
+        (ty + col("dr")).between(0, TY - 1))
+      .select(col("tile_id"),
+        ((ty + col("dr")) * TX + tx + col("dc")).cast("long").as("nbr_id"))
+    pairs
+      .join(tileLoss.select(col("tile_id").as("nbr_id"),
+        col("loss_sum").as("nbr_loss")), Seq("nbr_id"))
+      .groupBy("tile_id")
+      .agg(count(lit(1)).as("n_nbrs"), sum("nbr_loss").as("ctx_loss_sum"))
+      .join(tileLoss, Seq("tile_id"))
+      .select(col("tile_id"), col("n_nbrs"), col("loss_sum"),
+        col("ctx_loss_sum"),
+        (col("ctx_loss_sum") / col("n_nbrs")).as("ctx_loss_mean"))
+      .orderBy("tile_id")
+  }
+
+  private def q32Sql =
+    s"""$cellsCte,
+       |tiles AS (
+       |  SELECT ${tileSql("cell_id")} AS tile_id, SUM(${lossSql("cell_id")}) AS loss_sum
+       |  FROM cells GROUP BY 1),
+       |offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+       |pairs AS (
+       |  SELECT t.tile_id,
+       |    (CAST(FLOOR(t.tile_id / $TX) AS BIGINT) + o.dr) * $TX
+       |      + (t.tile_id % $TX) + o.dc AS nbr_id
+       |  FROM tiles t CROSS JOIN offs o
+       |  WHERE (t.tile_id % $TX) + o.dc BETWEEN 0 AND ${TX - 1}
+       |    AND FLOOR(t.tile_id / $TX) + o.dr BETWEEN 0 AND ${spec.tilesY - 1})
+       |SELECT p.tile_id, COUNT(*) AS n_nbrs, t.loss_sum,
+       |  SUM(n.loss_sum) AS ctx_loss_sum,
+       |  SUM(n.loss_sum) / COUNT(*) AS ctx_loss_mean
+       |FROM pairs p
+       |JOIN tiles n ON p.nbr_id = n.tile_id
+       |JOIN tiles t ON p.tile_id = t.tile_id
+       |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+
+  /** q33: variable importance report (M4, R:319,352): per-(region,
+    * driver) gain-summed importances from the fitted trees, emitted as
+    * a small report table (driver-side fit; rows-only check). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{Cart, Geom}
+    val cfg = graft.engine.Pipeline.Config()
+    val polys = World.polygons(spec)
+    val training = (1L to N).flatMap { id =>
+      val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+      if (r < 0) None
+      else World.trainingClass(id) match {
+        case Some(c) if c > 0 && !cfg.dropClasses(c) =>
+          Some((r, c, (1 until spec.nBands)
+            .map(b => World.band(id, b).toFloat.toDouble).toArray))
+        case _ => None
+      }
+    }.toArray
+    val trees = graft.engine.Pipeline.fitTrees(training, spec.nRegions, cfg)
+    val rows = trees.toSeq.flatMap { case ((r, d), t) =>
+      Cart.importance(t, spec.nBands - 1).zipWithIndex.collect {
+        case (imp, f) if imp > 0 =>
+          (r, d, f + 1, math.round(imp * 1e6) / 1e6)
+      }
+    }.sorted
+    rows.toDF("region_id", "driver", "feature", "importance")
+  }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
     * tile (input_hint). */

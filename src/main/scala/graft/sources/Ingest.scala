@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Table ingest utilities (SURVEY.md §2.1).
+  *
+  * S1 — typed CSV scan with a canonical-name ALIAS MAP: the reference's
+  * input files exist in the wild with diverging headers (the loss
+  * column is `Loss` at `Supplemental_Data_1.R:407` but
+  * `Loss_10kMean_20002016` at R:496,517-519; SURVEY.md §1.3 mandates a
+  * canonical name + alias map at ingest). The reader peeks the header,
+  * renames any known variant to its canonical name, then casts to the
+  * expected schema — so both header generations load identically.
+  *
+  * S2 — variable-manifest discovery: the reference derives its 85
+  * predictor columns from a directory listing (`.tif$` filter,
+  * non-recursive, sorted; name = strip `Goode_` prefix and `.tif`
+  * suffix — R:142-166, 150-152). Sorting fixes the wide-table column
+  * order, so it is part of the contract.
+  */
+object Ingest {
+
+  /** Read a headered CSV, canonicalize column names via `aliases`
+    * (variant -> canonical), and cast to `schema` (by canonical name).
+    * Unknown extra columns are dropped; missing canonical columns are
+    * an error. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      aliases: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val canon = raw.columns.foldLeft(raw) { (df, c) =>
+      aliases.get(c).fold(df)(df.withColumnRenamed(c, _))
+    }
+    val missing = schema.fieldNames.filterNot(canon.columns.contains)
+    require(missing.isEmpty,
+      s"canonical columns missing after aliasing: ${missing.mkString(",")}")
+    canon.select(schema.fields.map(f =>
+      canon(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** Discover the variable manifest from a directory: non-recursive,
+    * `suffix`-filtered, sorted by file name; variable name = file name
+    * minus `prefix` and `suffix`. Returns (varName, absolutePath) in
+    * column order. */
+  def manifest(dir: String, prefix: String = "Goode_",
+      suffix: String = ".tif"): Seq[(String, String)] = {
+    val files = Option(new File(dir).listFiles()).getOrElse(Array.empty)
+    files.filter(f => f.isFile && f.getName.endsWith(suffix))
+      .map(_.getName).sorted
+      .map { n =>
+        val name = n.stripSuffix(suffix).stripPrefix(prefix)
+        (name, new File(dir, n).getAbsolutePath)
+      }.toSeq
+  }
+}

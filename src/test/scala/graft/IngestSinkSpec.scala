@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Igh, Polygon}
+import graft.sinks.Kml
+import graft.sources.Ingest
+
+/** Ingest (S1 typed CSV + alias map, S2 manifest discovery) and sink
+  * (K4 KML + CRS reprojection) coverage. */
+class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-ingest-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val lossSchema = StructType(Seq(
+    StructField("cell_id", LongType),
+    StructField("loss", DoubleType)))
+  private val lossAliases = Map(
+    "GoodeR.ID" -> "cell_id",
+    "Loss" -> "loss",
+    "Loss_10kMean_20002016" -> "loss") // the header schism, SURVEY §1.3
+
+  test("S1: both loss-mask header generations load identically") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val v1 = dir.resolve("v1.csv")
+    val v2 = dir.resolve("v2.csv")
+    Files.writeString(v1, "GoodeR.ID,Loss\n1,0.25\n2,0.0\n3,0.75\n")
+    Files.writeString(v2,
+      "GoodeR.ID,Loss_10kMean_20002016\n1,0.25\n2,0.0\n3,0.75\n")
+    val a = Ingest.csv(spark, v1.toString, lossSchema, lossAliases)
+      .orderBy("cell_id").collect().toSeq
+    val b = Ingest.csv(spark, v2.toString, lossSchema, lossAliases)
+      .orderBy("cell_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))) ==
+      Seq((1L, 0.25), (2L, 0.0), (3L, 0.75)))
+  }
+
+  test("S1: missing canonical column is an error, extras are dropped") {
+    val dir = Files.createTempDirectory("graft_csv2")
+    val f = dir.resolve("bad.csv")
+    Files.writeString(f, "GoodeR.ID,Region,Junk\n1,2,x\n")
+    intercept[IllegalArgumentException] {
+      Ingest.csv(spark, f.toString, lossSchema, lossAliases)
+    }
+    val okSchema = StructType(Seq(StructField("cell_id", LongType),
+      StructField("Region", IntegerType)))
+    val df = Ingest.csv(spark, f.toString, okSchema, lossAliases)
+    assert(df.columns.toSeq == Seq("cell_id", "Region"))
+    assert(df.collect().head.getInt(1) == 2)
+  }
+
+  test("S2: manifest discovery filters, strips, sorts (R:142-166)") {
+    val dir = Files.createTempDirectory("graft_manifest")
+    Seq("Goode_Loss_10kMean.tif", "Goode_Fire_Count_10kSum.tif",
+      "Tree_cover2000_10kMax.tif", "readme.txt", "Goode_Loss.tif.ovr")
+      .foreach(n => Files.writeString(dir.resolve(n), ""))
+    Files.createDirectory(dir.resolve("sub")) // non-recursive: ignored
+    val m = Ingest.manifest(dir.toString)
+    assert(m.map(_._1) ==
+      Seq("Fire_Count_10kSum", "Loss_10kMean", "Tree_cover2000_10kMax"))
+    assert(m.forall(p => p._2.endsWith(".tif")))
+  }
+
+  test("K4: KML export reprojects through the Goode inverse and closes rings") {
+    // a polygon given directly in igh meters (identity transform)
+    val p = Polygon(1,
+      Array(0.0, 2000000.0, 2000000.0, 0.0),
+      Array(0.0, 0.0, 2000000.0, 2000000.0))
+    val kml = Kml.render(Seq(p))
+    assert(kml.contains("<kml") && kml.contains("region_1"))
+    val coords = kml.linesIterator
+      .dropWhile(!_.contains("<coordinates>")).drop(1).next()
+      .trim.split(" ").map(_.split(",").take(2).map(_.toDouble))
+    assert(coords.length == 5) // closed ring: first vertex repeated
+    assert(coords.head.sameElements(coords.last))
+    // first vertex (0,0) meters = (0,0) lon/lat on the equator
+    assert(math.abs(coords.head(0)) < 1e-6 && math.abs(coords.head(1)) < 1e-6)
+    // every vertex agrees with a direct inverse projection
+    val expected = (p.xs.indices :+ 0).map(i => Igh.inverse(p.xs(i), p.ys(i)))
+    coords.zip(expected).foreach { case (got, (lon, lat)) =>
+      assert(math.abs(got(0) - lon) < 1e-6 && math.abs(got(1) - lat) < 1e-6)
+    }
+  }
+}
