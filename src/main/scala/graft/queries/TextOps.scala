@@ -31,8 +31,50 @@ object TextOps {
     Q("q48_ann_lsh_bucketed", q48, Some(q48Sql)),
     Q("q49_embed_neardup", q49, Some(q49Sql)),
     Q("q50_fingerprint", q50, Some(q50Sql)),
-    Q("q51_media_stub", q51, None)
+    Q("q51_media_stub", q51, None),
+    Q("q52_ann_ivf", q52, Some(q52Sql)),
+    Q("q53_ann_topk", q53, Some(q53Sql)),
+    Q("q54_jaccard_neardup", q54, Some(q54Sql))
   )
+
+  // --- q54: exact n-gram Jaccard over candidate near-dup pairs: docs
+  // whose first two MinHash signatures agree are verified with the true
+  // 3-gram-set Jaccard — the verify stage of the MinHash+LSH dedup
+  // pipeline (candidates from q45, exact check here) --------------------
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.sql.GraftFunctions
+      .minhash_sigs(col("text"), mhParams, MersennePrime)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), sig.as("sig"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
+        col("sig").getItem(1).as("mh1"), col("sh"))
+      .localCheckpoint(true)
+    val a = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_a"),
+      col("sh").as("sha"))
+    val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
+      col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    a.join(broadcast(b), Seq("mh0", "mh1"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / union).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def q54Sql =
+    s"""WITH d AS (SELECT doc_id,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(0)._1} + ${mhParams(0)._2}) % $MersennePrime)) AS mh0,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(1)._1} + ${mhParams(1)._2}) % $MersennePrime)) AS mh1,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+       |FROM d a JOIN d b
+       |  ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
 
   // --- q40: exact dedup — hash group on full content ----------------------
   private def q40(s: SparkSession, dir: String): DataFrame =
@@ -356,6 +398,109 @@ object TextOps {
     s"""SELECT doc_id,
        |  list_aggregate(list_transform(list_distinct($shinglesSql), g -> ${code3Sql("g")} * ${code3Sql("g")}), 'sum') % $MersennePrime AS fingerprint
        |FROM documents ORDER BY 1""".stripMargin
+
+  // --- q52: IVF-partitioned ANN (the scale path beside q48's LSH):
+  // vectors are assigned to their nearest coarse centroid (a fixed
+  // deterministic codebook, standing in for a k-means quantizer), and
+  // only same-cell pairs are compared — at 10^12 scale the cell id is
+  // the shuffle/partition key and each cell's search is local ----------
+  private val NCentroids = 8
+
+  /** Deterministic coarse codebook (same formula as the SQL oracle). */
+  private def centroid(c: Int): Array[Double] =
+    Array.tabulate(64)(i =>
+      ((((i + c * 997) * 2654435761L) % 4294967296L) % 1024 - 512)
+        .toDouble / 512.0)
+
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    // nearest centroid by max cosine ~ max normalized dot; first-max
+    val dots = (0 until NCentroids).map { c =>
+      val w = centroid(c)
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      (dot_f64(v, typedlit(w)) / (sqrt(dot_f64(v, v)) * wn)).as(s"d$c")
+    }
+    val assigned = t(s, dir, "embeddings")
+      .select(col("vec_id") +: v.as("v") +: dots: _*)
+    val ds = (0 until NCentroids).map(c => col(s"d$c"))
+    val best = greatest(ds: _*)
+    val cell = (array_position(array(ds: _*), best) - 1).as("ivf_cell")
+    val cells = assigned.select(col("vec_id"), col("v"), cell)
+      .localCheckpoint(true)
+    val a = cells.select(col("ivf_cell"), col("vec_id"), col("v").as("va"))
+    val b = cells.select(col("ivf_cell"), col("vec_id").as("nn_id"),
+      col("v").as("vb"))
+    val sim = dot_f64(col("va"), col("vb")) /
+      (sqrt(dot_f64(col("va"), col("va"))) * sqrt(dot_f64(col("vb"), col("vb"))))
+    a.join(broadcast(b), Seq("ivf_cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("ivf_cell"), col("vec_id"), col("nn_id"), sim.as("sim"))
+      .groupBy("ivf_cell", "vec_id")
+      .agg(max(struct(col("sim"), (-col("nn_id")).as("neg_id"))).as("m"))
+      .select(col("ivf_cell"), col("vec_id"), (-col("m.neg_id")).as("nn_id"))
+      .orderBy("vec_id")
+  }
+
+  private val q52Sql = {
+    def centSql(c: Int) =
+      s"list_transform(generate_series(0, 63), i -> CAST((((i + ${c * 997}) * 2654435761) % 4294967296) % 1024 - 512 AS DOUBLE) / 512.0)"
+    val dots = (0 until NCentroids).map { c =>
+      val w = centroid(c)
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      s"(list_dot_product(embedding, ${centSql(c)}) / (sqrt(list_dot_product(embedding, embedding)) * $wn)) AS d$c"
+    }.mkString(",\n    ")
+    val argmax = (0 until NCentroids).map { c =>
+      val rest = (c + 1 until NCentroids).map(j => s"d$c >= d$j")
+      if (rest.isEmpty) s"ELSE $c" else s"WHEN ${rest.mkString(" AND ")} THEN $c"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT vec_id, embedding,
+       |    $dots
+       |  FROM embeddings),
+       |cells AS (SELECT vec_id, embedding,
+       |    CAST(CASE $argmax END AS BIGINT) AS ivf_cell FROM d),
+       |p AS (SELECT a.ivf_cell, a.vec_id, b.vec_id AS nn_id,
+       |    list_dot_product(a.embedding, b.embedding)
+       |      / (sqrt(list_dot_product(a.embedding, a.embedding))
+       |         * sqrt(list_dot_product(b.embedding, b.embedding))) AS sim
+       |  FROM cells a JOIN cells b
+       |    ON a.ivf_cell = b.ivf_cell AND a.vec_id != b.vec_id),
+       |r AS (SELECT ivf_cell, vec_id, nn_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+       |  FROM p)
+       |SELECT ivf_cell, vec_id, nn_id FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // --- q53: brute-force cosine top-k (k = 3) — the exhaustive ANN
+  // baseline the bucketed/IVF variants are measured against -------------
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = normedEmb(s, dir).localCheckpoint(true)
+    val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
+      col("norm").as("nb"))
+    val sim = dot_f64(col("va"), col("vb")) / (col("na") * col("nb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("vec_id", "rk", "nn_id")
+      .orderBy("vec_id", "rk")
+  }
+
+  private val q53Sql =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(embedding, embedding)) AS norm
+      |  FROM embeddings),
+      |p AS (SELECT a.vec_id, b.vec_id AS nn_id,
+      |    list_dot_product(a.embedding, b.embedding) / (a.norm * b.norm) AS sim
+      |  FROM e a JOIN e b ON a.vec_id != b.vec_id),
+      |r AS (SELECT vec_id, nn_id,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+      |  FROM p)
+      |SELECT vec_id, rk, nn_id FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
 
   // --- q51: multimodal plumbing stub (rows-only): binary payloads ->
   // per-partition "decode" (deterministic fake) -> feature columns ---------
