@@ -108,7 +108,12 @@ object Bench {
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench") ++ args
-    new ProcessBuilder(cmd: _*).start()
+    // stderr must not share the child's 64 KB pipe buffer with nobody
+    // draining it — Spark WARN/GC chatter would fill it and deadlock the
+    // child mid-write while the parent blocks in readAllBytes(stdout).
+    new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
   }
 
   private def readResult(p: Process, prefix: String): Double = {

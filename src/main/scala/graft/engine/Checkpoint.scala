@@ -2,7 +2,7 @@ package graft.engine
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.GraftSparkBridge
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Stage-level checkpoint/resume with per-partition lineage + metrics
@@ -63,10 +63,18 @@ object Checkpoint {
         log += name -> "loaded"
         spark.read.parquet(dataPath(name))
       } else {
-        val listener = new WriteMetricsListener
+        // Scope the metrics capture to THIS write's jobs via a unique job
+        // group: the listener bus is shared, so without the scope any
+        // concurrently running job's write tasks (or this job's retried /
+        // speculative attempts) would be misattributed to the stage.
+        val group = s"graft-ckpt-$name-${java.util.UUID.randomUUID()}"
+        val listener = new WriteMetricsListener(group)
         spark.sparkContext.addSparkListener(listener)
-        try compute.write.mode("overwrite").parquet(dataPath(name))
-        finally {
+        try {
+          spark.sparkContext.setJobGroup(group, s"checkpoint stage $name")
+          compute.write.mode("overwrite").parquet(dataPath(name))
+        } finally {
+          spark.sparkContext.clearJobGroup()
           GraftSparkBridge.waitListenerEmpty(spark.sparkContext)
           spark.sparkContext.removeSparkListener(listener)
         }
@@ -81,29 +89,43 @@ object Checkpoint {
     def meta(name: String): Option[StageMeta] = readMeta(name)
   }
 
-  /** Captures the file-write tasks (those that actually wrote bytes)
-    * between registration and removal. */
-  private final class WriteMetricsListener extends SparkListener {
-    private val buf =
-      new java.util.concurrent.ConcurrentLinkedQueue[PartitionMetric]()
+  /** Captures the file-write tasks of jobs in `group` only (those that
+    * actually wrote bytes), keeping one SUCCESSFUL attempt per partition
+    * index — retried/speculative attempts would otherwise duplicate
+    * lineage entries and inflate the stage row count. */
+  private final class WriteMetricsListener(group: String) extends SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[Int]()
+    private val byPartition =
+      new java.util.concurrent.ConcurrentHashMap[Int, PartitionMetric]()
+    override def onJobStart(js: SparkListenerJobStart): Unit =
+      if (js.properties != null &&
+          group == js.properties.getProperty("spark.jobGroup.id"))
+        js.stageIds.foreach(stages.add(_))
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null && m.outputMetrics != null &&
+      if (stages.contains(te.stageId) && te.taskInfo.successful &&
+          m != null && m.outputMetrics != null &&
           m.outputMetrics.bytesWritten > 0) {
-        buf.add(PartitionMetric(te.taskInfo.index,
-          m.outputMetrics.recordsWritten, m.outputMetrics.bytesWritten,
-          te.taskInfo.duration))
+        byPartition.putIfAbsent(te.taskInfo.index,
+          PartitionMetric(te.taskInfo.index,
+            m.outputMetrics.recordsWritten, m.outputMetrics.bytesWritten,
+            te.taskInfo.duration))
       }
     }
     def partitions: Seq[PartitionMetric] = {
       import scala.jdk.CollectionConverters._
-      buf.iterator().asScala.toSeq.sortBy(_.partition)
+      byPartition.values().iterator().asScala.toSeq.sortBy(_.partition)
     }
   }
 
-  /** Content fingerprint helper: stable hash of the pieces that define
-    * a stage (upstream fingerprints, config values, code tag). */
-  def fingerprint(parts: Any*): String =
-    java.lang.Long.toHexString(
-      parts.map(_.toString).mkString("|").hashCode.toLong & 0xFFFFFFFFL)
+  /** Content fingerprint helper: SHA-256 (hex, 128 bits kept) over the
+    * pieces that define a stage (upstream fingerprints, config values,
+    * code tag). A real digest, not String.hashCode: a 32-bit collision
+    * between two configs would silently resume from a stale snapshot. */
+  def fingerprint(parts: Any*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(parts.map(_.toString).mkString("|").getBytes("UTF-8"))
+    d.take(16).map(b => f"$b%02x").mkString
+  }
 }

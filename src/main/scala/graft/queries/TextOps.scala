@@ -394,9 +394,14 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // DuckDB's list_aggregate(..., 'sum') returns DOUBLE; the CAST pins the
+  // oracle to BIGINT to match Spark's integer fold (identical values, the
+  // round-1 hash mismatch was purely this type artifact). COALESCE pins
+  // the empty-shingle case (list_aggregate of [] is NULL; Spark's
+  // aggregate over an empty array returns the 0 seed) to 0 on both sides.
   private val q50Sql =
     s"""SELECT doc_id,
-       |  list_aggregate(list_transform(list_distinct($shinglesSql), g -> ${code3Sql("g")} * ${code3Sql("g")}), 'sum') % $MersennePrime AS fingerprint
+       |  CAST(COALESCE(list_aggregate(list_transform(list_distinct($shinglesSql), g -> ${code3Sql("g")} * ${code3Sql("g")}), 'sum'), 0) % $MersennePrime AS BIGINT) AS fingerprint
        |FROM documents ORDER BY 1""".stripMargin
 
   // --- q52: IVF-partitioned ANN (the scale path beside q48's LSH):

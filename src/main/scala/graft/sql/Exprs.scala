@@ -167,15 +167,21 @@ case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
   override def nullable: Boolean = true
 
   override def nullSafeEval(t: Any): Any = {
+    // Iterate CODE POINTS, not UTF-16 units: the oracle's substr/ascii
+    // and the sibling shingles()/code3 columns count characters, so a
+    // charAt walk would diverge on non-BMP text (and window counts would
+    // differ too). cps is one int[] per document — still zero per-shingle
+    // allocation.
     val s = t.asInstanceOf[UTF8String].toString
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n < 3) return null
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i + 2 < n) {
-      val code = s.charAt(i).toLong * 961 + s.charAt(i + 1).toLong * 31 +
-        s.charAt(i + 2).toLong
+      val code = cps(i).toLong * 961 + cps(i + 1).toLong * 31 +
+        cps(i + 2).toLong
       var j = 0
       while (j < k) {
         val h = (code * as(j) + bs(j)) % prime
@@ -213,13 +219,18 @@ case class DotF64(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName so several DotF64 instances can share one generated
+      // method (e.g. a similarity expression computing three dots).
+      val acc = ctx.freshName("dotAcc")
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
       s"""
-         |double dotAcc = 0.0;
-         |int dotN = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int dotI = 0; dotI < dotN; dotI++) {
-         |  dotAcc += $a.getDouble(dotI) * $b.getDouble(dotI);
+         |double $acc = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = dotAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

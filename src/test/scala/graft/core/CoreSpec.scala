@@ -256,6 +256,17 @@ class CartSpec extends AnyFunSuite {
     assert(Cart.prune(full, 1.1).nLeaves == 1)
   }
 
+  test("checkpoint fingerprint is a digest: hashCode-colliding inputs " +
+    "get distinct fingerprints") {
+    import graft.engine.Checkpoint.fingerprint
+    // "Aa" and "BB" collide under String.hashCode (the old scheme); a
+    // collision here would silently resume from a stale snapshot.
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(fingerprint("Aa") != fingerprint("BB"))
+    assert(fingerprint("cells", 1, 2.0) == fingerprint("cells", 1, 2.0))
+    assert(fingerprint("x").length == 32)
+  }
+
   test("predict descends correctly; importance sums gains") {
     val xs = Array.tabulate(40)(i => Array(i.toDouble, 0.0))
     val y = Array.tabulate(40)(i => if (i < 20) 3.0 else 7.0)
