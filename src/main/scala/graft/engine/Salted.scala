@@ -38,6 +38,45 @@ object Salted {
     }).as(out)
   }
 
+  /** Inner equi-join on `keys` with explicit hot-key salting — the
+    * scale-safe shape for bucket self-joins (LSH bands, IVF cells,
+    * signature pairs) whose bucket population is skewed. NEVER
+    * broadcasts a data side: both sides shuffle on the bucket key, and
+    * keys whose right-side count exceeds `hotThreshold` take a salted
+    * path (left row keeps its one deterministic salt; right rows are
+    * replicated to all `salts` buckets), so a hot bucket's O(k²) pair
+    * explosion is spread over `salts` reducers instead of one task.
+    *
+    * The only broadcast is the HOT-KEY LIST, which is tiny by
+    * construction (at most |right| / hotThreshold keys). Each (l, r)
+    * pair is produced exactly once: on the salted path the pair matches
+    * only at the left row's own salt value. Sides must not share
+    * non-key column names (rename before joining, as a self-join does
+    * anyway). MERGE hints pin shuffled sort-merge joins so a size
+    * under-estimate can never re-introduce a full-table broadcast.
+    *
+    * @param leftSalt deterministic per-row integral column of the LEFT
+    *                 side (e.g. its id) so task retries salt identically
+    */
+  def skewJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftSalt: Column, salts: Int, hotThreshold: Long): DataFrame = {
+    require(salts > 0 && hotThreshold > 0)
+    val hot = right.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > hotThreshold)
+      .select(keys.map(col): _*)
+    val lCold = left.join(broadcast(hot), keys, "left_anti")
+    val rCold = right.join(broadcast(hot), keys, "left_anti")
+    val lHot = left.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__salt", pmod(leftSalt.cast("long"), lit(salts.toLong)))
+    val rHot = right.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__salt",
+        explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    val cold = lCold.hint("merge").join(rCold, keys)
+    val hotJ = lHot.hint("merge").join(rHot, keys :+ "__salt")
+      .drop("__salt")
+    cold.unionByName(hotJ)
+  }
+
   /** @param keys    (outputName, expression) grouping keys
     * @param saltSrc deterministic per-row integral column
     * @param salts   number of salt buckets a hot key is spread over */

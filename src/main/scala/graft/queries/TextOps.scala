@@ -56,7 +56,12 @@ object TextOps {
       col("sh").as("shb"))
     val inter = size(array_intersect(col("sha"), col("shb")))
     val union = size(col("sha")) + size(col("shb")) - inter
-    a.join(broadcast(b), Seq("mh0", "mh1"))
+    // Shuffled equi-join on the signature key — at 10^12 docs neither
+    // side fits in memory, so no data-side broadcast; a hot signature
+    // bucket (boilerplate-heavy corpora) is salted across reducers.
+    graft.engine.Salted
+      .skewJoin(a, b, Seq("mh0", "mh1"), col("doc_a"),
+        salts = 8, hotThreshold = 64)
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / union).as("jaccard"))
@@ -225,14 +230,16 @@ object TextOps {
     val all = b0.unionByName(b1).localCheckpoint(true)
     val l = all.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = all.select(col("band"), col("key"), col("doc_id").as("doc_b"))
-    // Broadcast the (tiny) build side: with a shuffle join one hot LSH
-    // bucket lands its entire O(k^2) pair explosion on a single task;
-    // broadcasting spreads the probe-side fan-out across all partitions.
+    // Shuffled self-join on the (band, key) bucket — the bucket id IS
+    // the shuffle key, so only same-bucket pairs materialize; a hot LSH
+    // bucket (the skew case that motivates broadcast at toy scale, and
+    // OOMs it at 10^12 docs) is salted across reducers instead.
     // No distinct needed: within a band each doc has exactly one key,
     // so a (doc_a, doc_b, band) triple can only be produced once — the
     // oracle's DISTINCT is a semantic no-op and a 4M-row shuffle here.
-    l.repartition(s.sparkContext.defaultParallelism)
-      .join(broadcast(r), Seq("band", "key"))
+    graft.engine.Salted
+      .skewJoin(l, r, Seq("band", "key"), col("doc_a"),
+        salts = 8, hotThreshold = 64)
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("band")
       .agg(count(lit(1)).as("n_pairs"),
@@ -437,7 +444,12 @@ object TextOps {
       col("v").as("vb"))
     val sim = dot_f64(col("va"), col("vb")) /
       (sqrt(dot_f64(col("va"), col("va"))) * sqrt(dot_f64(col("vb"), col("vb"))))
-    a.join(broadcast(b), Seq("ivf_cell"))
+    // The cell id is the shuffle key (both sides shuffled on ivf_cell —
+    // no vector-set broadcast); populous cells are salted so one dense
+    // Voronoi cell cannot pin its whole pairwise search on one task.
+    graft.engine.Salted
+      .skewJoin(a, b, Seq("ivf_cell"), col("vec_id"),
+        salts = 8, hotThreshold = 64)
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("ivf_cell"), col("vec_id"), col("nn_id"), sim.as("sim"))
       .groupBy("ivf_cell", "vec_id")

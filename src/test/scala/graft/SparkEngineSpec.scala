@@ -171,6 +171,24 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("skewJoin: equals the plain join on a skewed bucket fixture, " +
+    "pairs exactly once, data join is sort-merge (no data broadcast)") {
+    // 80% of rows land in one hot bucket — the boilerplate-corpus shape.
+    val docs = spark.range(0, 2000).select(col("id"),
+      when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id") % 41).as("key"))
+    val l = docs.select(col("key"), col("id").as("a"))
+    val r = docs.select(col("key"), col("id").as("b"))
+    val got = Salted.skewJoin(l, r, Seq("key"), col("a"),
+      salts = 4, hotThreshold = 100).filter(col("a") < col("b"))
+    val want = l.join(r, Seq("key")).filter(col("a") < col("b"))
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"), sum(col("a") * 100000 + col("b")).as("s"))
+      .collect().toSeq
+    assert(sig(got) == sig(want)) // count+sum: duplicates/drops both caught
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "data join must shuffle on the key")
+  }
+
   test("checkpoint/resume: second run loads, invalidation recomputes " +
     "downstream only, partition lineage recorded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
