@@ -124,6 +124,20 @@ object Cart {
       }
       if (best < confFloor) 0L else bestD.toLong
     }
+
+    /** classify() with the region lookup FOLDED IN: one ray-cast PIP per
+      * pixel, returning -1 when no polygon contains the point (the
+      * caller filters on the cheap long output instead of re-evaluating
+      * the PIP in a separate Filter — Catalyst has no cross-operator
+      * subexpression elimination, so the region-column-then-filter shape
+      * ray-casts every pixel twice). */
+    def classifyAt(pf: PackedForest, polys: Array[Polygon],
+        bytes: Array[Byte], p: Int, px: Double, py: Double, nPix: Int,
+        lossFloor: Double, confFloor: Double): Long = {
+      val r = Geom.regionOf(polys, px, py)
+      if (r < 0) -1L
+      else classify(pf, bytes, p, r, nPix, lossFloor, confFloor)
+    }
   }
 
   final case class Leaf(value: Double, n: Int, dev: Double) extends Tree

@@ -10,12 +10,14 @@ import graft.world.{World, WorldSpec}
   * "tiles/sec for H3-encode + PIP spatial join + driver-class
   * assignment on the 10km global forest-loss tile grid".
   *
-  * World at REFERENCE scale on both axes: 2048 x 3456 = 7,077,888 cells
-  * (reference global grid: 1737 x 4008 = 6,961,896,
-  * `Supplemental_Data_1.R:54,117`) and 85 predictor bands + the loss
-  * band (reference: 85 GeoTIFF variables, R:142-166), as 1728 tiles of
-  * 64x64 in the Iceberg-shaped image+caption table, materialized once
-  * to parquet so the timed job starts from a real columnar scan.
+  * World at the reference's TRUE geometry: 1737 x 4008 = 6,961,896
+  * cells — the exact global grid (`Supplemental_Data_1.R:54,117`,
+  * asserted R:177-184) — and 85 predictor bands + the loss band
+  * (reference: 85 GeoTIFF variables, R:142-166), as 28 x 63 = 1764
+  * tiles of 64x64 (partial edge tiles NaN-padded, dropped by the
+  * in-grid guard) in the Iceberg-shaped image+caption table,
+  * materialized once to parquet so the timed job starts from a real
+  * columnar scan.
   *
   * The timed pipeline is FUSED: only the pixel index is exploded; every
   * band value is read lazily from the tile's binary payload with the
@@ -26,16 +28,19 @@ import graft.world.{World, WorldSpec}
   * measured GC-bound and scaled at ~0.5 efficiency; this shape is
   * compute-bound). Stages:
   *   scan (parquet; column pruning reads only tile_id + bytes)
-  *   -> explode pixel index -> FloatAt band reads
+  *   -> explode pixel index (in-grid guard drops edge padding)
   *   -> GridH3 (Goode inverse projection + hierarchical encode)
-  *   -> RegionOf ray-cast PIP over broadcast polygons
-  *   -> DriverClassify: packed 7x5 CART forest walk + vote (argmax,
-  *      0.5 confidence, 0.005 loss floor, R:362-411) in one expression
-  *   -> salted zonal aggregation by H3 res-4 parent (Salted).
+  *   -> DriverClassifyAt: ray-cast PIP (ONCE per pixel) + packed 7x5
+  *      CART forest walk + vote (argmax, 0.5 confidence, 0.005 loss
+  *      floor, R:362-411) in one expression; -1 = outside every region
+  *   -> salted zonal aggregation by H3 res-4 parent (Salted), agg
+  *      inputs gated on class >= 0 so no Filter re-evaluates the PIP
+  *      (Catalyst pushes filter conditions through projections, which
+  *      would ray-cast every pixel twice).
   */
 object Headline {
 
-  val spec: WorldSpec = WorldSpec(rows = 2048, cols = 3456, tile = 64,
+  val spec: WorldSpec = WorldSpec(rows = 1737, cols = 4008, tile = 64,
     nRegions = 7, nBands = 86)
   val H3Res = 9
   val SaltBuckets = 16
@@ -72,19 +77,21 @@ object Headline {
   }
 
   /** Fused pixel frame: (cell_id, bytes, p) — band values are NOT
-    * decoded here; consumers read them lazily via bandCol. */
+    * decoded here; consumers read them lazily via bandCol. The in-grid
+    * guard (two integer compares, trivial beside the ray-cast) drops
+    * the NaN padding of partial edge tiles. */
   private def fusedCells(tiles: DataFrame): DataFrame = {
     val T = spec.tile
     val TX = spec.tilesX
     val C = spec.cols
-    tiles
-      .select(col("tile_id"), col("bytes"),
-        explode(sequence(lit(0), lit(spec.pixPerTile - 1))).as("p"))
-      .select(
-        ((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
-          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long")
-          .as("cell_id"),
-        col("bytes"), col("p"))
+    val gr = floor(col("tile_id") / TX) * T + floor(col("p") / T)
+    val gc = (col("tile_id") % TX) * T + col("p") % T
+    val exploded = tiles.select(col("tile_id"), col("bytes"),
+      explode(sequence(lit(0), lit(spec.pixPerTile - 1))).as("p"))
+    val inGrid = if (!spec.padded) exploded
+      else exploded.filter(gr < spec.rows && gc < spec.cols)
+    inGrid.select((gr * C + gc + 1).cast("long").as("cell_id"),
+      col("bytes"), col("p"))
   }
 
   /** Band b of the current pixel, read straight from the payload. */
@@ -172,22 +179,31 @@ object Headline {
   def planFrom(tiles: DataFrame, trees: Map[(Int, Int), Cart.Tree]): DataFrame = {
     val cfg = Pipeline.Config()
     val forest = Cart.PackedForest(trees, spec.nRegions, Pipeline.NumDrivers)
+    // ONE projection: the PIP runs exactly once per pixel, inside
+    // DriverClassifyAt (class = -1 marks no-region). No Filter touches
+    // the expensive expression — a filter on a projected column is
+    // pushed below the projection by Catalyst and re-evaluates it; the
+    // no-region rows are instead excluded by gating every aggregate
+    // input on class >= 0 and dropping all-padding zones post-agg
+    // (a filter on tiny final-aggregate output).
     val classed = fusedCells(tiles)
-      .withColumn("region_id", region_of(pxCol, pyCol, polys))
-      .filter(col("region_id").isNotNull)
       .select(col("cell_id"),
         grid_h3(col("cell_id"), spec.rows, spec.cols, H3Res).as("h3"),
-        driver_classify(col("bytes"), col("p"), col("region_id"), forest,
-          spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor).as("class"),
+        driver_classify_at(col("bytes"), col("p"), pxCol, pyCol, polys,
+          forest, spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor)
+          .as("class"),
         bandCol(0).as("loss"))
+    val inRegion = col("class") >= 0
     Salted.aggregate(classed,
       keys = Seq("h3r4" -> h3Parent4(col("h3"))),
       saltSrc = col("cell_id"), salts = SaltBuckets,
       aggs = Seq(
-        Salted.Agg("n_cells", "count", lit(1)),
+        Salted.Agg("n_cells", "sum", when(inRegion, 1L).otherwise(0L)),
         Salted.Agg("n_classified", "sum",
           when(col("class") > 0, 1L).otherwise(0L)),
-        Salted.Agg("loss_sum", "sum", col("loss")),
-        Salted.Agg("max_class", "max", col("class"))))
+        Salted.Agg("loss_sum", "sum",
+          when(inRegion, col("loss")).otherwise(lit(0.0))),
+        Salted.Agg("max_class", "max", when(inRegion, col("class")))))
+      .filter(col("n_cells") > 0)
   }
 }

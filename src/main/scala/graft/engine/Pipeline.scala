@@ -41,7 +41,9 @@ object Pipeline {
   def decodedCells(s: SparkSession, spec: WorldSpec): DataFrame =
     decodedCellsFrom(World.tilesDF(s, spec), spec)
 
-  /** Same, from an already-loaded tile table (e.g. a parquet scan). */
+  /** Same, from an already-loaded tile table (e.g. a parquet scan).
+    * Partial edge tiles (padded specs) contribute only their in-grid
+    * pixels — the NaN padding is dropped by a cheap arithmetic guard. */
   def decodedCellsFrom(tiles: DataFrame, spec: WorldSpec): DataFrame = {
     val nb = spec.nBands
     val zipped = arrays_zip((0 until nb).map(b =>
@@ -49,10 +51,14 @@ object Pipeline {
     val C = spec.cols
     val T = spec.tile
     val TX = spec.tilesX
-    tiles.select(col("tile_id"), posexplode(zipped).as(Seq("p", "v")))
-      .select(
-        (((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
-          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long").as("cell_id") +:
+    val gr = floor(col("tile_id") / TX) * T + floor(col("p") / T)
+    val gc = (col("tile_id") % TX) * T + col("p") % T
+    val exploded = tiles
+      .select(col("tile_id"), posexplode(zipped).as(Seq("p", "v")))
+    val inGrid = if (!spec.padded) exploded
+      else exploded.filter(gr < spec.rows && gc < spec.cols)
+    inGrid.select(
+        ((gr * C + gc + 1).cast("long").as("cell_id") +:
           col("v.b0").cast("double").as("loss") +:
           (1 until nb).map(b => col(s"v.b$b").cast("double").as(s"b$b"))): _*)
   }

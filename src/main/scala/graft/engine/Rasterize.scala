@@ -40,10 +40,14 @@ object Rasterize {
       Codec.encodeF32(Array(band))
     }
 
+    // One shuffle only: groupBy(tile_id) inserts its own hash Exchange —
+    // a repartitionByRange in front of it would be a second, wasted
+    // Exchange (tile contiguity for sequential file output, if wanted,
+    // belongs AFTER the aggregation where the data is 3 orders of
+    // magnitude smaller: one row per tile, not per pixel).
     df.select(id, col(valueCol).cast("double").as("v"))
       .withColumn("tile_id", tileId)
       .withColumn("pix", pix)
-      .repartitionByRange(col("tile_id"))
       .groupBy("tile_id")
       .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
       .select(col("tile_id"),

@@ -127,6 +127,47 @@ case class DriverClassify(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** DriverClassify with the region lookup folded in: children are
+  * (bytes, pixel, px, py); the expression ray-casts the point against
+  * the packed polygon set ONCE and either classifies (0..nDrivers) or
+  * returns -1 for points outside every polygon. This exists because the
+  * natural `withColumn("region_id", region_of(...)).filter(isNotNull)`
+  * shape makes Catalyst evaluate the ray-cast twice per pixel (once in
+  * the pushed-down Filter, once in the collapsed Project) — with
+  * 1280-edge polygons the PIP is the compute core of the headline
+  * metric, so the double evaluation halves throughput. */
+case class DriverClassifyAt(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, polys: Array[Polygon],
+    forest: Cart.PackedForest, nPix: Int, lossFloor: Double,
+    confFloor: Double)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(bytes: Any, p: Any, px: Any, py: Any): Any =
+    Cart.PackedForest.classifyAt(forest, polys,
+      bytes.asInstanceOf[Array[Byte]], p.asInstanceOf[Int],
+      px.asInstanceOf[Double], py.asInstanceOf[Double], nPix, lossFloor,
+      confFloor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pfRef = ctx.addReferenceObj("forest", forest,
+      classOf[Cart.PackedForest].getName)
+    val polysRef = ctx.addReferenceObj("polys", polys,
+      classOf[Polygon].getName + "[]")
+    val cls = Cart.PackedForest.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, p, px, py) =>
+      s"${ev.value} = $cls.classifyAt($pfRef, $polysRef, $bytes, $p, $px, " +
+        s"$py, $nPix, $lossFloor, $confFloor);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
 /** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
@@ -260,6 +301,15 @@ object GraftFunctions {
       confFloor: Double): Column =
     column(DriverClassify(expression(bytes), expression(p),
       expression(region), forest, nPix, lossFloor, confFloor))
+
+  /** Per-pixel driver-class vote with the region PIP folded in: one
+    * ray-cast per pixel, -1 for points outside every polygon. */
+  def driver_classify_at(bytes: Column, p: Column, px: Column, py: Column,
+      polys: Array[Polygon], forest: Cart.PackedForest, nPix: Int,
+      lossFloor: Double, confFloor: Double): Column =
+    column(DriverClassifyAt(expression(bytes), expression(p),
+      expression(px), expression(py), polys, forest, nPix, lossFloor,
+      confFloor))
 
   /** Float element at flat index `idx` of an f32 payload. */
   def float_at(bytes: Column, idx: Column): Column =

@@ -24,23 +24,36 @@ import graft.core.{Codec, GridSpec, Polygon}
   */
 final case class WorldSpec(rows: Int, cols: Int, tile: Int, nRegions: Int,
     nBands: Int = 6) {
-  require(rows % tile == 0 && cols % tile == 0, "tile must divide grid")
   val nCells: Long = rows.toLong * cols
-  val tilesX: Int = cols / tile
-  val tilesY: Int = rows / tile
+  /** Ceil tiling: grids the tile size does not divide (the reference's
+    * true 1737x4008, R:54,117) get partial edge tiles — payloads stay
+    * full tile x tile with NaN padding; padding pixels are dropped by
+    * the in-grid guard at decode/explode time. Dyadic specs (power-of-
+    * two rows, tile | dims) remain preferred for the DuckDB-exact
+    * oracles; padded specs are golden/unit-tested instead. */
+  val tilesX: Int = (cols + tile - 1) / tile
+  val tilesY: Int = (rows + tile - 1) / tile
   val nTiles: Int = tilesX * tilesY
   val pixPerTile: Int = tile * tile
-  /** Half the grid height — slant-edge midpoint; rows must make this a
-    * power of two so the PIP oracle arithmetic is exactly dyadic. */
-  require((rows & (rows - 1)) == 0, "rows must be a power of two")
+  /** True when the tile grid pads past the cell grid. */
+  val padded: Boolean = rows % tile != 0 || cols % tile != 0
 
   def grid: GridSpec = GridSpec(rows, cols, 1.0, 0.0, rows.toDouble)
 
-  /** 1-based row-major cell id of pixel p (row-major within tile t). */
+  /** 1-based row-major cell id of pixel p (row-major within tile t).
+    * Only meaningful when inGrid(t, p). */
   def cellId(t: Int, p: Int): Long = {
     val row0 = (t / tilesX) * tile + p / tile // 0-based global row
     val col0 = (t % tilesX) * tile + p % tile
     row0.toLong * cols + col0 + 1
+  }
+
+  /** Whether pixel p of tile t addresses a real grid cell (false only
+    * in the padding of partial edge tiles). */
+  def inGrid(t: Int, p: Int): Boolean = {
+    val row0 = (t / tilesX) * tile + p / tile
+    val col0 = (t % tilesX) * tile + p % tile
+    row0 < rows && col0 < cols
   }
 
   def tileOfCell(id: Long): Int = {
@@ -143,17 +156,24 @@ object World {
   @inline def py(spec: WorldSpec, id: Long): Double =
     ((id - 1) / spec.cols).toDouble + 0.5
 
-  /** Decoded bands of tile t, band-major. */
+  /** Decoded bands of tile t, band-major. Padding pixels of partial
+    * edge tiles are NaN in every band (R's NA; never read downstream —
+    * the in-grid guard drops them at explode time). */
   def tileBands(spec: WorldSpec, t: Int): Array[Array[Float]] = {
     val out = Array.ofDim[Float](spec.nBands, spec.pixPerTile)
     var p = 0
     while (p < spec.pixPerTile) {
-      val id = spec.cellId(t, p)
-      out(0)(p) = loss(id).toFloat
-      var b = 1
-      while (b < spec.nBands) {
-        out(b)(p) = band(id, b).toFloat
-        b += 1
+      if (spec.inGrid(t, p)) {
+        val id = spec.cellId(t, p)
+        out(0)(p) = loss(id).toFloat
+        var b = 1
+        while (b < spec.nBands) {
+          out(b)(p) = band(id, b).toFloat
+          b += 1
+        }
+      } else {
+        var b = 0
+        while (b < spec.nBands) { out(b)(p) = Float.NaN; b += 1 }
       }
       p += 1
     }

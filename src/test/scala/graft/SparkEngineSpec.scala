@@ -19,6 +19,10 @@ import graft.world.World
 class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val spec = World.tiny
+  /** Non-dyadic, non-tile-divisible mini grid: partial edge tiles, the
+    * reference's true-1737x4008 shape at test scale. */
+  private val padded = graft.world.WorldSpec(rows = 50, cols = 72,
+    tile = 16, nRegions = 3)
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -31,7 +35,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---- the plain-Scala golden oracle (R:191-411 semantics) --------------
 
   /** (cell_id -> (region, class, confidence)) for loss-bearing cells. */
-  private def oracleVote(cfg: Pipeline.Config)
+  private def oracleVote(spec: graft.world.WorldSpec, cfg: Pipeline.Config)
       : Map[Long, (Int, Long, Double)] = {
     val polys = World.polygons(spec)
     def region(id: Long): Int =
@@ -76,8 +80,24 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val engine = Pipeline.fitPredictVote(spark, spec, cfg).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
       .toMap
-    val oracle = oracleVote(cfg)
+    val oracle = oracleVote(spec, cfg)
     assert(engine.keySet == oracle.keySet, "cell coverage differs")
+    val diffs = oracle.collect {
+      case (id, o) if engine(id) != o => (id, o, engine(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("golden on the padded grid (partial edge tiles, true-reference " +
+    "shape): fitPredictVote matches the oracle; padding never leaks") {
+    val cfg = Pipeline.Config()
+    assert(padded.padded && padded.nTiles == 20)
+    val engine = Pipeline.fitPredictVote(spark, padded, cfg).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val oracle = oracleVote(padded, cfg)
+    assert(engine.keySet == oracle.keySet, "cell coverage differs")
+    assert(engine.keySet.forall(id => id >= 1 && id <= padded.nCells))
     val diffs = oracle.collect {
       case (id, o) if engine(id) != o => (id, o, engine(id))
     }
@@ -88,7 +108,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cfg = Pipeline.Config()
     // trees from the oracle path (same fit as the engine)
     val polys = World.polygons(spec)
-    val oracle = oracleVote(cfg)
+    val oracle = oracleVote(spec, cfg)
     val trees = {
       val training = (1L to spec.nCells).flatMap { id =>
         val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
@@ -246,15 +266,64 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("rasterize inverts the decode scan (vector -> raster, K2)") {
-    val loss = Pipeline.decodedCells(spark, spec).select("cell_id", "loss")
-    val tiles = Rasterize(spark, spec, loss, "loss").collect()
-    assert(tiles.length == spec.nTiles)
-    tiles.foreach { r =>
-      val t = r.getAs[Int]("tile_id")
-      val got = Codec.decodeF32Band(r.getAs[Array[Byte]]("bytes"),
-        spec.pixPerTile, 0)
-      val want = World.tileBands(spec, t)(0)
-      assert(java.util.Arrays.equals(got, want), s"tile $t")
+    for (sp <- Seq(spec, padded)) {
+      val loss = Pipeline.decodedCells(spark, sp).select("cell_id", "loss")
+      val tiles = Rasterize(spark, sp, loss, "loss").collect()
+      assert(tiles.length == sp.nTiles)
+      tiles.foreach { r =>
+        val t = r.getAs[Int]("tile_id")
+        val got = Codec.decodeF32Band(r.getAs[Array[Byte]]("bytes"),
+          sp.pixPerTile, 0)
+        // padding comes back as NaN in both (R's NA)
+        val want = World.tileBands(sp, t)(0)
+        assert(java.util.Arrays.equals(got, want), s"tile $t of $sp")
+      }
+    }
+  }
+
+  test("DriverClassifyAt (fused PIP + vote) equals region_of followed " +
+    "by DriverClassify, with -1 marking no-region pixels") {
+    import graft.sql.GraftFunctions._
+    val cfg = Pipeline.Config()
+    val polys = World.densify(World.polygons(spec), 8)
+    val training = (1L to spec.nCells).flatMap { id =>
+      val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+      if (r < 0) None
+      else World.trainingClass(id) match {
+        case Some(c) if c > 0 && !cfg.dropClasses(c) =>
+          Some((r, c, (1 until spec.nBands)
+            .map(b => World.band(id, b).toFloat.toDouble).toArray))
+        case _ => None
+      }
+    }.toArray
+    val pf = Cart.PackedForest(Pipeline.fitTrees(training, spec.nRegions, cfg),
+      spec.nRegions, Pipeline.NumDrivers)
+    val T = spec.tile; val TX = spec.tilesX; val C = spec.cols
+    val fused = World.tilesDF(spark, spec)
+      .select(col("tile_id"), col("bytes"),
+        explode(sequence(lit(0), lit(spec.pixPerTile - 1))).as("p"))
+      .select(
+        ((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
+          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long")
+          .as("cell_id"), col("bytes"), col("p"))
+    val px = ((col("cell_id") - 1) % C).cast("double") + 0.5
+    val py = floor((col("cell_id") - 1) / C).cast("double") + 0.5
+    val got = fused.select(col("cell_id"),
+        driver_classify_at(col("bytes"), col("p"), px, py, polys, pf,
+          spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to spec.nCells).foreach { id =>
+      val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+      val want =
+        if (r < 0) -1L
+        else {
+          val t = spec.tileOfCell(id)
+          val bytes = Codec.encodeF32(World.tileBands(spec, t))
+          val p = (((id - 1) / C % T) * T + (id - 1) % C % T).toInt
+          Cart.PackedForest.classify(pf, bytes, p, r, spec.pixPerTile,
+            cfg.lossFloor, cfg.confidenceFloor)
+        }
+      assert(got(id) == want, s"cell $id")
     }
   }
 
