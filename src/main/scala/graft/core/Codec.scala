@@ -99,6 +99,12 @@ object Codec {
       case "png16" =>
         require(band == 0, "png16 payloads are single-band")
         decodePng16(bytes)
+      case "gtiff" =>
+        require(band == 0, "gtiff payloads are single-band")
+        val r = GeoTiff.decode(bytes)
+        require(r.pixels.length == nPixels,
+          s"gtiff pixel count ${r.pixels.length} != $nPixels")
+        r.pixels
       case other => throw new IllegalArgumentException(s"unknown fmt: $other")
     }
 

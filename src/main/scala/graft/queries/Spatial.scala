@@ -36,7 +36,10 @@ object Spatial {
     Q("q30_expand_fixpoint", q30, None),
     Q("q31_psnr_png16", q31, None),
     Q("q32_tile_knn_context", q32, Some(q32Sql)),
-    Q("q33_importance", q33, None)
+    Q("q33_importance", q33, None),
+    Q("q34_gtiff_decode", q34, Some(q34Sql)),
+    Q("q35_class_loss_masks", q35, Some(q35Sql)),
+    Q("q36_zonal_pyramid", q36, Some(q36Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -464,6 +467,133 @@ object Spatial {
       }
     }.sorted
     rows.toDF("region_id", "driver", "feature", "importance")
+  }
+
+  // ---- q34: GeoTIFF decode scan (S3 on the reference's REAL input
+  // format, `raster(path)` R:211,216-218): a tile table whose payloads
+  // are genuine GeoTIFF bytes (alternating LZW / uncompressed, strip
+  // layout) is decoded by the gtiff codec path, cell-keyed, and zonally
+  // aggregated; the oracle regenerates the same pixel values from the
+  // hash formula — bit-exact because band values are small integers. ----
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tiles = s.range(0, spec.nTiles).map { t =>
+      val ti = t.toInt
+      val px = Array.tabulate(spec.pixPerTile) { p =>
+        World.band(spec.cellId(ti, p), 1).toFloat
+      }
+      val bytes = graft.core.GeoTiff.encode(px, T, T, lzw = ti % 2 == 0,
+        rowsPerStrip = 5, cellSize = 1.0, yMax = spec.rows.toDouble)
+      (f"tile_$ti%05d", bytes, T, T, "gtiff", ti)
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "tile_id")
+    val decoded = tiles
+      .select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), col("fmt"), spec.pixPerTile, 0))
+          .as(Seq("p", "v")))
+      .select(
+        (((floor(col("tile_id") / TX) * T + floor(col("p") / T)) * C +
+          (col("tile_id") % TX) * T + col("p") % T + 1).cast("long")
+          .as("cell_id")),
+        col("v").cast("double").as("v"))
+    decoded.groupBy(tileCol(cellCol).as("tile_id"))
+      .agg(count(lit(1)).as("n_px"), sum("v").as("v_sum"),
+        max("v").as("v_max"))
+      .orderBy("tile_id")
+  }
+
+  private def q34Sql =
+    s"""$cellsCte
+       |SELECT ${tileSql("cell_id")} AS tile_id, COUNT(*) AS n_px,
+       |  SUM(${bandSql("cell_id", 1)}) AS v_sum,
+       |  MAX(${bandSql("cell_id", 1)}) AS v_max
+       |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q35: per-class loss masks (stages 12-13, R:510-551): dedup the
+  // loss observations by cell (group/mean over duplicated rows, A1
+  // R:516-520), join the final class (J2 R:495/521), filter per class
+  // (P3 R:524-549) -> per-class mask stats. Two loss observations per
+  // cell, both dyadic, so the mean is exact. ----------------------------
+  private def lossObs(s: SparkSession): DataFrame = {
+    val o1 = spine(s).select(cellCol, lossCol(cellCol).as("loss"))
+    val o2 = spine(s).select(cellCol,
+      ((hc(cellCol * 17) % 1024).cast("double") / 1024.0).as("loss"))
+    o1.unionByName(o2)
+  }
+
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val dedup = lossObs(s).groupBy("cell_id")
+      .agg(avg("loss").as("loss_mean"))
+    dedup.join(classifiedDF(s), Seq("cell_id"))
+      .groupBy(col("final_class").as("class"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("loss_mean").as("loss_mean_sum"),
+        min("cell_id").as("first_cell"))
+      .orderBy("class")
+  }
+
+  private def q35Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |obs AS (
+       |  SELECT cell_id, ${lossSql("cell_id")} AS loss FROM cells
+       |  UNION ALL
+       |  SELECT cell_id, (${hSql("cell_id * 17")} % 1024) / 1024.0 AS loss FROM cells),
+       |dedup AS (SELECT cell_id, AVG(loss) AS loss_mean FROM obs GROUP BY 1),
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |cls AS (SELECT cell_id,
+       |  CAST(CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS class
+       |  FROM p)
+       |SELECT c.class, COUNT(*) AS n_cells, SUM(d.loss_mean) AS loss_mean_sum,
+       |  MIN(c.cell_id) AS first_cell
+       |FROM dedup d JOIN cls c ON d.cell_id = c.cell_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q36: two-level zonal pyramid (A6, the `10kMax1kMean`-family
+  // variables, SURVEY §1.3): fine raster -> 4x4-block means ("1k") ->
+  // 4x4-block-of-blocks max/mean ("10k") — BOTH aggregation levels in
+  // one plan, each a shuffle on its own zone key. Block sums are small
+  // integer sums and the block sizes are powers of two, so every mean
+  // is exact. ------------------------------------------------------------
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val C1 = C / 4 // level-1 zone grid width (4x4 cells per zone)
+    val k1 = (floor((rowCol(cellCol) - 1) / 4) * C1 +
+      floor((colCol(cellCol) - 1) / 4)).cast("long")
+    val level1 = spine(s)
+      .groupBy(k1.as("k1"))
+      .agg(avg(bandCol(cellCol, 2)).as("mean1"),
+        sum(bandCol(cellCol, 2)).as("sum1"))
+    val C10 = C1 / 4 // level-2 grid width (4x4 level-1 zones per zone)
+    val k10 = (floor(floor(col("k1") / C1) / 4) * C10 +
+      floor((col("k1") % C1) / 4)).cast("long")
+    level1.groupBy(k10.as("k10"))
+      .agg(max("mean1").as("v_10kmax1kmean"),
+        avg("sum1").as("v_10kmean1ksum"),
+        count(lit(1)).as("n_subzones"))
+      .orderBy("k10")
+  }
+
+  private def q36Sql = {
+    val C1 = C / 4
+    val C10 = C1 / 4
+    s"""$cellsCte,
+       |l1 AS (
+       |  SELECT CAST(FLOOR((${rowSql("cell_id")} - 1) / 4) * $C1
+       |      + FLOOR((${colSql("cell_id")} - 1) / 4) AS BIGINT) AS k1,
+       |    AVG(${bandSql("cell_id", 2)}) AS mean1,
+       |    SUM(${bandSql("cell_id", 2)}) AS sum1
+       |  FROM cells GROUP BY 1)
+       |SELECT CAST(FLOOR(FLOOR(k1 / $C1) / 4) * $C10
+       |    + FLOOR((k1 % $C1) / 4) AS BIGINT) AS k10,
+       |  MAX(mean1) AS v_10kmax1kmean,
+       |  AVG(sum1) AS v_10kmean1ksum,
+       |  COUNT(*) AS n_subzones
+       |FROM l1 GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per

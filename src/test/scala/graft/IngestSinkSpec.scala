@@ -72,6 +72,36 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(p => p._2.endsWith(".tif")))
   }
 
+  test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).map { id =>
+      (id, (id % 4).toInt, id.toDouble / 16.0)
+    }.toDF("cell_id", "final_class", "loss_mean")
+    val dir = Files.createTempDirectory("graft_csv_sink").toString
+    graft.sinks.Csv.writeClassMasks(df, dir, "final_class", "loss_mean",
+      classes = 0 to 3)
+    (0 to 3).foreach { k =>
+      val back = spark.read.option("header", "true")
+        .schema("cell_id LONG, loss_mean DOUBLE")
+        .csv(s"$dir/LossMask_class$k.csv")
+        .orderBy("cell_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val want = (1L to 100L).filter(_ % 4 == k)
+        .map(id => (id, id.toDouble / 16.0))
+      assert(back == want, s"class $k")
+      // exactly one part file (the reference's one-CSV-per-report shape)
+      val parts = new java.io.File(s"$dir/LossMask_class$k.csv")
+        .listFiles().count(_.getName.endsWith(".csv"))
+      assert(parts == 1)
+    }
+    // non-single mode keeps partitioning (scale path) but same rows
+    graft.sinks.Csv.write(df, s"$dir/all.csv", Seq("cell_id"), single = false)
+    assert(spark.read.option("header", "true")
+      .schema("cell_id LONG, final_class INT, loss_mean DOUBLE")
+      .csv(s"$dir/all.csv").count() == 100)
+  }
+
   test("K4: KML export reprojects through the Goode inverse and closes rings") {
     // a polygon given directly in igh meters (identity transform)
     val p = Polygon(1,
