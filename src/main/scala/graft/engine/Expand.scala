@@ -14,12 +14,19 @@ import graft.world.WorldSpec
   *
   * Scale design: each step is 8 derived-key equi-joins expressed as one
   * explode+join (shuffle on cell id, broadcast of the 8-offset table),
-  * never a theta/range join; lineage is truncated every iteration with
-  * localCheckpoint so the plan doesn't grow with the iteration count;
-  * convergence = zero adopted cells (a count on the adopted side only,
-  * not the full frame).
+  * never a theta/range join; lineage is truncated every iteration —
+  * with a RELIABLE checkpoint when the session has a checkpoint dir
+  * (on a real cluster a localCheckpoint dies with any executor,
+  * killing a long fixed-point run), falling back to localCheckpoint
+  * otherwise (single-JVM test/bench mode); convergence = zero adopted
+  * cells (a count on the adopted side only, not the full frame).
   */
 object Expand {
+
+  /** Lineage truncation: reliable if the session has a checkpoint dir. */
+  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** @param cls DataFrame(cell_id: long, final_class: long) covering the
     *            grid (class 0 = uncertain).
@@ -34,8 +41,8 @@ object Expand {
     } yield (dr, dc)
     val offDF = broadcast(offsets.toDF("dr", "dc"))
 
-    var cur = cls.select(col("cell_id"), col("final_class").cast("long")
-      .as("final_class")).localCheckpoint(true)
+    var cur = truncate(s, cls.select(col("cell_id"),
+      col("final_class").cast("long").as("final_class")))
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {
@@ -55,15 +62,14 @@ object Expand {
               col("final_class").as("nbr_class")),
           Seq("nbr_id"))
         .groupBy("cell_id").agg(min("nbr_class").as("adopted"))
-        .localCheckpoint(true)
-      val nAdopted = adopted.count()
+      val adoptedT = truncate(s, adopted)
+      val nAdopted = adoptedT.count()
       if (nAdopted == 0) converged = true
       else {
-        cur = cur.join(adopted, Seq("cell_id"), "left")
+        cur = truncate(s, cur.join(adoptedT, Seq("cell_id"), "left")
           .select(col("cell_id"),
             when(col("final_class") === 0, coalesce(col("adopted"), lit(0L)))
-              .otherwise(col("final_class")).as("final_class"))
-          .localCheckpoint(true)
+              .otherwise(col("final_class")).as("final_class")))
         iters += 1
       }
     }

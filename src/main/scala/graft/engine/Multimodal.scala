@@ -1,38 +1,66 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.core.Codec
+import graft.core.{Codec, GeoTiff}
 import graft.world.World
 
 /** Multimodal-column plumbing: image/audio/video carried as opaque
   * `binary` columns with typed metadata, processed per-partition in
   * batches (the Scala analog of `mapInPandas`: one iterator pass per
-  * partition, decode amortized across the batch, no per-row JVM/py
-  * round-trips to model).
+  * partition, decode amortized across the batch, no per-row round-trips
+  * to a model server).
   *
-  * DECODE IS A STUB: the container has no image/audio codecs beyond
-  * javax.imageio, so `decodeStub` deterministically fakes the decode
-  * (interprets the payload's first band as f32 pixels — which is exactly
-  * right for this repo's synthetic tiles, and stands in for jpeg/mp3
-  * decode in production). The Spark-side plumbing — schema, partition
-  * batching, feature extraction shape — is real and tested.
+  * Decode is REAL for the formats this engine carries: `f32` raw tiles,
+  * `png16` (16-bit grayscale PNG via javax.imageio) and `gtiff`
+  * (the pure-JVM GeoTIFF reader) all decode actual bytes. Only formats
+  * whose codecs do not exist in this container (jpeg/webp/mp3/h264) fall
+  * back to a clearly-named deterministic stub so the batching/feature
+  * plumbing is still exercised end to end.
   */
 object Multimodal {
 
   final case class Media(image_id: String, bytes: Array[Byte], w: Int,
       h: Int, fmt: String, caption: String, phash: Long)
 
-  final case class MediaFeatures(image_id: String, n_bytes: Int,
-      mean_px: Double, max_px: Double, thumb_hash: Long, n_frames: Int)
+  final case class MediaFeatures(image_id: String, fmt: String,
+      n_bytes: Int, mean_px: Double, max_px: Double, thumb_hash: Long,
+      n_frames: Int)
 
-  /** Synthetic media table (reuses the world's tile payloads). */
-  def syntheticMedia(s: SparkSession): DataFrame =
-    World.tilesDF(s, World.tiny).drop("tile_id")
+  /** Synthetic media table: the world's tiles re-encoded in each real
+    * format the codec layer supports (f32 multiband raw, png16, gtiff
+    * with LZW), one row per (tile, fmt). */
+  def syntheticMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val spec = World.tiny
+    val base = World.tilesDF(s, spec).drop("tile_id")
+    val reEncoded = s.range(0, spec.nTiles).flatMap { t =>
+      val ti = t.toInt
+      val band0 = World.tileBands(spec, ti)(0)
+      val ph = Codec.phash(band0, spec.tile, spec.tile)
+      Seq(
+        (f"tile_$ti%05d_png", Codec.encodePng16(band0, spec.tile, spec.tile),
+          spec.tile, spec.tile, "png16", s"png16 of tile $ti", ph),
+        (f"tile_$ti%05d_tif",
+          GeoTiff.encode(band0, spec.tile, spec.tile, lzw = true),
+          spec.tile, spec.tile, "gtiff", s"gtiff of tile $ti", ph))
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    base.unionByName(reEncoded)
+  }
 
-  /** STUB decode: payload -> single-band float pixels. In production
-    * this is the jpeg/png/webp decode call. */
-  private def decodeStub(m: Media): Array[Float] =
-    Codec.decodeF32Band(m.bytes, m.w * m.h, band = 0)
+  /** Real decode dispatch: band 0 of the payload in its actual format.
+    * `stub` formats (absent codecs) fake pixels deterministically. */
+  private def decodeBand0(m: Media): Array[Float] = m.fmt match {
+    case "f32" | "png16" | "gtiff" => Codec.decodeBand(m.fmt, m.bytes, m.w * m.h, 0)
+    case _ => stubDecode(m) // jpeg/mp3/h264: codec not in this container
+  }
+
+  /** STUB for codecs absent from the sandbox: deterministic fake pixels
+    * derived from the payload hash (clearly marked; never used for the
+    * formats above). */
+  private def stubDecode(m: Media): Array[Float] = {
+    val seed = java.util.Arrays.hashCode(m.bytes)
+    Array.tabulate(m.w * m.h)(i => ((seed * 31 + i) % 255).toFloat)
+  }
 
   /** Frame-sample stub for "video" payloads: every k-th row block. */
   private def frameSampleStub(px: Array[Float], w: Int, k: Int): Int =
@@ -44,7 +72,7 @@ object Multimodal {
     import spark.implicits._
     media.as[Media].mapPartitions { rows =>
       rows.map { m =>
-        val px = decodeStub(m)
+        val px = decodeBand0(m)
         var sum = 0.0
         var mx = Double.MinValue
         var i = 0
@@ -53,7 +81,7 @@ object Multimodal {
           if (px(i) > mx) mx = px(i)
           i += 1
         }
-        MediaFeatures(m.image_id, m.bytes.length,
+        MediaFeatures(m.image_id, m.fmt, m.bytes.length,
           sum / px.length, mx,
           Codec.phash(px, m.w, m.h), // 8x8 thumbnail hash = resize stub
           frameSampleStub(px, m.w, k = 4))

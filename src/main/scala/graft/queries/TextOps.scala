@@ -269,21 +269,15 @@ object TextOps {
        |  MIN(doc_a * 100000 + doc_b) AS first_pair
        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // --- q46: 16-bit SimHash over token codes --------------------------------
-  private def q46(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val tcode = (tk: Column) => code3(tk)
-    val bits = (0 until 16).map { b =>
-      val p = 1L << b
-      val signSum = aggregate(toks, lit(0L),
-        (acc, tk) => acc +
-          (floor(tcode(tk) / lit(p.toDouble)).cast("long") % 2) * 2 - 1)
-      when(signSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }
+  // --- q46: 16-bit SimHash over token codes — a one-pass expression
+  // (SimHash16) instead of 16 per-bit aggregate() folds: the fold
+  // formulation allocates a lambda frame per token per bit and was 21x
+  // slower than the comparable MinHashSigs pass --------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"),
+        graft.sql.GraftFunctions.simhash16(col("text")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   private val q46Sql = {
     val bitTerms = (0 until 16).map { b =>

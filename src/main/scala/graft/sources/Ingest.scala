@@ -3,6 +3,7 @@ package graft.sources
 import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
+import graft.core.Polygon
 
 /** Table ingest utilities (SURVEY.md §2.1).
   *
@@ -37,6 +38,48 @@ object Ingest {
       s"canonical columns missing after aliasing: ${missing.mkString(",")}")
     canon.select(schema.fields.map(f =>
       canon(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
+  /** S6 — vector/polygon layer scan: the reference loads region
+    * boundaries with `readOGR` (R:884,893). The engine reads WKT text —
+    * one `<region_id>,POLYGON((x y, x y, ...))` per line — parsed
+    * distributed (a Dataset map), collected to the packed edge-array
+    * Polygons the PIP expression broadcasts. Polygon layers are
+    * dimension-sized (thousands of rows), so the collect is bounded by
+    * the same budget as the broadcast itself. Exterior ring only; the
+    * closing vertex (WKT rings repeat the first point) is dropped to
+    * match the engine's open-ring convention. */
+  def wktPolygons(spark: SparkSession, path: String): Array[Polygon] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(l => l.trim.nonEmpty)
+      .map(parseWktLine)
+      .collect()
+      .sortBy(_.regionId)
+  }
+
+  private[graft] def parseWktLine(line: String): Polygon = {
+    val comma = line.indexOf(',')
+    require(comma > 0, s"expected '<region_id>,POLYGON(...)': $line")
+    val id = line.substring(0, comma).trim.toInt
+    val wkt = line.substring(comma + 1).trim
+    require(wkt.toUpperCase.startsWith("POLYGON"),
+      s"only POLYGON geometries supported: $wkt")
+    val open = wkt.indexOf("((")
+    val close = wkt.indexOf("))")
+    require(open > 0 && close > open, s"malformed POLYGON: $wkt")
+    val body = wkt.substring(open + 2, close)
+    require(!body.contains("("),
+      s"interior rings (holes) are not supported: $wkt")
+    val pts = body.split(",").map { p =>
+      val xy = p.trim.split("\\s+")
+      require(xy.length == 2, s"bad vertex '$p'")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+    require(pts.length >= 4, s"ring needs >= 4 vertices (closed): $wkt")
+    require(pts.head == pts.last, s"WKT ring must be closed: $wkt")
+    val ring = pts.dropRight(1)
+    Polygon(id, ring.map(_._1), ring.map(_._2))
   }
 
   /** Discover the variable manifest from a directory: non-recursive,

@@ -238,6 +238,59 @@ case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
     copy(child = newChild)
 }
 
+/** 16-bit SimHash over space-separated tokens in ONE pass: token code =
+  * cp0*961 + cp1*31 + cp2 over the token's first three code points
+  * (missing -> 0, matching ascii(substr(tk, i, 1)) with '' -> 0); per
+  * bit b the signs ((code >> b & 1)*2 - 1) are summed over tokens and
+  * the bit is set when the sum is positive. Equivalent to sixteen
+  * `aggregate(split(text,' '), ...)` folds — but those allocate a
+  * lambda frame per token per bit (measured 21x slower than the
+  * comparable one-pass MinHashSigs); this walks the code points once.
+  * Token semantics match split(text, ' ') with limit -1: consecutive /
+  * trailing spaces yield empty tokens (code 0), empty text is one
+  * empty token. */
+case class SimHash16(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(t: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](16)
+    var c0 = 0L; var c1 = 0L; var c2 = 0L
+    var tpos = 0
+    def flush(): Unit = {
+      val code = c0 * 961 + c1 * 31 + c2
+      var b = 0
+      while (b < 16) {
+        counts(b) += (((code >> b) & 1L).toInt * 2 - 1)
+        b += 1
+      }
+      c0 = 0; c1 = 0; c2 = 0; tpos = 0
+    }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (cp == ' ') flush()
+      else {
+        if (tpos == 0) c0 = cp else if (tpos == 1) c1 = cp
+        else if (tpos == 2) c2 = cp
+        tpos += 1
+      }
+      i += Character.charCount(cp)
+    }
+    flush()
+    var h = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) > 0) h |= (1L << b); b += 1 }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Dot product of two array<double> columns, summed left-to-right in
   * element order (bit-identical to `aggregate(zip_with(a,b,_*_),0.0,_+_)`
   * and to DuckDB's `list_dot_product`, which both fold sequentially).
@@ -318,6 +371,10 @@ object GraftFunctions {
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =
     column(GridH3(expression(cellId), rows, cols, res))
+
+  /** 16-bit SimHash over space-separated tokens in one pass. */
+  def simhash16(text: Column): Column =
+    column(SimHash16(expression(text)))
 
   /** k MinHash signatures over 3-char shingles in one pass. */
   def minhash_sigs(text: Column, params: Seq[(Long, Long)],

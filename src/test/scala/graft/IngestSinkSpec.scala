@@ -72,6 +72,39 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.forall(p => p._2.endsWith(".tif")))
   }
 
+  test("S6: WKT polygon layer scan reproduces the engine polygons and " +
+    "their PIP assignments") {
+    import graft.core.Geom
+    import graft.world.World
+    val spec = World.tiny
+    val polys = World.polygons(spec)
+    val wkt = polys.map { p =>
+      val ring = (p.xs.indices :+ 0)
+        .map(i => s"${p.xs(i)} ${p.ys(i)}").mkString(", ")
+      s"${p.regionId},POLYGON(($ring))"
+    }
+    val f = Files.createTempDirectory("graft_wkt").resolve("regions.wkt")
+    Files.writeString(f, wkt.mkString("\n") + "\n")
+    val back = Ingest.wktPolygons(spark, f.toString)
+    assert(back.length == polys.length)
+    back.zip(polys).foreach { case (b, p) =>
+      assert(b.regionId == p.regionId)
+      assert(b.xs.sameElements(p.xs) && b.ys.sameElements(p.ys))
+    }
+    // identical region assignment across the whole grid
+    (1L to spec.nCells).foreach { id =>
+      val (px, py) = (World.px(spec, id), World.py(spec, id))
+      assert(Geom.regionOf(back, px, py) == Geom.regionOf(polys, px, py))
+    }
+    // malformed shapes rejected loudly
+    intercept[IllegalArgumentException](
+      Ingest.parseWktLine("1,LINESTRING(0 0, 1 1)"))
+    intercept[IllegalArgumentException](
+      Ingest.parseWktLine("1,POLYGON((0 0, 1 0, 1 1, 0 1))")) // unclosed
+    intercept[IllegalArgumentException](
+      Ingest.parseWktLine("1,POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,1 2,1 1))"))
+  }
+
   test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -327,6 +327,56 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("multimodal features decode REAL bytes per format (png16 via " +
+    "ImageIO, gtiff via the TIFF reader, f32 raw)") {
+    import graft.engine.Multimodal
+    val feats = Multimodal.features(Multimodal.syntheticMedia(spark))
+      .collect().map(r => r.getAs[String]("image_id") -> r).toMap
+    assert(feats.size == 3 * spec.nTiles)
+    (0 until spec.nTiles).foreach { t =>
+      val band0 = World.tileBands(spec, t)(0)
+      def expectStats(px: Array[Float], suffix: String): Unit = {
+        val r = feats(f"tile_$t%05d$suffix")
+        assert(r.getAs[Double]("mean_px") ==
+          px.map(_.toDouble).sum / px.length, s"tile $t$suffix mean")
+        assert(r.getAs[Double]("max_px") == px.map(_.toDouble).max)
+        assert(r.getAs[Long]("thumb_hash") ==
+          Codec.phash(px, spec.tile, spec.tile))
+      }
+      expectStats(band0, "") // f32: exact
+      // png16 is quantized: expected stats come from a REAL decode of the
+      // same PNG bytes — matching proves the engine decoded, not faked
+      val png = Codec.decodePng16(
+        Codec.encodePng16(band0, spec.tile, spec.tile))
+      assert(!java.util.Arrays.equals(png, band0) ||
+        band0.forall(v => v * Codec.Png16Scale == math.round(v * Codec.Png16Scale)))
+      expectStats(png, "_png")
+      expectStats(band0, "_tif") // gtiff is lossless: decode must be exact
+    }
+  }
+
+  test("expand with a RELIABLE checkpoint dir set produces the same " +
+    "fixed point as localCheckpoint mode") {
+    import spark.implicits._
+    val cls = classifiedFull()
+    val local = Expand.run(spark, spec, cls, maxIters = 8)
+      .orderBy("cell_id").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_rckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val reliable = Expand.run(spark, spec, cls, maxIters = 8)
+      .orderBy("cell_id").collect().toSeq
+    assert(reliable == local)
+    // the reliable path actually wrote RDD checkpoints
+    assert(new java.io.File(dir.toString).listFiles().nonEmpty)
+  }
+
+  private def classifiedFull(): DataFrame = {
+    val cls = Pipeline.fitPredictVote(spark, spec)
+    spark.range(1, spec.nCells + 1).toDF("cell_id")
+      .join(cls.select(col("cell_id"), col("class")), Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("class"), lit(0L)).as("final_class"))
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3

@@ -256,6 +256,29 @@ class CartSpec extends AnyFunSuite {
     assert(Cart.prune(full, 1.1).nLeaves == 1)
   }
 
+  test("SimHash16 one-pass expression equals the per-bit fold reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ref(text: String): Long = {
+      val toks = text.split(" ", -1)
+      val codes = toks.map { tk =>
+        val cps = tk.codePoints().toArray
+        def cp(i: Int): Long = if (i < cps.length) cps(i).toLong else 0L
+        cp(0) * 961 + cp(1) * 31 + cp(2)
+      }
+      (0 until 16).map { b =>
+        val signSum = codes.map(c => ((c >> b) & 1L) * 2 - 1).sum
+        if (signSum > 0) 1L << b else 0L
+      }.sum
+    }
+    val cases = Seq("", " ", "a", "ab cd ef", "a b  c ", "the a of spark",
+      "hello world the a of vector stream", "x" * 50 + " yz")
+    cases.foreach { t =>
+      val got = graft.sql.SimHash16(null)
+        .nullSafeEval(UTF8String.fromString(t))
+      assert(got == ref(t), s"'$t'")
+    }
+  }
+
   test("checkpoint fingerprint is a digest: hashCode-colliding inputs " +
     "get distinct fingerprints") {
     import graft.engine.Checkpoint.fingerprint
