@@ -191,6 +191,25 @@ object Pipeline {
     store.stage("rasterized", fpRaster, Seq("expanded")) {
       Rasterize(s, spec, expanded, "final_class")
     }
+
+    // Stage 13 — the reference's actual DELIVERABLE (R:510-551): dedup
+    // the loss observations by cell (group/mean, R:516-520), join the
+    // final class (R:521), then fan out per class: one CSV (R:524-549,
+    // the K1 sink) and one raster (the six rastOut calls) per class.
+    val fpMasks = Checkpoint.fingerprint("loss_masks", fpExpanded)
+    store.stage("loss_masks", fpMasks, Seq("expanded")) {
+      val lossMean = cells.select(col("cell_id"), col("loss"))
+        .groupBy("cell_id").agg(avg("loss").as("loss_mean"))
+      val joined = lossMean
+        .join(expanded.select("cell_id", "final_class"), Seq("cell_id"))
+      graft.sinks.Csv.writeClassMasks(joined, s"$dir/csv", "final_class",
+        "loss_mean", classes = 0 to 5)
+      (0 to 5).map { k =>
+        Rasterize(s, spec, joined.filter(col("final_class") === k),
+            "loss_mean")
+          .withColumn("class", lit(k))
+      }.reduce(_ unionByName _)
+    }
     (expanded, store)
   }
 }

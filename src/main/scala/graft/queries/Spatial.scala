@@ -39,7 +39,8 @@ object Spatial {
     Q("q33_importance", q33, None),
     Q("q34_gtiff_decode", q34, Some(q34Sql)),
     Q("q35_class_loss_masks", q35, Some(q35Sql)),
-    Q("q36_zonal_pyramid", q36, Some(q36Sql))
+    Q("q36_zonal_pyramid", q36, Some(q36Sql)),
+    Q("q37_class_loss_rasters", q37, None)
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -594,6 +595,23 @@ object Spatial {
        |  AVG(sum1) AS v_10kmean1ksum,
        |  COUNT(*) AS n_subzones
        |FROM l1 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q37: the per-class raster fan-out of stage 13 (R:524-551's six
+    * `rastOut` calls): the deduped loss mean is rasterized once per
+    * final class (cells of other classes become NaN, R's NA). Rows-only
+    * check (raster bytes aren't SQL); the stats side is q35's oracle,
+    * the byte-exactness of Rasterize is unit-tested. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val dedup = lossObs(s).groupBy("cell_id")
+      .agg(avg("loss").as("loss_mean"))
+    val joined = dedup.join(classifiedDF(s), Seq("cell_id"))
+    (0 to 5).map { k =>
+      graft.engine.Rasterize(s, spec,
+          joined.filter(col("final_class") === k), "loss_mean")
+        .select(lit(k).as("class"), col("tile_id"),
+          length(col("bytes")).as("n_bytes"), crc32(col("bytes")).as("crc"))
+    }.reduce(_ unionByName _).orderBy("class", "tile_id")
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per

@@ -228,6 +228,23 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store2.log.forall(_._2 == "loaded"), store2.log.toString)
     assert(out2.orderBy("cell_id").collect().toSeq == result1)
 
+    // the deliverable stage (R:510-551) wrote the six per-class CSVs
+    (0 to 5).foreach { k =>
+      val csv = spark.read.option("header", "true")
+        .schema("cell_id LONG, loss_mean DOUBLE")
+        .csv(s"$dir/csv/LossMask_class$k.csv")
+      assert(csv.columns.toSeq == Seq("cell_id", "loss_mean"))
+    }
+    // raster fan-out covers exactly the classes the expanded frame holds
+    // (the tiny fixture's CART vote can legitimately leave all cells
+    // uncertain — the per-class spread is pinned by q35/q37's oracle
+    // fixture instead, whose synthetic probabilities span classes 0-5)
+    val wantClasses = out1.select("final_class").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val gotClasses = spark.read.parquet(s"$dir/stages/loss_masks")
+      .select("class").distinct().collect().map(_.getInt(0).toLong).toSet
+    assert(gotClasses == wantClasses)
+
     // config change invalidates scored + downstream, not the scan/PIP
     val (_, store3) = Pipeline.runCheckpointed(spark, spec, dir,
       Pipeline.Config(lossFloor = 0.01))
