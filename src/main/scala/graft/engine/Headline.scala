@@ -53,12 +53,17 @@ object Headline {
     * region assignment to the coarse strips (dyadic densification). */
   val polys: Array[graft.core.Polygon] =
     World.densify(World.polygons(spec), 256)
+  /** Files in the materialized table: fine-grained input splits (64 per
+    * 8-core slice worker = 8 waves) so a straggling task — host steal is
+    * bursty on this box — costs ~1.5% of a pass, not 12% (16 splits per
+    * slice measured raw scaling 0.71; granularity is the cheap half of
+    * that gap, the rest is the shared-DRAM ceiling). */
+  val Files = 256
   /** Spec-keyed path so a spec change invalidates the materialization. */
   val tilesPath: String =
-    s"/tmp/graft_bench_tiles_${spec.rows}x${spec.cols}x${spec.nBands}"
+    s"/tmp/graft_bench_tiles_${spec.rows}x${spec.cols}x${spec.nBands}_f$Files"
 
-  /** Materialize the tile table to parquet once (64 files so a 32-way
-    * scan has 2 waves of input splits). */
+  /** Materialize the tile table to parquet once. */
   def ensureTiles(s: SparkSession): Unit = {
     val done = new java.io.File(s"$tilesPath/_SUCCESS")
     if (!done.exists()) {
@@ -70,7 +75,7 @@ object Headline {
       World.tilesDF(s, spec)
         .withColumn("slice",
           (col("tile_id") * Slices / spec.nTiles).cast("int"))
-        .repartitionByRange(64, col("tile_id"))
+        .repartitionByRange(Files, col("tile_id"))
         .sortWithinPartitions("tile_id")
         .write.mode("overwrite").partitionBy("slice").parquet(tilesPath)
     }

@@ -18,8 +18,13 @@ import graft.world.WorldSpec
   */
 object Rasterize {
 
+  /** @param fmt payload format of the emitted tiles: "f32" (raw, the
+    *            engine's native format) or "gtiff" (real LZW GeoTIFF
+    *            bytes stamped with the tile's georeference — the
+    *            `writeRaster` GTiff analog, R:70-71). */
   def apply(s: SparkSession, spec: WorldSpec, df: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String, fmt: String = "f32"): DataFrame = {
+    require(fmt == "f32" || fmt == "gtiff", s"unknown raster fmt: $fmt")
     val C = spec.cols
     val T = spec.tile
     val TX = spec.tilesX
@@ -30,14 +35,21 @@ object Rasterize {
     val pix = ((row0 % T) * T + col0 % T).cast("int")
 
     val nPix = spec.pixPerTile
-    val encode = udf { (pixs: Seq[Int], vs: Seq[Double]) =>
+    val gtiff = fmt == "gtiff"
+    val g = spec.grid
+    val encode = udf { (t: Int, pixs: Seq[Int], vs: Seq[Double]) =>
       val band = Array.fill[Float](nPix)(Float.NaN)
       var i = 0
       while (i < pixs.length) {
         band(pixs(i)) = vs(i).toFloat
         i += 1
       }
-      Codec.encodeF32(Array(band))
+      if (gtiff)
+        graft.core.GeoTiff.encode(band, T, T, lzw = true,
+          cellSize = g.cellSize,
+          xMin = g.xMin + (t % TX) * T * g.cellSize,
+          yMax = g.yMax - (t / TX) * T * g.cellSize)
+      else Codec.encodeF32(Array(band))
     }
 
     // One shuffle only: groupBy(tile_id) inserts its own hash Exchange —
@@ -52,7 +64,7 @@ object Rasterize {
       .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
       .select(col("tile_id"),
         format_string("tile_%05d", col("tile_id")).as("image_id"),
-        encode(col("pv.pix"), col("pv.v")).as("bytes"),
-        lit(T).as("w"), lit(T).as("h"), lit("f32").as("fmt"))
+        encode(col("tile_id"), col("pv.pix"), col("pv.v")).as("bytes"),
+        lit(T).as("w"), lit(T).as("h"), lit(fmt).as("fmt"))
   }
 }

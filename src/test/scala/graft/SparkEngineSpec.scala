@@ -298,6 +298,27 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rasterize fmt=gtiff emits real georeferenced GeoTIFF tiles " +
+    "(rastOut's GTiff write, R:70-71)") {
+    import graft.core.GeoTiff
+    val loss = Pipeline.decodedCells(spark, spec).select("cell_id", "loss")
+    val tiles = Rasterize(spark, spec, loss, "loss", fmt = "gtiff").collect()
+    assert(tiles.length == spec.nTiles)
+    tiles.foreach { r =>
+      val t = r.getAs[Int]("tile_id")
+      assert(r.getAs[String]("fmt") == "gtiff")
+      val dec = GeoTiff.decode(r.getAs[Array[Byte]]("bytes"))
+      assert(dec.w == spec.tile && dec.h == spec.tile)
+      assert(java.util.Arrays.equals(dec.pixels, World.tileBands(spec, t)(0)))
+      // georeference: tiepoint = this tile's origin in grid coords
+      val g = spec.grid
+      val x0 = g.xMin + (t % spec.tilesX) * spec.tile * g.cellSize
+      val y0 = g.yMax - (t / spec.tilesX) * spec.tile * g.cellSize
+      assert(dec.tiepoint.contains((x0, y0)), s"tile $t georef")
+      assert(dec.pixelScale.contains((g.cellSize, g.cellSize)))
+    }
+  }
+
   test("DriverClassifyAt (fused PIP + vote) equals region_of followed " +
     "by DriverClassify, with -1 marking no-region pixels") {
     import graft.sql.GraftFunctions._
