@@ -30,8 +30,8 @@ object Bench {
 
   private val ScaleN = 8
   private val Scale4N = 32
-  private val WorkerPasses = 3
-  private val Rounds = 2
+  private val WorkerPasses = 4
+  private val Rounds = 3
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -66,6 +66,13 @@ object Bench {
       // off-heap vectors keep those buffers out of the GC heap.
       .config("spark.sql.parquet.columnarReaderBatchSize", "32")
       .config("spark.sql.columnVector.offheap.enabled", "true")
+      // Fine-grained input tasks (~16 MB, a file or two each): at the
+      // quarter-slice level the default 128 MB packing yields ~5 tasks
+      // for 8 cores (worst-case 40% idle tail); ~16 MB gives 4-20 waves
+      // at both levels, so a steal burst on one core costs one small
+      // task, not an eighth of the pass.
+      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -230,11 +237,14 @@ object Bench {
          |boundaries at 10 km are thousands of vertices); parquet input,
          |range-partitioned + sorted by tile_id for slice pruning.
          |Job: columnar scan (reads only tile_id+bytes) -> fused pixel
-         |explode + zero-copy FloatAt band reads -> GridH3 (Goode inverse
-         |projection + hierarchical encode, res 9) -> RegionOf ray-cast
-         |PIP -> PackedForest 7x5 CART vote (0.5 conf / 0.005 loss floors)
-         |-> salted zonal agg by H3 res-4 parent (${Headline.SaltBuckets}
-         |salt buckets). One whole-stage-codegen stage to the partial agg.
+         |explode (in-grid guard drops edge-tile padding) + zero-copy
+         |FloatAt band reads -> GridH3 (Goode inverse projection +
+         |hierarchical encode, res 9) -> DriverClassifyAt (ray-cast PIP
+         |ONCE per pixel + PackedForest 7x5 CART vote, 0.5 conf / 0.005
+         |loss floors, -1 = no region) -> salted zonal agg by H3 res-4
+         |parent (${Headline.SaltBuckets} salt buckets), aggregate inputs
+         |gated on class >= 0 so no Filter re-evaluates the PIP. One
+         |whole-stage-codegen stage from scan to the partial aggregate.
          |
          |Executor model: an "executor" is one JVM pinned with `taskset`
          |to 8 dedicated cores (real cluster executors are separate JVMs;

@@ -204,11 +204,7 @@ object Pipeline {
         .join(expanded.select("cell_id", "final_class"), Seq("cell_id"))
       graft.sinks.Csv.writeClassMasks(joined, s"$dir/csv", "final_class",
         "loss_mean", classes = 0 to 5)
-      (0 to 5).map { k =>
-        Rasterize(s, spec, joined.filter(col("final_class") === k),
-            "loss_mean")
-          .withColumn("class", lit(k))
-      }.reduce(_ unionByName _)
+      Rasterize.byClass(s, spec, joined, "loss_mean", "final_class")
     }
     (expanded, store)
   }

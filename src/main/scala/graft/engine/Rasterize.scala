@@ -67,4 +67,40 @@ object Rasterize {
         encode(col("tile_id"), col("pv.pix"), col("pv.v")).as("bytes"),
         lit(T).as("w"), lit(T).as("h"), lit(fmt).as("fmt"))
   }
+
+  /** Per-class raster fan-out (the six rastOut calls, R:524-551) as ONE
+    * aggregation keyed by (class, tile): equivalent to filtering and
+    * rasterizing once per class — a tile appears under a class iff it
+    * has a cell of that class; all other pixels are NaN — but with a
+    * single Exchange over the pixel frame instead of one full shuffle
+    * (and upstream recompute) per class. */
+  def byClass(s: SparkSession, spec: WorldSpec, df: DataFrame,
+      valueCol: String, classCol: String): DataFrame = {
+    val C = spec.cols
+    val T = spec.tile
+    val TX = spec.tilesX
+    val id = col("cell_id")
+    val row0 = floor((id - 1) / C)
+    val col0 = (id - 1) % C
+    val tileId = (floor(row0 / T) * TX + floor(col0 / T)).cast("int")
+    val pix = ((row0 % T) * T + col0 % T).cast("int")
+    val nPix = spec.pixPerTile
+    val encode = udf { (pixs: Seq[Int], vs: Seq[Double]) =>
+      val band = Array.fill[Float](nPix)(Float.NaN)
+      var i = 0
+      while (i < pixs.length) { band(pixs(i)) = vs(i).toFloat; i += 1 }
+      Codec.encodeF32(Array(band))
+    }
+    df.select(col(classCol).cast("long").as("class"), id,
+        col(valueCol).cast("double").as("v"))
+      .withColumn("tile_id", tileId)
+      .withColumn("pix", pix)
+      .groupBy("class", "tile_id")
+      .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
+      .select(col("class"), col("tile_id"),
+        format_string("class%d_tile_%05d", col("class"), col("tile_id"))
+          .as("image_id"),
+        encode(col("pv.pix"), col("pv.v")).as("bytes"),
+        lit(T).as("w"), lit(T).as("h"), lit("f32").as("fmt"))
+  }
 }

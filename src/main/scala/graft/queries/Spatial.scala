@@ -607,12 +607,11 @@ object Spatial {
     val dedup = lossObs(s).groupBy("cell_id")
       .agg(avg("loss").as("loss_mean"))
     val joined = dedup.join(classifiedDF(s), Seq("cell_id"))
-    (0 to 5).map { k =>
-      graft.engine.Rasterize(s, spec,
-          joined.filter(col("final_class") === k), "loss_mean")
-        .select(lit(k).as("class"), col("tile_id"),
-          length(col("bytes")).as("n_bytes"), crc32(col("bytes")).as("crc"))
-    }.reduce(_ unionByName _).orderBy("class", "tile_id")
+    graft.engine.Rasterize
+      .byClass(s, spec, joined, "loss_mean", "final_class")
+      .select(col("class"), col("tile_id"),
+        length(col("bytes")).as("n_bytes"), crc32(col("bytes")).as("crc"))
+      .orderBy("class", "tile_id")
   }
 
   // ---- q38: the reference's ACTUAL ingest loop end-to-end (S2 + S3 +

@@ -242,7 +242,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wantClasses = out1.select("final_class").distinct()
       .collect().map(_.getLong(0)).toSet
     val gotClasses = spark.read.parquet(s"$dir/stages/loss_masks")
-      .select("class").distinct().collect().map(_.getInt(0).toLong).toSet
+      .select("class").distinct().collect().map(_.getLong(0)).toSet
     assert(gotClasses == wantClasses)
 
     // config change invalidates scored + downstream, not the scan/PIP
@@ -296,6 +296,24 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(java.util.Arrays.equals(got, want), s"tile $t of $sp")
       }
     }
+  }
+
+  test("Rasterize.byClass (one shuffle) equals per-class filter + " +
+    "rasterize (six shuffles) byte-for-byte") {
+    val cls = Pipeline.decodedCells(spark, spec)
+      .select(col("cell_id"), col("loss"),
+        (col("cell_id") % 4).as("final_class"))
+    val got = Rasterize.byClass(spark, spec, cls, "loss", "final_class")
+      .collect()
+      .map(r => (r.getAs[Long]("class"), r.getAs[Int]("tile_id")) ->
+        r.getAs[Array[Byte]]("bytes").toSeq).toMap
+    val want = (0L to 3L).flatMap { k =>
+      Rasterize(spark, spec, cls.filter(col("final_class") === k), "loss")
+        .collect()
+        .map(r => (k, r.getAs[Int]("tile_id")) ->
+          r.getAs[Array[Byte]]("bytes").toSeq)
+    }.toMap
+    assert(got == want)
   }
 
   test("rasterize fmt=gtiff emits real georeferenced GeoTIFF tiles " +
