@@ -41,8 +41,14 @@ object Expand {
     } yield (dr, dc)
     val offDF = broadcast(offsets.toDF("dr", "dc"))
 
+    // Pin cur's partitioning to hash(cell_id) once, up front: truncate()
+    // captures physical partitioning in the LogicalRDD, and every join
+    // in the loop keys on cell_id — so each iteration shuffles only the
+    // small derived sides (neighbor candidates, adopted cells), never
+    // re-exchanges the full grid frame.
     var cur = truncate(s, cls.select(col("cell_id"),
-      col("final_class").cast("long").as("final_class")))
+      col("final_class").cast("long").as("final_class"))
+      .repartition(col("cell_id")))
     var iters = 0
     var converged = false
     while (iters < maxIters && !converged) {

@@ -41,7 +41,8 @@ object Spatial {
     Q("q35_class_loss_masks", q35, Some(q35Sql)),
     Q("q36_zonal_pyramid", q36, Some(q36Sql)),
     Q("q37_class_loss_rasters", q37, None),
-    Q("q38_manifest_wide", q38, Some(q38Sql))
+    Q("q38_manifest_wide", q38, Some(q38Sql)),
+    Q("q39_wkt_pip", q39, Some(q39Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -663,6 +664,41 @@ object Spatial {
        |  $cols
        |FROM cells ORDER BY 1""".stripMargin
   }
+
+  // ---- q39: the vector-layer path end-to-end (S6 + G3, readOGR
+  // R:884,893): region polygons enter as a WKT text file, are parsed by
+  // the distributed WKT scan, and drive the codegen ray-cast PIP join;
+  // the oracle ray-casts the same (identical, dyadic) geometry in SQL. --
+  private lazy val wktFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wkt_q39")
+    val lines = World.polygons(spec).map { p =>
+      val ring = (p.xs.indices :+ 0)
+        .map(i => s"${p.xs(i)} ${p.ys(i)}").mkString(", ")
+      s"${p.regionId},POLYGON(($ring))"
+    }
+    java.nio.file.Files.writeString(dir.resolve("regions.wkt"),
+      lines.mkString("\n") + "\n")
+    s"$dir/regions.wkt"
+  }
+
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val polys = graft.sources.Ingest.wktPolygons(s, wktFixture)
+    spine(s)
+      .select(cellCol,
+        region_of(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .filter(col("region_id").isNotNull)
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
+
+  private def q39Sql =
+    s"""$cellsCte,
+       |${pipCte}
+       |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
     * tile (input_hint). */

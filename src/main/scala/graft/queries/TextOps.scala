@@ -34,7 +34,8 @@ object TextOps {
     Q("q51_media_stub", q51, None),
     Q("q52_ann_ivf", q52, Some(q52Sql)),
     Q("q53_ann_topk", q53, Some(q53Sql)),
-    Q("q54_jaccard_neardup", q54, Some(q54Sql))
+    Q("q54_jaccard_neardup", q54, Some(q54Sql)),
+    Q("q55_ann_bucketed_topk", q55, Some(q55Sql))
   )
 
   // --- q54: exact n-gram Jaccard over candidate near-dup pairs: docs
@@ -513,8 +514,58 @@ object TextOps {
       |  FROM p)
       |SELECT vec_id, rk, nn_id FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
 
-  // --- q51: multimodal plumbing stub (rows-only): binary payloads ->
-  // per-partition "decode" (deterministic fake) -> feature columns ---------
+  // --- q55: LSH-bucketed top-k neighbor lists — the production ANN
+  // search output shape (per query vector, its k best same-bucket
+  // matches): bucket id is the shuffle key via the salted skew join
+  // (no data broadcast), ranking is a bucket-local window ----------------
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("embedding").cast("array<double>")
+    val bucketBits = (0 until NPlanes).map { p =>
+      val dot = dot_f64(v, typedlit(planeWeights(p)))
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    val bucketed = t(s, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"), bucketBits.reduce(_ + _).as("bucket"))
+      .localCheckpoint(true)
+    val a = bucketed.select(col("bucket"), col("vec_id"), col("v").as("va"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("nn_id"),
+      col("v").as("vb"))
+    val sim = dot_f64(col("va"), col("vb")) /
+      (sqrt(dot_f64(col("va"), col("va"))) *
+        sqrt(dot_f64(col("vb"), col("vb"))))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    graft.engine.Salted
+      .skewJoin(a, b, Seq("bucket"), col("vec_id"),
+        salts = 8, hotThreshold = 64)
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"), sim.as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("vec_id", "rk", "nn_id")
+      .orderBy("vec_id", "rk")
+  }
+
+  private val q55Sql = {
+    val bucketExpr = (0 until NPlanes).map { p =>
+      s"(CASE WHEN list_sum(list_transform(generate_series(0, 63), i -> embedding[i + 1] * CAST((((i + ${p * 64}) * 2654435761) % 4294967296) % 1024 - 512 AS DOUBLE) / 512.0)) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, CAST($bucketExpr AS INT) AS bucket,
+       |    sqrt(list_dot_product(embedding, embedding)) AS norm
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id, b2.vec_id AS nn_id,
+       |    list_dot_product(a.embedding, b2.embedding) / (a.norm * b2.norm) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id != b2.vec_id),
+       |r AS (SELECT vec_id, nn_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
+       |  FROM p)
+       |SELECT vec_id, rk, nn_id FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+  }
+
+  // --- q51: multimodal binary columns (rows-only): payloads in three
+  // REAL formats (f32 raw, png16 via ImageIO, gtiff via the TIFF
+  // reader) decoded per-partition in batches -> feature columns; decoded
+  // stats are asserted against the generator in SparkEngineSpec ----------
   private def q51(s: SparkSession, dir: String): DataFrame =
     graft.engine.Multimodal.features(
       graft.engine.Multimodal.syntheticMedia(s)).orderBy("image_id")
