@@ -144,6 +144,18 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(GeoTiff.lzwDecode(enc, in.length), in))
   }
 
+  test("LZW fuzz: 60 seeded random payloads across sizes and alphabets " +
+    "round-trip exactly") {
+    val rnd = new scala.util.Random(0xC0DEL) // deterministic
+    (0 until 60).foreach { i =>
+      val n = rnd.nextInt(1 << (6 + i % 12)) // up to ~128 KB
+      val alphabet = 1 << (1 + rnd.nextInt(8)) // 2..256 symbols
+      val in = Array.tabulate[Byte](n)(_ => (rnd.nextInt(alphabet)).toByte)
+      val out = GeoTiff.lzwDecode(GeoTiff.lzwEncode(in), in.length)
+      assert(java.util.Arrays.equals(out, in), s"case $i n=$n a=$alphabet")
+    }
+  }
+
   test("decode dispatch: Codec fmt=gtiff") {
     val px = pattern(256)
     val tif = GeoTiff.encode(px, 16, 16, lzw = true)
