@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,17 +24,31 @@ import graft.core.{Cart, Codec, Geom, H3Lite, Polygon}
   * without materializing whole rasters. */
 case class DecodeBand(left: Expression, right: Expression,
     nPixels: Int, band: Int)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
-  override def nullSafeEval(bytes: Any, fmt: Any): Any = {
-    val arr = Codec.decodeBand(fmt.asInstanceOf[UTF8String].toString,
-      bytes.asInstanceOf[Array[Byte]], nPixels, band)
-    ArrayData.toArrayData(arr)
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    DecodeBand.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, band)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // one static call so the decode stays inside whole-stage codegen
+    // instead of dropping the span to the interpreted fallback
+    val cls = DecodeBand.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $band);")
   }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DecodeBand {
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int,
+      band: Int): ArrayData =
+    ArrayData.toArrayData(
+      Codec.decodeBand(fmt.toString, bytes, nPixels, band))
 }
 
 /** Ray-cast point-in-polygon region lookup over a broadcast-style packed
@@ -202,19 +216,42 @@ case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
   * matching list_min(empty) = NULL. */
 case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
     prime: Long)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(t: Any): Any = {
-    // Iterate CODE POINTS, not UTF-16 units: the oracle's substr/ascii
-    // and the sibling shingles()/code3 columns count characters, so a
-    // charAt walk would diverge on non-BMP text (and window counts would
-    // differ too). cps is one int[] per document — still zero per-shingle
-    // allocation.
-    val s = t.asInstanceOf[UTF8String].toString
-    val cps = s.codePoints().toArray
+  override def nullSafeEval(t: Any): Any =
+    MinHashSigs.eval(t.asInstanceOf[UTF8String], as, bs, prime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    val cls = MinHashSigs.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => {
+      val r = ctx.freshName("mhSigs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  $cls.eval($t, $asRef, $bsRef, ${prime}L);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  /** Iterates CODE POINTS, not UTF-16 units: the oracle's substr/ascii
+    * and the sibling shingles()/code3 columns count characters, so a
+    * charAt walk would diverge on non-BMP text (and window counts would
+    * differ too). cps is one int[] per document — still zero per-shingle
+    * allocation. Null (not empty) below one full window, matching
+    * list_min(empty) = NULL. */
+  def eval(t: UTF8String, as: Array[Long], bs: Array[Long],
+      prime: Long): ArrayData = {
+    val cps = t.toString.codePoints().toArray
     val n = cps.length
     if (n < 3) return null
     val k = as.length
@@ -233,9 +270,6 @@ case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
     }
     ArrayData.toArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** 16-bit SimHash over space-separated tokens in ONE pass: token code =
@@ -250,12 +284,25 @@ case class MinHashSigs(child: Expression, as: Array[Long], bs: Array[Long],
   * trailing spaces yield empty tokens (code 0), empty text is one
   * empty token. */
 case class SimHash16(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(t: Any): Any = {
-    val s = t.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(t: Any): Any =
+    SimHash16.eval(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash16.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.eval($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  def eval(t: UTF8String): Long = {
+    val s = t.toString
     val counts = new Array[Int](16)
     var c0 = 0L; var c1 = 0L; var c2 = 0L
     var tpos = 0
@@ -286,9 +333,6 @@ case class SimHash16(child: Expression)
     while (b < 16) { if (counts(b) > 0) h |= (1L << b); b += 1 }
     h
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Dot product of two array<double> columns, summed left-to-right in
