@@ -179,6 +179,27 @@ object Headline {
       else tiles.filter(col("slice") === slice), trees)
   }
 
+  /** Per-cell class frame over the full tile table: (cell_id,
+    * final_class) with -1 = NoData (zero loss, or outside every region
+    * — the reference's NA cells, absent from its rasters) — the input
+    * to the Expand stage of the full model run. Same fused
+    * single-ray-cast projection as the benchmark plan. */
+  def cellClasses(s: SparkSession, trees: Map[(Int, Int), Cart.Tree]): DataFrame = {
+    val cfg = Pipeline.Config()
+    val forest = Cart.PackedForest(trees, spec.nRegions, Pipeline.NumDrivers)
+    fusedCells(s.read.parquet(tilesPath))
+      .select(col("cell_id"),
+        when(bandCol(0) <= 0.0, -1L)
+          .otherwise(driver_classify_at(col("bytes"), col("p"), pxCol,
+            pyCol, polys, forest, spec.pixPerTile, cfg.lossFloor,
+            cfg.confidenceFloor)).as("final_class"))
+  }
+
+  /** Per-cell loss (band 0) from the tile table. */
+  def cellLoss(s: SparkSession): DataFrame =
+    fusedCells(s.read.parquet(tilesPath))
+      .select(col("cell_id"), bandCol(0).as("loss"))
+
   /** The headline plan over a given tile table (parquet scan or a
     * cached/cluster-local source). */
   def planFrom(tiles: DataFrame, trees: Map[(Int, Int), Cart.Tree]): DataFrame = {
