@@ -35,7 +35,8 @@ object TextOps {
     Q("q52_ann_ivf", q52, Some(q52Sql)),
     Q("q53_ann_topk", q53, Some(q53Sql)),
     Q("q54_jaccard_neardup", q54, Some(q54Sql)),
-    Q("q55_ann_bucketed_topk", q55, Some(q55Sql))
+    Q("q55_ann_bucketed_topk", q55, Some(q55Sql)),
+    Q("q56_dedup_components", q56, Some(q56Sql))
   )
 
   // --- q54: exact n-gram Jaccard over candidate near-dup pairs: docs
@@ -513,6 +514,91 @@ object TextOps {
       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
       |  FROM p)
       |SELECT vec_id, rk, nn_id FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
+
+  // --- q56: near-dup KEEPER SELECTION — connected components over the
+  // verified candidate graph (the final stage of the dedup pipeline:
+  // shingle -> MinHash -> LSH candidates -> exact-Jaccard verify ->
+  // CLUSTER -> keep min doc per cluster). Components via iterative
+  // min-label propagation: each round every doc adopts the smallest
+  // label among itself and its neighbors; converges in graph-diameter
+  // rounds; lineage truncated per round. At 10^12 docs this is the
+  // standard large-CC shape (edges shuffle on the endpoint key; no
+  // driver-side graph). Oracle: DuckDB recursive CTE transitive
+  // closure, MIN label per doc. ------------------------------------------
+  private val JacThreshold = 0.8
+
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val sig = graft.sql.GraftFunctions
+      .minhash_sigs(col("text"), mhParams, MersennePrime)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), sig.as("sig"),
+        array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
+        col("sig").getItem(1).as("mh1"), col("sh"))
+      .localCheckpoint(true)
+    val a = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_a"),
+      col("sh").as("sha"))
+    val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
+      col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val union = size(col("sha")) + size(col("shb")) - inter
+    val verified = graft.engine.Salted
+      .skewJoin(a, b, Seq("mh0", "mh1"), col("doc_a"),
+        salts = 8, hotThreshold = 64)
+      .filter(col("doc_a") < col("doc_b") &&
+        inter.cast("double") / union >= JacThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = verified
+      .unionByName(verified.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+
+    var labels = t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .repartition(col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      rounds += 1
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster"),
+        (col("lbl") === col("doc_id")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  private def q56Sql =
+    s"""WITH RECURSIVE d AS (SELECT doc_id,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(0)._1} + ${mhParams(0)._2}) % $MersennePrime)) AS mh0,
+       |    list_min(list_transform(list_distinct($shinglesSql), g -> (${code3Sql("g")} * ${mhParams(1)._1} + ${mhParams(1)._2}) % $MersennePrime)) AS mh1,
+       |    list_distinct($shinglesSql) AS sh
+       |  FROM documents),
+       |cand AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM d a JOIN d b ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+       |    AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+       |    >= $JacThreshold),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.lbl FROM edges e JOIN reach r ON e.a = r.doc_id)
+       |SELECT doc_id, MIN(lbl) AS cluster,
+       |  CAST(CASE WHEN MIN(lbl) = doc_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q55: LSH-bucketed top-k neighbor lists — the production ANN
   // search output shape (per query vector, its k best same-bucket
