@@ -28,8 +28,6 @@ import graft.engine.Headline
   */
 object Bench {
 
-  private val ScaleN = 8
-  private val Scale4N = 32
   private val WorkerPasses = 4
   private val Rounds = 3
 

@@ -620,7 +620,8 @@ object Spatial {
   // files is manifest-discovered, each raster decoded by the gtiff
   // codec from a distributed binaryFile scan, flattened to
   // (cell_id, var, value) long format, and pivoted to the wide feature
-  // table in ONE shuffle (vs the reference's 85-fold join chain). ------
+  // table in one pass — two aggregation exchanges total, vs one full
+  // shuffle per variable in the reference's 85-fold join chain. --------
   private val gtiffVars = Seq(("Fire_10kMean", 1), ("Loss_10kSum", 2),
     ("Tree_cover2000", 3))
 
