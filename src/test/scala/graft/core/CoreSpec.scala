@@ -256,6 +256,39 @@ class CartSpec extends AnyFunSuite {
     assert(Cart.prune(full, 1.1).nLeaves == 1)
   }
 
+  test("banded edge index: contains equals the linear scan on random " +
+    "polygons, densified strips, and band-boundary points") {
+    val rnd = new scala.util.Random(7)
+    val polys = Seq.tabulate(20) { pi =>
+      val n = 3 + rnd.nextInt(40)
+      // star polygon around a centre: simple (non-self-intersecting)
+      val cx = rnd.nextDouble() * 100
+      val cy = rnd.nextDouble() * 100
+      val pts = (0 until n).map { k =>
+        val a = 2 * math.Pi * k / n
+        val r = 5 + rnd.nextDouble() * 30
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      graft.core.Polygon(pi + 1, pts.map(_._1).toArray, pts.map(_._2).toArray)
+    } ++ graft.world.World
+      .densify(graft.world.World.polygons(graft.world.World.tiny), 64)
+    polys.foreach { p =>
+      // random points + points pinned to exact band boundaries
+      val nBands = math.max(1, math.min(256, p.xs.length))
+      val bandH = (p.maxY - p.minY) / nBands
+      val probes =
+        (0 until 500).map(_ => (p.minX - 5 + rnd.nextDouble() * (p.maxX - p.minX + 10),
+          p.minY - 5 + rnd.nextDouble() * (p.maxY - p.minY + 10))) ++
+        (0 until nBands).map(b => (p.minX + (p.maxX - p.minX) / 3,
+          p.minY + b * bandH)) ++
+        p.ys.indices.map(i => (p.minX + 1e-3, p.ys(i))) // vertex ys
+      probes.foreach { case (px, py) =>
+        assert(p.contains(px, py) == p.containsLinear(px, py),
+          s"poly ${p.regionId} point ($px, $py)")
+      }
+    }
+  }
+
   test("SimHash16 one-pass expression equals the per-bit fold reference") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(text: String): Long = {
