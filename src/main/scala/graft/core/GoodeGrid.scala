@@ -121,6 +121,55 @@ object Igh {
     }
   }
 
+  /** Per-y inverse data for fixed-row grids: everything the inverse
+    * derives from y alone (latitude, hemisphere, zone kind, and the
+    * exact lon divisor), so a row-major grid can compute it once per
+    * ROW instead of once per cell. `lonDegAt` applies the IDENTICAL
+    * double-operation sequence as `inverse`, so results are bit-equal
+    * (property-tested in CoreSpec). */
+  final case class RowInv(latDeg: Double, north: Boolean, sinu: Boolean,
+      c: Double, mollD: Double)
+
+  def rowInv(y: Double): RowInv = {
+    val ys = y / R
+    val north = ys >= 0
+    if (math.abs(ys) <= yBoundary) {
+      val lat = ys
+      RowInv(lat / DEG, north, sinu = true, c = math.cos(lat), mollD = 0.0)
+    } else {
+      val yAdj = ys - math.signum(ys) * mollYAdd
+      val sinT = math.max(-1.0, math.min(1.0, yAdj / math.sqrt(2.0)))
+      val t = math.asin(sinT)
+      val lat = math.asin(math.max(-1.0,
+        math.min(1.0, (2 * t + math.sin(2 * t)) / math.Pi)))
+      val c = math.cos(t)
+      RowInv(lat / DEG, north, sinu = false, c = c,
+        mollD = 2.0 * math.sqrt(2.0) * c)
+    }
+  }
+
+  /** Longitude (degrees) of projected x on a row described by `ri` —
+    * bit-identical to `inverse(x, y)._1`. */
+  def lonDegAt(ri: RowInv, x: Double): Double = {
+    val xs = x / R
+    val cm =
+      if (ri.north) { if (xs < -40 * DEG) cmNW else cmNE }
+      else {
+        if (xs < -100 * DEG) cmS1
+        else if (xs < -20 * DEG) cmS2
+        else if (xs < 80 * DEG) cmS3
+        else cmS4
+      }
+    val lon =
+      if (ri.sinu) {
+        if (math.abs(ri.c) < 1e-12) cm else cm + (xs - cm) / ri.c
+      } else {
+        if (math.abs(ri.c) < 1e-12) cm
+        else cm + (xs - cm) * math.Pi / ri.mollD
+      }
+    lon / DEG
+  }
+
   /** Inverse: projected meters (x, y) -> (lonDeg, latDeg). Total over the
     * projected extent; points in lobe gaps map to the nearest lobe edge
     * semantics of the underlying base projection. */

@@ -56,19 +56,65 @@ object H3Lite {
     (lat, lng)
   }
 
+  private val XMin = -20037506.5671; private val XMax = 20042493.4328
+  private val YMin = -8683205.0209; private val YMax = 8686794.9791
+
+  /** Per-(rows, cols, res) row tables: everything the Goode inverse +
+    * encode derive from the ROW alone — packed row bits and the exact
+    * per-row longitude divisor — so the per-cell hot path is a table
+    * read + a handful of arithmetic ops instead of asin/cos per pixel.
+    * Bit-identical to the direct computation (same double-op sequence;
+    * property-tested). A 1737-row table is ~70 KB; built once per JVM. */
+  private val gridCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), (Array[Long], Array[Igh.RowInv])]()
+
+  private def gridTable(rows: Int, cols: Int, res: Int)
+      : (Array[Long], Array[Igh.RowInv]) =
+    gridCache.computeIfAbsent((rows, cols, res), { _ =>
+      val inv = new Array[Igh.RowInv](rows)
+      val packed = new Array[Long](rows)
+      val nr = rowsAt(res)
+      var row0 = 0
+      while (row0 < rows) {
+        val y = YMax - (row0 + 0.5) * (YMax - YMin) / rows
+        val ri = Igh.rowInv(y)
+        val lat = math.max(-90.0, math.min(90.0, ri.latDeg))
+        val r0 = math.floor((lat + 90.0) / 180.0 * nr).toInt
+        val r = math.min(math.max(r0, 0), nr - 1)
+        inv(row0) = ri
+        packed(row0) = pack(res, r, 0)
+        row0 += 1
+      }
+      (packed, inv)
+    })
+
   /** Grid cell id (1-based row-major over a rows x cols grid spanning
     * the full Goode extent, like the reference's 1737x4008 global grid)
     * -> H3-lite id at `res`: centroid -> igh inverse projection ->
     * encode. The per-cell hot path of the headline H3-encode stage —
-    * kept as one static call so the Catalyst expression codegens to a
-    * single invocation. */
+    * one static call (codegen-friendly) whose row-dependent work comes
+    * from the precomputed table. */
   def gridCellToH3(id: Long, rows: Int, cols: Int, res: Int): Long = {
-    val xMin = -20037506.5671; val xMax = 20042493.4328
-    val yMin = -8683205.0209; val yMax = 8686794.9791
+    val (packed, inv) = gridTable(rows, cols, res)
+    val col0 = (id - 1) % cols
+    val row0 = ((id - 1) / cols).toInt
+    val x = XMin + (col0 + 0.5) * (XMax - XMin) / cols
+    val lon = Igh.lonDegAt(inv(row0), x)
+    val lngW = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    val nc = colsAt(res)
+    val c0 = math.floor((lngW + 180.0) / 360.0 * nc).toInt
+    val c = ((c0 % nc) + nc) % nc
+    packed(row0) | c
+  }
+
+  /** The direct (uncached, trig-per-call) formulation — the reference
+    * implementation the row-table path is property-tested against. */
+  private[core] def gridCellToH3Direct(id: Long, rows: Int, cols: Int,
+      res: Int): Long = {
     val col0 = (id - 1) % cols
     val row0 = (id - 1) / cols
-    val x = xMin + (col0 + 0.5) * (xMax - xMin) / cols
-    val y = yMax - (row0 + 0.5) * (yMax - yMin) / rows
+    val x = XMin + (col0 + 0.5) * (XMax - XMin) / cols
+    val y = YMax - (row0 + 0.5) * (YMax - YMin) / rows
     val (lon, lat) = Igh.inverse(x, y)
     val lngW = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
     encode(math.max(-90.0, math.min(90.0, lat)), lngW, res)

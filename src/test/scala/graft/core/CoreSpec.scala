@@ -256,6 +256,24 @@ class CartSpec extends AnyFunSuite {
     assert(Cart.prune(full, 1.1).nLeaves == 1)
   }
 
+  test("row-table grid->H3 encode is bit-identical to the direct " +
+    "trig-per-cell inverse (all specs, boundary rows, random cells)") {
+    val rnd = new scala.util.Random(11)
+    for ((rows, cols, res) <- Seq((64, 96, 9), (1737, 4008, 9),
+        (1737, 4008, 4), (50, 72, 7))) {
+      val n = rows.toLong * cols
+      // every row at a fixed col + random cells + first/last ids
+      val ids = (0 until rows).map(r => r.toLong * cols + 1 + (r * 7) % cols) ++
+        (0 until 2000).map(_ => 1L + math.abs(rnd.nextLong()) % n) ++
+        Seq(1L, n)
+      ids.foreach { id =>
+        assert(H3Lite.gridCellToH3(id, rows, cols, res) ==
+          H3Lite.gridCellToH3Direct(id, rows, cols, res),
+          s"id $id in ${rows}x$cols res $res")
+      }
+    }
+  }
+
   test("banded edge index: contains equals the linear scan on random " +
     "polygons, densified strips, and band-boundary points") {
     val rnd = new scala.util.Random(7)
