@@ -59,15 +59,25 @@ object Relational {
 
   // --- q18: exact-n-per-stratum sampling (U3, the reference's
   // sample_n at R:826-844): deterministic order by a Knuth hash of the
-  // row key stands in for the RNG, row_number <= n keeps exactly n ----
+  // row key stands in for the RNG, row_number <= n keeps exactly n.
+  // TWO-LEVEL top-k: a window partitioned by the 3-value stratum alone
+  // would funnel the whole table through 3 tasks; instead each
+  // (stratum, salt) bucket takes a local top-5, and the global top-5
+  // per stratum is picked from the <= 16x5 salted survivors — exact
+  // (any global top-5 row is a top-5 row of its own salt bucket). ------
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val key = col("l_orderkey") * 10 + col("l_linenumber")
     val h = (key * knuth) % 4294967296L
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(h.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val order = Seq(h.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("__salt"))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy("l_returnflag").orderBy(order: _*)
     t(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+      .withColumn("__rk1", row_number().over(wLocal))
+      .filter(col("__rk1") <= 5)
+      .withColumn("rk", row_number().over(wGlobal))
       .filter(col("rk") <= 5)
       .select("l_returnflag", "rk", "l_orderkey", "l_linenumber")
       .orderBy("l_returnflag", "rk")
@@ -113,12 +123,17 @@ object Relational {
       |WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 45
       |ORDER BY 1, 2""".stripMargin
 
-  // --- q03: left join with misses + coalesce NA-fill (J1/P9, R:229) ------
+  // --- q03: left join with misses + coalesce NA-fill (J1/P9, R:229).
+  // No broadcast hint: the build side is a FILTERED FACT (customer),
+  // unbounded at scale — size-based planning (or AQE at runtime) may
+  // still broadcast it when it happens to be small, but hinting it
+  // would force an OOM at 100 TB. Hints stay reserved for tables that
+  // are dimensions BY SCHEMA (q04's nation/region). -----------------------
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
       .select("c_custkey", "c_mktsegment")
     t(s, dir, "orders")
-      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left")
+      .join(rich, col("o_custkey") === col("c_custkey"), "left")
       .select(col("o_orderkey"),
         coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
       .groupBy("segment").agg(count(lit(1)).as("n_orders"))
@@ -192,12 +207,13 @@ object Relational {
       |  CONCAT_WS('_', 'Output', p_type) AS tagged
       |FROM part ORDER BY 1""".stripMargin
 
-  // --- q07: stable contiguous row-id (P10) — never
-  // monotonically_increasing_id; row_number over a total order (R:192-196) -
+  // --- q07: stable contiguous row-id (P10, R:192-196) — never
+  // monotonically_increasing_id, and never a global-order window (that
+  // funnels the whole table through ONE task): two-phase range-
+  // partitioned rank via StableRowId ----------------------------------
   private def q07(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "supplier")
-      .withColumn("training_id",
-        row_number().over(Window.orderBy("s_suppkey")))
+    graft.engine.StableRowId
+      .assign(t(s, dir, "supplier"), "s_suppkey", "training_id")
       .select("training_id", "s_suppkey", "s_name")
       .orderBy("training_id")
 

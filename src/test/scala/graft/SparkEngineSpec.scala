@@ -191,6 +191,20 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted == plain)
   }
 
+  test("StableRowId: contiguous 1-based ids in key order, no global " +
+    "single-partition window") {
+    import graft.engine.StableRowId
+    val df = spark.range(0, 20000)
+      .select((col("id") * 2654435761L % 99991L).as("k"))
+      .distinct().repartition(13)
+    val got = StableRowId.assign(df, "k", "rid")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
+    got.zipWithIndex.foreach { case ((_, rid), i) =>
+      assert(rid == i + 1, s"rank at $i")
+    }
+  }
+
   test("skewJoin: equals the plain join on a skewed bucket fixture, " +
     "pairs exactly once, data join is sort-merge (no data broadcast)") {
     // 80% of rows land in one hot bucket — the boilerplate-corpus shape.
