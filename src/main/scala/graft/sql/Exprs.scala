@@ -111,45 +111,17 @@ case class FloatAt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** The driver-class vote over a tile payload: per-pixel CART forest
-  * walk + argmax + confidence/loss floors, as ONE expression over
-  * (bytes, pixel, region). See Cart.PackedForest for why this replaces
-  * the 35-way when-chain forest in the hot path. */
-case class DriverClassify(first: Expression, second: Expression,
-    third: Expression, forest: Cart.PackedForest, nPix: Int,
-    lossFloor: Double, confFloor: Double)
-  extends TernaryExpression {
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(bytes: Any, p: Any, region: Any): Any =
-    Cart.PackedForest.classify(forest, bytes.asInstanceOf[Array[Byte]],
-      p.asInstanceOf[Int], region.asInstanceOf[Int], nPix, lossFloor,
-      confFloor)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val pfRef = ctx.addReferenceObj("forest", forest,
-      classOf[Cart.PackedForest].getName)
-    val cls = Cart.PackedForest.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (bytes, p, region) =>
-      s"${ev.value} = $cls.classify($pfRef, $bytes, $p, $region, $nPix, " +
-        s"$lossFloor, $confFloor);")
-  }
-
-  override protected def withNewChildrenInternal(newFirst: Expression,
-      newSecond: Expression, newThird: Expression): Expression =
-    copy(first = newFirst, second = newSecond, third = newThird)
-}
-
-/** DriverClassify with the region lookup folded in: children are
-  * (bytes, pixel, px, py); the expression ray-casts the point against
-  * the packed polygon set ONCE and either classifies (0..nDrivers) or
-  * returns -1 for points outside every polygon. This exists because the
-  * natural `withColumn("region_id", region_of(...)).filter(isNotNull)`
-  * shape makes Catalyst evaluate the ray-cast twice per pixel (once in
-  * the pushed-down Filter, once in the collapsed Project) — with
-  * 1280-edge polygons the PIP is the compute core of the headline
-  * metric, so the double evaluation halves throughput. */
+/** The driver-class vote (per-pixel CART packed-forest walk + argmax +
+  * confidence/loss floors, Cart.PackedForest.classify) fused with the
+  * region lookup: children are (bytes, pixel, px, py); the expression
+  * ray-casts the point against the packed polygon set ONCE and either
+  * classifies (0..nDrivers) or returns -1 for points outside every
+  * polygon. The fused form exists because the natural
+  * `withColumn("region_id", region_of(...)).filter(isNotNull)` shape
+  * makes Catalyst evaluate the ray-cast twice per pixel (once in the
+  * pushed-down Filter, once in the collapsed Project) — with 1280-edge
+  * polygons the PIP is the compute core of the headline metric, so the
+  * double evaluation halves throughput. */
 case class DriverClassifyAt(first: Expression, second: Expression,
     third: Expression, fourth: Expression, polys: Array[Polygon],
     forest: Cart.PackedForest, nPix: Int, lossFloor: Double,
@@ -391,13 +363,6 @@ object GraftFunctions {
   /** Sequential-order dot product of two array<double> columns. */
   def dot_f64(a: Column, b: Column): Column =
     column(DotF64(expression(a), expression(b)))
-
-  /** Per-pixel driver-class vote over an f32 payload. */
-  def driver_classify(bytes: Column, p: Column, region: Column,
-      forest: Cart.PackedForest, nPix: Int, lossFloor: Double,
-      confFloor: Double): Column =
-    column(DriverClassify(expression(bytes), expression(p),
-      expression(region), forest, nPix, lossFloor, confFloor))
 
   /** Per-pixel driver-class vote with the region PIP folded in: one
     * ray-cast per pixel, -1 for points outside every polygon. */
