@@ -66,8 +66,29 @@ object Multimodal {
   private def frameSampleStub(px: Array[Float], w: Int, k: Int): Int =
     (px.length / w + k - 1) / k
 
-  /** Per-partition batched decode + feature extraction. */
+  /** Feature extraction via the one-pass MediaStats expression: decode
+    * + stats stay inside whole-stage codegen, no pixel array column and
+    * no typed-row round trip. Use this when the per-row math is pure
+    * JVM; `featuresBatched` below is the mapInPandas-analog shape. */
   def features(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sql.GraftFunctions.media_stats
+    media.select(col("image_id"), col("fmt"),
+        length(col("bytes")).as("n_bytes"),
+        media_stats(col("bytes"), col("fmt"), col("w"), col("h"),
+          frameK = 4).as("__s"))
+      .select(col("image_id"), col("fmt"), col("n_bytes"),
+        col("__s.mean_px").as("mean_px"), col("__s.max_px").as("max_px"),
+        col("__s.thumb_hash").as("thumb_hash"),
+        col("__s.n_frames").as("n_frames"))
+  }
+
+  /** Per-partition BATCHED decode + feature extraction — the Scala
+    * analog of `mapInPandas`: one iterator pass per partition, the
+    * shape for codecs/models that amortize over a batch (and the only
+    * path for stub formats whose codecs are absent here). Semantically
+    * identical to `features` on real formats (asserted in tests). */
+  def featuresBatched(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[Media].mapPartitions { rows =>

@@ -154,6 +154,58 @@ case class DriverClassifyAt(first: Expression, second: Expression,
       fourth = newFourth)
 }
 
+/** One-pass media feature extraction over a binary payload: decode
+  * band 0 in its ACTUAL format (f32/png16/gtiff via Codec) and emit
+  * struct(mean_px, max_px, thumb_hash, n_frames) without materializing
+  * the pixel array as a column — the per-row feature math lives in one
+  * codegen'd expression (the batched mapPartitions variant remains for
+  * model-server-style ops; see Multimodal). Children: (bytes, fmt, w,
+  * h); `frameK` is the frame-sampling stride. */
+case class MediaStats(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, frameK: Int)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mean_px", DoubleType, nullable = false),
+    StructField("max_px", DoubleType, nullable = false),
+    StructField("thumb_hash", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any, fmt: Any, w: Any, h: Any): Any =
+    MediaStats.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], frameK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MediaStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt, w, h) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $w, $h, $frameK);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+object MediaStats {
+  def eval(bytes: Array[Byte], fmt: UTF8String, w: Int, h: Int,
+      frameK: Int): InternalRow = {
+    val px = Codec.decodeBand(fmt.toString, bytes, w * h, 0)
+    var sum = 0.0
+    var mx = Double.MinValue
+    var i = 0
+    while (i < px.length) {
+      sum += px(i)
+      if (px(i) > mx) mx = px(i)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sum / px.length, mx,
+      Codec.phash(px, w, h), (px.length / w + frameK - 1) / frameK))
+  }
+}
+
 /** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
@@ -380,6 +432,12 @@ object GraftFunctions {
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =
     column(GridH3(expression(cellId), rows, cols, res))
+
+  /** One-pass decode + media feature stats over a binary payload. */
+  def media_stats(bytes: Column, fmt: Column, w: Column, h: Column,
+      frameK: Int): Column =
+    column(MediaStats(expression(bytes), expression(fmt), expression(w),
+      expression(h), frameK))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

@@ -400,9 +400,18 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("multimodal features decode REAL bytes per format (png16 via " +
     "ImageIO, gtiff via the TIFF reader, f32 raw)") {
     import graft.engine.Multimodal
-    val feats = Multimodal.features(Multimodal.syntheticMedia(spark))
+    val media = Multimodal.syntheticMedia(spark)
+    val feats = Multimodal.features(media)
       .collect().map(r => r.getAs[String]("image_id") -> r).toMap
     assert(feats.size == 3 * spec.nTiles)
+    // the codegen expression path and the batched mapPartitions path
+    // (the mapInPandas analog) agree exactly
+    val batched = Multimodal.featuresBatched(media)
+      .orderBy("image_id").collect().toSeq
+      .map(r => r.toSeq)
+    val exprPath = Multimodal.features(media)
+      .orderBy("image_id").collect().toSeq.map(r => r.toSeq)
+    assert(exprPath == batched)
     (0 until spec.nTiles).foreach { t =>
       val band0 = World.tileBands(spec, t)(0)
       def expectStats(px: Array[Float], suffix: String): Unit = {
