@@ -61,7 +61,9 @@ object RunModel {
     // Stage A — per-cell classification (fused: decode + H3 + one
     // ray-cast PIP + packed-forest vote in a single codegen stage).
     // -1 = NoData (no loss or no region, the reference's NA cells).
-    val fpCls = Checkpoint.fingerprint("classified", spec, "v1")
+    // the code tag invalidates snapshots when the classify path changes
+    val fpCls = Checkpoint.fingerprint("classified", spec,
+      "v2-banded-pip-row-tables")
     val classified = timed("classified") {
       store.stage("classified", fpCls) {
         Headline.cellClasses(s, trees)
