@@ -83,7 +83,7 @@ object RunModel {
     val fpRast = Checkpoint.fingerprint("class_gtiff", fpExp)
     timed("class_gtiff") {
       store.stage("class_gtiff", fpRast, Seq("expanded")) {
-        Rasterize(s, spec,
+        Rasterize(spec,
           expanded.filter(col("final_class") >= 0), "final_class",
           fmt = "gtiff")
       }
@@ -91,7 +91,7 @@ object RunModel {
 
     // Stage D — per-class loss masks: dedup loss by cell, join final
     // class, six CSVs + six rasters in one shuffle (R:510-551).
-    val fpMask = Checkpoint.fingerprint("loss_masks", fpExp)
+    val fpMask = Checkpoint.fingerprint("loss_masks", fpExp, "gtiff")
     timed("loss_masks") {
       store.stage("loss_masks", fpMask, Seq("expanded")) {
         val loss = Headline.cellLoss(s)
@@ -101,7 +101,9 @@ object RunModel {
           .filter(col("final_class") >= 0)
         graft.sinks.Csv.writeClassMasks(joined, s"$dir/csv", "final_class",
           "loss_mean", classes = 0 to 5)
-        Rasterize.byClass(s, spec, joined, "loss_mean", "final_class")
+        // georeferenced like the reference's six rastOut GTiff writes
+        Rasterize.byClass(spec, joined, "loss_mean", "final_class",
+          fmt = "gtiff")
       }
     }
 

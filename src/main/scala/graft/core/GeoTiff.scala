@@ -92,7 +92,11 @@ object GeoTiff {
     } else { // strip organization
       val offs = tags.getOrElse(273, sys.error("no StripOffsets"))
       val cnts = tags.getOrElse(279, sys.error("no StripByteCounts"))
-      val rps = one(278, h.toDouble).toInt
+      // TIFF 6.0 allows RowsPerStrip = 2^32-1 ("all rows in one strip");
+      // clamp through Long so the value neither overflows Int nor
+      // exceeds the image height.
+      val rps = math.min(h.toLong, one(278, h.toDouble).toLong).toInt
+      require(rps > 0, s"bad RowsPerStrip $rps")
       require(offs.length == (h + rps - 1) / rps && cnts.length == offs.length,
         "strip table size mismatch")
       var si = 0
@@ -132,9 +136,16 @@ object GeoTiff {
         case 12 => 8
         case _ => 0
       }
-      val valOff = if (elemSize * cnt <= 4) e + 8 else buf.getInt(e + 8)
+      // Long math: a hostile/corrupt count can overflow elemSize * cnt
+      // in Int, sneaking past the inline-value test and into a multi-GB
+      // allocation; this codec runs on untrusted bytes inside executors
+      // (binaryFile scans), so reject loudly instead.
+      val total = elemSize.toLong * cnt
+      require(cnt >= 0 && total <= buf.capacity(),
+        s"corrupt IFD entry: tag $tag type $typ count $cnt")
+      val valOff = if (total <= 4) e + 8 else buf.getInt(e + 8)
       val vals =
-        if (elemSize == 0 || cnt < 0) Array.empty[Double]
+        if (elemSize == 0) Array.empty[Double]
         else Array.tabulate(cnt) { j =>
           typ match {
             case 1 => (buf.get(valOff + j) & 0xFF).toDouble

@@ -63,6 +63,12 @@ object Checkpoint {
         log += name -> "loaded"
         spark.read.parquet(dataPath(name))
       } else {
+        // Evaluate the stage body FIRST: a stage may run side-effect
+        // write jobs of its own (e.g. the loss-mask CSV fan-out), and
+        // those must not be captured as the snapshot's lineage — the
+        // listener dedups by partition index, so a stray single-task
+        // CSV write would shadow the snapshot's partition 0.
+        val df = compute
         // Scope the metrics capture to THIS write's jobs via a unique job
         // group: the listener bus is shared, so without the scope any
         // concurrently running job's write tasks (or this job's retried /
@@ -72,7 +78,7 @@ object Checkpoint {
         spark.sparkContext.addSparkListener(listener)
         try {
           spark.sparkContext.setJobGroup(group, s"checkpoint stage $name")
-          compute.write.mode("overwrite").parquet(dataPath(name))
+          df.write.mode("overwrite").parquet(dataPath(name))
         } finally {
           spark.sparkContext.clearJobGroup()
           GraftSparkBridge.waitListenerEmpty(spark.sparkContext)
@@ -118,6 +124,15 @@ object Checkpoint {
       byPartition.values().iterator().asScala.toSeq.sortBy(_.partition)
     }
   }
+
+  /** Lineage truncation for iterative/two-phase operators: a RELIABLE
+    * checkpoint when the session has a checkpoint dir (on a real
+    * cluster a localCheckpoint dies with any executor, killing a long
+    * run), else localCheckpoint (single-JVM test/bench mode). Shared by
+    * Expand and StableRowId so the reliability policy lives once. */
+  def truncate(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Content fingerprint helper: SHA-256 (hex, 128 bits kept) over the
     * pieces that define a stage (upstream fingerprints, config values,

@@ -22,11 +22,7 @@ import graft.world.WorldSpec
   * cells (a count on the adopted side only, not the full frame).
   */
 object Expand {
-
-  /** Lineage truncation: reliable if the session has a checkpoint dir. */
-  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  import Checkpoint.truncate
 
   /** @param cls DataFrame(cell_id: long, final_class: long) covering the
     *            grid (class 0 = uncertain).

@@ -189,7 +189,7 @@ object Pipeline {
 
     val fpRaster = Checkpoint.fingerprint("rasterized", fpExpanded)
     store.stage("rasterized", fpRaster, Seq("expanded")) {
-      Rasterize(s, spec, expanded, "final_class")
+      Rasterize(spec, expanded, "final_class")
     }
 
     // Stage 13 — the reference's actual DELIVERABLE (R:510-551): dedup
@@ -204,7 +204,7 @@ object Pipeline {
         .join(expanded.select("cell_id", "final_class"), Seq("cell_id"))
       graft.sinks.Csv.writeClassMasks(joined, s"$dir/csv", "final_class",
         "loss_mean", classes = 0 to 5)
-      Rasterize.byClass(s, spec, joined, "loss_mean", "final_class")
+      Rasterize.byClass(spec, joined, "loss_mean", "final_class")
     }
     (expanded, store)
   }

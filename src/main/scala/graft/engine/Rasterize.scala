@@ -13,31 +13,38 @@ import graft.world.WorldSpec
   * Determinism at scale: pixel order does NOT rely on any implicit row
   * ordering (Spark has none, SURVEY.md §2.7 U2) — pixels are sorted
   * inside the per-tile aggregation by their in-tile index, and the
-  * aggregation shuffles on tile_id (range partitioning keeps tiles of a
-  * region together for downstream sequential writes).
+  * aggregation shuffles on its group key. One shuffle only: groupBy
+  * inserts its own hash Exchange; a repartition in front of it would be
+  * a second, wasted Exchange (tile contiguity for sequential file
+  * output, if wanted, belongs AFTER the aggregation where the data is
+  * three orders of magnitude smaller).
   */
 object Rasterize {
 
-  /** @param fmt payload format of the emitted tiles: "f32" (raw, the
-    *            engine's native format) or "gtiff" (real LZW GeoTIFF
-    *            bytes stamped with the tile's georeference — the
-    *            `writeRaster` GTiff analog, R:70-71). */
-  def apply(s: SparkSession, spec: WorldSpec, df: DataFrame,
-      valueCol: String, fmt: String = "f32"): DataFrame = {
-    require(fmt == "f32" || fmt == "gtiff", s"unknown raster fmt: $fmt")
+  /** cell_id -> (tile_id, in-tile pixel index) columns. */
+  private def derive(spec: WorldSpec): (Column, Column) = {
     val C = spec.cols
     val T = spec.tile
     val TX = spec.tilesX
     val id = col("cell_id")
     val row0 = floor((id - 1) / C) // 0-based
     val col0 = (id - 1) % C
-    val tileId = (floor(row0 / T) * TX + floor(col0 / T)).cast("int")
-    val pix = ((row0 % T) * T + col0 % T).cast("int")
+    ((floor(row0 / T) * TX + floor(col0 / T)).cast("int"),
+      ((row0 % T) * T + col0 % T).cast("int"))
+  }
 
+  /** Sparse (pix, value) pairs of one tile -> encoded payload; missing
+    * pixels become NaN. `fmt` "f32" (raw) or "gtiff" (real LZW GeoTIFF
+    * bytes stamped with the tile's georeference — the `writeRaster`
+    * GTiff analog, R:70-71). */
+  private def encoder(spec: WorldSpec, fmt: String) = {
+    require(fmt == "f32" || fmt == "gtiff", s"unknown raster fmt: $fmt")
     val nPix = spec.pixPerTile
+    val T = spec.tile
+    val TX = spec.tilesX
     val gtiff = fmt == "gtiff"
     val g = spec.grid
-    val encode = udf { (t: Int, pixs: Seq[Int], vs: Seq[Double]) =>
+    udf { (t: Int, pixs: Seq[Int], vs: Seq[Double]) =>
       val band = Array.fill[Float](nPix)(Float.NaN)
       var i = 0
       while (i < pixs.length) {
@@ -51,13 +58,13 @@ object Rasterize {
           yMax = g.yMax - (t / TX) * T * g.cellSize)
       else Codec.encodeF32(Array(band))
     }
+  }
 
-    // One shuffle only: groupBy(tile_id) inserts its own hash Exchange —
-    // a repartitionByRange in front of it would be a second, wasted
-    // Exchange (tile contiguity for sequential file output, if wanted,
-    // belongs AFTER the aggregation where the data is 3 orders of
-    // magnitude smaller: one row per tile, not per pixel).
-    df.select(id, col(valueCol).cast("double").as("v"))
+  def apply(spec: WorldSpec, df: DataFrame, valueCol: String,
+      fmt: String = "f32"): DataFrame = {
+    val (tileId, pix) = derive(spec)
+    val encode = encoder(spec, fmt)
+    df.select(col("cell_id"), col(valueCol).cast("double").as("v"))
       .withColumn("tile_id", tileId)
       .withColumn("pix", pix)
       .groupBy("tile_id")
@@ -65,7 +72,7 @@ object Rasterize {
       .select(col("tile_id"),
         format_string("tile_%05d", col("tile_id")).as("image_id"),
         encode(col("tile_id"), col("pv.pix"), col("pv.v")).as("bytes"),
-        lit(T).as("w"), lit(T).as("h"), lit(fmt).as("fmt"))
+        lit(spec.tile).as("w"), lit(spec.tile).as("h"), lit(fmt).as("fmt"))
   }
 
   /** Per-class raster fan-out (the six rastOut calls, R:524-551) as ONE
@@ -74,24 +81,11 @@ object Rasterize {
     * has a cell of that class; all other pixels are NaN — but with a
     * single Exchange over the pixel frame instead of one full shuffle
     * (and upstream recompute) per class. */
-  def byClass(s: SparkSession, spec: WorldSpec, df: DataFrame,
-      valueCol: String, classCol: String): DataFrame = {
-    val C = spec.cols
-    val T = spec.tile
-    val TX = spec.tilesX
-    val id = col("cell_id")
-    val row0 = floor((id - 1) / C)
-    val col0 = (id - 1) % C
-    val tileId = (floor(row0 / T) * TX + floor(col0 / T)).cast("int")
-    val pix = ((row0 % T) * T + col0 % T).cast("int")
-    val nPix = spec.pixPerTile
-    val encode = udf { (pixs: Seq[Int], vs: Seq[Double]) =>
-      val band = Array.fill[Float](nPix)(Float.NaN)
-      var i = 0
-      while (i < pixs.length) { band(pixs(i)) = vs(i).toFloat; i += 1 }
-      Codec.encodeF32(Array(band))
-    }
-    df.select(col(classCol).cast("long").as("class"), id,
+  def byClass(spec: WorldSpec, df: DataFrame, valueCol: String,
+      classCol: String, fmt: String = "f32"): DataFrame = {
+    val (tileId, pix) = derive(spec)
+    val encode = encoder(spec, fmt)
+    df.select(col(classCol).cast("long").as("class"), col("cell_id"),
         col(valueCol).cast("double").as("v"))
       .withColumn("tile_id", tileId)
       .withColumn("pix", pix)
@@ -100,7 +94,7 @@ object Rasterize {
       .select(col("class"), col("tile_id"),
         format_string("class%d_tile_%05d", col("class"), col("tile_id"))
           .as("image_id"),
-        encode(col("pv.pix"), col("pv.v")).as("bytes"),
-        lit(T).as("w"), lit(T).as("h"), lit("f32").as("fmt"))
+        encode(col("tile_id"), col("pv.pix"), col("pv.v")).as("bytes"),
+        lit(spec.tile).as("w"), lit(spec.tile).as("h"), lit(fmt).as("fmt"))
   }
 }

@@ -20,14 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object StableRowId {
 
-  private def truncate(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
-
-  /** @param key unique ordering column; ids are 1-based in key order */
+  /** @param key unique ordering column; ids are 1-based LONGS in key
+    *            order (an int id would silently wrap past 2^31 rows —
+    *            this utility exists precisely for frames that big) */
   def assign(df: DataFrame, key: String, out: String): DataFrame = {
     val s = df.sparkSession
-    val parts = truncate(s,
+    val parts = Checkpoint.truncate(s,
       df.repartitionByRange(col(key)).withColumn("__pid", spark_partition_id()))
     // one row per partition — the prefix-sum window is over ~hundreds of
     // rows, not the data
@@ -39,7 +37,7 @@ object StableRowId {
     parts.join(broadcast(offs), Seq("__pid"))
       .withColumn(out,
         (col("__off") + row_number().over(
-          Window.partitionBy("__pid").orderBy(col(key)))).cast("int"))
+          Window.partitionBy("__pid").orderBy(col(key)))).cast("long"))
       .drop("__pid", "__off")
   }
 }

@@ -218,7 +218,7 @@ object Relational {
       .orderBy("training_id")
 
   private val q07Sql =
-    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) AS INT) AS training_id,
+    """SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS training_id,
       |  s_suppkey, s_name
       |FROM supplier ORDER BY 1""".stripMargin
 

@@ -374,7 +374,7 @@ object Spatial {
     * ordered pixel collect + f32 encode; emits tile checksums. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val cls = classifiedDF(s)
-    graft.engine.Rasterize(s, spec, cls, "final_class")
+    graft.engine.Rasterize(spec, cls, "final_class")
       .select(col("tile_id"), col("image_id"), length(col("bytes")).as("n_bytes"),
         crc32(col("bytes")).as("crc"))
       .orderBy("tile_id")
@@ -609,7 +609,7 @@ object Spatial {
       .agg(avg("loss").as("loss_mean"))
     val joined = dedup.join(classifiedDF(s), Seq("cell_id"))
     graft.engine.Rasterize
-      .byClass(s, spec, joined, "loss_mean", "final_class")
+      .byClass(spec, joined, "loss_mean", "final_class")
       .select(col("class"), col("tile_id"),
         length(col("bytes")).as("n_bytes"), crc32(col("bytes")).as("crc"))
       .orderBy("class", "tile_id")

@@ -559,7 +559,11 @@ object TextOps {
       .repartition(col("doc_id")).localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
+    // converges in <= component-diameter rounds; fail LOUDLY rather
+    // than emit silently-wrong clusters if a pathological chain exceeds
+    // the cap ("no silent caps")
+    val maxRounds = 100
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
         .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
@@ -572,6 +576,8 @@ object TextOps {
       labels = next.drop("chg")
       rounds += 1
     }
+    require(changed == 0,
+      s"component labels did not converge within $maxRounds rounds")
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),
         (col("lbl") === col("doc_id")).cast("int").as("is_keeper"))

@@ -198,7 +198,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select((col("id") * 2654435761L % 99991L).as("k"))
       .distinct().repartition(13)
     val got = StableRowId.assign(df, "k", "rid")
-      .orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.map(_._1).toSeq == got.map(_._1).sorted.toSeq)
     got.zipWithIndex.foreach { case ((_, rid), i) =>
       assert(rid == i + 1, s"rank at $i")
@@ -299,7 +299,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("rasterize inverts the decode scan (vector -> raster, K2)") {
     for (sp <- Seq(spec, padded)) {
       val loss = Pipeline.decodedCells(spark, sp).select("cell_id", "loss")
-      val tiles = Rasterize(spark, sp, loss, "loss").collect()
+      val tiles = Rasterize(sp, loss, "loss").collect()
       assert(tiles.length == sp.nTiles)
       tiles.foreach { r =>
         val t = r.getAs[Int]("tile_id")
@@ -317,12 +317,12 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cls = Pipeline.decodedCells(spark, spec)
       .select(col("cell_id"), col("loss"),
         (col("cell_id") % 4).as("final_class"))
-    val got = Rasterize.byClass(spark, spec, cls, "loss", "final_class")
+    val got = Rasterize.byClass(spec, cls, "loss", "final_class")
       .collect()
       .map(r => (r.getAs[Long]("class"), r.getAs[Int]("tile_id")) ->
         r.getAs[Array[Byte]]("bytes").toSeq).toMap
     val want = (0L to 3L).flatMap { k =>
-      Rasterize(spark, spec, cls.filter(col("final_class") === k), "loss")
+      Rasterize(spec, cls.filter(col("final_class") === k), "loss")
         .collect()
         .map(r => (k, r.getAs[Int]("tile_id")) ->
           r.getAs[Array[Byte]]("bytes").toSeq)
@@ -334,7 +334,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     "(rastOut's GTiff write, R:70-71)") {
     import graft.core.GeoTiff
     val loss = Pipeline.decodedCells(spark, spec).select("cell_id", "loss")
-    val tiles = Rasterize(spark, spec, loss, "loss", fmt = "gtiff").collect()
+    val tiles = Rasterize(spec, loss, "loss", fmt = "gtiff").collect()
     assert(tiles.length == spec.nTiles)
     tiles.foreach { r =>
       val t = r.getAs[Int]("tile_id")
