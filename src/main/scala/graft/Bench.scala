@@ -29,7 +29,7 @@ import graft.engine.Headline
 object Bench {
 
   private val WorkerPasses = 4
-  private val Rounds = 3
+  private val Rounds = 2
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -181,14 +181,10 @@ object Bench {
 
   /** One N -> 4N ladder at `ec` cores per executor: interleaved rounds,
     * best per level; the fleet phase retries when it lands far below
-    * the same-run hardware capacity (a steal burst hit it). The 2-core
-    * ladder's passes are long and its retention is steady (~0.95), so
-    * two rounds suffice; the bandwidth-stressed 8-core ladder keeps
-    * three. */
+    * the same-run hardware capacity (a steal burst hit it). */
   private def ladder(ec: Int): Ladder = {
     var tpsN, tps4N, cap4N = 0.0
-    val rounds = if (ec <= 2) 2 else Rounds
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to Rounds) {
       tpsN = math.max(tpsN, measureN(ec))
       cap4N = math.max(cap4N, measureCapacity4N(ec))
       tps4N = math.max(tps4N, measure4N(ec))
