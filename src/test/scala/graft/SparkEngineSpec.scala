@@ -434,6 +434,26 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("expand iteration joins reuse cur's captured hash partitioning: " +
+    "zero exchanges in the per-iteration join plan") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the exact shape of one Expand iteration: a truncated cur
+      // (repartitioned by cell_id) joined with an aggregate derived
+      // from it — both sides must inherit the captured partitioning
+      val cur = spark.range(1, spec.nCells + 1).toDF("cell_id")
+        .withColumn("final_class", (col("cell_id") % 3).cast("long"))
+        .repartition(col("cell_id")).localCheckpoint(true)
+      val adopted = cur.filter(col("final_class") === 0)
+        .groupBy("cell_id").agg(min("final_class").as("adopted"))
+      val plan = cur.join(adopted, Seq("cell_id"), "left")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"iteration join should be exchange-free:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("expand with a RELIABLE checkpoint dir set produces the same " +
     "fixed point as localCheckpoint mode") {
     import spark.implicits._
