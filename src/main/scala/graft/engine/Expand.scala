@@ -39,9 +39,13 @@ object Expand {
 
     // Pin cur's partitioning to hash(cell_id) once, up front: truncate()
     // captures physical partitioning in the LogicalRDD, and every join
-    // in the loop keys on cell_id — so each iteration shuffles only the
+    // in the loop keys on cell_id — with static planning (AQE off, as
+    // in the bench sessions) each iteration then shuffles only the
     // small derived sides (neighbor candidates, adopted cells), never
-    // re-exchanges the full grid frame.
+    // the full grid frame (plan-pinned in SparkEngineSpec). Under AQE
+    // the adaptive re-planner does not see the captured partitioning
+    // and re-exchanges — correct either way, just one exchange cheaper
+    // without AQE.
     var cur = truncate(s, cls.select(col("cell_id"),
       col("final_class").cast("long").as("final_class"))
       .repartition(col("cell_id")))

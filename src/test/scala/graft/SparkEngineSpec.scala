@@ -435,9 +435,12 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("expand iteration joins reuse cur's captured hash partitioning: " +
-    "zero exchanges in the per-iteration join plan") {
+    "zero exchanges in the per-iteration join plan (AQE off — adaptive " +
+    "replanning drops LogicalRDD partitioning and re-exchanges)") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       // the exact shape of one Expand iteration: a truncated cur
       // (repartitioned by cell_id) joined with an aggregate derived
@@ -451,7 +454,10 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"iteration join should be exchange-free:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("expand with a RELIABLE checkpoint dir set produces the same " +
