@@ -482,6 +482,31 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("cell_id"), coalesce(col("class"), lit(0L)).as("final_class"))
   }
 
+  test("headline plan shape: exactly one fused classify (one ray-cast) " +
+    "per pixel, no separate PIP filter, exactly two exchanges") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val trees = (for (r <- 1 to 7; d <- 1 to 5)
+        yield (r, d) -> (Cart.Leaf(0.3, 1, 0.0): Cart.Tree)).toMap
+      // schema-compatible one-tile table: the plan shape is what's
+      // under test, not execution (limit(0) would let Catalyst collapse
+      // everything to an empty LocalTableScan)
+      val tiles = World.tilesDF(spark, World.tiny)
+        .filter(col("tile_id") === 0)
+      val plan = graft.engine.Headline.planFrom(tiles, trees)
+        .queryExecution.executedPlan.toString
+      def count(needle: String): Int =
+        plan.sliding(needle.length).count(_ == needle)
+      assert(count("driverclassifyat(") == 1,
+        s"classify must appear exactly once:\n$plan")
+      assert(!plan.contains("regionof("),
+        "no separate PIP evaluation may exist in the headline plan")
+      assert(count("Exchange") == 2,
+        s"salted zonal agg = exactly two exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
