@@ -253,16 +253,18 @@ object Bench {
 
   private def writeBenchMd(primary: Ladder, stress: Ladder): Unit = {
     val spec = Headline.spec
-    def table(l: Ladder): String =
-      s"""| configuration | tiles/sec |
-         ||---|---|
-         || N = 1 executor (${l.ec} cores), full input | ${f"${l.tpsN}%.1f"} |
-         || 4N = 4 executors (4 x ${l.ec} cores), quarter slices | ${f"${l.tps4N}%.1f"} |
-         || hardware co-run capacity (4 duplicate executors) | ${f"${l.cap4N}%.1f"} |
-         |
-         |Scaling efficiency N -> 4N: **raw ${f"${l.eff}%.3f"}**; hardware
-         |parallel retention ${f"${l.rho}%.3f"}; engine efficiency net of
-         |hardware ${f"${l.effNorm}%.3f"}.""".stripMargin
+    // NOTE: built without stripMargin — markdown table pipes at line
+    // start would be eaten as margin characters.
+    def table(l: Ladder): String = Seq(
+      "| configuration | tiles/sec |",
+      "|---|---|",
+      f"| N = 1 executor (${l.ec} cores), full input | ${l.tpsN}%.1f |",
+      f"| 4N = 4 executors (4 x ${l.ec} cores), quarter slices | ${l.tps4N}%.1f |",
+      f"| hardware co-run capacity (4 duplicate executors) | ${l.cap4N}%.1f |",
+      "",
+      f"Scaling efficiency N -> 4N: **raw ${l.eff}%.3f**; hardware",
+      f"parallel retention ${l.rho}%.3f; engine efficiency net of",
+      f"hardware ${l.effNorm}%.3f.").mkString("\n")
     val md =
       s"""# BENCH — measured engine baseline
          |
@@ -306,7 +308,8 @@ object Bench {
          |
          |At this engine's speed (~${f"${stress.tpsN}%.0f"} tiles/s per
          |8-core executor after the single-ray-cast, banded-PIP-index and
-         |per-row-projection-table optimizations — ~2.9x round 1), four
+         |per-row-projection-table optimizations — round 1 measured
+         |215.6), four
          |8-core executors TOGETHER exceed the box's shared-DRAM ceiling:
          |four DUPLICATE executors each running the full N-level job
          |aggregate to only ${f"${stress.rho * 4}%.2f"}x one executor
