@@ -140,8 +140,7 @@ object Headline {
     val cfg = Pipeline.Config()
     val nf = spec.nBands - 1
     val training = cells
-      .withColumn("region_id", region_of(pxCol, pyCol, polys))
-      .filter(col("region_id").isNotNull)
+      .select(col("*"), region_explode(pxCol, pyCol, polys).as("region_id"))
       .withColumn("tclass", trainLabel)
       .filter(col("tclass") > 0 &&
         !col("tclass").isInCollection(cfg.dropClasses))

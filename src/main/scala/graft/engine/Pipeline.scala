@@ -64,13 +64,16 @@ object Pipeline {
   }
 
   /** Feature frame with region attached via the PIP expression; rows
-    * outside every polygon are dropped (R:273-274). */
+    * outside every polygon are dropped (R:273-274). region_explode
+    * evaluates the ray-cast once per row AND drops the misses in the
+    * same Generate — the withColumn+filter shape would evaluate the PIP
+    * twice (pushed Filter + Project). */
   def featuresWithRegion(s: SparkSession, spec: WorldSpec): DataFrame = {
     val px = ((col("cell_id") - 1) % spec.cols).cast("double") + 0.5
     val py = floor((col("cell_id") - 1) / spec.cols).cast("double") + 0.5
     decodedCells(s, spec)
-      .withColumn("region_id", region_of(px, py, World.polygons(spec)))
-      .filter(col("region_id").isNotNull)
+      .select(col("*"),
+        region_explode(px, py, World.polygons(spec)).as("region_id"))
   }
 
   /** Compile a fitted tree into a when-chain Column over feature cols. */
@@ -165,9 +168,8 @@ object Pipeline {
     val features = store.stage("features", fpFeat, Seq("cells")) {
       val px = ((col("cell_id") - 1) % spec.cols).cast("double") + 0.5
       val py = floor((col("cell_id") - 1) / spec.cols).cast("double") + 0.5
-      cells.withColumn("region_id",
-          region_of(px, py, World.polygons(spec)))
-        .filter(col("region_id").isNotNull)
+      cells.select(col("*"),
+        region_explode(px, py, World.polygons(spec)).as("region_id"))
     }
 
     val fpScored = Checkpoint.fingerprint("scored", fpFeat, cfg)

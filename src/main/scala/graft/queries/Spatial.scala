@@ -117,12 +117,14 @@ object Spatial {
        |region_of AS (
        |  SELECT cell_id, MIN(region_id) AS region_id FROM pip GROUP BY 1)""".stripMargin
 
-  /** Spark-side PIP lookup via the codegen'd RegionOf expression. */
+  /** Spark-side PIP lookup via the codegen'd RegionOf expression.
+    * region_explode evaluates the ray-cast ONCE per cell and drops
+    * no-region rows in the same Generate (a projection + filter would
+    * ray-cast twice; plan-pinned in SparkEngineSpec). */
   private def regionDF(s: SparkSession): DataFrame =
     spine(s).select(cellCol,
-      region_of(pxCol(cellCol), pyCol(cellCol), World.polygons(spec))
+      region_explode(pxCol(cellCol), pyCol(cellCol), World.polygons(spec))
         .as("region_id"))
-      .filter(col("region_id").isNotNull)
 
   /** Decoded long-format pixels: (cell_id, loss, b1..b5) from the tile
     * table — decode expression + posexplode + key derivation at decode
@@ -686,8 +688,7 @@ object Spatial {
     val polys = graft.sources.Ingest.wktPolygons(s, wktFixture)
     spine(s)
       .select(cellCol,
-        region_of(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
-      .filter(col("region_id").isNotNull)
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
       .groupBy("region_id")
       .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
         max("cell_id").as("max_cell"))

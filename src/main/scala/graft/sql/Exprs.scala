@@ -60,16 +60,17 @@ object DecodeBand {
   * primitive arrays referenced from the generated class, so the eval
   * loop stays inside whole-stage codegen.
   */
-case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon])
+case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon],
+    nullOnMiss: Boolean = true)
   extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = nullOnMiss
 
   override def nullSafeEval(px: Any, py: Any): Any = {
     val r = Geom.regionOf(polys,
       px.asInstanceOf[Double], py.asInstanceOf[Double])
-    if (r < 0) null else r
+    if (r < 0 && nullOnMiss) null else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -77,10 +78,13 @@ case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon])
       classOf[Polygon].getName + "[]")
     val geom = Geom.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, (px, py) => {
-      s"""
-         |int r = $geom.regionOf($polysRef, $px, $py);
-         |if (r < 0) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-       """.stripMargin
+      if (nullOnMiss)
+        s"""
+           |int r = $geom.regionOf($polysRef, $px, $py);
+           |if (r < 0) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+         """.stripMargin
+      else
+        s"${ev.value} = $geom.regionOf($polysRef, $px, $py);"
     })
   }
 
@@ -411,6 +415,25 @@ object GraftFunctions {
   /** Region id of point (px, py) among `polys`, null if none. */
   def region_of(px: Column, py: Column, polys: Array[Polygon]): Column =
     column(RegionOf(expression(px), expression(py), polys))
+
+  /** Region id of point (px, py) among `polys`, -1 if none (the
+    * non-nullable sentinel form the fused classify uses). */
+  def region_of_neg1(px: Column, py: Column, polys: Array[Polygon]): Column =
+    column(RegionOf(expression(px), expression(py), polys,
+      nullOnMiss = false))
+
+  /** Generator: ONE row carrying the region id for points inside some
+    * polygon, ZERO rows for points outside — with exactly one ray-cast
+    * per input row. The natural `withColumn(region_of).filter(...)`
+    * shape makes Catalyst evaluate the PIP twice per row (the pushed
+    * Filter and the Project each evaluate it; Catalyst has no
+    * cross-operator subexpression elimination), so row-dropping is
+    * folded into a Generate instead: explode(array_remove(array(r), -1))
+    * references the expression once and emits 0 or 1 rows. */
+  def region_explode(px: Column, py: Column, polys: Array[Polygon]): Column = {
+    import org.apache.spark.sql.functions.{array, array_remove, explode, lit}
+    explode(array_remove(array(region_of_neg1(px, py, polys)), lit(-1)))
+  }
 
   /** Sequential-order dot product of two array<double> columns. */
   def dot_f64(a: Column, b: Column): Column =

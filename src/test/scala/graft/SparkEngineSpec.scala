@@ -507,6 +507,37 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("generic PIP plan shape: region_explode evaluates regionof exactly " +
+    "once per row (q21/q25/q39 and the features stage were 2x before)") {
+    import graft.sql.GraftFunctions.region_explode
+    val polys = World.polygons(spec)
+    def countRegionof(df: DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      val needle = "regionof("
+      plan.sliding(needle.length).count(_ == needle)
+    }
+    // the q21 shape: spine -> region rows
+    val px = ((col("cell_id") - 1) % spec.cols).cast("double") + 0.5
+    val py = floor((col("cell_id") - 1) / spec.cols).cast("double") + 0.5
+    val q21Like = spark.range(1, spec.nCells + 1).toDF("cell_id")
+      .select(col("cell_id"), region_explode(px, py, polys).as("region_id"))
+    assert(countRegionof(q21Like) == 1,
+      s"one ray-cast per row:\n${q21Like.queryExecution.executedPlan}")
+    // values must equal the nullable-projection + filter formulation
+    val reference = spark.range(1, spec.nCells + 1).toDF("cell_id")
+      .select(col("cell_id"),
+        graft.sql.GraftFunctions.region_of(px, py, polys).as("region_id"))
+      .filter(col("region_id").isNotNull)
+    assert(q21Like.orderBy("cell_id").collect().toSeq ==
+      reference.orderBy("cell_id").collect().toSeq)
+    // the features-stage shape: decoded cells -> region rows, downstream
+    // filter on another column must not re-introduce a second ray-cast
+    val feats = Pipeline.featuresWithRegion(spark, spec)
+      .filter(col("loss") > 0)
+    assert(countRegionof(feats) == 1,
+      s"one ray-cast per row:\n${feats.queryExecution.executedPlan}")
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
