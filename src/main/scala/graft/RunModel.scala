@@ -70,12 +70,14 @@ object RunModel {
       }
     }
 
-    // Stage B — the Expand fixed point (native ArcGIS-Expand analog).
+    // Stage B — the Expand dilation (native ArcGIS-Expand analog;
+    // distance-bounded by `iters` rings like Expand's NumberCells).
     val iters = 8
     val fpExp = Checkpoint.fingerprint("expanded", fpCls, iters)
     val expanded = timed("expanded") {
       store.stage("expanded", fpExp, Seq("classified")) {
-        Expand.run(s, spec, classified, maxIters = iters)
+        Expand.run(s, spec, classified, maxIters = iters,
+          requireConvergence = false)
       }
     }
 

@@ -80,6 +80,51 @@ object Codec {
     out
   }
 
+  /** Encode a band as 8-bit grayscale baseline JPEG (the JDK's ImageIO
+    * codec — present in every JRE, no native libs). Values are clamped
+    * and rounded to [0, 255] codes; `quality` 1.0 = the encoder's
+    * finest quantization tables (still lossy: JPEG is DCT-based). */
+  def encodeJpegGray(band: Array[Float], w: Int, h: Int,
+      quality: Float = 1.0f): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < band.length) {
+      val code = math.max(0, math.min(255, math.round(band(i))))
+      raster.setSample(i % w, i / w, 0, code)
+      i += 1
+    }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode a grayscale JPEG back to its 8-bit code values as floats. */
+  def decodeJpegGray(bytes: Array[Byte]): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Float](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = raster.getSample(i % w, i / w, 0).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** Single float element of an f32 payload (little-endian), by flat
     * element index (band * nPixels + pixel). The zero-allocation random
     * access backing the fused pixel pipeline: within one whole-stage
@@ -105,6 +150,12 @@ object Codec {
         require(r.pixels.length == nPixels,
           s"gtiff pixel count ${r.pixels.length} != $nPixels")
         r.pixels
+      case "jpeg" =>
+        require(band == 0, "jpeg payloads are single-band")
+        val px = decodeJpegGray(bytes)
+        require(px.length == nPixels,
+          s"jpeg pixel count ${px.length} != $nPixels")
+        px
       case other => throw new IllegalArgumentException(s"unknown fmt: $other")
     }
 

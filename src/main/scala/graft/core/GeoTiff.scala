@@ -62,6 +62,17 @@ object GeoTiff {
     require(predictor == 1,
       s"predictor $predictor unsupported (refusing to misdecode)")
 
+    // data-chunk bounds check shared by strips and tiles: offsets and
+    // counts come from the (untrusted) IFD and are carried as doubles —
+    // reject chunks that overflow Int or run past EOF before the
+    // toInt + copyOfRange would silently truncate or throw raw
+    def chunkRange(off: Double, cnt: Double): (Int, Int) = {
+      require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length &&
+        off + cnt <= Int.MaxValue.toDouble,
+        s"corrupt chunk table: offset $off count $cnt of ${bytes.length}")
+      (off.toInt, cnt.toInt)
+    }
+
     // assemble sample bytes in FILE byte order, then view as floats
     val px = new Array[Byte](w * h * 4)
     if (tags.contains(322)) { // tiled organization
@@ -75,8 +86,8 @@ object GeoTiff {
         "tile table size mismatch")
       var ti = 0
       while (ti < offs.length) {
-        val raw = java.util.Arrays.copyOfRange(bytes, offs(ti).toInt,
-          offs(ti).toInt + cnts(ti).toInt)
+        val (o, c) = chunkRange(offs(ti), cnts(ti))
+        val raw = java.util.Arrays.copyOfRange(bytes, o, o + c)
         val data = if (comp == 5) lzwDecode(raw, tw * tl * 4) else raw
         val y0 = (ti / across) * tl
         val x0 = (ti % across) * tw
@@ -102,8 +113,8 @@ object GeoTiff {
       var si = 0
       while (si < offs.length) {
         val rowsHere = math.min(rps, h - si * rps)
-        val raw = java.util.Arrays.copyOfRange(bytes, offs(si).toInt,
-          offs(si).toInt + cnts(si).toInt)
+        val (o, c) = chunkRange(offs(si), cnts(si))
+        val raw = java.util.Arrays.copyOfRange(bytes, o, o + c)
         val data = if (comp == 5) lzwDecode(raw, rowsHere * w * 4) else raw
         System.arraycopy(data, 0, px, si * rps * w * 4, rowsHere * w * 4)
         si += 1
@@ -143,7 +154,17 @@ object GeoTiff {
       val total = elemSize.toLong * cnt
       require(cnt >= 0 && total <= buf.capacity(),
         s"corrupt IFD entry: tag $tag type $typ count $cnt")
-      val valOff = if (total <= 4) e + 8 else buf.getInt(e + 8)
+      // out-of-line values: the offset itself is attacker-controlled
+      // too — reject negative / past-EOF offsets instead of dying with
+      // a raw IndexOutOfBoundsException deep in the value reads
+      val valOff =
+        if (total <= 4) e + 8
+        else {
+          val vo = buf.getInt(e + 8)
+          require(vo >= 0 && vo.toLong + total <= buf.capacity(),
+            s"corrupt IFD entry: tag $tag value offset $vo count $cnt")
+          vo
+        }
       val vals =
         if (elemSize == 0) Array.empty[Double]
         else Array.tabulate(cnt) { j =>

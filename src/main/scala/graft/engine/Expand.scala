@@ -4,13 +4,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.world.WorldSpec
 
-/** The nearest-neighbor "Expand" fixed point (SURVEY.md §2.8 G4): the
+/** The nearest-neighbor "Expand" dilation (SURVEY.md §2.8 G4): the
   * reference pauses and runs ArcGIS's Expand tool by hand
   * (`Supplemental_Data_1.R:445-454`); here it is a native iterative
   * 8-neighborhood dilation: every uncertain cell (class 0) adopts the
-  * minimum positive class among its 8 grid neighbors; repeat to fixed
-  * point. Tie-break (documented, deterministic — ArcGIS's is
-  * unspecified): lowest class id wins.
+  * minimum positive class among its 8 grid neighbors; repeated. Two
+  * DOCUMENTED termination modes (never a silent cap):
+  *  - `requireConvergence = true` (the fixed point): `maxIters` is an
+  *    iteration BUDGET and a run that still adopts cells when it is
+  *    exhausted fails loudly — partially-expanded classes must never
+  *    masquerade as the fixed point;
+  *  - `requireConvergence = false` (the ArcGIS analog): Expand is
+  *    distance-bounded by construction (its NumberCells argument), so
+  *    `maxIters` IS the semantic — exactly that many rings are filled,
+  *    stopping early only when a round adopts nothing.
+  * Tie-break (documented, deterministic — ArcGIS's is unspecified):
+  * lowest class id wins.
   *
   * Scale design: each step is 8 derived-key equi-joins expressed as one
   * explode+join (shuffle on cell id, broadcast of the 8-offset table),
@@ -26,10 +35,13 @@ object Expand {
 
   /** @param cls DataFrame(cell_id: long, final_class: long) covering the
     *            grid (class 0 = uncertain).
-    * @return DataFrame(cell_id, final_class, iters) at fixed point (or
-    *         after maxIters). */
+    * @param requireConvergence fixed-point mode (fail loudly if the
+    *            budget is exhausted while cells still adopt) vs
+    *            fixed-distance mode (exactly `maxIters` rings)
+    * @return DataFrame(cell_id, final_class, iters); iters = executed
+    *         adoption rounds. */
   def run(s: SparkSession, spec: WorldSpec, cls: DataFrame,
-      maxIters: Int): DataFrame = {
+      maxIters: Int, requireConvergence: Boolean): DataFrame = {
     import s.implicits._
     val C = spec.cols
     val offsets = for {
@@ -78,6 +90,28 @@ object Expand {
               .otherwise(col("final_class")).as("final_class")))
         iters += 1
       }
+    }
+    if (requireConvergence && !converged) {
+      // one more adoption probe would be needed to distinguish "budget
+      // landed exactly on the fixed point" from "still adopting"; the
+      // loop above already exits with converged=true in the former case
+      // only when a zero-adoption round ran, so probe explicitly.
+      val uncertain = cur.filter(col("final_class") === 0)
+        .select(col("cell_id"),
+          (floor((col("cell_id") - 1) / C) + 1).as("row"),
+          ((col("cell_id") - 1) % C + 1).as("col"))
+      val nbr = uncertain.crossJoin(offDF)
+        .filter((col("row") + col("dr")).between(1, spec.rows) &&
+          (col("col") + col("dc")).between(1, C))
+        .select(((col("row") + col("dr") - 1) * C + col("col") + col("dc"))
+          .cast("long").as("nbr_id"))
+      val wouldAdopt = nbr.join(cur.filter(col("final_class") > 0)
+          .select(col("cell_id").as("nbr_id")), Seq("nbr_id"))
+        .limit(1).count()
+      require(wouldAdopt == 0,
+        s"Expand did not reach its fixed point within maxIters=$maxIters " +
+          "rounds (cells would still adopt); raise the budget or use " +
+          "requireConvergence=false for fixed-distance semantics")
     }
     cur.withColumn("iters", lit(iters))
   }

@@ -11,11 +11,12 @@ import graft.world.World
   * to a model server).
   *
   * Decode is REAL for the formats this engine carries: `f32` raw tiles,
-  * `png16` (16-bit grayscale PNG via javax.imageio) and `gtiff`
-  * (the pure-JVM GeoTIFF reader) all decode actual bytes. Only formats
-  * whose codecs do not exist in this container (jpeg/webp/mp3/h264) fall
-  * back to a clearly-named deterministic stub so the batching/feature
-  * plumbing is still exercised end to end.
+  * `png16` (16-bit grayscale PNG via javax.imageio), `jpeg` (baseline
+  * grayscale via the JDK's ImageIO JPEG codec) and `gtiff` (the
+  * pure-JVM GeoTIFF reader) all decode actual bytes. Only formats whose
+  * codecs do not exist in this container (mp3/h264/webp) fall back to a
+  * clearly-named deterministic stub so the batching/feature plumbing is
+  * still exercised end to end.
   */
 object Multimodal {
 
@@ -28,21 +29,28 @@ object Multimodal {
 
   /** Synthetic media table: the world's tiles re-encoded in each real
     * format the codec layer supports (f32 multiband raw, png16, gtiff
-    * with LZW), one row per (tile, fmt). */
+    * with LZW, grayscale jpeg), one row per (tile, fmt). The jpeg row
+    * carries band 1 (native 0..255 range — the natural 8-bit payload;
+    * band 0 is a [0,1) loss fraction that would quantize to zeros). */
   def syntheticMedia(s: SparkSession): DataFrame = {
     import s.implicits._
     val spec = World.tiny
     val base = World.tilesDF(s, spec).drop("tile_id")
     val reEncoded = s.range(0, spec.nTiles).flatMap { t =>
       val ti = t.toInt
-      val band0 = World.tileBands(spec, ti)(0)
+      val bands = World.tileBands(spec, ti)
+      val band0 = bands(0)
       val ph = Codec.phash(band0, spec.tile, spec.tile)
       Seq(
         (f"tile_$ti%05d_png", Codec.encodePng16(band0, spec.tile, spec.tile),
           spec.tile, spec.tile, "png16", s"png16 of tile $ti", ph),
         (f"tile_$ti%05d_tif",
           GeoTiff.encode(band0, spec.tile, spec.tile, lzw = true),
-          spec.tile, spec.tile, "gtiff", s"gtiff of tile $ti", ph))
+          spec.tile, spec.tile, "gtiff", s"gtiff of tile $ti", ph),
+        (f"tile_$ti%05d_jpg",
+          Codec.encodeJpegGray(bands(1), spec.tile, spec.tile),
+          spec.tile, spec.tile, "jpeg", s"jpeg of tile $ti band 1",
+          Codec.phash(bands(1), spec.tile, spec.tile)))
     }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
     base.unionByName(reEncoded)
   }
@@ -50,16 +58,18 @@ object Multimodal {
   /** Real decode dispatch: band 0 of the payload in its actual format.
     * `stub` formats (absent codecs) fake pixels deterministically. */
   private def decodeBand0(m: Media): Array[Float] = m.fmt match {
-    case "f32" | "png16" | "gtiff" => Codec.decodeBand(m.fmt, m.bytes, m.w * m.h, 0)
-    case _ => stubDecode(m) // jpeg/mp3/h264: codec not in this container
+    case "f32" | "png16" | "gtiff" | "jpeg" =>
+      Codec.decodeBand(m.fmt, m.bytes, m.w * m.h, 0)
+    case _ => stubDecode(m) // mp3/h264/webp: codec not in this container
   }
 
   /** STUB for codecs absent from the sandbox: deterministic fake pixels
     * derived from the payload hash (clearly marked; never used for the
-    * formats above). */
+    * formats above). floorMod keeps the fake pixels in [0, 256) — plain
+    * % on a negative hash would emit negative "pixels". */
   private def stubDecode(m: Media): Array[Float] = {
     val seed = java.util.Arrays.hashCode(m.bytes)
-    Array.tabulate(m.w * m.h)(i => ((seed * 31 + i) % 255).toFloat)
+    Array.tabulate(m.w * m.h)(i => Math.floorMod(seed * 31 + i, 256).toFloat)
   }
 
   /** Frame-sample stub for "video" payloads: every k-th row block. */

@@ -186,7 +186,10 @@ object Pipeline {
           "left")
         .select(col("cell_id"),
           coalesce(col("class"), lit(0L)).as("final_class"))
-      Expand.run(s, spec, full, maxIters = expandIters)
+      // the ArcGIS-Expand analog is distance-bounded (its NumberCells
+      // argument): exactly expandIters rings, documented — not a cap
+      Expand.run(s, spec, full, maxIters = expandIters,
+        requireConvergence = false)
     }
 
     val fpRaster = Checkpoint.fingerprint("rasterized", fpExpanded)

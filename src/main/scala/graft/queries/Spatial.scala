@@ -33,7 +33,7 @@ object Spatial {
     Q("q27_h3_partition", q27, Some(q27Sql)),
     Q("q28_rasterize", q28, None),
     Q("q29_tree_fit_predict", q29, None),
-    Q("q30_expand_fixpoint", q30, None),
+    Q("q30_expand_fixpoint", q30, Some(q30Sql)),
     Q("q31_psnr_png16", q31, None),
     Q("q32_tile_knn_context", q32, Some(q32Sql)),
     Q("q33_importance", q33, None),
@@ -388,10 +388,61 @@ object Spatial {
     graft.engine.Pipeline.fitPredictVote(s, spec).orderBy("cell_id")
 
   /** q30: the expand fixed-point loop (G4, the ArcGIS "Expand" analog,
-    * R:445-454) with documented tie-break (min class). */
+    * R:445-454) with documented tie-break (min class). The oracle is the
+    * CLOSED FORM of the fixed point: per round every 0-cell adopts the
+    * min positive class among its 8 neighbors, so (provable by induction
+    * on distance; see q30Sql) a 0-cell ends with the minimum class among
+    * the SEEDS NEAREST TO IT in Chebyshev distance, adopted in round
+    * d = that distance — an independent algorithm, not a re-run of the
+    * iteration. */
   private def q30(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Expand.run(s, spec, classifiedDF(s), maxIters = 8)
+    graft.engine.Expand.run(s, spec, classifiedDF(s), maxIters = 8,
+        requireConvergence = true)
       .orderBy("cell_id")
+
+  /** Closed-form oracle for q30. Derivation: on a full rectangular grid
+    * the 8-neighbor graph distance IS the Chebyshev distance. By
+    * induction on d = min distance from a 0-cell to any seed (a cell
+    * with positive initial class): every neighbor toward a nearest seed
+    * has distance exactly d-1 (triangle inequality bounds it below by
+    * d-1, a shortest path gives d-1), adopts in round d-1 the min class
+    * among ITS nearest seeds — all at distance exactly d from the
+    * 0-cell — and no neighbor is positive before round d-1. Hence the
+    * cell adopts in round d the min class among all seeds at distance d.
+    * iters = executed adoption rounds = max over 0-cells of d (0 when
+    * nothing adopts). */
+  private def q30Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |cls AS (SELECT cell_id,
+       |  CAST(CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS final_class
+       |  FROM p),
+       |pair AS (
+       |  SELECT z.cell_id,
+       |    GREATEST(ABS(${rowSql("z.cell_id")} - ${rowSql("s.cell_id")}),
+       |             ABS(${colSql("z.cell_id")} - ${colSql("s.cell_id")})) AS d,
+       |    s.final_class AS scls
+       |  FROM cls z CROSS JOIN cls s
+       |  WHERE z.final_class = 0 AND s.final_class > 0),
+       |near AS (SELECT cell_id, MIN(d) AS dmin FROM pair GROUP BY 1),
+       |adopt AS (
+       |  SELECT p.cell_id, MIN(p.scls) AS cls
+       |  FROM pair p JOIN near n ON p.cell_id = n.cell_id AND p.d = n.dmin
+       |  GROUP BY 1),
+       |itv AS (SELECT CAST(COALESCE(MAX(dmin), 0) AS INT) AS iters FROM near)
+       |SELECT c.cell_id,
+       |  CAST(CASE WHEN c.final_class > 0 THEN c.final_class
+       |    ELSE COALESCE(a.cls, 0) END AS BIGINT) AS final_class,
+       |  itv.iters AS iters
+       |FROM cls c LEFT JOIN adopt a ON c.cell_id = a.cell_id CROSS JOIN itv
+       |ORDER BY 1""".stripMargin
+  }
 
   // ---- q32: kNN context join over the tile grid (G4 / north_star's
   // "kNN-joined to neighboring tiles for the spatial context

@@ -275,7 +275,8 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(cls.select(col("cell_id"), col("class")), Seq("cell_id"), "left")
       .select(col("cell_id"), coalesce(col("class"), lit(0L)).as("final_class"))
     val before = full.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val after = Expand.run(spark, spec, full, maxIters = 32)
+    val after = Expand.run(spark, spec, full, maxIters = 32,
+        requireConvergence = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // classified cells unchanged
     before.foreach { case (id, c) => if (c > 0) assert(after(id) == c) }
@@ -398,12 +399,12 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("multimodal features decode REAL bytes per format (png16 via " +
-    "ImageIO, gtiff via the TIFF reader, f32 raw)") {
+    "ImageIO, gtiff via the TIFF reader, jpeg via ImageIO, f32 raw)") {
     import graft.engine.Multimodal
     val media = Multimodal.syntheticMedia(spark)
     val feats = Multimodal.features(media)
       .collect().map(r => r.getAs[String]("image_id") -> r).toMap
-    assert(feats.size == 3 * spec.nTiles)
+    assert(feats.size == 4 * spec.nTiles)
     // the codegen expression path and the batched mapPartitions path
     // (the mapInPandas analog) agree exactly
     val batched = Multimodal.featuresBatched(media)
@@ -431,6 +432,13 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         band0.forall(v => v * Codec.Png16Scale == math.round(v * Codec.Png16Scale)))
       expectStats(png, "_png")
       expectStats(band0, "_tif") // gtiff is lossless: decode must be exact
+      // jpeg (band 1 payload) is DCT-lossy: expected stats come from a
+      // REAL decode of the same JPEG bytes — matching proves the engine
+      // ran the actual codec, not a stub
+      val band1 = World.tileBands(spec, t)(1)
+      val jpg = Codec.decodeJpegGray(
+        Codec.encodeJpegGray(band1, spec.tile, spec.tile))
+      expectStats(jpg, "_jpg")
     }
   }
 
@@ -460,15 +468,43 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("expand termination modes: fixpoint mode fails LOUDLY on an " +
+    "exhausted budget; distance mode fills exactly maxIters rings") {
+    import spark.implicits._
+    // one seed in a corner of a 16x16 grid: ring k adopts at round k,
+    // fixed point needs 15 rounds
+    val mini = graft.world.WorldSpec(rows = 16, cols = 16, tile = 16,
+      nRegions = 1)
+    val cls = spark.range(1, mini.nCells + 1).toDF("cell_id")
+      .select(col("cell_id"),
+        when(col("cell_id") === 1, 3L).otherwise(0L).as("final_class"))
+    val e = intercept[IllegalArgumentException] {
+      Expand.run(spark, mini, cls, maxIters = 2, requireConvergence = true)
+        .count()
+    }
+    assert(e.getMessage.contains("fixed point"))
+    // distance mode: exactly 2 rings filled (Chebyshev <= 2 from the
+    // seed), everything further still 0 — documented, not silent
+    val got = Expand.run(spark, mini, cls, maxIters = 2,
+        requireConvergence = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 1L to mini.nCells) {
+      val cheb = math.max((id - 1) / 16, (id - 1) % 16)
+      assert(got(id) == (if (cheb <= 2) 3L else 0L), s"cell $id")
+    }
+  }
+
   test("expand with a RELIABLE checkpoint dir set produces the same " +
     "fixed point as localCheckpoint mode") {
     import spark.implicits._
     val cls = classifiedFull()
-    val local = Expand.run(spark, spec, cls, maxIters = 8)
+    val local = Expand.run(spark, spec, cls, maxIters = 8,
+        requireConvergence = true)
       .orderBy("cell_id").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft_rckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
-    val reliable = Expand.run(spark, spec, cls, maxIters = 8)
+    val reliable = Expand.run(spark, spec, cls, maxIters = 8,
+        requireConvergence = true)
       .orderBy("cell_id").collect().toSeq
     assert(reliable == local)
     // the reliable path actually wrote RDD checkpoints

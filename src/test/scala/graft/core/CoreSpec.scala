@@ -197,6 +197,28 @@ class CodecSpec extends AnyFunSuite {
     assert(p >= 40.0, s"PSNR $p")
   }
 
+  test("jpeg gray round-trip: smooth data >= 40 dB at quality 1.0; " +
+    "noise decodes deterministically at full size") {
+    val w = 64; val h = 64
+    // smooth gradient — the regime where baseline JPEG is near-lossless
+    val smooth = Array.tabulate(w * h)(i =>
+      (128.0 + 100.0 * math.sin(i % w / 9.0) * math.cos(i / w / 7.0)).toFloat)
+    val back = Codec.decodeJpegGray(Codec.encodeJpegGray(smooth, w, h))
+    assert(back.length == w * h)
+    val ref = smooth.map(v => math.max(0, math.min(255, math.round(v))).toFloat)
+    val p = Codec.psnr(ref, back, peak = 255.0)
+    assert(p >= 40.0, s"smooth-gradient JPEG PSNR $p")
+    // hash noise — worst case for a DCT codec; pin determinism + shape,
+    // and that decode goes through the real codec (inexact but close)
+    val noise = Array.tabulate(w * h)(i =>
+      ((i * 2654435761L % 4294967296L) % 256).toFloat)
+    val enc = Codec.encodeJpegGray(noise, w, h)
+    val dec1 = Codec.decodeBand("jpeg", enc, w * h, 0)
+    val dec2 = Codec.decodeBand("jpeg", enc, w * h, 0)
+    assert(java.util.Arrays.equals(dec1, dec2))
+    assert(dec1.length == w * h && dec1.forall(v => v >= 0 && v <= 255))
+  }
+
   test("psnr is infinite for identical, finite for perturbed") {
     val a = Array.tabulate(64)(_.toFloat)
     assert(Codec.psnr(a, a, 63.0).isPosInfinity)

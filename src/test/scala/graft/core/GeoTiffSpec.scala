@@ -162,6 +162,170 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Codec.decodeBand("gtiff", tif, 256, 0), px))
   }
 
+  // ---- cross-engine LZW validation: the JDK ships an independent TIFF
+  // plugin (javax.imageio, since Java 9) whose LZW codec descends from
+  // JAI, not from this repo — a matched off-by-one in our encoder AND
+  // decoder's early-change width schedule would pass every self round
+  // trip but fail against it.
+
+  /** Minimal test-side IFD walk (independent of GeoTiff.readIfd): tag ->
+    * long values, both byte orders, enough types for strip tables. */
+  private def ifdTags(bytes: Array[Byte]): (ByteOrder, Map[Int, Array[Long]]) = {
+    val order = if (bytes(0) == 'I'.toByte) ByteOrder.LITTLE_ENDIAN
+      else ByteOrder.BIG_ENDIAN
+    val b = ByteBuffer.wrap(bytes).order(order)
+    val off = b.getInt(4)
+    val n = b.getShort(off) & 0xFFFF
+    val tags = (0 until n).map { i =>
+      val e = off + 2 + i * 12
+      val tag = b.getShort(e) & 0xFFFF
+      val typ = b.getShort(e + 2) & 0xFFFF
+      val cnt = b.getInt(e + 4)
+      val sz = typ match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => 0 }
+      val vo = if (sz * cnt <= 4) e + 8 else b.getInt(e + 8)
+      val vals =
+        if (sz == 0) Array.empty[Long]
+        else Array.tabulate(cnt) { j =>
+          typ match {
+            case 1 => (b.get(vo + j) & 0xFF).toLong
+            case 3 => (b.getShort(vo + j * 2) & 0xFFFF).toLong
+            case 4 => b.getInt(vo + j * 4).toLong & 0xFFFFFFFFL
+          }
+        }
+      tag -> vals
+    }.toMap
+    (order, tags)
+  }
+
+  /** Deterministic 8-bit test image: enough entropy to push the LZW
+    * dictionary through the 9->10->11->12 bit boundaries. */
+  private def grayPixels(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => ((i * 2654435761L % 4294967296L) % 256).toInt)
+
+  test("LZW cross-engine: strips written by the JDK's ImageIO TIFF " +
+    "encoder decode with our lzwDecode") {
+    val (w, h) = (129, 100) // 12900 bytes/strip region: crosses widths
+    val px = grayPixels(w, h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    px.zipWithIndex.foreach { case (v, i) =>
+      img.getRaster.setSample(i % w, i / w, 0, v)
+    }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("tiff")
+    assert(writers.hasNext, "JDK TIFF ImageIO plugin expected (Java 9+)")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("LZW")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val tif = bos.toByteArray
+
+    val (_, tags) = ifdTags(tif)
+    assert(tags(259)(0) == 5, "expected LZW compression")
+    assert(tags.getOrElse(317, Array(1L))(0) == 1, "expected no predictor")
+    val offs = tags(273); val cnts = tags(279)
+    val rps = tags.getOrElse(278, Array(h.toLong))(0).toInt
+    val out = new Array[Byte](w * h)
+    offs.indices.foreach { si =>
+      val rows = math.min(rps, h - si * rps)
+      val strip = java.util.Arrays.copyOfRange(tif, offs(si).toInt,
+        (offs(si) + cnts(si)).toInt)
+      System.arraycopy(GeoTiff.lzwDecode(strip, rows * w), 0, out,
+        si * rps * w, rows * w)
+    }
+    assert(out.map(_ & 0xFF).sameElements(px),
+      "JDK-encoded LZW must decode identically")
+  }
+
+  test("LZW cross-engine: our lzwEncode output is readable by the JDK's " +
+    "ImageIO TIFF decoder") {
+    val (w, h) = (129, 100)
+    val px = grayPixels(w, h)
+    val lzw = GeoTiff.lzwEncode(px.map(_.toByte))
+    // hand-assemble a minimal 8-bit gray LZW TIFF around our stream
+    val nEntries = 10
+    val ifdOff = 8
+    val dataOff = ifdOff + 2 + nEntries * 12 + 4
+    val bytes = new Array[Byte](dataOff + lzw.length)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit =
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(value)
+    def entryShort(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3).putInt(1)
+      b.putShort(v.toShort).putShort(0)
+    }
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entryShort(258, 8)
+    entryShort(259, 5) // LZW
+    entryShort(262, 1) // BlackIsZero
+    entry(273, 4, 1, dataOff)
+    entryShort(277, 1)
+    entry(278, 4, 1, h)
+    entry(279, 4, 1, lzw.length)
+    entryShort(339, 1) // unsigned int samples
+    b.putInt(0)
+    System.arraycopy(lzw, 0, bytes, dataOff, lzw.length)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK TIFF reader rejected our LZW TIFF")
+    assert(img.getWidth == w && img.getHeight == h)
+    val got = Array.tabulate(w * h)(i =>
+      img.getRaster.getSample(i % w, i / w, 0))
+    assert(got.sameElements(px), "JDK must decode our LZW stream exactly")
+  }
+
+  test("hostile IFD: out-of-line value offsets past EOF or negative are " +
+    "rejected loudly, not IndexOutOfBounds") {
+    val ok = GeoTiff.encode(pattern(16), 4, 4, lzw = true)
+    val b = ByteBuffer.wrap(ok.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getShort(8) & 0xFFFF
+    // find an entry with an out-of-line value (ModelPixelScale: 3
+    // doubles) and corrupt its offset
+    def corrupt(newOff: Int): Array[Byte] = {
+      val copy = ok.clone()
+      val cb = ByteBuffer.wrap(copy).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        val e = 10 + i * 12
+        if ((cb.getShort(e) & 0xFFFF) == 33550) cb.putInt(e + 8, newOff)
+      }
+      copy
+    }
+    val e1 = intercept[IllegalArgumentException](
+      GeoTiff.decode(corrupt(ok.length - 3)))
+    assert(e1.getMessage.contains("corrupt IFD"))
+    val e2 = intercept[IllegalArgumentException](
+      GeoTiff.decode(corrupt(-100)))
+    assert(e2.getMessage.contains("corrupt IFD"))
+  }
+
+  test("hostile chunk tables: strip offsets/counts past EOF are rejected " +
+    "loudly") {
+    val ok = GeoTiff.encode(pattern(256), 16, 16, rowsPerStrip = 16)
+    val b = ByteBuffer.wrap(ok.clone()).order(ByteOrder.LITTLE_ENDIAN)
+    val n = b.getShort(8) & 0xFFFF
+    def corruptTag(tag: Int, v: Int): Array[Byte] = {
+      val copy = ok.clone()
+      val cb = ByteBuffer.wrap(copy).order(ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        val e = 10 + i * 12
+        if ((cb.getShort(e) & 0xFFFF) == tag) cb.putInt(e + 8, v)
+      }
+      copy
+    }
+    val e1 = intercept[IllegalArgumentException](
+      GeoTiff.decode(corruptTag(273, ok.length - 4))) // offset near EOF
+    assert(e1.getMessage.contains("corrupt chunk"))
+    val e2 = intercept[IllegalArgumentException](
+      GeoTiff.decode(corruptTag(279, Int.MaxValue))) // absurd byte count
+    assert(e2.getMessage.contains("corrupt chunk"))
+  }
+
   test("unsupported shapes are rejected loudly") {
     val px = pattern(16)
     val ok = GeoTiff.encode(px, 4, 4)
