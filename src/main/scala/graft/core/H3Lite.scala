@@ -68,7 +68,11 @@ object H3Lite {
   private val gridCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, Int), (Array[Long], Array[Igh.RowInv])]()
 
-  private def gridTable(rows: Int, cols: Int, res: Int)
+  /** Resolve the row table once (plan time for codegen callers: GridH3
+    * embeds the arrays via addReferenceObj so the per-pixel hot path
+    * never touches this map — a boxed-tuple ConcurrentHashMap lookup
+    * per pixel was measurable). */
+  def table(rows: Int, cols: Int, res: Int)
       : (Array[Long], Array[Igh.RowInv]) =
     gridCache.computeIfAbsent((rows, cols, res), { _ =>
       val inv = new Array[Igh.RowInv](rows)
@@ -95,7 +99,15 @@ object H3Lite {
     * one static call (codegen-friendly) whose row-dependent work comes
     * from the precomputed table. */
   def gridCellToH3(id: Long, rows: Int, cols: Int, res: Int): Long = {
-    val (packed, inv) = gridTable(rows, cols, res)
+    val (packed, inv) = table(rows, cols, res)
+    encodeFromTable(id, cols, res, packed, inv)
+  }
+
+  /** The per-cell hot path with the row table already in hand — the
+    * static call GridH3's generated code makes (tables embedded as
+    * references, no map lookup per pixel). */
+  def encodeFromTable(id: Long, cols: Int, res: Int, packed: Array[Long],
+      inv: Array[Igh.RowInv]): Long = {
     val col0 = (id - 1) % cols
     val row0 = ((id - 1) / cols).toInt
     val x = XMin + (col0 + 0.5) * (XMax - XMin) / cols

@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Codec
 import graft.world.WorldSpec
 
 /** The raster-encode sink (SURVEY.md §2.2 K2): the vector->raster
@@ -36,28 +35,17 @@ object Rasterize {
   /** Sparse (pix, value) pairs of one tile -> encoded payload; missing
     * pixels become NaN. `fmt` "f32" (raw) or "gtiff" (real LZW GeoTIFF
     * bytes stamped with the tile's georeference — the `writeRaster`
-    * GTiff analog, R:70-71). */
-  private def encoder(spec: WorldSpec, fmt: String) = {
+    * GTiff analog, R:70-71). A codegen'd TileEncode expression, not a
+    * ScalaUDF: the sink's byte-packing stays inside whole-stage codegen
+    * with unboxed ArrayData access. */
+  private def encoder(spec: WorldSpec, fmt: String)
+      : (Column, Column, Column) => Column = {
     require(fmt == "f32" || fmt == "gtiff", s"unknown raster fmt: $fmt")
-    val nPix = spec.pixPerTile
-    val T = spec.tile
-    val TX = spec.tilesX
-    val gtiff = fmt == "gtiff"
     val g = spec.grid
-    udf { (t: Int, pixs: Seq[Int], vs: Seq[Double]) =>
-      val band = Array.fill[Float](nPix)(Float.NaN)
-      var i = 0
-      while (i < pixs.length) {
-        band(pixs(i)) = vs(i).toFloat
-        i += 1
-      }
-      if (gtiff)
-        graft.core.GeoTiff.encode(band, T, T, lzw = true,
-          cellSize = g.cellSize,
-          xMin = g.xMin + (t % TX) * T * g.cellSize,
-          yMax = g.yMax - (t / TX) * T * g.cellSize)
-      else Codec.encodeF32(Array(band))
-    }
+    (t, pixs, vs) =>
+      graft.sql.GraftFunctions.tile_encode(t, pixs, vs, spec.pixPerTile,
+        spec.tile, spec.tilesX, gtiff = fmt == "gtiff", g.cellSize,
+        g.xMin, g.yMax)
   }
 
   def apply(spec: WorldSpec, df: DataFrame, valueCol: String,

@@ -214,7 +214,9 @@ object MediaStats {
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
   * single static call so the projection math stays inside whole-stage
-  * codegen. */
+  * codegen; the per-row Goode-inverse tables are resolved ONCE at plan
+  * time and embedded as generated-class references, so the per-pixel
+  * path is pure arithmetic + table reads (no cache lookup). */
 case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
   extends UnaryExpression {
 
@@ -224,13 +226,70 @@ case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
     H3Lite.gridCellToH3(id.asInstanceOf[Long], rows, cols, res)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (packed, inv) = H3Lite.table(rows, cols, res)
+    val packedRef = ctx.addReferenceObj("h3Packed", packed, "long[]")
+    val invRef = ctx.addReferenceObj("h3Inv", inv,
+      classOf[graft.core.Igh.RowInv].getName + "[]")
     val h3 = H3Lite.getClass.getName.stripSuffix("$") + "$.MODULE$"
     nullSafeCodeGen(ctx, ev, id =>
-      s"${ev.value} = $h3.gridCellToH3($id, $rows, $cols, $res);")
+      s"${ev.value} = $h3.encodeFromTable($id, $cols, $res, $packedRef, " +
+        s"$invRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Inverse of DecodeBand — the raster-ENCODE side of the K2 sink
+  * (rastOut, `Supplemental_Data_1.R:53-72`): sparse in-tile (pixel,
+  * value) pairs -> a full tile payload with NaN for missing pixels
+  * (R's NA), as raw f32 or a georeferenced LZW GeoTIFF stamped with the
+  * tile's ModelPixelScale/Tiepoint. Children: (tile_id: int,
+  * pix: array<int>, v: array<double>); layout constants are plan-time.
+  * Exists so the sink's byte-packing stays a codegen'd expression
+  * instead of a ScalaUDF (opaque to Catalyst, boxes its inputs). */
+case class TileEncode(first: Expression, second: Expression,
+    third: Expression, nPix: Int, tile: Int, tilesX: Int, gtiff: Boolean,
+    cellSize: Double, xMin: Double, yMax: Double)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(t: Any, pixs: Any, vs: Any): Any =
+    TileEncode.eval(t.asInstanceOf[Int], pixs.asInstanceOf[ArrayData],
+      vs.asInstanceOf[ArrayData], nPix, tile, tilesX, gtiff, cellSize,
+      xMin, yMax)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TileEncode.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (t, pixs, vs) =>
+      s"${ev.value} = $cls.eval($t, $pixs, $vs, $nPix, $tile, $tilesX, " +
+        s"$gtiff, ${cellSize}D, ${xMin}D, ${yMax}D);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object TileEncode {
+  def eval(t: Int, pixs: ArrayData, vs: ArrayData, nPix: Int, tile: Int,
+      tilesX: Int, gtiff: Boolean, cellSize: Double, xMin: Double,
+      yMax: Double): Array[Byte] = {
+    val band = Array.fill[Float](nPix)(Float.NaN)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      band(pixs.getInt(i)) = vs.getDouble(i).toFloat
+      i += 1
+    }
+    if (gtiff)
+      graft.core.GeoTiff.encode(band, tile, tile, lzw = true,
+        cellSize = cellSize,
+        xMin = xMin + (t % tilesX) * tile * cellSize,
+        yMax = yMax - (t / tilesX) * tile * cellSize)
+    else Codec.encodeF32(Array(band))
+  }
 }
 
 /** All k MinHash signature values of a document in ONE pass over its
@@ -447,6 +506,14 @@ object GraftFunctions {
     column(DriverClassifyAt(expression(bytes), expression(p),
       expression(px), expression(py), polys, forest, nPix, lossFloor,
       confFloor))
+
+  /** Encode sparse in-tile (pixel, value) pairs to a tile payload
+    * (NaN-filled f32 or georeferenced LZW GeoTIFF). */
+  def tile_encode(t: Column, pixs: Column, vs: Column, nPix: Int,
+      tile: Int, tilesX: Int, gtiff: Boolean, cellSize: Double,
+      xMin: Double, yMax: Double): Column =
+    column(TileEncode(expression(t), expression(pixs), expression(vs),
+      nPix, tile, tilesX, gtiff, cellSize, xMin, yMax))
 
   /** Float element at flat index `idx` of an f32 payload. */
   def float_at(bytes: Column, idx: Column): Column =

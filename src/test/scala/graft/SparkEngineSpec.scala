@@ -300,6 +300,9 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("rasterize inverts the decode scan (vector -> raster, K2)") {
     for (sp <- Seq(spec, padded)) {
       val loss = Pipeline.decodedCells(spark, sp).select("cell_id", "loss")
+      // the encode is a codegen'd expression, not a ScalaUDF
+      assert(!Rasterize(sp, loss, "loss").queryExecution.executedPlan
+        .toString.contains("ScalaUDF"), "TileEncode must not be a UDF")
       val tiles = Rasterize(sp, loss, "loss").collect()
       assert(tiles.length == sp.nTiles)
       tiles.foreach { r =>
