@@ -54,8 +54,63 @@ object Relational {
     Q("q15_time_window", q15, Some(q15Sql)),
     Q("q16_pivot_wide", q16, Some(q16Sql)),
     Q("q17_semi_anti", q17, Some(q17Sql)),
-    Q("q18_stratified_exactn", q18, Some(q18Sql))
+    Q("q18_stratified_exactn", q18, Some(q18Sql)),
+    Q("q58_stratified_min40", q58, Some(q58Sql))
   )
+
+  // --- q58: the reference's min-40 ALLOCATION rule for stratified
+  // sampling (the commented `num40` tail, R:764-770 + sample_n
+  // R:826-844): per stratum, n = max(40, its proportional share of a
+  // 100-row target), then draw exactly n deterministically — small
+  // strata are floored UP to 40 so every class is represented (the
+  // rule's point; the total therefore exceeds the target). Allocation
+  // is a tiny per-stratum frame (counts -> broadcast); the draw reuses
+  // q18's two-level salted top-k so no stratum funnels through one
+  // task. Exact: any global top-n row is a top-n row of its own salt
+  // bucket (n_alloc is constant within a stratum). -----------------------
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    // 100*cnt and total are exact in double (< 2^53), so floor of the
+    // IEEE division matches DuckDB bit-for-bit
+    val alloc = counts.crossJoin(broadcast(total))
+      .select(col("l_returnflag"),
+        greatest(lit(40L),
+          floor(lit(100) * col("cnt") / col("total")).cast("long"))
+          .as("n_alloc"))
+    val key = col("l_orderkey") * 10 + col("l_linenumber")
+    val h = (key * knuth) % 4294967296L
+    val order = Seq(h.asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("__salt"))
+      .orderBy(order: _*)
+    val wGlobal = Window.partitionBy("l_returnflag").orderBy(order: _*)
+    li.join(broadcast(alloc), Seq("l_returnflag"))
+      .withColumn("__salt", pmod(col("l_orderkey"), lit(16)))
+      .withColumn("__rk1", row_number().over(wLocal))
+      .filter(col("__rk1") <= col("n_alloc"))
+      .withColumn("rk", row_number().over(wGlobal))
+      .filter(col("rk") <= col("n_alloc"))
+      .select("l_returnflag", "n_alloc", "rk", "l_orderkey", "l_linenumber")
+      .orderBy("l_returnflag", "rk")
+  }
+
+  private val q58Sql =
+    s"""WITH c AS (SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+       |tot AS (SELECT SUM(cnt) AS total FROM c),
+       |alloc AS (
+       |  SELECT l_returnflag,
+       |    GREATEST(40, CAST(FLOOR(100 * cnt / CAST(total AS DOUBLE)) AS BIGINT)) AS n_alloc
+       |  FROM c CROSS JOIN tot),
+       |ranked AS (
+       |  SELECT l.l_returnflag, a.n_alloc, l.l_orderkey, l.l_linenumber,
+       |    ROW_NUMBER() OVER (PARTITION BY l.l_returnflag
+       |      ORDER BY ((l.l_orderkey * 10 + l.l_linenumber) * $knuth) % 4294967296,
+       |        l.l_orderkey, l.l_linenumber) AS rk
+       |  FROM lineitem l JOIN alloc a ON l.l_returnflag = a.l_returnflag)
+       |SELECT l_returnflag, n_alloc, rk, l_orderkey, l_linenumber
+       |FROM ranked WHERE rk <= n_alloc ORDER BY 1, 3""".stripMargin
 
   // --- q18: exact-n-per-stratum sampling (U3, the reference's
   // sample_n at R:826-844): deterministic order by a Knuth hash of the

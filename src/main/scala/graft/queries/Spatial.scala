@@ -42,7 +42,8 @@ object Spatial {
     Q("q36_zonal_pyramid", q36, Some(q36Sql)),
     Q("q37_class_loss_rasters", q37, None),
     Q("q38_manifest_wide", q38, Some(q38Sql)),
-    Q("q39_wkt_pip", q39, Some(q39Sql))
+    Q("q39_wkt_pip", q39, Some(q39Sql)),
+    Q("q57_shp_pip", q57, Some(q57Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -747,6 +748,36 @@ object Spatial {
   }
 
   private def q39Sql =
+    s"""$cellsCte,
+       |${pipCte}
+       |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q57: the vector path over the reference's ACTUAL format (S6,
+  // readOGR R:884,893): region polygons enter as an ESRI shapefile,
+  // parsed distributed by the pure-JVM Shp codec, driving the same
+  // codegen ray-cast PIP; the oracle ray-casts the identical dyadic
+  // geometry in SQL (the .shp round trip is double-bit-exact). ---------
+  private lazy val shpFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q57")
+    java.nio.file.Files.write(dir.resolve("regions.shp"),
+      graft.sources.Shp.encode(World.polygons(spec)))
+    s"$dir/regions.shp"
+  }
+
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val polys = graft.sources.Ingest.shpPolygons(s, shpFixture)
+    spine(s)
+      .select(cellCol,
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
+
+  private def q57Sql =
     s"""$cellsCte,
        |${pipCte}
        |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,

@@ -36,7 +36,8 @@ object TextOps {
     Q("q53_ann_topk", q53, Some(q53Sql)),
     Q("q54_jaccard_neardup", q54, Some(q54Sql)),
     Q("q55_ann_bucketed_topk", q55, Some(q55Sql)),
-    Q("q56_dedup_components", q56, Some(q56Sql))
+    Q("q56_dedup_components", q56, Some(q56Sql)),
+    Q("q59_neardup_bucketed", q59, Some(q49Sql))
   )
 
   // --- q54: exact n-gram Jaccard over candidate near-dup pairs: docs
@@ -386,6 +387,69 @@ object TextOps {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.embedding, b.embedding) / (a.norm * b.norm) > 0.4
       |ORDER BY 1, 2""".stripMargin
+
+  // --- q59: near-dup pairs via BUCKETS — q49's exact output through the
+  // scale path: an OR-construction of NdBands random-hyperplane bands
+  // (candidate = same bucket in ANY band), salted shuffled self-join per
+  // band bucket (no data broadcast), then EXACT cosine verify > 0.4.
+  // Oracle: q49's brute-force SQL — rows must be IDENTICAL, so the
+  // band/plane counts are chosen for recall 1.0 with wide margin at the
+  // fixture's loose 0.4 threshold (miss prob/pair = (1 - p^k)^B with
+  // p = 1 - acos(0.4)/pi = 0.63: ~5e-6 at k=2, B=24; verified against
+  // q49 at sf0.01 and sf0.1). Production near-dup thresholds (>= 0.9)
+  // raise p to ~0.86, so k grows (sharper buckets, fewer candidates)
+  // and B shrinks — the knobs trade candidate volume against recall;
+  // the replication factor of the banded frame is exactly B. --------------
+  private val NdBands = 24
+  private val NdPlanes = 2 // per band
+
+  /** Deterministic hyperplane (band b, plane j) from the Murmur3
+    * 64-bit finalizer — NOT the linear Knuth formula the oracles mirror:
+    * (i + s*64)*K mod 2^32 mod 1024 is linear in i with period 16 in s,
+    * so "different" planes would be phase shifts of one sequence
+    * (measured: 24 such bands behave like 8, and recall drops). The
+    * avalanche mixer makes the planes actually independent. */
+  private def ndPlane(b: Int, j: Int): Array[Double] = {
+    val seed = (b * NdPlanes + j).toLong
+    Array.tabulate(64) { i =>
+      var x = (seed << 32) | i.toLong
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x = x ^ (x >>> 33)
+      ((x & 1023) - 512).toDouble / 512.0
+    }
+  }
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val bucketCols = (0 until NdBands).map { b =>
+      (0 until NdPlanes).map { j =>
+        when(dot_f64(v, typedlit(ndPlane(b, j))) > 0, lit(1 << j))
+          .otherwise(lit(0))
+      }.reduce(_ + _).as(s"bk$b")
+    }
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id") +: v.as("v") +:
+        sqrt(dot_f64(v, v)).as("norm") +: bucketCols: _*)
+      .localCheckpoint(true)
+    val banded = e.select(col("vec_id"), col("v"), col("norm"),
+        explode(array((0 until NdBands).map(b =>
+          struct(lit(b).as("band"), col(s"bk$b").as("key"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = banded.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val sim = dot_f64(col("va"), col("vb")) / (col("na") * col("nb"))
+    graft.engine.Salted
+      .skewJoin(a, b, Seq("band", "key"), col("vec_a"),
+        salts = 8, hotThreshold = 64)
+      .filter(col("vec_a") < col("vec_b") && sim > 0.4)
+      .select("vec_a", "vec_b")
+      .distinct() // a pair may collide in several bands
+      .orderBy("vec_a", "vec_b")
+  }
 
   // --- q50: document fingerprint (order-insensitive shingle-code sum) -----
   private def q50(s: SparkSession, dir: String): DataFrame = {

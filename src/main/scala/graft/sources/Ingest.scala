@@ -82,6 +82,21 @@ object Ingest {
     Polygon(id, ring.map(_._1), ring.map(_._2))
   }
 
+  /** S6 — the reference's ACTUAL vector format: an ESRI shapefile
+    * (`readOGR`, R:884,893). The .shp main file is scanned distributed
+    * (binaryFile rows, one per file), parsed by the pure-JVM Shp codec
+    * on executors, and collected to the packed Polygons the PIP
+    * expression broadcasts — bounded by the same dimension-size budget
+    * as wktPolygons. regionId = record number (the layer FID). */
+  def shpPolygons(spark: SparkSession, path: String): Array[Polygon] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(Shp.parse(_))
+      .collect()
+      .sortBy(_.regionId)
+  }
+
   /** Discover the variable manifest from a directory: non-recursive,
     * `suffix`-filtered, sorted by file name; variable name = file name
     * minus `prefix` and `suffix`. Returns (varName, absolutePath) in

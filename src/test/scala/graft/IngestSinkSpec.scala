@@ -105,6 +105,67 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       Ingest.parseWktLine("1,POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,1 2,1 1))"))
   }
 
+  test("S6: shapefile golden — a hand-assembled .shp record (built " +
+    "field-by-field from the public ESRI spec, independent of " +
+    "Shp.encode) parses to the expected polygon") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // one closed triangle (0,0)(4,0)(0,8): 4 points incl. closure
+    val content = 4 + 32 + 4 + 4 + 4 + 16 * 4
+    val bytes = new Array[Byte](100 + 8 + content)
+    val be = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    be.putInt(0, 9994) // file code
+    be.putInt(24, bytes.length / 2) // file length in 16-bit words
+    val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    le.putInt(28, 1000) // version
+    le.putInt(32, 5) // shape type: Polygon
+    le.putDouble(36, 0.0); le.putDouble(44, 0.0) // bbox xmin ymin
+    le.putDouble(52, 4.0); le.putDouble(60, 8.0) // bbox xmax ymax
+    be.putInt(100, 7) // record number (becomes the region id)
+    be.putInt(104, content / 2) // content length in words
+    le.putInt(108, 5) // shape type
+    le.putDouble(112, 0.0); le.putDouble(120, 0.0)
+    le.putDouble(128, 4.0); le.putDouble(136, 8.0)
+    le.putInt(144, 1) // NumParts
+    le.putInt(148, 4) // NumPoints
+    le.putInt(152, 0) // part 0 offset
+    val pts = Seq((0.0, 0.0), (4.0, 0.0), (0.0, 8.0), (0.0, 0.0))
+    pts.zipWithIndex.foreach { case ((x, y), i) =>
+      le.putDouble(156 + i * 16, x); le.putDouble(164 + i * 16, y)
+    }
+    val got = graft.sources.Shp.parse(bytes)
+    assert(got.length == 1)
+    assert(got(0).regionId == 7)
+    assert(got(0).xs.toSeq == Seq(0.0, 4.0, 0.0))
+    assert(got(0).ys.toSeq == Seq(0.0, 0.0, 8.0))
+    // and the engine ray-cast agrees with the triangle's geometry
+    assert(got(0).contains(1.0, 1.0) && !got(0).contains(3.5, 7.0))
+  }
+
+  test("S6: shapefile encode -> distributed scan round-trips the engine " +
+    "polygons; hostile/multi-part records are rejected loudly") {
+    import graft.world.World
+    val polys = World.polygons(World.tiny)
+    val dir = Files.createTempDirectory("graft_shp")
+    Files.write(dir.resolve("regions.shp"), graft.sources.Shp.encode(polys))
+    val got = Ingest.shpPolygons(spark, s"$dir/regions.shp")
+    assert(got.length == polys.length)
+    polys.zip(got).foreach { case (w, g) =>
+      assert(g.regionId == w.regionId)
+      assert(g.xs.toSeq == w.xs.toSeq && g.ys.toSeq == w.ys.toSeq)
+    }
+    // multi-part (hole-bearing) records are refused, not misread
+    val enc = graft.sources.Shp.encode(Array(polys(0)))
+    val twoParts = enc.clone()
+    java.nio.ByteBuffer.wrap(twoParts)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(108 + 36, 2)
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Shp.parse(twoParts))
+    assert(e.getMessage.contains("multi-part"))
+    // truncated / non-shapefile bytes fail loudly
+    intercept[IllegalArgumentException](
+      graft.sources.Shp.parse("not a shapefile".getBytes))
+  }
+
   test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
