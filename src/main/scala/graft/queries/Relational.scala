@@ -55,8 +55,49 @@ object Relational {
     Q("q16_pivot_wide", q16, Some(q16Sql)),
     Q("q17_semi_anti", q17, Some(q17Sql)),
     Q("q18_stratified_exactn", q18, Some(q18Sql)),
-    Q("q58_stratified_min40", q58, Some(q58Sql))
+    Q("q58_stratified_min40", q58, Some(q58Sql)),
+    Q("q60_sessionize", q60, Some(q60Sql))
   )
+
+  // --- q60: batch event-time SESSIONIZATION (gap > 30 min starts a new
+  // session) — the batch analog of streaming session windows over the
+  // events table: lag + running flag-sum per user, then per-session
+  // aggregate. Scale shape: every window partitions by user_id (no
+  // global window), so the whole query shuffles once on the user key.
+  // Determinism under ts ties: gaps depend only on the sorted ts
+  // multiset, and both engines' default RANGE frame gives tied rows the
+  // same running sum. ----------------------------------------------------
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val wUser = Window.partitionBy("user_id").orderBy(col("ts"))
+    // pure timestamp arithmetic (ts is TIMESTAMP_NTZ: no epoch casts,
+    // no session-timezone dependence on either engine)
+    val prev = lag(col("ts"), 1).over(wUser)
+    val newSession = prev.isNull ||
+      col("ts") > prev + expr("INTERVAL 30 MINUTES")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("new_s", when(newSession, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(wUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("t_start"), max("ts").as("t_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val q60Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |      OR ts > LAG(ts) OVER w + INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      |  FROM o)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS t_start, MAX(ts) AS t_end
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --- q58: the reference's min-40 ALLOCATION rule for stratified
   // sampling (the commented `num40` tail, R:764-770 + sample_n
