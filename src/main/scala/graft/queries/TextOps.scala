@@ -618,7 +618,14 @@ object TextOps {
       .toDF("src", "dst")
       .localCheckpoint(true)
 
-    var labels = t(s, dir, "documents")
+    // Iterate ONLY over edge-incident nodes: in a dedup corpus the
+    // overwhelming majority of documents have no near-duplicate, and an
+    // isolated node's label never changes — carrying it through every
+    // propagation round would shuffle the full corpus per round. At
+    // 10^12 docs with ~10^9 duplicate pairs this shrinks the iterated
+    // frame ~1000x; isolated docs rejoin as their own cluster at the
+    // end (left join + coalesce).
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .repartition(col("doc_id")).localCheckpoint(true)
     var changed = 1L
@@ -642,9 +649,12 @@ object TextOps {
     }
     require(changed == 0,
       s"component labels did not converge within $maxRounds rounds")
-    labels
-      .select(col("doc_id"), col("lbl").as("cluster"),
-        (col("lbl") === col("doc_id")).cast("int").as("is_keeper"))
+    t(s, dir, "documents").select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"),
+        (coalesce(col("lbl"), col("doc_id")) === col("doc_id"))
+          .cast("int").as("is_keeper"))
       .orderBy("doc_id")
   }
 
