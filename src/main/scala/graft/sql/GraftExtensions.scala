@@ -1,0 +1,110 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL surface for the engine's custom expressions: registers the
+  * parameter-free (or literal-parameterized) Catalyst expressions as
+  * SQL functions, so `spark.sql("SELECT graft_simhash16(text) ...")`
+  * works next to the Column API in GraftFunctions.
+  *
+  * Two wirings:
+  *  - config: `spark.sql.extensions=graft.sql.GraftExtensions`
+  *    (the standard SparkSessionExtensions injection point — applies
+  *    to every session of the context);
+  *  - runtime: `GraftExtensions.register(spark)` on a live session
+  *    (what the tests use; also the shape for notebook users).
+  *
+  * Expressions needing driver-side objects (RegionOf's polygon array,
+  * DriverClassifyAt's packed forest) stay Column-API-only: SQL has no
+  * literal syntax for them, and resolving layer names to broadcast
+  * geometry belongs to a catalog, not a function registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** The canonical 4-signature MinHash parameter set (mirrored by the
+    * q44/q45 oracles; LCG multiplier/increment constants are the
+    * classic public ones — Knuth/Numerical Recipes lineage). */
+  val MinHashParams: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (69069L, 362437L),
+    (1664525L, 1013904223L), (22695477L, 7777L))
+  val MinHashPrime: Long = 2147483647L
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  // the 3-arg ExpressionInfo constructor: the richer ones validate
+  // group/source against built-in whitelists
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.sql.Exprs", null, name)
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def entry(name: String, usage: String, arity: Int)(
+      b: Builder): (FunctionIdentifier, ExpressionInfo, Builder) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == arity,
+        s"$name expects $arity arguments, got ${args.length}")
+      b(args)
+    })
+
+  private[sql] val entries: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
+    Seq(
+      entry("graft_simhash16",
+        "graft_simhash16(text) - 16-bit SimHash over space-separated " +
+          "tokens in one pass", 1) { a => SimHash16(a(0)) },
+      entry("graft_dot_f64",
+        "graft_dot_f64(a, b) - sequential-order dot product of two " +
+          "array<double> columns", 2) { a => DotF64(a(0), a(1)) },
+      entry("graft_minhash_sigs",
+        "graft_minhash_sigs(text) - the 4 canonical MinHash signatures " +
+          "over 3-char shingles in one pass", 1) { a =>
+        MinHashSigs(a(0), MinHashParams.map(_._1).toArray,
+          MinHashParams.map(_._2).toArray, MinHashPrime)
+      },
+      entry("graft_decode_band",
+        "graft_decode_band(bytes, fmt, nPixels, band) - decode one band " +
+          "of a tile payload to array<float> (nPixels/band literals)", 4) {
+        a => DecodeBand(a(0), a(1),
+          intLit(a(2), "graft_decode_band", "nPixels"),
+          intLit(a(3), "graft_decode_band", "band"))
+      },
+      entry("graft_float_at",
+        "graft_float_at(bytes, idx) - float element at flat index of an " +
+          "f32 payload", 2) { a => FloatAt(a(0), a(1)) },
+      entry("graft_grid_h3",
+        "graft_grid_h3(cell_id, rows, cols, res) - H3-lite id of a grid " +
+          "cell over the Goode extent (rows/cols/res literals)", 4) { a =>
+        GridH3(a(0), intLit(a(1), "graft_grid_h3", "rows"),
+          intLit(a(2), "graft_grid_h3", "cols"),
+          intLit(a(3), "graft_grid_h3", "res"))
+      },
+      entry("graft_media_stats",
+        "graft_media_stats(bytes, fmt, w, h, frameK) - one-pass decode + " +
+          "media feature stats (frameK literal)", 5) { a =>
+        MediaStats(a(0), a(1), a(2), a(3),
+          intLit(a(4), "graft_media_stats", "frameK"))
+      })
+
+  /** Register on a live session (runtime alternative to the
+    * spark.sql.extensions config). Idempotent: re-registration
+    * replaces the same identifiers. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (ident, inf, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, inf, builder)
+    }
+}

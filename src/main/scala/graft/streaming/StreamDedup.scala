@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sql.{GraftExtensions, GraftFunctions}
+
+/** Incremental (Structured Streaming) surface of the training-data
+  * dedup pipeline — the ingest-time shape of the batch q40/q44/q45
+  * operators: documents arrive continuously and must be deduplicated
+  * AGAINST EVERYTHING ALREADY SEEN, not just within the batch.
+  *
+  * The reference itself is pure batch (SURVEY.md §2.10), so this module
+  * is part of the beyond-the-reference training-pipeline surface:
+  *  - exact dedup: content-hash `dropDuplicatesWithinWatermark` — the
+  *    engine-managed dedup state is bounded by the event-time watermark
+  *    instead of growing forever;
+  *  - near-dup flagging: `flatMapGroupsWithState` keyed by the LSH band
+  *    bucket (same banding as q45) — custom per-bucket state holds the
+  *    signatures seen so far, so a new document is compared only against
+  *    its own bucket's history (state is per-bucket and tiny, the same
+  *    reason the batch LSH join shuffles on the bucket key);
+  *  - windowed quality stats: watermarked event-time windows over the
+  *    q42 quality expressions.
+  *
+  * Scale notes: all state is keyed (hash / bucket), so it partitions
+  * across executors like any shuffle; nothing is collected or
+  * broadcast. Outputs are Append-mode (each doc judged exactly once on
+  * arrival), so any sink (`writeStream`) composes.
+  */
+object StreamDedup {
+
+  /** One incoming document (event-time `ts` drives the watermarks). */
+  final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
+  /** Internal row shape of the banded stream (public: encoder codegen
+    * cannot construct a private class). */
+  final case class Banded(doc_id: Long, band_key: Long, mh0: Long,
+      mh1: Long)
+
+  /** Verdict for one doc in one band bucket: dup_of = the id of the
+    * earliest prior doc with an identical signature pair, or -1 when
+    * this doc is the bucket's first of its signature (a keeper). */
+  final case class Verdict(doc_id: Long, band_key: Long, dup_of: Long)
+
+  /** Exact incremental dedup: the first arrival of each content hash
+    * within the watermark horizon passes; later identical payloads are
+    * dropped. State (hash -> seen) is expired by the watermark, so it
+    * is bounded by the stream's rate x horizon, not its lifetime. */
+  def exactDedup(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** MinHash band key + leading signatures, via the same one-pass
+    * MinHashSigs expression as the batch path (q44/q45 banding). */
+  private def banded(docs: DataFrame): DataFrame = {
+    val sig = GraftFunctions.minhash_sigs(col("text"),
+      GraftExtensions.MinHashParams, GraftExtensions.MinHashPrime)
+    docs.select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"),
+        ((col("sig").getItem(0) % 64) * 64 + col("sig").getItem(1) % 64)
+          .as("band_key"),
+        col("sig").getItem(0).as("mh0"), col("sig").getItem(1).as("mh1"))
+  }
+
+  /** Near-duplicate flagging with custom keyed state: per band bucket,
+    * the state is the (doc_id, mh0, mh1) triples seen so far; each new
+    * doc is judged against it, then appended. Within one micro-batch a
+    * bucket's rows are processed in doc_id order so replay is
+    * deterministic. Docs too short to carry a signature (no shingles)
+    * are passed through as keepers of the empty bucket -1. */
+  def nearDupVerdicts(docs: DataFrame): Dataset[Verdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    banded(docs)
+      .select(col("doc_id"), coalesce(col("band_key"), lit(-1L)).as("band_key"),
+        coalesce(col("mh0"), lit(-1L)).as("mh0"),
+        coalesce(col("mh1"), lit(-1L)).as("mh1"))
+      .as[Banded]
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(judgeBucket)
+  }
+
+  private def judgeBucket(key: Long, rows: Iterator[Banded],
+      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[Verdict] = {
+    var seen = state.getOption.getOrElse(Seq.empty)
+    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+      val dupOf =
+        if (key == -1L) -1L // unsigned (too-short) docs never match
+        else seen.collectFirst {
+          case (id, m0, m1) if m0 == d.mh0 && m1 == d.mh1 => id
+        }.getOrElse(-1L)
+      seen = seen :+ ((d.doc_id, d.mh0, d.mh1))
+      Verdict(d.doc_id, key, dupOf)
+    }
+    state.update(seen)
+    out.iterator
+  }
+
+  /** Watermarked event-time quality windows (the q42 stats, streaming):
+    * per window, document count, mean token count, and the share of
+    * quality-passing docs. */
+  def qualityByWindow(docs: DataFrame, windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stops = Seq("the", "a", "data", "key", "row")
+    val nStop = size(filter(toks, tk => tk.isin(stops: _*)))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality_ok",
+        (nTok >= 20 && nStop.cast("double") / nTok < 0.5).cast("int"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg("n_tokens").as("mean_tokens"),
+        avg("quality_ok").as("quality_rate"))
+      .select(col("w.start").as("w_start"), col("n_docs"),
+        col("mean_tokens"), col("quality_rate"))
+  }
+}

@@ -577,6 +577,52 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one ray-cast per row:\n${feats.queryExecution.executedPlan}")
   }
 
+  test("SQL function surface: GraftExtensions registers the engine " +
+    "expressions; spark.sql results equal the Column API") {
+    import graft.sql.{GraftExtensions, GraftFunctions}
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox"), (2L, "spark vector stream"),
+      (3L, "ab")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("g_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash16(text) AS sh, " +
+        "graft_minhash_sigs(text) AS mh FROM g_docs ORDER BY doc_id")
+      .collect().toSeq.map(_.toSeq)
+    val viaCol = docs.select(col("doc_id"),
+        GraftFunctions.simhash16(col("text")).as("sh"),
+        GraftFunctions.minhash_sigs(col("text"),
+          GraftExtensions.MinHashParams, GraftExtensions.MinHashPrime)
+          .as("mh"))
+      .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    assert(viaSql == viaCol)
+    // dot product
+    assert(spark.sql("SELECT graft_dot_f64(array(1.0D, 2.0D), " +
+      "array(3.0D, 4.0D)) AS d").collect()(0).getDouble(0) == 11.0)
+    // grid H3 with literal grid params
+    val h3 = spark.sql("SELECT graft_grid_h3(5L, 64, 96, 9) AS h")
+      .collect()(0).getLong(0)
+    assert(h3 == graft.core.H3Lite.gridCellToH3(5L, 64, 96, 9))
+    // decode + random access over a real tile payload
+    World.tilesDF(spark, spec).filter(col("tile_id") === 0)
+      .createOrReplaceTempView("g_tiles")
+    val r = spark.sql(
+      "SELECT graft_float_at(bytes, 0) AS f0, " +
+        s"element_at(graft_decode_band(bytes, fmt, ${spec.pixPerTile}, 1), 1) AS b1, " +
+        s"graft_media_stats(bytes, fmt, w, h, 4).mean_px AS mp FROM g_tiles")
+      .collect()(0)
+    assert(r.getFloat(0) == World.loss(spec.cellId(0, 0)).toFloat)
+    assert(r.getFloat(1) == World.band(spec.cellId(0, 0), 1).toFloat)
+    assert(!r.isNullAt(2))
+    // non-literal plan parameters are refused loudly
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_grid_h3(5L, 64, 96, CAST(doc_id AS INT)) " +
+        "FROM g_docs").collect())
+    assert(e.getMessage.contains("integer literal"))
+    // the spark.sql.extensions injection entry point wires up cleanly
+    new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamDedup
+import graft.streaming.StreamDedup.Doc
+
+/** Structured Streaming surface: incremental exact dedup (state
+  * bounded by watermark), near-dup flagging with custom per-bucket
+  * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
+  * windows — all driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-streaming-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // offset from a modern base: the initial watermark is epoch 0, and a
+  // row whose event time IS the watermark is treated as late
+  private val Base = 1700000400000L // 10-minute-aligned
+  private def ts(min: Int): Timestamp = new Timestamp(Base + min * 60000L)
+
+  test("exact dedup: repeated payloads are dropped ACROSS micro-batches " +
+    "(engine dedup state, not per-batch distinct)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.exactDedup(in.toDF())
+      .writeStream.format("memory").queryName("g_exact")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1, "alpha beta gamma", ts(0)), Doc(2, "delta", ts(1)))
+      q.processAllAvailable()
+      // doc 3 duplicates doc 1 from the PREVIOUS batch
+      in.addData(Doc(3, "alpha beta gamma", ts(2)), Doc(4, "epsilon", ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("g_exact").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("near-dup flagging: per-bucket signature state persists across " +
+    "micro-batches; dups point at the earliest keeper") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val text1 = "the quick brown fox jumps over the lazy dog"
+    val text2 = "spark vectors stream through watermarked windows"
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.nearDupVerdicts(in.toDF())
+      .writeStream.format("memory").queryName("g_near")
+      .outputMode("append").start()
+    try {
+      // batch 1: 10 and 11 share a text (same signatures, same bucket)
+      in.addData(Doc(10, text1, ts(0)), Doc(11, text1, ts(1)),
+        Doc(12, text2, ts(2)))
+      q.processAllAvailable()
+      // batch 2: 13 duplicates text1 — must point at 10 (state carried
+      // over); 14 is new; 15 is too short for any signature
+      in.addData(Doc(13, text1, ts(3)), Doc(14, "wholly novel words and tokens", ts(4)),
+        Doc(15, "ab", ts(5)))
+      q.processAllAvailable()
+      val got = spark.table("g_near")
+        .select("doc_id", "dup_of")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(10L) == -1L, "first of its signature is the keeper")
+      assert(got(11L) == 10L, "same-batch dup points at the keeper")
+      assert(got(12L) == -1L)
+      assert(got(13L) == 10L, "cross-batch dup points at the batch-1 keeper")
+      assert(got(14L) == -1L)
+      assert(got(15L) == -1L, "unsigned (too-short) docs pass through")
+    } finally q.stop()
+  }
+
+  test("watermarked quality windows aggregate per event-time window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val long = ("tok " * 25).trim // 25 tokens, quality-passing
+    val in = MemoryStream[Doc]
+    // complete mode: emit all windows each batch (no watermark wait)
+    val q = StreamDedup.qualityByWindow(in.toDF())
+      .writeStream.format("memory").queryName("g_qual")
+      .outputMode("complete").start()
+    try {
+      in.addData(Doc(1, long, ts(1)), Doc(2, "short text", ts(2)),
+        Doc(3, long, ts(11)))
+      q.processAllAvailable()
+      val got = spark.table("g_qual")
+        .collect().map(r => (r.getTimestamp(0).getTime - Base) / 60000 ->
+          (r.getLong(1), r.getDouble(3))).toMap
+      assert(got.size == 2, "two 10-minute windows")
+      assert(got(0L) == (2L, 0.5), "window 0: 2 docs, half quality-passing")
+      assert(got(10L) == (1L, 1.0), "window 10: 1 doc, passing")
+    } finally q.stop()
+  }
+}
