@@ -17,8 +17,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    edge tiles clipped);
   *  - Compression 1 (none) and 5 (TIFF-variant LZW: MSB-first codes,
   *    9->12 bit widths with EARLY code-width change, Clear=256, EOI=257);
-  *    Predictor 1 only (the horizontal/floating-point predictors are
-  *    rejected loudly, not silently misdecoded);
+  *  - Predictor 1 (none) and 3 (floating-point horizontal byte
+  *    differencing per TIFF Technical Note 3 — what GDAL writes for
+  *    PREDICTOR=3 LZW float rasters): per row, bytes are
+  *    significance-plane-interleaved then horizontally differenced;
+  *    decode undoes the delta and de-interleaves. Predictor 2
+  *    (integer differencing) cannot apply to float32 samples and is
+  *    rejected loudly, not silently misdecoded;
   *  - the Geo tags that `rastOut` stamps (R:66-70): ModelPixelScale
   *    (33550) and ModelTiepoint (33922), read and written.
   *
@@ -59,8 +64,9 @@ object GeoTiff {
       s"only single-band float32 supported (bps=$bps spp=$spp fmt=$sampleFmt)")
     require(comp == 1 || comp == 5,
       s"compression $comp unsupported (1=none, 5=LZW)")
-    require(predictor == 1,
-      s"predictor $predictor unsupported (refusing to misdecode)")
+    require(predictor == 1 || predictor == 3,
+      s"predictor $predictor unsupported for float32 " +
+        "(1=none, 3=floating-point; refusing to misdecode)")
 
     // data-chunk bounds check shared by strips and tiles: offsets and
     // counts come from the (untrusted) IFD and are carried as doubles —
@@ -75,6 +81,8 @@ object GeoTiff {
 
     // assemble sample bytes in FILE byte order, then view as floats
     val px = new Array[Byte](w * h * 4)
+    def unpredict(data: Array[Byte], rows: Int, n: Int): Array[Byte] =
+      if (predictor == 3) fpAcc(data, rows, n, order) else data
     if (tags.contains(322)) { // tiled organization
       val tw = tags(322)(0).toInt
       val tl = tags(323)(0).toInt
@@ -88,7 +96,8 @@ object GeoTiff {
       while (ti < offs.length) {
         val (o, c) = chunkRange(offs(ti), cnts(ti))
         val raw = java.util.Arrays.copyOfRange(bytes, o, o + c)
-        val data = if (comp == 5) lzwDecode(raw, tw * tl * 4) else raw
+        val data = unpredict(
+          if (comp == 5) lzwDecode(raw, tw * tl * 4) else raw, tl, tw)
         val y0 = (ti / across) * tl
         val x0 = (ti % across) * tw
         val copyW = math.min(tw, w - x0)
@@ -115,7 +124,9 @@ object GeoTiff {
         val rowsHere = math.min(rps, h - si * rps)
         val (o, c) = chunkRange(offs(si), cnts(si))
         val raw = java.util.Arrays.copyOfRange(bytes, o, o + c)
-        val data = if (comp == 5) lzwDecode(raw, rowsHere * w * 4) else raw
+        val data = unpredict(
+          if (comp == 5) lzwDecode(raw, rowsHere * w * 4) else raw,
+          rowsHere, w)
         System.arraycopy(data, 0, px, si * rps * w * 4, rowsHere * w * 4)
         si += 1
       }
@@ -177,6 +188,68 @@ object GeoTiff {
         }
       tag -> vals
     }.toMap
+  }
+
+  // -------------------------------------------- Predictor 3 (TechNote 3)
+
+  /** Undo floating-point horizontal differencing on one decoded chunk of
+    * `rows` x `n` float32 samples: per row, prefix-sum the byte deltas,
+    * then de-interleave the four significance planes (plane 0 = MSB)
+    * into values in `order` byte order — the layout the caller's float
+    * view expects. Matches libtiff's fpAcc. */
+  private def fpAcc(data: Array[Byte], rows: Int, n: Int,
+      order: ByteOrder): Array[Byte] = {
+    val rowBytes = n * 4
+    require(data.length >= rows * rowBytes,
+      s"short chunk for predictor 3: ${data.length} < ${rows * rowBytes}")
+    val out = new Array[Byte](rows * rowBytes)
+    val le = order == ByteOrder.LITTLE_ENDIAN
+    var r = 0
+    while (r < rows) {
+      val off = r * rowBytes
+      val row = java.util.Arrays.copyOfRange(data, off, off + rowBytes)
+      var j = 1
+      while (j < rowBytes) { row(j) = (row(j) + row(j - 1)).toByte; j += 1 }
+      var i = 0
+      while (i < n) {
+        var b = 0
+        while (b < 4) {
+          out(off + i * 4 + (if (le) 3 - b else b)) = row(b * n + i)
+          b += 1
+        }
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Apply floating-point horizontal differencing (the encode side):
+    * interleave each row's bytes into significance planes, then delta.
+    * Input bytes are little-endian float32 (the encoder's layout). */
+  private def fpDiff(data: Array[Byte], rows: Int, n: Int): Array[Byte] = {
+    val rowBytes = n * 4
+    val out = new Array[Byte](rows * rowBytes)
+    var r = 0
+    while (r < rows) {
+      val off = r * rowBytes
+      var i = 0
+      while (i < n) {
+        var b = 0
+        while (b < 4) {
+          out(off + b * n + i) = data(off + i * 4 + 3 - b)
+          b += 1
+        }
+        i += 1
+      }
+      var j = rowBytes - 1
+      while (j >= 1) {
+        out(off + j) = (out(off + j) - out(off + j - 1)).toByte
+        j -= 1
+      }
+      r += 1
+    }
+    out
   }
 
   // ------------------------------------------------------------- TIFF LZW
@@ -319,9 +392,11 @@ object GeoTiff {
     * ModelTiepoint with the grid georeference like `rastOut` (R:66-70). */
   def encode(pixels: Array[Float], w: Int, h: Int, lzw: Boolean = false,
       tileSize: Int = 0, rowsPerStrip: Int = 64, cellSize: Double = 1.0,
-      xMin: Double = 0.0, yMax: Double = 0.0): Array[Byte] = {
+      xMin: Double = 0.0, yMax: Double = 0.0, predictor: Int = 1): Array[Byte] = {
     require(pixels.length == w * h, "pixel count mismatch")
     require(tileSize == 0 || tileSize % 16 == 0, "tile size must be 16k")
+    require(predictor == 1 || predictor == 3,
+      s"predictor $predictor unsupported (1=none, 3=floating-point)")
     val raw = new Array[Byte](w * h * 4)
     ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
       .put(pixels)
@@ -334,8 +409,9 @@ object GeoTiff {
         val nStrips = (h + rps - 1) / rps
         Array.tabulate(nStrips) { si =>
           val rows = math.min(rps, h - si * rps)
-          val part = java.util.Arrays.copyOfRange(raw, si * rps * w * 4,
+          val part0 = java.util.Arrays.copyOfRange(raw, si * rps * w * 4,
             (si * rps + rows) * w * 4)
+          val part = if (predictor == 3) fpDiff(part0, rows, w) else part0
           if (lzw) lzwEncode(part) else part
         }
       } else {
@@ -345,14 +421,15 @@ object GeoTiff {
         Array.tabulate(across * down) { ti =>
           val x0 = (ti % across) * ts
           val y0 = (ti / across) * ts
-          val part = new Array[Byte](ts * ts * 4) // zero-padded edges
+          val part0 = new Array[Byte](ts * ts * 4) // zero-padded edges
           val copyW = math.min(ts, w - x0)
           var r = 0
           while (r < ts && y0 + r < h) {
-            System.arraycopy(raw, ((y0 + r) * w + x0) * 4, part, r * ts * 4,
+            System.arraycopy(raw, ((y0 + r) * w + x0) * 4, part0, r * ts * 4,
               copyW * 4)
             r += 1
           }
+          val part = if (predictor == 3) fpDiff(part0, ts, ts) else part0
           if (lzw) lzwEncode(part) else part
         }
       }
@@ -376,13 +453,16 @@ object GeoTiff {
           Entry(277, 3, Array(1.0)),
           Entry(278, 4, Array(math.max(1,
             math.min(rowsPerStrip, h)).toDouble)),
-          Entry(279, 4, countsEntryValues))
-        else Seq(
-          Entry(277, 3, Array(1.0)),
-          Entry(322, 4, Array(tileSize.toDouble)),
-          Entry(323, 4, Array(tileSize.toDouble)),
-          Entry(324, 4, offsetsEntryValues),
-          Entry(325, 4, countsEntryValues))) ++
+          Entry(279, 4, countsEntryValues)) ++
+          (if (predictor == 3) Seq(Entry(317, 3, Array(3.0))) else Nil)
+        else
+          Seq(Entry(277, 3, Array(1.0))) ++
+          (if (predictor == 3) Seq(Entry(317, 3, Array(3.0))) else Nil) ++
+          Seq(
+            Entry(322, 4, Array(tileSize.toDouble)),
+            Entry(323, 4, Array(tileSize.toDouble)),
+            Entry(324, 4, offsetsEntryValues),
+            Entry(325, 4, countsEntryValues))) ++
         Seq(
           Entry(339, 3, Array(3.0)),
           Entry(33550, 12, geoScale),

@@ -26,6 +26,8 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
     .getOrCreate()
@@ -621,6 +623,42 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("integer literal"))
     // the spark.sql.extensions injection entry point wires up cleanly
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("bucketed tables co-locate repeated joins and aggregations: " +
+    "zero Exchange in the join and agg plans over bucketed-by-key " +
+    "tables (the pre-partitioning story for 100 TB fact tables)") {
+    import spark.implicits._
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      (1L to 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("g_docs_bucketed")
+      (1L to 1000L).map(i => (i, i * 7)).toDF("doc_id", "sig")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("g_sigs_bucketed")
+      val joined = spark.table("g_docs_bucketed")
+        .join(spark.table("g_sigs_bucketed"), "doc_id")
+      val jPlan = joined.queryExecution.executedPlan.toString
+      assert(jPlan.contains("SortMergeJoin"), jPlan)
+      assert(!jPlan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$jPlan")
+      assert(joined.count() == 1000)
+      val agged = spark.table("g_docs_bucketed")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      assert(!agged.queryExecution.executedPlan.toString.contains("Exchange"),
+        "aggregation on the bucket key must not shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.sql("DROP TABLE IF EXISTS g_docs_bucketed")
+      spark.sql("DROP TABLE IF EXISTS g_sigs_bucketed")
+    }
   }
 
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {

@@ -162,6 +162,64 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(Codec.decodeBand("gtiff", tif, 256, 0), px))
   }
 
+  test("predictor 3 golden: hand-differenced bytes (derived on paper " +
+    "from TIFF TechNote 3) decode to the expected floats") {
+    // one row of [1.0f, 2.0f]: MSB planes [3F,40][80,00][00,00][00,00]
+    // -> interleaved 3F 40 80 00 00 00 00 00 -> deltas 3F 01 40 80 00..
+    val stored = Array(0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0).map(_.toByte)
+    val nEntries = 10
+    val ifdOff = 8
+    val dataOff = ifdOff + 2 + nEntries * 12 + 4
+    val bytes = new Array[Byte](dataOff + stored.length)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    b.putShort(nEntries.toShort)
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit =
+      b.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(value)
+    def entryShort(tag: Int, v: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3).putInt(1)
+      b.putShort(v.toShort).putShort(0)
+    }
+    entry(256, 4, 1, 2) // width 2
+    entry(257, 4, 1, 1) // height 1
+    entryShort(258, 32)
+    entryShort(259, 1) // no compression (predictor still applies)
+    entry(273, 4, 1, dataOff)
+    entryShort(277, 1)
+    entry(278, 4, 1, 1)
+    entry(279, 4, 1, stored.length)
+    entryShort(317, 3) // floating-point predictor
+    entryShort(339, 3)
+    b.putInt(0)
+    System.arraycopy(stored, 0, bytes, dataOff, stored.length)
+    val r = GeoTiff.decode(bytes)
+    assert(r.pixels.toSeq == Seq(1.0f, 2.0f))
+  }
+
+  test("predictor 3 round-trips: strips and tiles x {raw, lzw}; " +
+    "predictor 2 stays rejected for float32") {
+    for {
+      (w, h) <- Seq((7, 5), (33, 129), (50, 20))
+      lzw <- Seq(false, true)
+      tile <- Seq(0, 16)
+    } {
+      val px = pattern(w * h)
+      val tif = GeoTiff.encode(px, w, h, lzw = lzw, tileSize = tile,
+        rowsPerStrip = 3, predictor = 3)
+      assert(java.util.Arrays.equals(GeoTiff.decode(tif).pixels, px),
+        s"pred3 ${w}x$h lzw=$lzw tile=$tile")
+    }
+    // smooth data: predictor 3 + LZW should actually compress better
+    val smooth = Array.tabulate(64 * 64)(i => (1000.0f + i * 0.25f))
+    val plain = GeoTiff.encode(smooth, 64, 64, lzw = true)
+    val pred = GeoTiff.encode(smooth, 64, 64, lzw = true, predictor = 3)
+    assert(pred.length < plain.length,
+      s"predictor should shrink smooth rasters: ${pred.length} vs ${plain.length}")
+    // predictor 2 (integer differencing) is meaningless for float32
+    intercept[IllegalArgumentException](
+      GeoTiff.encode(pattern(16), 4, 4, predictor = 2))
+  }
+
   // ---- cross-engine LZW validation: the JDK ships an independent TIFF
   // plugin (javax.imageio, since Java 9) whose LZW codec descends from
   // JAI, not from this repo — a matched off-by-one in our encoder AND
