@@ -97,6 +97,30 @@ object Ingest {
       .sortBy(_.regionId)
   }
 
+  /** Shapefile layer with region ids taken from a NUMERIC column of the
+    * sidecar .dbf attribute table (what readOGR exposes as the layer's
+    * data frame) instead of the record-number FID. `path` must name a
+    * single `.shp` whose sibling `.dbf` sits beside it; dbf records
+    * align with .shp records by order (the shapefile spec's contract). */
+  def shpPolygonsWithAttr(spark: SparkSession, path: String,
+      idColumn: String): Array[Polygon] = {
+    import spark.implicits._
+    require(path.endsWith(".shp"), s"expected a single .shp path: $path")
+    def bytesOf(p: String): Array[Byte] =
+      spark.read.format("binaryFile").load(p)
+        .select("content").as[Array[Byte]].head()
+    val polys = Shp.parse(bytesOf(path))
+    val ids = Shp.dbfColumn(bytesOf(path.stripSuffix("shp") + "dbf"),
+      idColumn)
+    polys.map { p =>
+      require(p.regionId >= 1 && p.regionId <= ids.length,
+        s".shp record ${p.regionId} has no .dbf row")
+      val id = ids(p.regionId - 1).getOrElse(
+        sys.error(s".dbf row ${p.regionId} is deleted or null in $idColumn"))
+      p.copy(regionId = id.toInt)
+    }.sortBy(_.regionId)
+  }
+
   /** Discover the variable manifest from a directory: non-recursive,
     * `suffix`-filtered, sorted by file name; variable name = file name
     * minus `prefix` and `suffix`. Returns (varName, absolutePath) in

@@ -73,6 +73,85 @@ object Shp {
     out.array()
   }
 
+  // ------------------------------------------------------------- .dbf
+
+  /** Write a minimal dBASE III attribute table with one numeric column
+    * (the fixture/sink side of the attribute join). */
+  def encodeDbf(column: String, values: Array[Long]): Array[Byte] = {
+    require(column.length <= 10, "dBASE field names are <= 10 chars")
+    val fieldLen = 18
+    val recordSize = 1 + fieldLen // deletion flag + one field
+    val headerSize = 32 + 32 + 1 // header + one descriptor + 0x0D
+    val out = ByteBuffer
+      .allocate(headerSize + values.length * recordSize + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0x03.toByte) // dBASE III, no memo
+    out.put(Array[Byte](99, 1, 1)) // last-update stamp (yy, mm, dd)
+    out.putInt(values.length)
+    out.putShort(headerSize.toShort)
+    out.putShort(recordSize.toShort)
+    out.position(32)
+    val name = column.getBytes("US-ASCII")
+    out.put(java.util.Arrays.copyOf(name, 11))
+    out.put('N'.toByte) // numeric
+    out.position(32 + 16)
+    out.put(fieldLen.toByte)
+    out.put(0.toByte) // decimal count
+    out.position(headerSize - 1)
+    out.put(0x0D.toByte)
+    values.foreach { v =>
+      out.put(0x20.toByte) // active record
+      val s = v.toString
+      out.put((" " * (fieldLen - s.length) + s).getBytes("US-ASCII"))
+    }
+    out.put(0x1A.toByte) // EOF
+    out.array()
+  }
+
+  /** Read one NUMERIC column of a dBASE III .dbf attribute table, in
+    * record order (which the shapefile spec ties to .shp record order).
+    * Deleted records yield None so indexes stay aligned. */
+  def dbfColumn(bytes: Array[Byte], column: String): Array[Option[Long]] = {
+    require(bytes.length >= 32, "truncated dbf: no header")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nRec = b.getInt(4)
+    val headerSize = b.getShort(8) & 0xFFFF
+    val recordSize = b.getShort(10) & 0xFFFF
+    require(nRec >= 0 && headerSize >= 65 && recordSize >= 1 &&
+      headerSize.toLong + nRec.toLong * recordSize <= bytes.length,
+      s"corrupt dbf header: n=$nRec header=$headerSize record=$recordSize")
+    // walk the 32-byte field descriptors to find the column's offset
+    var fOff = 32
+    var colOff = -1
+    var colLen = -1
+    var within = 1 // record offset 0 is the deletion flag
+    while (fOff + 32 <= headerSize - 1 && bytes(fOff) != 0x0D) {
+      val rawName = bytes.slice(fOff, fOff + 11)
+      val end0 = rawName.indexOf(0.toByte)
+      val nm = new String(rawName, 0, if (end0 < 0) 11 else end0,
+        "US-ASCII").trim
+      val typ = bytes(fOff + 11).toChar
+      val len = bytes(fOff + 16) & 0xFF
+      if (nm.equalsIgnoreCase(column)) {
+        require(typ == 'N' || typ == 'F',
+          s"dbf column $column has type $typ, expected numeric")
+        colOff = within
+        colLen = len
+      }
+      within += len
+      fOff += 32
+    }
+    require(colOff >= 0, s"dbf column not found: $column")
+    Array.tabulate(nRec) { i =>
+      val r = headerSize + i * recordSize
+      if (bytes(r) != 0x20) None // deleted record
+      else {
+        val s = new String(bytes, r + colOff, colLen, "US-ASCII").trim
+        if (s.isEmpty) None else Some(s.toDouble.toLong)
+      }
+    }
+  }
+
   /** Parse a .shp main file into packed Polygons (regionId = record
     * number). Null-shape records are skipped (the spec allows them). */
   def parse(bytes: Array[Byte]): Array[Polygon] = {

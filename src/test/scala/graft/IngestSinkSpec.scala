@@ -166,6 +166,44 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.Shp.parse("not a shapefile".getBytes))
   }
 
+  test("S6: .dbf attribute table — hand-assembled golden (dBASE III " +
+    "spec) and encode/read round trip drive region ids from the " +
+    "attribute column, with deleted-record alignment") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-assembled: one N(5,0) column "RID", 3 records, middle deleted
+    val headerSize = 32 + 32 + 1
+    val recordSize = 1 + 5
+    val bytes = new Array[Byte](headerSize + 3 * recordSize + 1)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x03.toByte); b.position(4); b.putInt(3)
+    b.putShort(headerSize.toShort); b.putShort(recordSize.toShort)
+    b.position(32); b.put("RID".getBytes); b.position(32 + 11)
+    b.put('N'.toByte); b.position(32 + 16); b.put(5.toByte); b.put(0.toByte)
+    b.position(headerSize - 1); b.put(0x0D.toByte)
+    def rec(flag: Byte, v: String): Unit = {
+      b.put(flag); b.put(("     " + v).takeRight(5).getBytes)
+    }
+    rec(0x20, "30"); rec(0x2A, "99"); rec(0x20, "-7")
+    b.put(0x1A.toByte)
+    assert(graft.sources.Shp.dbfColumn(bytes, "rid").toSeq ==
+      Seq(Some(30L), None, Some(-7L)))
+    intercept[IllegalArgumentException](
+      graft.sources.Shp.dbfColumn(bytes, "nope"))
+
+    // encode -> attribute-joined layer read: ids come from the .dbf
+    import graft.world.World
+    val polys = World.polygons(World.tiny)
+    val dir = Files.createTempDirectory("graft_shp_dbf")
+    Files.write(dir.resolve("regions.shp"), graft.sources.Shp.encode(polys))
+    Files.write(dir.resolve("regions.dbf"),
+      graft.sources.Shp.encodeDbf("REGION_ID",
+        polys.map(p => p.regionId * 10L)))
+    val got = Ingest.shpPolygonsWithAttr(spark, s"$dir/regions.shp",
+      "REGION_ID")
+    assert(got.map(_.regionId).toSeq == polys.map(_.regionId * 10).toSeq)
+    assert(got.head.xs.toSeq == polys.head.xs.toSeq)
+  }
+
   test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
