@@ -37,8 +37,69 @@ object TextOps {
     Q("q54_jaccard_neardup", q54, Some(q54Sql)),
     Q("q55_ann_bucketed_topk", q55, Some(q55Sql)),
     Q("q56_dedup_components", q56, Some(q56Sql)),
-    Q("q59_neardup_bucketed", q59, Some(q49Sql))
+    Q("q59_neardup_bucketed", q59, Some(q49Sql)),
+    Q("q61_bpe_tokens", q61, Some(q61Sql)),
+    Q("q62_salted_agg", q62, Some(q62Sql))
   )
+
+  // --- q61: BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape,
+  // lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree:
+  // contractions, space-prefixed letter runs, digit runs, punctuation
+  // runs, whitespace runs; \s avoided — Java's \s includes \x0B, RE2's
+  // does not). Both engines match alternations leftmost-first, so the
+  // token streams are identical by construction. -------------------------
+  private val BpePat =
+    "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\r]+|[ \\t\\n\\r]+"
+
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit(BpePat), lit(0))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_bpe"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(col("toks"), -1).as("last_tok"))
+      .orderBy("doc_id")
+  }
+
+  private val q61Sql = {
+    // DuckDB regular strings are not backslash-escaped: only quotes
+    // need doubling; \t etc. pass through to RE2 verbatim
+    val pat = BpePat.replace("'", "''")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(text, '$pat') AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_bpe,
+       |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+       |  toks[1] AS first_tok, toks[-1] AS last_tok
+       |FROM d ORDER BY 1""".stripMargin
+  }
+
+  // --- q62: the explicit two-level skew-salted aggregation (the
+  // Salted.aggregate utility the headline zonal stage runs on) against
+  // a plain GROUP BY oracle — identical results by the decomposability
+  // of sum/count/min/max; the salt level only changes the shuffle
+  // topology. event_type is the hot-key-shaped key of the fixture. ------
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Salted.aggregate(
+      t(s, dir, "events"),
+      keys = Seq("event_type" -> col("event_type")),
+      saltSrc = col("user_id"), salts = 8,
+      aggs = Seq(
+        graft.engine.Salted.Agg("n", "count", lit(1)),
+        // value is a 2-decimal double: sum exact integer cents so the
+        // two-level addition order cannot drift from the oracle's
+        graft.engine.Salted.Agg("v_cents", "sum",
+          round(col("value") * 100).cast("long")),
+        graft.engine.Salted.Agg("v_min", "min", col("value")),
+        graft.engine.Salted.Agg("v_max", "max", col("value"))))
+      .orderBy("event_type")
+
+  private val q62Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+      |  MIN(value) AS v_min, MAX(value) AS v_max
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q54: exact n-gram Jaccard over candidate near-dup pairs: docs
   // whose first two MinHash signatures agree are verified with the true
