@@ -39,8 +39,54 @@ object TextOps {
     Q("q56_dedup_components", q56, Some(q56Sql)),
     Q("q59_neardup_bucketed", q59, Some(q49Sql)),
     Q("q61_bpe_tokens", q61, Some(q61Sql)),
-    Q("q62_salted_agg", q62, Some(q62Sql))
+    Q("q62_salted_agg", q62, Some(q62Sql)),
+    Q("q63_asof_join", q63, Some(q63Sql))
   )
+
+  // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
+  // from existing ops (preference (a) of the custom-operator ladder):
+  // each click matches the latest view at-or-before its event time per
+  // user. Formulation: union both sides tagged, ONE window per user
+  // ordered by (ts, side) with a running last(ignoreNulls) — a single
+  // shuffle on the user key, linear per partition. The naive theta join
+  // (c.ts >= v.ts) explodes quadratically per user and is exactly what
+  // this shape avoids at 100 TB. Views are deduped per (user, ts)
+  // first so tie matches are well-defined on both engines. Oracle:
+  // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
+  // the same semantics. --------------------------------------------------
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("view_val"))
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("view_val"), lit(null).cast("long").as("event_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("double").as("view_val"), col("event_id"))
+    // side 0 < 1: a view AT the click's timestamp is matchable
+    // (inclusive, DuckDB ASOF's ts >= semantics)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionByName(clicks)
+      .withColumn("asof_view_val",
+        last(col("view_val"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_view_val"))
+      .orderBy("event_id")
+  }
+
+  private val q63Sql =
+    """WITH v AS (
+      |  SELECT user_id, ts, MAX(value) AS view_val FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, c.ts, v.view_val AS asof_view_val
+      |FROM c ASOF LEFT JOIN v
+      |  ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY 1""".stripMargin
 
   // --- q61: BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape,
   // lookahead-free so Java regex (Spark) and RE2 (DuckDB) agree:
