@@ -56,8 +56,37 @@ object Relational {
     Q("q17_semi_anti", q17, Some(q17Sql)),
     Q("q18_stratified_exactn", q18, Some(q18Sql)),
     Q("q58_stratified_min40", q58, Some(q58Sql)),
-    Q("q60_sessionize", q60, Some(q60Sql))
+    Q("q60_sessionize", q60, Some(q60Sql)),
+    Q("q64_json_extract", q64, Some(q64Sql))
   )
+
+  // --- q64: JSON property extraction over the events.props column —
+  // both Spark JSON APIs exercised: path-based get_json_object AND the
+  // typed from_json(schema) struct, cross-checked against each other
+  // in-plan (n_mismatch must be 0) and against DuckDB's json_extract
+  // oracle. ---------------------------------------------------------------
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val kPath = get_json_object(col("props"), "$.k").cast("long")
+    val kTyped = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      .getField("k")
+    t(s, dir, "events")
+      .select(col("event_type"), kPath.as("k"),
+        (kPath =!= kTyped).cast("long").as("mismatch"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+        min("k").as("k_min"), max("k").as("k_max"),
+        sum("mismatch").as("n_mismatch"))
+      .orderBy("event_type")
+  }
+
+  private val q64Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+      |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+      |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+      |  CAST(0 AS BIGINT) AS n_mismatch
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q60: batch event-time SESSIONIZATION (gap > 30 min starts a new
   // session) — the batch analog of streaming session windows over the
