@@ -270,6 +270,9 @@ object Bench {
     val spec = Headline.spec
     // NOTE: built without stripMargin — markdown table pipes at line
     // start would be eaten as margin characters.
+    // Joined with "\n|": the tables are interpolated into a stripMargin
+    // template, which eats ONE leading `|` per line — the extra margin
+    // char restores each table row's own pipe.
     def table(l: Ladder): String = Seq(
       "| configuration | tiles/sec |",
       "|---|---|",
@@ -279,7 +282,7 @@ object Bench {
       "",
       f"Scaling efficiency N -> 4N: **raw ${l.eff}%.3f**; hardware",
       f"parallel retention ${l.rho}%.3f; engine efficiency net of",
-      f"hardware ${l.effNorm}%.3f.").mkString("\n")
+      f"hardware ${l.effNorm}%.3f.").mkString("\n|")
     val md =
       s"""# BENCH — measured engine baseline
          |
