@@ -51,22 +51,27 @@ object TextOps {
   // shuffle on the user key, linear per partition. The naive theta join
   // (c.ts >= v.ts) explodes quadratically per user and is exactly what
   // this shape avoids at 100 TB. Views are deduped per (user, ts)
-  // first so tie matches are well-defined on both engines. Oracle:
-  // DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of
-  // the same semantics. --------------------------------------------------
+  // Tie-break (several views at one (user, ts)): the max value wins,
+  // folded into the window ORDERING (value ascending -> the running
+  // last is the max) instead of a pre-aggregation — a groupBy(user, ts)
+  // dedup would add a whole extra Exchange before the window's own
+  // user-key shuffle. Oracle: DuckDB's NATIVE ASOF LEFT JOIN over the
+  // max-deduped views — an independent implementation of the same
+  // semantics. -----------------------------------------------------------
   private def q63(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events")
     val views = ev.filter(col("event_type") === "view")
-      .groupBy("user_id", "ts").agg(max("value").as("view_val"))
       .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("view_val"), lit(null).cast("long").as("event_id"))
+        col("value").as("view_val"), lit(null).cast("long").as("event_id"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"), lit(1).as("side"),
         lit(null).cast("double").as("view_val"), col("event_id"))
     // side 0 < 1: a view AT the click's timestamp is matchable
-    // (inclusive, DuckDB ASOF's ts >= semantics)
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+    // (inclusive, DuckDB ASOF's ts >= semantics); among same-ts views
+    // the ascending view_val puts the max last
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("view_val"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     views.unionByName(clicks)
       .withColumn("asof_view_val",
