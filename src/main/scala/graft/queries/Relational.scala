@@ -72,7 +72,10 @@ object Relational {
       .getField("k")
     t(s, dir, "events")
       .select(col("event_type"), kPath.as("k"),
-        (kPath =!= kTyped).cast("long").as("mismatch"))
+        // null-safe inequality: =!= would yield NULL (excluded from the
+        // sum) when exactly one parser returns null — the very
+        // divergence this check exists to catch
+        (!(kPath <=> kTyped)).cast("long").as("mismatch"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
         min("k").as("k_min"), max("k").as("k_max"),

@@ -117,6 +117,11 @@ object Ingest {
         s".shp record ${p.regionId} has no .dbf row")
       val id = ids(p.regionId - 1).getOrElse(
         sys.error(s".dbf row ${p.regionId} is deleted or null in $idColumn"))
+      // region ids feed the -1-sentinel PIP and Int-keyed joins: refuse
+      // values a silent toInt truncation would wrap or collide
+      require(id >= 0 && id <= Int.MaxValue,
+        s".dbf $idColumn value $id is outside the valid region-id " +
+          "range [0, Int.MaxValue]")
       p.copy(regionId = id.toInt)
     }.sortBy(_.regionId)
   }

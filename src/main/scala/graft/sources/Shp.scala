@@ -34,8 +34,19 @@ object Shp {
   private val PolygonType = 5
   private val NullType = 0
 
-  /** Write a single-ring polygon layer (the fixture/sink side). */
+  /** Write a single-ring polygon layer (the fixture/sink side). The
+    * .shp main file has no id field — parse() reports the RECORD
+    * NUMBER — so polygons must arrive in id order 1..n; arbitrary ids
+    * belong in a sidecar .dbf (encodeDbf + shpPolygonsWithAttr), and
+    * silently renumbering a layer here would corrupt every downstream
+    * PIP join. */
   def encode(polys: Array[Polygon]): Array[Byte] = {
+    polys.zipWithIndex.foreach { case (p, i) =>
+      require(p.regionId == i + 1,
+        s"polygon $i has regionId ${p.regionId}, but .shp records carry " +
+          "only their 1-based record number — reorder to ids 1..n or " +
+          "write the ids to a sidecar .dbf (encodeDbf)")
+    }
     val contents = polys.map { p =>
       val nPts = p.xs.length + 1 // closing vertex
       val content = ByteBuffer
@@ -80,6 +91,8 @@ object Shp {
   def encodeDbf(column: String, values: Array[Long]): Array[Byte] = {
     require(column.length <= 10, "dBASE field names are <= 10 chars")
     val fieldLen = 18
+    values.foreach(v => require(v.toString.length <= fieldLen,
+      s"value $v does not fit the N($fieldLen) field"))
     val recordSize = 1 + fieldLen // deletion flag + one field
     val headerSize = 32 + 32 + 1 // header + one descriptor + 0x0D
     val out = ByteBuffer
@@ -135,6 +148,10 @@ object Shp {
       if (nm.equalsIgnoreCase(column)) {
         require(typ == 'N' || typ == 'F',
           s"dbf column $column has type $typ, expected numeric")
+        // hostile descriptors can overdeclare lengths past the record
+        require(within + len <= recordSize,
+          s"corrupt dbf: field $nm at offset $within length $len " +
+            s"exceeds record size $recordSize")
         colOff = within
         colLen = len
       }

@@ -65,7 +65,11 @@ case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon],
   extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = nullOnMiss
+  // nullOnMiss=false still must stay nullable when a CHILD is nullable:
+  // claiming non-nullable would make codegen skip the child null guards
+  // and silently ray-cast (0.0, 0.0) for null coordinates
+  override def nullable: Boolean =
+    nullOnMiss || left.nullable || right.nullable
 
   override def nullSafeEval(px: Any, py: Any): Any = {
     val r = Geom.regionOf(polys,
@@ -490,8 +494,12 @@ object GraftFunctions {
     * folded into a Generate instead: explode(array_remove(array(r), -1))
     * references the expression once and emits 0 or 1 rows. */
   def region_explode(px: Column, py: Column, polys: Array[Polygon]): Column = {
-    import org.apache.spark.sql.functions.{array, array_remove, explode, lit}
-    explode(array_remove(array(region_of_neg1(px, py, polys)), lit(-1)))
+    import org.apache.spark.sql.functions.{array, array_compact, array_remove, explode, lit}
+    // array_compact: null coordinates (possible when px/py come from
+    // nullable source columns) count as no-region and emit no row,
+    // like the -1 sentinel, instead of a null region row
+    explode(array_compact(array_remove(array(region_of_neg1(px, py, polys)),
+      lit(-1))))
   }
 
   /** Sequential-order dot product of two array<double> columns. */

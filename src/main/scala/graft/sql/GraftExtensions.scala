@@ -46,10 +46,11 @@ object GraftExtensions {
       s"$fn: $arg must be an integer literal, got $other")
   }
 
-  // the 3-arg ExpressionInfo constructor: the richer ones validate
-  // group/source against built-in whitelists
+  // the legacy 5-arg constructor carries the usage text (shown by
+  // DESCRIBE FUNCTION) without the group/source whitelist validation
+  // of the full constructor
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.sql.Exprs", null, name)
+    new ExpressionInfo("graft.sql.Exprs", null, name, usage, "")
 
   private type Builder = Seq[Expression] => Expression
 

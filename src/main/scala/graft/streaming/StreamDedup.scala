@@ -17,9 +17,11 @@ import graft.sql.{GraftExtensions, GraftFunctions}
   *    instead of growing forever;
   *  - near-dup flagging: `flatMapGroupsWithState` keyed by the LSH band
   *    bucket (same banding as q45) — custom per-bucket state holds the
-  *    signatures seen so far, so a new document is compared only against
-  *    its own bucket's history (state is per-bucket and tiny, the same
-  *    reason the batch LSH join shuffles on the bucket key);
+  *    keeper signatures within the dedup horizon, expired by an
+  *    event-time timeout, so a new document is compared only against
+  *    its own bucket's recent history (state is per-bucket, bounded by
+  *    keeper-rate x horizon — the same reason the batch LSH join
+  *    shuffles on the bucket key);
   *  - windowed quality stats: watermarked event-time windows over the
   *    q42 quality expressions.
   *
@@ -34,9 +36,10 @@ object StreamDedup {
   final case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** Internal row shape of the banded stream (public: encoder codegen
-    * cannot construct a private class). */
+    * cannot construct a private class; `ts` carries the watermark
+    * through to the stateful operator). */
   final case class Banded(doc_id: Long, band_key: Long, mh0: Long,
-      mh1: Long)
+      mh1: Long, ts: java.sql.Timestamp)
 
   /** Verdict for one doc in one band bucket: dup_of = the id of the
     * earliest prior doc with an identical signature pair, or -1 when
@@ -58,45 +61,67 @@ object StreamDedup {
   private def banded(docs: DataFrame): DataFrame = {
     val sig = GraftFunctions.minhash_sigs(col("text"),
       GraftExtensions.MinHashParams, GraftExtensions.MinHashPrime)
-    docs.select(col("doc_id"), sig.as("sig"))
+    docs.select(col("doc_id"), sig.as("sig"), col("ts"))
       .select(col("doc_id"),
         ((col("sig").getItem(0) % 64) * 64 + col("sig").getItem(1) % 64)
           .as("band_key"),
-        col("sig").getItem(0).as("mh0"), col("sig").getItem(1).as("mh1"))
+        col("sig").getItem(0).as("mh0"), col("sig").getItem(1).as("mh1"),
+        col("ts"))
   }
 
   /** Near-duplicate flagging with custom keyed state: per band bucket,
-    * the state is the (doc_id, mh0, mh1) triples seen so far; each new
-    * doc is judged against it, then appended. Within one micro-batch a
-    * bucket's rows are processed in doc_id order so replay is
-    * deterministic. Docs too short to carry a signature (no shingles)
-    * are passed through as keepers of the empty bucket -1. */
-  def nearDupVerdicts(docs: DataFrame): Dataset[Verdict] = {
+    * the state is the KEEPERS' (doc_id, mh0, mh1) triples seen within
+    * the dedup horizon; each new doc is judged against it. Duplicates
+    * are never appended (their signature is already present), unsigned
+    * (too-short) docs touch no state at all, and a bucket idle for
+    * `horizonMs` past the watermark is expired via an event-time
+    * timeout — so state is bounded by keeper-rate x horizon, never the
+    * stream's lifetime. A doc repeated after the horizon becomes a
+    * keeper again (horizon-scoped dedup, same contract as
+    * exactDedup's dropDuplicatesWithinWatermark). Within one
+    * micro-batch a bucket's rows are processed in doc_id order so
+    * replay is deterministic. */
+  def nearDupVerdicts(docs: DataFrame, watermark: String = "24 hours",
+      horizonMs: Long = 24L * 3600 * 1000): Dataset[Verdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    banded(docs)
+    require(horizonMs > 0, "dedup horizon must be positive")
+    banded(docs.withWatermark("ts", watermark))
       .select(col("doc_id"), coalesce(col("band_key"), lit(-1L)).as("band_key"),
         coalesce(col("mh0"), lit(-1L)).as("mh0"),
-        coalesce(col("mh1"), lit(-1L)).as("mh1"))
+        coalesce(col("mh1"), lit(-1L)).as("mh1"), col("ts"))
       .as[Banded]
       .groupByKey(_.band_key)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(judgeBucket)
+        GroupStateTimeout.EventTimeTimeout)(judgeBucket(horizonMs))
   }
 
-  private def judgeBucket(key: Long, rows: Iterator[Banded],
+  private def judgeBucket(horizonMs: Long)(key: Long,
+      rows: Iterator[Banded],
       state: GroupState[Seq[(Long, Long, Long)]]): Iterator[Verdict] = {
+    if (state.hasTimedOut) { // idle past the horizon: drop the bucket
+      state.remove()
+      return Iterator.empty
+    }
+    if (key == -1L) // unsigned docs: stateless pass-through keepers
+      return rows.toSeq.sortBy(_.doc_id)
+        .map(d => Verdict(d.doc_id, key, -1L)).iterator
     var seen = state.getOption.getOrElse(Seq.empty)
-    val out = rows.toSeq.sortBy(_.doc_id).map { d =>
-      val dupOf =
-        if (key == -1L) -1L // unsigned (too-short) docs never match
-        else seen.collectFirst {
-          case (id, m0, m1) if m0 == d.mh0 && m1 == d.mh1 => id
-        }.getOrElse(-1L)
-      seen = seen :+ ((d.doc_id, d.mh0, d.mh1))
+    val batch = rows.toSeq.sortBy(_.doc_id)
+    val out = batch.map { d =>
+      val dupOf = seen.collectFirst {
+        case (id, m0, m1) if m0 == d.mh0 && m1 == d.mh1 => id
+      }.getOrElse(-1L)
+      if (dupOf == -1L) seen = seen :+ ((d.doc_id, d.mh0, d.mh1))
       Verdict(d.doc_id, key, dupOf)
     }
     state.update(seen)
+    // lease anchored on EVENT time (the first batches run with the
+    // watermark still at zero — anchoring there would expire the
+    // bucket immediately), extended every time the bucket sees data
+    val maxTs = batch.map(_.ts.getTime).max
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
     out.iterator
   }
 

@@ -202,6 +202,32 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "REGION_ID")
     assert(got.map(_.regionId).toSeq == polys.map(_.regionId * 10).toSeq)
     assert(got.head.xs.toSeq == polys.head.xs.toSeq)
+
+    // loud failures instead of silent corruption:
+    // .shp records carry only their record number — out-of-order ids
+    // must be refused, not silently renumbered
+    intercept[IllegalArgumentException](
+      graft.sources.Shp.encode(polys.reverse))
+    // attribute ids outside the Int region-id range must be refused,
+    // not truncated
+    Files.write(dir.resolve("big.shp"),
+      graft.sources.Shp.encode(polys))
+    Files.write(dir.resolve("big.dbf"),
+      graft.sources.Shp.encodeDbf("RID",
+        polys.map(_ => 4294967297L))) // fits N(18), overflows Int
+    intercept[IllegalArgumentException](
+      Ingest.shpPolygonsWithAttr(spark, s"$dir/big.shp", "RID"))
+    // a field descriptor overdeclaring its length past the record is
+    // rejected, not read past the buffer
+    val dbf = graft.sources.Shp.encodeDbf("RID", Array(1L, 2L))
+    val hostile = dbf.clone()
+    hostile(32 + 16) = 200.toByte // field length 200 in a 19-byte record
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Shp.dbfColumn(hostile, "RID"))
+    assert(e.getMessage.contains("corrupt dbf"))
+    // values that cannot fit the field are refused at write time
+    intercept[IllegalArgumentException](
+      graft.sources.Shp.encodeDbf("RID", Array(Long.MinValue)))
   }
 
   test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {

@@ -78,6 +78,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(13L) == 10L, "cross-batch dup points at the batch-1 keeper")
       assert(got(14L) == -1L)
       assert(got(15L) == -1L, "unsigned (too-short) docs pass through")
+      // horizon expiry: events ~50h ahead push the watermark (24h
+      // delay) past the bucket's lease (last event + 24h horizon); the
+      // idle bucket's state times out in the NEXT batch (timeouts fire
+      // for groups without data), after which the same text is a
+      // KEEPER again — horizon-scoped dedup, and the proof that state
+      // does not live forever
+      in.addData(Doc(16, "completely different filler words", ts(60 * 50)))
+      q.processAllAvailable()
+      in.addData(Doc(17, "another unrelated batch of text", ts(60 * 50 + 1)))
+      q.processAllAvailable()
+      in.addData(Doc(18, text1, ts(60 * 50 + 2)))
+      q.processAllAvailable()
+      val after = spark.table("g_near").select("doc_id", "dup_of")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(after(18L) == -1L,
+        "bucket state must expire one horizon past the watermark")
     } finally q.stop()
   }
 
