@@ -230,6 +230,30 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.Shp.encodeDbf("RID", Array(Long.MinValue)))
   }
 
+  test("S6: shapefile fuzz — 40 seeded random simple polygons " +
+    "round-trip bit-exactly through encode/parse") {
+    val rnd = new scala.util.Random(0x5AFEL)
+    (0 until 40).foreach { trial =>
+      val layers = (1 to 1 + rnd.nextInt(5)).map { id =>
+        // star-shaped ring: sorted angles around a centre = simple
+        val n = 3 + rnd.nextInt(12)
+        val cx = rnd.nextDouble() * 1000 - 500
+        val cy = rnd.nextDouble() * 1000 - 500
+        val angles = Array.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+        val xs = angles.map(a => cx + (1 + rnd.nextDouble() * 99) * math.cos(a))
+        val ys = angles.map(a => cy + (1 + rnd.nextDouble() * 99) * math.sin(a))
+        Polygon(id, xs, ys)
+      }.toArray
+      val back = graft.sources.Shp.parse(graft.sources.Shp.encode(layers))
+      assert(back.length == layers.length, s"trial $trial")
+      layers.zip(back).foreach { case (w, g) =>
+        assert(g.regionId == w.regionId)
+        assert(g.xs.toSeq == w.xs.toSeq && g.ys.toSeq == w.ys.toSeq,
+          s"trial $trial id ${w.regionId}")
+      }
+    }
+  }
+
   test("K1: CSV sink round-trips per-class loss masks (R:524-550)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
