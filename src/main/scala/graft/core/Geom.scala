@@ -4,17 +4,70 @@ package graft.core
   * point-in-polygon, the engine's spatial-join primitive (SURVEY.md §2.8
   * G3; the reference ships the result precomputed as
   * `GoodeR_Boundaries_Region.csv`, `Supplemental_Data_1.R:112`, with the
-  * source polygons only appearing in the commented KML block R:884-912).
+  * source polygons only appearing in the commented KML block R:884-912 —
+  * `readOGR` layers of continental boundaries carry holes (lakes,
+  * enclaves) and multi-part geometries (archipelagos)).
+  *
+  * MULTI-RING: `ringStarts` is a CSR index into the packed vertex
+  * arrays — ring r spans vertices [ringStarts(r), ringStarts(r+1)) (the
+  * last ring runs to the end). Each ring is an OPEN loop (no repeated
+  * closing vertex); its last vertex connects back to its first. The
+  * even-odd ray-cast walks every ring's edges, which yields hole and
+  * multipolygon semantics with no orientation bookkeeping: a point
+  * inside the outer ring AND inside a hole ring crosses an even total
+  * number of edges, so it is outside — exactly the even-odd fill rule
+  * of the ESRI/OGC simple-features model.
   *
   * Packed arrays (not object graphs) so a broadcast of all region
   * polygons is a handful of primitive arrays, cheap to serialize and
   * cache-friendly inside an Expression eval loop.
   */
-final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double]) {
+final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double],
+    ringStarts: Array[Int] = Array(0)) {
   require(xs.length == ys.length && xs.length >= 3, "need >= 3 vertices")
+  require(ringStarts.nonEmpty && ringStarts(0) == 0,
+    "ringStarts must begin with 0")
+  require(ringStarts.indices.forall { r =>
+    val end = if (r + 1 < ringStarts.length) ringStarts(r + 1) else xs.length
+    end - ringStarts(r) >= 3
+  }, "every ring needs >= 3 vertices and ringStarts must be increasing")
+
+  /** Number of rings (1 = simple polygon). */
+  def nRings: Int = ringStarts.length
+
+  /** [start, end) vertex range of ring r. */
+  def ringRange(r: Int): (Int, Int) =
+    (ringStarts(r),
+      if (r + 1 < ringStarts.length) ringStarts(r + 1) else xs.length)
+
+  /** Directed edge list (x1, y1, x2, y2), each ring closing onto its own
+    * first vertex — the exact edge set contains() ray-casts, exposed for
+    * SQL oracles and sinks. */
+  def edgeList: IndexedSeq[(Double, Double, Double, Double)] =
+    (0 until xs.length).map { i =>
+      val j = prevIdx(i)
+      (xs(j), ys(j), xs(i), ys(i))
+    }
 
   val (minX, maxX) = (xs.min, xs.max)
   val (minY, maxY) = (ys.min, ys.max)
+
+  /** Ring-predecessor of each vertex: the edge ending at vertex i starts
+    * at prevIdx(i) (wraps to its OWN ring's last vertex, never across
+    * rings). Rebuilt lazily per JVM, never serialized. */
+  @transient private lazy val prevIdx: Array[Int] = {
+    val prev = new Array[Int](xs.length)
+    var r = 0
+    while (r < ringStarts.length) {
+      val s = ringStarts(r)
+      val e = if (r + 1 < ringStarts.length) ringStarts(r + 1) else xs.length
+      prev(s) = e - 1
+      var i = s + 1
+      while (i < e) { prev(i) = i - 1; i += 1 }
+      r += 1
+    }
+    prev
+  }
 
   /** Banded y-interval edge index (CSR layout): edges bucketed by the
     * horizontal bands their y-span overlaps, so a point test touches
@@ -36,27 +89,28 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double]) {
       if (bandH <= 0) 0
       else math.min(nBands - 1, math.max(0, ((y - minY) / bandH).toInt))
     val counts = new Array[Int](nBands + 1)
-    var j = n - 1
     var i = 0
     while (i < n) {
+      val j = prevIdx(i)
       val lo = bandOf(math.min(ys(j), ys(i)))
       val hi = bandOf(math.max(ys(j), ys(i)))
       var b = lo
       while (b <= hi) { counts(b + 1) += 1; b += 1 }
-      j = i; i += 1
+      i += 1
     }
     var b = 0
     while (b < nBands) { counts(b + 1) += counts(b); b += 1 }
     val offsets = counts.clone()
     val edges = new Array[Int](counts(nBands))
     val fill = counts.clone()
-    j = n - 1; i = 0
+    i = 0
     while (i < n) {
+      val j = prevIdx(i)
       val lo = bandOf(math.min(ys(j), ys(i)))
       val hi = bandOf(math.max(ys(j), ys(i)))
       var b2 = lo
       while (b2 <= hi) { edges(fill(b2)) = i; fill(b2) += 1; b2 += 1 }
-      j = i; i += 1
+      i += 1
     }
     (nBands, bandH, offsets, edges)
   }
@@ -76,10 +130,9 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double]) {
     var inside = false
     var k = offsets(b)
     val end = offsets(b + 1)
-    val n = xs.length
     while (k < end) {
       val i = edges(k)
-      val j = if (i == 0) n - 1 else i - 1
+      val j = prevIdx(i)
       val y1 = ys(j); val y2 = ys(i)
       if ((y1 > py) != (y2 > py)) {
         val x1 = xs(j); val x2 = xs(i)
@@ -98,15 +151,14 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double]) {
     var inside = false
     val n = xs.length
     var i = 0
-    var j = n - 1
     while (i < n) {
+      val j = prevIdx(i)
       val y1 = ys(j); val y2 = ys(i)
       if ((y1 > py) != (y2 > py)) {
         val x1 = xs(j); val x2 = xs(i)
         val xInt = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
         if (px < xInt) inside = !inside
       }
-      j = i
       i += 1
     }
     inside

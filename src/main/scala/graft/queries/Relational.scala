@@ -85,7 +85,7 @@ object Relational {
 
   private val q64Sql =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
       |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
       |  CAST(0 AS BIGINT) AS n_mismatch
@@ -125,7 +125,8 @@ object Relational {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |s AS (
       |  SELECT user_id, ts,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+      |      AS session_id
       |  FROM o)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS t_start, MAX(ts) AS t_end

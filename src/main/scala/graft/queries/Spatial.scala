@@ -43,7 +43,9 @@ object Spatial {
     Q("q37_class_loss_rasters", q37, None),
     Q("q38_manifest_wide", q38, Some(q38Sql)),
     Q("q39_wkt_pip", q39, Some(q39Sql)),
-    Q("q57_shp_pip", q57, Some(q57Sql))
+    Q("q57_shp_pip", q57, Some(q57Sql)),
+    Q("q65_shp_pip_holes", q65, Some(q65Sql)),
+    Q("q66_shp_dbf_pip", q66, Some(q66Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -104,9 +106,19 @@ object Spatial {
 
   /** Even-odd ray-cast as SQL: odd crossing count per (cell, region),
     * lowest region wins (mirrors Geom.regionOf exactly — the dyadic
-    * edge geometry guarantees identical float comparisons). */
-  private def pipCte: String =
-    s"""edges(region_id, x1, y1, x2, y2) AS (VALUES $edgesValues),
+    * edge geometry guarantees identical float comparisons). Ring-aware
+    * by construction: the edge list carries every ring's edges keyed by
+    * region, and an odd TOTAL crossing count is exactly the multi-ring
+    * even-odd rule (inside outer + inside hole = even = out). */
+  private def pipCte: String = pipCteFor(edgesValues)
+
+  private def edgesValuesOf(polys: Array[graft.core.Polygon]): String =
+    World.edgesOf(polys).map { case (r, x1, y1, x2, y2) =>
+      s"($r, CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE), CAST($x2 AS DOUBLE), CAST($y2 AS DOUBLE))"
+    }.mkString(", ")
+
+  private def pipCteFor(edgeLiteral: String): String =
+    s"""edges(region_id, x1, y1, x2, y2) AS (VALUES $edgeLiteral),
        |pts AS (SELECT cell_id, ${pxSql("cell_id")} AS px, ${pySql("cell_id")} AS py FROM cells),
        |pip AS (
        |  SELECT p.cell_id, e.region_id
@@ -783,6 +795,93 @@ object Spatial {
        |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
        |  MAX(cell_id) AS max_cell
        |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q65: the REAL shape of a readOGR boundary layer (R:884,893) —
+  // holes and multi-part geometries in one .shp: region 1 is a square
+  // with a lake (interior ring), region 2 is a two-island archipelago
+  // (multipolygon), region 3 is a plain rectangle that OVERLAPS both
+  // region 1's interior (lowest id wins there) and part of its lake
+  // (inside the hole only region 3 contains the point — the hole
+  // semantics the even-odd ray-cast must produce). Integer vertices,
+  // half-integer query points: every comparison is exact. ---------------
+  private lazy val holedPolys: Array[graft.core.Polygon] = Array(
+    graft.core.Polygon(1,
+      Array[Double](5, 40, 40, 5, /* lake */ 15, 25, 25, 15),
+      Array[Double](5, 5, 40, 40, /* lake */ 15, 15, 25, 25),
+      Array(0, 4)),
+    graft.core.Polygon(2,
+      Array[Double](50, 60, 60, 50, /* 2nd island */ 70, 85, 85, 70),
+      Array[Double](10, 10, 20, 20, /* 2nd island */ 30, 30, 45, 45),
+      Array(0, 4)),
+    graft.core.Polygon(3,
+      Array[Double](20, 35, 35, 20),
+      Array[Double](20, 20, 55, 55)))
+
+  private lazy val holedShpFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q65")
+    java.nio.file.Files.write(dir.resolve("regions.shp"),
+      graft.sources.Shp.encode(holedPolys))
+    s"$dir/regions.shp"
+  }
+
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val polys = graft.sources.Ingest.shpPolygons(s, holedShpFixture)
+    spine(s)
+      .select(cellCol,
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
+
+  private def q65Sql =
+    s"""$cellsCte,
+       |${pipCteFor(edgesValuesOf(holedPolys))}
+       |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q66: the .dbf ATTRIBUTE path — region ids come from a numeric
+  // column of the sidecar attribute table and are PERMUTED vs record
+  // order (the normal real-world case: layer FIDs are load order,
+  // semantic ids live in the attribute table). The permutation flips
+  // the lowest-id-wins tie-break in the region-1/region-3 overlap, so
+  // a silently ignored .dbf would produce DIFFERENT rows, not just
+  // different labels. ---------------------------------------------------
+  private lazy val dbfIds: Array[Long] = Array(30L, 10L, 20L)
+
+  private lazy val attrShpFixture: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q66")
+    java.nio.file.Files.write(dir.resolve("regions.shp"),
+      graft.sources.Shp.encode(holedPolys))
+    java.nio.file.Files.write(dir.resolve("regions.dbf"),
+      graft.sources.Shp.encodeDbf("REGID", dbfIds))
+    s"$dir/regions.shp"
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val polys =
+      graft.sources.Ingest.shpPolygonsWithAttr(s, attrShpFixture, "REGID")
+    spine(s)
+      .select(cellCol,
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
+
+  private def q66Sql = {
+    val remapped = holedPolys.zip(dbfIds).map { case (p, id) =>
+      p.copy(regionId = id.toInt)
+    }
+    s"""$cellsCte,
+       |${pipCteFor(edgesValuesOf(remapped))}
+       |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
     * tile (input_hint). */

@@ -17,16 +17,29 @@ object Kml {
   def render(polys: Seq[Polygon],
       toXY: (Double, Double) => (Double, Double) = (x, y) => (x, y)): String = {
     val placemarks = polys.map { p =>
-      val coords = (p.xs.indices :+ 0).map { i => // closed ring
-        val (mx, my) = toXY(p.xs(i), p.ys(i))
-        val (lon, lat) = Igh.inverse(mx, my)
-        f"$lon%.8f,$lat%.8f,0"
-      }.mkString(" ")
+      // ring 0 is the outer boundary, later rings are inner (KML's
+      // outer/inner distinction; the engine's even-odd ray-cast is
+      // orientation-free, so ring order carries the roles)
+      def ringCoords(r: Int): String = {
+        val (s, e) = p.ringRange(r)
+        ((s until e) :+ s).map { i => // closed ring
+          val (mx, my) = toXY(p.xs(i), p.ys(i))
+          val (lon, lat) = Igh.inverse(mx, my)
+          f"$lon%.8f,$lat%.8f,0"
+        }.mkString(" ")
+      }
+      val outer =
+        s"""<outerBoundaryIs><LinearRing><coordinates>
+           |        ${ringCoords(0)}
+           |      </coordinates></LinearRing></outerBoundaryIs>""".stripMargin
+      val inners = (1 until p.nRings).map { r =>
+        s"""<innerBoundaryIs><LinearRing><coordinates>
+           |        ${ringCoords(r)}
+           |      </coordinates></LinearRing></innerBoundaryIs>""".stripMargin
+      }
       s"""    <Placemark>
          |      <name>region_${p.regionId}</name>
-         |      <Polygon><outerBoundaryIs><LinearRing><coordinates>
-         |        $coords
-         |      </coordinates></LinearRing></outerBoundaryIs></Polygon>
+         |      <Polygon>${(outer +: inners).mkString}</Polygon>
          |    </Placemark>""".stripMargin
     }.mkString("\n")
     s"""<?xml version="1.0" encoding="UTF-8"?>

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.io.File
+import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 import graft.core.Polygon
@@ -46,9 +47,10 @@ object Ingest {
     * distributed (a Dataset map), collected to the packed edge-array
     * Polygons the PIP expression broadcasts. Polygon layers are
     * dimension-sized (thousands of rows), so the collect is bounded by
-    * the same budget as the broadcast itself. Exterior ring only; the
-    * closing vertex (WKT rings repeat the first point) is dropped to
-    * match the engine's open-ring convention. */
+    * the same budget as the broadcast itself. Interior rings (holes)
+    * and MULTIPOLYGON parts pack into one multi-ring Polygon; each
+    * ring's closing vertex (WKT rings repeat the first point) is
+    * dropped to match the engine's open-ring convention. */
   def wktPolygons(spark: SparkSession, path: String): Array[Polygon] = {
     import spark.implicits._
     spark.read.textFile(path)
@@ -60,26 +62,34 @@ object Ingest {
 
   private[graft] def parseWktLine(line: String): Polygon = {
     val comma = line.indexOf(',')
-    require(comma > 0, s"expected '<region_id>,POLYGON(...)': $line")
+    require(comma > 0,
+      s"expected '<region_id>,POLYGON(...)|MULTIPOLYGON(...)': $line")
     val id = line.substring(0, comma).trim.toInt
     val wkt = line.substring(comma + 1).trim
-    require(wkt.toUpperCase.startsWith("POLYGON"),
-      s"only POLYGON geometries supported: $wkt")
-    val open = wkt.indexOf("((")
-    val close = wkt.indexOf("))")
-    require(open > 0 && close > open, s"malformed POLYGON: $wkt")
-    val body = wkt.substring(open + 2, close)
-    require(!body.contains("("),
-      s"interior rings (holes) are not supported: $wkt")
-    val pts = body.split(",").map { p =>
-      val xy = p.trim.split("\\s+")
-      require(xy.length == 2, s"bad vertex '$p'")
-      (xy(0).toDouble, xy(1).toDouble)
+    val up = wkt.toUpperCase
+    require(up.startsWith("POLYGON") || up.startsWith("MULTIPOLYGON"),
+      s"only POLYGON/MULTIPOLYGON geometries supported: $wkt")
+    // every innermost parenthesized group is one ring's vertex list —
+    // true for both POLYGON ((outer), (hole)...) and
+    // MULTIPOLYGON (((outer), (hole)), ((outer2))); the even-odd
+    // ray-cast over all rings' edges makes the two grammars' fill
+    // semantics identical, so the flattened ring list loses nothing
+    val ringBodies = """\(([^()]+)\)""".r
+      .findAllMatchIn(wkt).map(_.group(1)).toArray
+    require(ringBodies.nonEmpty, s"malformed (MULTI)POLYGON: $wkt")
+    val rings = ringBodies.map { body =>
+      val pts = body.split(",").map { p =>
+        val xy = p.trim.split("\\s+")
+        require(xy.length == 2, s"bad vertex '$p'")
+        (xy(0).toDouble, xy(1).toDouble)
+      }
+      require(pts.length >= 4, s"ring needs >= 4 vertices (closed): $wkt")
+      require(pts.head == pts.last, s"WKT ring must be closed: $wkt")
+      pts.dropRight(1) // engine's open-ring convention
     }
-    require(pts.length >= 4, s"ring needs >= 4 vertices (closed): $wkt")
-    require(pts.head == pts.last, s"WKT ring must be closed: $wkt")
-    val ring = pts.dropRight(1)
-    Polygon(id, ring.map(_._1), ring.map(_._2))
+    val ringStarts = rings.scanLeft(0)(_ + _.length).dropRight(1)
+    val all = rings.flatten
+    Polygon(id, all.map(_._1), all.map(_._2), ringStarts)
   }
 
   /** S6 — the reference's ACTUAL vector format: an ESRI shapefile
@@ -123,7 +133,14 @@ object Ingest {
         s".dbf $idColumn value $id is outside the valid region-id " +
           "range [0, Int.MaxValue]")
       p.copy(regionId = id.toInt)
-    }.sortBy(_.regionId)
+    }.sortBy(_.regionId).tap { remapped =>
+      // duplicate .dbf ids would make the PIP layer ambiguous (lowest-id
+      // tie-break silently picks a winner between two DIFFERENT shapes)
+      // — fail loudly naming the colliding attribute value instead
+      val dups = remapped.groupBy(_.regionId).filter(_._2.length > 1).keys
+      require(dups.isEmpty,
+        s".dbf $idColumn has duplicate region ids: ${dups.mkString(",")}")
+    }
   }
 
   /** Discover the variable manifest from a directory: non-recursive,

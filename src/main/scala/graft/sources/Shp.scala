@@ -3,11 +3,11 @@ package graft.sources
 import java.nio.{ByteBuffer, ByteOrder}
 import graft.core.Polygon
 
-/** Pure-JVM ESRI shapefile (.shp main file) codec for single-ring
-  * polygon layers — the reference's vector surface is `readOGR` over a
-  * shapefile (`Supplemental_Data_1.R:884,893`); a real user holds .shp
-  * bytes, not WKT. Implements the needed subset of the PUBLIC spec
-  * ("ESRI Shapefile Technical Description", July 1998):
+/** Pure-JVM ESRI shapefile (.shp main file) codec for polygon layers —
+  * the reference's vector surface is `readOGR` over a shapefile
+  * (`Supplemental_Data_1.R:884,893`); a real user holds .shp bytes, not
+  * WKT. Implements the needed subset of the PUBLIC spec ("ESRI
+  * Shapefile Technical Description", July 1998):
   *
   *  - 100-byte header: file code 9994 (big-endian), file length in
   *    16-bit words (BE), version 1000 (little-endian), shape type,
@@ -15,11 +15,15 @@ import graft.core.Polygon
   *  - records: (record number BE, content length BE in words) then
   *    LE content: shape type 5 = Polygon — box, NumParts, NumPoints,
   *    part offsets, (x, y) doubles;
-  *  - polygon rings are CLOSED (first vertex repeated last); parse
-  *    drops the closing vertex to match the engine's open-ring
+  *  - MULTI-PART records (holes / island multipolygons — what real
+  *    continental-boundary layers contain) pack every part into one
+  *    CSR multi-ring Polygon; the even-odd ray-cast over all rings'
+  *    edges gives the spec's fill semantics without any orientation
+  *    bookkeeping, so ring winding order is accepted as-is;
+  *  - each ring is CLOSED on disk (first vertex repeated last); parse
+  *    drops each ring's closing vertex to match the engine's open-ring
   *    convention (same as the WKT path);
-  *  - multi-part records (holes / multipolygons) and non-polygon shape
-  *    types are rejected loudly — never silently misread;
+  *  - non-polygon shape types are rejected loudly — never misread;
   *  - region id = the record number (the layer's FID, what readOGR
   *    exposes when no attribute table is joined).
   *
@@ -41,6 +45,9 @@ object Shp {
     * silently renumbering a layer here would corrupt every downstream
     * PIP join. */
   def encode(polys: Array[Polygon]): Array[Byte] = {
+    require(polys.nonEmpty,
+      "refusing to encode an empty polygon layer: the header bounding " +
+        "box is undefined — write at least one polygon")
     polys.zipWithIndex.foreach { case (p, i) =>
       require(p.regionId == i + 1,
         s"polygon $i has regionId ${p.regionId}, but .shp records carry " +
@@ -48,18 +55,24 @@ object Shp {
           "write the ids to a sidecar .dbf (encodeDbf)")
     }
     val contents = polys.map { p =>
-      val nPts = p.xs.length + 1 // closing vertex
+      val nRings = p.nRings
+      val nPts = p.xs.length + nRings // one closing vertex per ring
       val content = ByteBuffer
-        .allocate(4 + 32 + 4 + 4 + 4 + 16 * nPts)
+        .allocate(4 + 32 + 4 + 4 + 4 * nRings + 16 * nPts)
         .order(ByteOrder.LITTLE_ENDIAN)
       content.putInt(PolygonType)
       content.putDouble(p.minX).putDouble(p.minY)
         .putDouble(p.maxX).putDouble(p.maxY)
-      content.putInt(1) // NumParts
+      content.putInt(nRings) // NumParts
       content.putInt(nPts)
-      content.putInt(0) // part 0 starts at point 0
-      (p.xs.indices :+ 0).foreach { i =>
-        content.putDouble(p.xs(i)).putDouble(p.ys(i))
+      (0 until nRings).foreach { r => // part start = open start + r closers
+        content.putInt(p.ringStarts(r) + r)
+      }
+      (0 until nRings).foreach { r =>
+        val (s, e) = p.ringRange(r)
+        ((s until e) :+ s).foreach { i => // closed ring
+          content.putDouble(p.xs(i)).putDouble(p.ys(i))
+        }
       }
       content.array()
     }
@@ -203,27 +216,51 @@ object Shp {
           s"corrupt record $recNum: polygon content too short")
         val nParts = le.getInt(start + 36)
         val nPts = le.getInt(start + 40)
-        require(nParts == 1,
-          s"record $recNum: multi-part polygons (holes/multipolygons) " +
-            "are not supported — refusing to misread")
-        require(nPts >= 4 &&
+        require(nParts >= 1 && nPts >= 4 * nParts.toLong &&
           contentBytes == 4 + 32 + 4 + 4 + 4L * nParts + 16L * nPts,
           s"record $recNum: inconsistent counts parts=$nParts pts=$nPts " +
             s"content=$contentBytes")
-        require(le.getInt(start + 44) == 0,
+        // part start indices: ascending, first 0, all < nPts (spec §
+        // Polygon record) — hostile offsets fail loudly, never misread
+        val parts = Array.tabulate(nParts)(p => le.getInt(start + 44 + 4 * p))
+        require(parts(0) == 0,
           s"record $recNum: part 0 must start at point 0")
-        val ptsOff = start + 44 + 4
-        val xs = new Array[Double](nPts)
-        val ys = new Array[Double](nPts)
-        var i = 0
-        while (i < nPts) {
-          xs(i) = le.getDouble(ptsOff + i * 16)
-          ys(i) = le.getDouble(ptsOff + i * 16 + 8)
-          i += 1
+        var p = 1
+        while (p < nParts) {
+          require(parts(p) > parts(p - 1) && parts(p) < nPts,
+            s"record $recNum: part starts not ascending/in-range: " +
+              parts.mkString(","))
+          p += 1
         }
-        require(xs(0) == xs(nPts - 1) && ys(0) == ys(nPts - 1),
-          s"record $recNum: polygon ring must be closed")
-        out += Polygon(recNum, xs.dropRight(1), ys.dropRight(1))
+        val ptsOff = start + 44 + 4 * nParts
+        // each part is a CLOSED ring; drop its closing vertex and pack
+        // all rings into one open-ring CSR Polygon (holes/multipolygons
+        // fall out of the even-odd ray-cast over all rings' edges)
+        val xsB = Array.newBuilder[Double]
+        val ysB = Array.newBuilder[Double]
+        val ringStarts = new Array[Int](nParts)
+        var packed = 0
+        p = 0
+        while (p < nParts) {
+          val s0 = parts(p)
+          val e0 = if (p + 1 < nParts) parts(p + 1) else nPts
+          require(e0 - s0 >= 4,
+            s"record $recNum: ring $p has ${e0 - s0} points, need >= 4")
+          require(
+            le.getDouble(ptsOff + s0 * 16) == le.getDouble(ptsOff + (e0 - 1) * 16) &&
+            le.getDouble(ptsOff + s0 * 16 + 8) == le.getDouble(ptsOff + (e0 - 1) * 16 + 8),
+            s"record $recNum: ring $p must be closed")
+          ringStarts(p) = packed
+          var i = s0
+          while (i < e0 - 1) { // drop the closing vertex
+            xsB += le.getDouble(ptsOff + i * 16)
+            ysB += le.getDouble(ptsOff + i * 16 + 8)
+            i += 1
+          }
+          packed += e0 - 1 - s0
+          p += 1
+        }
+        out += Polygon(recNum, xsB.result(), ysB.result(), ringStarts)
       }
       pos = (start + contentBytes).toInt
     }

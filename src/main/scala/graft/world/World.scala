@@ -123,31 +123,37 @@ object World {
       val n = p.xs.length
       val xs = new Array[Double](n * k)
       val ys = new Array[Double](n * k)
-      var i = 0
-      while (i < n) {
-        val j = (i + 1) % n
-        var t = 0
-        while (t < k) {
-          val f = t.toDouble / k
-          xs(i * k + t) = p.xs(i) + (p.xs(j) - p.xs(i)) * f
-          ys(i * k + t) = p.ys(i) + (p.ys(j) - p.ys(i)) * f
-          t += 1
+      // each ring densifies independently: vertex i's outgoing edge runs
+      // to the next vertex of its OWN ring (wrapping to the ring start)
+      (0 until p.nRings).foreach { r =>
+        val (s, e) = p.ringRange(r)
+        var i = s
+        while (i < e) {
+          val j = if (i + 1 < e) i + 1 else s
+          var t = 0
+          while (t < k) {
+            val f = t.toDouble / k
+            xs(i * k + t) = p.xs(i) + (p.xs(j) - p.xs(i)) * f
+            ys(i * k + t) = p.ys(i) + (p.ys(j) - p.ys(i)) * f
+            t += 1
+          }
+          i += 1
         }
-        i += 1
       }
-      Polygon(p.regionId, xs, ys)
+      Polygon(p.regionId, xs, ys, p.ringStarts.map(_ * k))
     }
   }
 
   /** Polygon edge list (region_id, x1, y1, x2, y2) for SQL oracles. */
   def edges(spec: WorldSpec): Seq[(Int, Double, Double, Double, Double)] =
-    polygons(spec).flatMap { p =>
-      val n = p.xs.length
-      (0 until n).map { i =>
-        val j = (i + n - 1) % n
-        (p.regionId, p.xs(j), p.ys(j), p.xs(i), p.ys(i))
-      }
-    }.toSeq
+    edgesOf(polygons(spec))
+
+  /** Ring-aware directed edge list of an arbitrary layer (the exact edge
+    * set `Polygon.contains` ray-casts), for SQL oracles. */
+  def edgesOf(polys: Array[Polygon]): Seq[(Int, Double, Double, Double, Double)] =
+    polys.toSeq.flatMap { p =>
+      p.edgeList.map { case (x1, y1, x2, y2) => (p.regionId, x1, y1, x2, y2) }
+    }
 
   /** Centroid of a cell in grid coords: (col-0.5, row-0.5), y growing
     * down in row direction (polygons use the same frame). */

@@ -101,8 +101,26 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       Ingest.parseWktLine("1,LINESTRING(0 0, 1 1)"))
     intercept[IllegalArgumentException](
       Ingest.parseWktLine("1,POLYGON((0 0, 1 0, 1 1, 0 1))")) // unclosed
+
+    // interior rings (holes) parse to a multi-ring Polygon with
+    // even-odd hole semantics
+    val holed = Ingest.parseWktLine(
+      "1,POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,3 1,3 3,1 3,1 1))")
+    assert(holed.nRings == 2 && holed.ringStarts.toSeq == Seq(0, 4))
+    assert(holed.contains(0.5, 0.5))   // between outer and hole
+    assert(!holed.contains(2.0, 2.0))  // inside the hole
+    assert(!holed.contains(5.0, 5.0))  // outside
+
+    // MULTIPOLYGON parts flatten into one even-odd ring set
+    val multi = Ingest.parseWktLine(
+      "2,MULTIPOLYGON(((0 0,2 0,2 2,0 2,0 0)),((10 10,12 10,12 12,10 12,10 10)))")
+    assert(multi.nRings == 2)
+    assert(multi.contains(1.0, 1.0) && multi.contains(11.0, 11.0))
+    assert(!multi.contains(5.0, 5.0))
+
+    // a hole ring that is not closed still fails loudly
     intercept[IllegalArgumentException](
-      Ingest.parseWktLine("1,POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,1 2,1 1))"))
+      Ingest.parseWktLine("1,POLYGON((0 0,4 0,4 4,0 4,0 0),(1 1,2 1,1 2))"))
   }
 
   test("S6: shapefile golden — a hand-assembled .shp record (built " +
@@ -142,7 +160,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("S6: shapefile encode -> distributed scan round-trips the engine " +
-    "polygons; hostile/multi-part records are rejected loudly") {
+    "polygons; hostile records are rejected loudly") {
     import graft.world.World
     val polys = World.polygons(World.tiny)
     val dir = Files.createTempDirectory("graft_shp")
@@ -153,17 +171,52 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(g.regionId == w.regionId)
       assert(g.xs.toSeq == w.xs.toSeq && g.ys.toSeq == w.ys.toSeq)
     }
-    // multi-part (hole-bearing) records are refused, not misread
+    // a NumParts hacked to 2 without matching content is refused as
+    // inconsistent, not misread
     val enc = graft.sources.Shp.encode(Array(polys(0)))
     val twoParts = enc.clone()
     java.nio.ByteBuffer.wrap(twoParts)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(108 + 36, 2)
     val e = intercept[IllegalArgumentException](
       graft.sources.Shp.parse(twoParts))
-    assert(e.getMessage.contains("multi-part"))
+    assert(e.getMessage.contains("inconsistent"))
     // truncated / non-shapefile bytes fail loudly
     intercept[IllegalArgumentException](
       graft.sources.Shp.parse("not a shapefile".getBytes))
+    // an empty layer is refused at write time (undefined bbox)
+    intercept[IllegalArgumentException](
+      graft.sources.Shp.encode(Array.empty[Polygon]))
+  }
+
+  test("S6: multi-part shapefile records (holes + island multipolygons) " +
+    "round-trip through encode/parse and keep even-odd semantics") {
+    // region 1: square with a lake; region 2: two islands
+    val holed = Polygon(1,
+      Array[Double](0, 8, 8, 0, 2, 6, 6, 2),
+      Array[Double](0, 0, 8, 8, 2, 2, 6, 6), Array(0, 4))
+    val islands = Polygon(2,
+      Array[Double](10, 12, 12, 10, 20, 24, 24, 20),
+      Array[Double](0, 0, 2, 2, 0, 0, 4, 4), Array(0, 4))
+    val back = graft.sources.Shp.parse(
+      graft.sources.Shp.encode(Array(holed, islands)))
+    assert(back.length == 2)
+    back.zip(Seq(holed, islands)).foreach { case (g, w) =>
+      assert(g.regionId == w.regionId)
+      assert(g.xs.toSeq == w.xs.toSeq && g.ys.toSeq == w.ys.toSeq)
+      assert(g.ringStarts.toSeq == w.ringStarts.toSeq)
+    }
+    // hole semantics survive the byte round-trip
+    assert(back(0).contains(1.0, 1.0) && !back(0).contains(4.0, 4.0))
+    assert(back(1).contains(11.0, 1.0) && back(1).contains(22.0, 2.0))
+    assert(!back(1).contains(15.0, 1.0))
+    // hostile part offsets (descending / out of range) are refused
+    val enc = graft.sources.Shp.encode(Array(holed))
+    val badParts = enc.clone()
+    java.nio.ByteBuffer.wrap(badParts)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(108 + 44 + 4, 0)
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Shp.parse(badParts))
+    assert(e.getMessage.contains("ascending"))
   }
 
   test("S6: .dbf attribute table — hand-assembled golden (dBASE III " +

@@ -329,6 +329,64 @@ class CartSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-ring polygons: even-odd hole/island semantics, banded " +
+    "index equals linear scan, densify preserves containment") {
+    val rnd = new scala.util.Random(41)
+    // concentric-square rings: outer, hole, island-in-hole — the
+    // even-odd parity alternates in, out, in again
+    val nested = graft.core.Polygon(1,
+      Array[Double](0, 12, 12, 0, 2, 10, 10, 2, 4, 8, 8, 4),
+      Array[Double](0, 0, 12, 12, 2, 2, 10, 10, 4, 4, 8, 8),
+      Array(0, 4, 8))
+    assert(nested.contains(1.0, 1.0))   // outer band
+    assert(!nested.contains(3.0, 3.0))  // inside the hole
+    assert(nested.contains(6.0, 6.0))   // island inside the hole
+    assert(!nested.contains(13.0, 6.0)) // outside
+
+    // regionOf: a point in region 1's hole belongs to overlapping
+    // region 2 only; lowest id still wins where both contain
+    val r2 = graft.core.Polygon(2,
+      Array[Double](1, 11, 11, 1), Array[Double](1, 1, 11, 11))
+    val layer = Array(nested, r2)
+    assert(graft.core.Geom.regionOf(layer, 3.0, 3.0) == 2) // hole of 1
+    assert(graft.core.Geom.regionOf(layer, 6.0, 6.0) == 1) // island, both
+    assert(graft.core.Geom.regionOf(layer, 0.5, 0.5) == 1) // only 1
+    assert(graft.core.Geom.regionOf(layer, 13.0, 6.0) == -1)
+
+    // banded == linear on random multi-ring layers (outer star + a
+    // small square hole inside it)
+    (0 until 10).foreach { trial =>
+      val n = 8 + rnd.nextInt(30)
+      val cx = rnd.nextDouble() * 100
+      val cy = rnd.nextDouble() * 100
+      val outer = (0 until n).map { k =>
+        val a = 2 * math.Pi * k / n
+        val r = 20 + rnd.nextDouble() * 20
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      val hole = Seq((cx - 3, cy - 3), (cx + 3, cy - 3),
+        (cx + 3, cy + 3), (cx - 3, cy + 3))
+      val pts = outer ++ hole
+      val p = graft.core.Polygon(trial + 1,
+        pts.map(_._1).toArray, pts.map(_._2).toArray, Array(0, n))
+      (0 until 500).foreach { _ =>
+        val px = p.minX - 5 + rnd.nextDouble() * (p.maxX - p.minX + 10)
+        val py = p.minY - 5 + rnd.nextDouble() * (p.maxY - p.minY + 10)
+        assert(p.contains(px, py) == p.containsLinear(px, py),
+          s"trial $trial point ($px, $py)")
+      }
+      assert(!p.contains(cx, cy), s"trial $trial: hole centre not empty")
+      // densify: same containment on a probe grid (ring-aware edges)
+      val d = graft.world.World.densify(Array(p), 4)(0)
+      (0 until 200).foreach { _ =>
+        val px = p.minX + rnd.nextDouble() * (p.maxX - p.minX)
+        val py = p.minY + rnd.nextDouble() * (p.maxY - p.minY)
+        assert(d.contains(px, py) == p.containsLinear(px, py),
+          s"densified trial $trial point ($px, $py)")
+      }
+    }
+  }
+
   test("SimHash16 one-pass expression equals the per-bit fold reference") {
     import org.apache.spark.unsafe.types.UTF8String
     def ref(text: String): Long = {

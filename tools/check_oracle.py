@@ -49,6 +49,17 @@ for name in sorted(oracles):
     ok = True
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
+        # Dtype-KIND drift is a driver-hash failure even when values are
+        # numerically identical (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+        # pandas float64 vs Spark int64). The driver hashes exact values
+        # per dtype, so an int-vs-float kind mismatch ships red; fail it
+        # here so this tool predicts the driver. (round-3 verdict #2)
+        if a.dtype.kind != b.dtype.kind:
+            print(f"FAIL {name}.{c}: dtype kind drift spark={a.dtype} "
+                  f"duck={b.dtype} — driver hash will mismatch; "
+                  f"CAST the oracle SQL to match Spark's type")
+            ok = False
+            continue
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             aa, bb = a.astype(float).values, b.astype(float).values
             exact = np.array_equal(aa, bb, equal_nan=True)
