@@ -19,6 +19,15 @@ import graft.sql.GraftFunctions.dot_f64
 object TextOps {
   import Tables.t
 
+  /** Lineage truncation via the engine-wide reliability policy
+    * (Checkpoint.truncate): RELIABLE checkpoint when the session has a
+    * checkpoint dir — a bare localCheckpoint dies with any executor on
+    * a real cluster — else localCheckpoint (single-JVM test/bench). */
+  implicit private class Truncated(df: DataFrame) {
+    def truncated(s: SparkSession): DataFrame =
+      graft.engine.Checkpoint.truncate(s, df)
+  }
+
   def all: Seq[Q] = Seq(
     Q("q40_dedup_exact", q40, Some(q40Sql)),
     Q("q41_shingle_stats", q41, Some(q41Sql)),
@@ -164,7 +173,7 @@ object TextOps {
         array_distinct(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
         col("sig").getItem(1).as("mh1"), col("sh"))
-      .localCheckpoint(true)
+      .truncated(s)
     val a = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_a"),
       col("sh").as("sha"))
     val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
@@ -342,7 +351,7 @@ object TextOps {
     // Materialize the (tiny) signature frame before self-joining: both
     // sides of the bucket join would otherwise recompute the full
     // minhash pipeline over every document.
-    val all = b0.unionByName(b1).localCheckpoint(true)
+    val all = b0.unionByName(b1).truncated(s)
     val l = all.select(col("band"), col("key"), col("doc_id").as("doc_a"))
     val r = all.select(col("band"), col("key"), col("doc_id").as("doc_b"))
     // Shuffled self-join on the (band, key) bucket — the bucket id IS
@@ -415,7 +424,7 @@ object TextOps {
   }
 
   private def q47(s: SparkSession, dir: String): DataFrame = {
-    val e = normedEmb(s, dir).localCheckpoint(true)
+    val e = normedEmb(s, dir).truncated(s)
     val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
@@ -479,7 +488,7 @@ object TextOps {
 
   // --- q49: embedding-cosine near-duplicate pairs --------------------------
   private def q49(s: SparkSession, dir: String): DataFrame = {
-    val e = normedEmb(s, dir).localCheckpoint(true)
+    val e = normedEmb(s, dir).truncated(s)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
@@ -543,7 +552,7 @@ object TextOps {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id") +: v.as("v") +:
         sqrt(dot_f64(v, v)).as("norm") +: bucketCols: _*)
-      .localCheckpoint(true)
+      .truncated(s)
     val banded = e.select(col("vec_id"), col("v"), col("norm"),
         explode(array((0 until NdBands).map(b =>
           struct(lit(b).as("band"), col(s"bk$b").as("key"))): _*)).as("bk"))
@@ -610,7 +619,7 @@ object TextOps {
     val best = greatest(ds: _*)
     val cell = (array_position(array(ds: _*), best) - 1).as("ivf_cell")
     val cells = assigned.select(col("vec_id"), col("v"), cell)
-      .localCheckpoint(true)
+      .truncated(s)
     val a = cells.select(col("ivf_cell"), col("vec_id"), col("v").as("va"))
     val b = cells.select(col("ivf_cell"), col("vec_id").as("nn_id"),
       col("v").as("vb"))
@@ -663,7 +672,7 @@ object TextOps {
   // baseline the bucketed/IVF variants are measured against -------------
   private def q53(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = normedEmb(s, dir).localCheckpoint(true)
+    val e = normedEmb(s, dir).truncated(s)
     val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
@@ -711,7 +720,7 @@ object TextOps {
         array_distinct(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
         col("sig").getItem(1).as("mh1"), col("sh"))
-      .localCheckpoint(true)
+      .truncated(s)
     val a = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_a"),
       col("sh").as("sha"))
     val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
@@ -728,7 +737,7 @@ object TextOps {
       .unionByName(verified.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .truncated(s)
 
     // Iterate ONLY over edge-incident nodes: in a dedup corpus the
     // overwhelming majority of documents have no near-duplicate, and an
@@ -739,28 +748,44 @@ object TextOps {
     // end (left join + coalesce).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
-      .repartition(col("doc_id")).localCheckpoint(true)
+      .repartition(col("doc_id")).truncated(s)
     var changed = 1L
     var rounds = 0
     // converges in <= component-diameter rounds; fail LOUDLY rather
     // than emit silently-wrong clusters if a pathological chain exceeds
     // the cap ("no silent caps")
     val maxRounds = 100
+    // Propagation is MONOTONE (labels only decrease), so extra rounds
+    // are harmless no-ops — run `syncEvery` propagation rounds per
+    // driver synchronization: ONE lineage truncation + ONE count per
+    // block instead of per round, halving the per-round action cost
+    // that dominated this query's wall time. The convergence check
+    // compares against the block-entry labels (lbl0): any decrease
+    // anywhere in the block keeps iterating.
+    val syncEvery = 2
     while (changed > 0 && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
-        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      labels = next.drop("chg")
-      rounds += 1
+      var cur = labels.withColumn("lbl0", col("lbl"))
+      var i = 0
+      while (i < syncEvery) {
+        val nbrMin = edges
+          .join(cur.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
+          .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
+        cur = cur.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lbl0"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        i += 1
+      }
+      rounds += syncEvery
+      val next = cur.truncated(s)
+      changed = next.filter(col("lbl") < col("lbl0")).count()
+      labels = next.drop("lbl0")
     }
     require(changed == 0,
       s"component labels did not converge within $maxRounds rounds")
+    // loud round accounting (stderr, same channel as Spark's own logs)
+    Console.err.println(
+      s"q56_dedup_components: converged after $rounds propagation " +
+        s"rounds (${rounds / syncEvery} driver syncs)")
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -805,7 +830,7 @@ object TextOps {
     }
     val bucketed = t(s, dir, "embeddings")
       .select(col("vec_id"), v.as("v"), bucketBits.reduce(_ + _).as("bucket"))
-      .localCheckpoint(true)
+      .truncated(s)
     val a = bucketed.select(col("bucket"), col("vec_id"), col("v").as("va"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("nn_id"),
       col("v").as("vb"))

@@ -70,15 +70,26 @@ object StreamDedup {
   }
 
   /** Near-duplicate flagging with custom keyed state: per band bucket,
-    * the state is the KEEPERS' (doc_id, mh0, mh1) triples seen within
-    * the dedup horizon; each new doc is judged against it. Duplicates
-    * are never appended (their signature is already present), unsigned
-    * (too-short) docs touch no state at all, and a bucket idle for
-    * `horizonMs` past the watermark is expired via an event-time
-    * timeout — so state is bounded by keeper-rate x horizon, never the
-    * stream's lifetime. A doc repeated after the horizon becomes a
-    * keeper again (horizon-scoped dedup, same contract as
-    * exactDedup's dropDuplicatesWithinWatermark). Within one
+    * the state is the KEEPERS' (doc_id, mh0, mh1, tsMs) tuples seen
+    * within the dedup horizon; each new doc is judged against it.
+    * Duplicates are never appended (their signature is already
+    * present), unsigned (too-short) docs touch no state at all.
+    *
+    * State is bounded TWO ways, both required on a continuous stream:
+    *  - per-keeper pruning: on every bucket invocation, keepers whose
+    *    event time has fallen past `watermark - horizonMs` are dropped
+    *    BEFORE matching — with only 4096 band keys every bucket keeps
+    *    receiving data forever, so a whole-bucket timeout alone would
+    *    never fire and `seen` would accumulate every distinct signature
+    *    for the stream's lifetime;
+    *  - whole-bucket idle timeout: a bucket with no data for
+    *    `horizonMs` past the watermark is removed via the event-time
+    *    timeout (the empty-bucket cleanup).
+    * Net bound: keeper-rate x horizon, never the stream's lifetime,
+    * and a doc repeated after the horizon becomes a keeper again
+    * (horizon-scoped dedup, same contract as exactDedup's
+    * dropDuplicatesWithinWatermark) — stale keepers can no longer
+    * linger in active buckets and suppress re-keeping. Within one
     * micro-batch a bucket's rows are processed in doc_id order so
     * replay is deterministic. */
   def nearDupVerdicts(docs: DataFrame, watermark: String = "24 hours",
@@ -98,7 +109,7 @@ object StreamDedup {
 
   private def judgeBucket(horizonMs: Long)(key: Long,
       rows: Iterator[Banded],
-      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[Verdict] = {
+      state: GroupState[Seq[(Long, Long, Long, Long)]]): Iterator[Verdict] = {
     if (state.hasTimedOut) { // idle past the horizon: drop the bucket
       state.remove()
       return Iterator.empty
@@ -106,15 +117,21 @@ object StreamDedup {
     if (key == -1L) // unsigned docs: stateless pass-through keepers
       return rows.toSeq.sortBy(_.doc_id)
         .map(d => Verdict(d.doc_id, key, -1L)).iterator
+    // drop keepers that aged past the horizon BEFORE matching: a doc
+    // whose only match is a stale keeper must become a keeper itself
+    val cutoffMs = state.getCurrentWatermarkMs() - horizonMs
     var seen = state.getOption.getOrElse(Seq.empty)
+      .filter(_._4 >= cutoffMs)
     val batch = rows.toSeq.sortBy(_.doc_id)
     val out = batch.map { d =>
       val dupOf = seen.collectFirst {
-        case (id, m0, m1) if m0 == d.mh0 && m1 == d.mh1 => id
+        case (id, m0, m1, _) if m0 == d.mh0 && m1 == d.mh1 => id
       }.getOrElse(-1L)
-      if (dupOf == -1L) seen = seen :+ ((d.doc_id, d.mh0, d.mh1))
+      if (dupOf == -1L) seen = seen :+ ((d.doc_id, d.mh0, d.mh1, d.ts.getTime))
       Verdict(d.doc_id, key, dupOf)
     }
+    // seen is never empty here: the batch is non-empty and every
+    // unmatched doc just appended itself as a keeper
     state.update(seen)
     // lease anchored on EVENT time (the first batches run with the
     // watermark still at zero — anchoring there would expire the
@@ -124,6 +141,29 @@ object StreamDedup {
       math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
     out.iterator
   }
+
+  /** Streaming SESSIONIZATION — the incremental shape of batch q60:
+    * per-user sessions close after `gap` of event-time silence, via
+    * Spark's native `session_window` (dynamic, merging windows; state
+    * is expired by the watermark). Emitted columns mirror q60:
+    * t_start = first event ts, t_end = LAST EVENT ts (session_window's
+    * own `end` is last-event + gap, so the gap is subtracted back).
+    *
+    * Boundary semantics vs batch q60: session_window treats a session
+    * as the half-open [start, last + gap) — an event at EXACTLY
+    * prev + gap starts a NEW session, where the batch rule
+    * (`ts > prev + gap`) keeps it. Identical for every gap that is not
+    * exactly the threshold; cross-checked against q60 on a fixture in
+    * StreamingSpec. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("t_start"),
+        (col("w.end") - expr(s"INTERVAL '$gap'")).as("t_end"),
+        col("n_events"))
 
   /** Watermarked event-time quality windows (the q42 stats, streaming):
     * per window, document count, mean token count, and the share of

@@ -8,6 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamDedup
 import graft.streaming.StreamDedup.Doc
 
+/** Sessionization test event (top-level: Encoders need a public
+  * non-local case class). */
+case class SessEv(user_id: Long, ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -94,6 +98,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(after(18L) == -1L,
         "bucket state must expire one horizon past the watermark")
+    } finally q.stop()
+  }
+
+  test("near-dup keeper state is pruned per keeper inside an ACTIVE " +
+    "bucket: a keeper older than the horizon stops matching even " +
+    "though the bucket keeps receiving data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val textX = "the quick brown fox jumps over the lazy dog"
+    val in = MemoryStream[Doc]
+    val q = StreamDedup.nearDupVerdicts(in.toDF())
+      .writeStream.format("memory").queryName("g_prune")
+      .outputMode("append").start()
+    try {
+      // A keeps; B (20h later, inside the horizon) is a dup AND
+      // extends the bucket's lease to 44h — the bucket never idles out
+      in.addData(Doc(30, textX, ts(0)))
+      q.processAllAvailable()
+      in.addData(Doc(31, textX, ts(20 * 60)))
+      q.processAllAvailable()
+      // an unrelated doc at 49h pushes the WATERMARK to 25h — past
+      // keeper A's ts + 24h horizon, but NOT past the bucket's 44h
+      // lease, so only per-keeper pruning can retire A
+      in.addData(Doc(32, "entirely unrelated payload of words", ts(49 * 60)))
+      q.processAllAvailable()
+      in.addData(Doc(33, textX, ts(49 * 60 + 1)))
+      q.processAllAvailable()
+      val got = spark.table("g_prune").select("doc_id", "dup_of")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(30L) == -1L)
+      assert(got(31L) == 30L, "in-horizon dup points at the keeper")
+      assert(got(33L) == -1L,
+        "the aged-out keeper must be pruned from the active bucket — " +
+          "doc 33 re-keeps instead of matching 20h-stale state")
+    } finally q.stop()
+  }
+
+  test("streaming sessionization (session_window) matches the batch " +
+    "q60 gap rule on a fixture away from the exact-gap boundary") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessEv]
+    val q = StreamDedup.sessionize(in.toDF())
+      .writeStream.format("memory").queryName("g_sess")
+      .outputMode("append").start()
+    try {
+      // user 1: 0,10,20 (one session), 60,65 (40-min gap -> new
+      // session); user 2: lone event at 5
+      in.addData(SessEv(1, ts(0)), SessEv(1, ts(10)), SessEv(1, ts(20)),
+        SessEv(1, ts(60)), SessEv(1, ts(65)), SessEv(2, ts(5)))
+      q.processAllAvailable()
+      // a far-future event closes the watermark over every session
+      in.addData(SessEv(99, ts(600)))
+      q.processAllAvailable()
+      val got = spark.table("g_sess")
+        .collect().map { r =>
+          (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 60000,
+            (r.getTimestamp(2).getTime - Base) / 60000, r.getLong(3))
+        }.toSet
+      // exactly the sessions the batch q60 rule (gap > 30 min) yields:
+      // t_start/t_end are first/last EVENT times, not window edges
+      assert(got == Set((1L, 0L, 20L, 3L), (1L, 60L, 65L, 2L),
+        (2L, 5L, 5L, 1L)),
+        s"got $got")
     } finally q.stop()
   }
 
