@@ -83,6 +83,7 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double],
     * (property-tested, including band-boundary ys). */
   @transient private lazy val bands: (Int, Double, Array[Int], Array[Int]) = {
     val n = xs.length
+    val prevIdx = this.prevIdx // hoist the lazy-val read out of the loops
     val nBands = math.max(1, math.min(256, n))
     val bandH = (maxY - minY) / nBands
     def bandOf(y: Double): Int =
@@ -130,16 +131,38 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double],
     var inside = false
     var k = offsets(b)
     val end = offsets(b + 1)
-    while (k < end) {
-      val i = edges(k)
-      val j = prevIdx(i)
-      val y1 = ys(j); val y2 = ys(i)
-      if ((y1 > py) != (y2 > py)) {
-        val x1 = xs(j); val x2 = xs(i)
-        val xInt = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
-        if (px < xInt) inside = !inside
+    val n = xs.length
+    if (ringStarts.length == 1) {
+      // single-ring fast path: the predecessor is pure arithmetic — no
+      // prev-array load in the PIP hot loop (this is the headline
+      // bench's per-pixel inner loop; simple layers must not pay the
+      // multi-ring indirection)
+      while (k < end) {
+        val i = edges(k)
+        val j = if (i == 0) n - 1 else i - 1
+        val y1 = ys(j); val y2 = ys(i)
+        if ((y1 > py) != (y2 > py)) {
+          val x1 = xs(j); val x2 = xs(i)
+          val xInt = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+          if (px < xInt) inside = !inside
+        }
+        k += 1
       }
-      k += 1
+    } else {
+      // hoist the lazy-val accessor (a volatile read the JIT cannot
+      // lift out of the loop)
+      val prev = prevIdx
+      while (k < end) {
+        val i = edges(k)
+        val j = prev(i)
+        val y1 = ys(j); val y2 = ys(i)
+        if ((y1 > py) != (y2 > py)) {
+          val x1 = xs(j); val x2 = xs(i)
+          val xInt = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+          if (px < xInt) inside = !inside
+        }
+        k += 1
+      }
     }
     inside
   }
@@ -150,9 +173,10 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double],
     if (px < minX || px > maxX || py < minY || py > maxY) return false
     var inside = false
     val n = xs.length
+    val prev = prevIdx
     var i = 0
     while (i < n) {
-      val j = prevIdx(i)
+      val j = prev(i)
       val y1 = ys(j); val y2 = ys(i)
       if ((y1 > py) != (y2 > py)) {
         val x1 = xs(j); val x2 = xs(i)

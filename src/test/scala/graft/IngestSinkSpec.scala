@@ -283,19 +283,30 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.sources.Shp.encodeDbf("RID", Array(Long.MinValue)))
   }
 
-  test("S6: shapefile fuzz — 40 seeded random simple polygons " +
-    "round-trip bit-exactly through encode/parse") {
+  test("S6: shapefile fuzz — 40 seeded random polygons (including " +
+    "multi-ring records) round-trip bit-exactly through encode/parse") {
     val rnd = new scala.util.Random(0x5AFEL)
+    // star-shaped ring: sorted angles around a centre = simple
+    def ring(rnd: scala.util.Random, cx: Double, cy: Double,
+        rMin: Double, rMax: Double): (Array[Double], Array[Double]) = {
+      val n = 3 + rnd.nextInt(12)
+      val angles = Array.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val xs = angles.map(a =>
+        cx + (rMin + rnd.nextDouble() * (rMax - rMin)) * math.cos(a))
+      val ys = angles.map(a =>
+        cy + (rMin + rnd.nextDouble() * (rMax - rMin)) * math.sin(a))
+      (xs, ys)
+    }
     (0 until 40).foreach { trial =>
       val layers = (1 to 1 + rnd.nextInt(5)).map { id =>
-        // star-shaped ring: sorted angles around a centre = simple
-        val n = 3 + rnd.nextInt(12)
         val cx = rnd.nextDouble() * 1000 - 500
         val cy = rnd.nextDouble() * 1000 - 500
-        val angles = Array.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
-        val xs = angles.map(a => cx + (1 + rnd.nextDouble() * 99) * math.cos(a))
-        val ys = angles.map(a => cy + (1 + rnd.nextDouble() * 99) * math.sin(a))
-        Polygon(id, xs, ys)
+        val (xs, ys) = ring(rnd, cx, cy, 50, 100)
+        if (rnd.nextBoolean()) Polygon(id, xs, ys)
+        else { // multi-ring: outer + a strictly interior hole
+          val (hx, hy) = ring(rnd, cx, cy, 1, 40)
+          Polygon(id, xs ++ hx, ys ++ hy, Array(0, xs.length))
+        }
       }.toArray
       val back = graft.sources.Shp.parse(graft.sources.Shp.encode(layers))
       assert(back.length == layers.length, s"trial $trial")
@@ -303,6 +314,8 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(g.regionId == w.regionId)
         assert(g.xs.toSeq == w.xs.toSeq && g.ys.toSeq == w.ys.toSeq,
           s"trial $trial id ${w.regionId}")
+        assert(g.ringStarts.toSeq == w.ringStarts.toSeq,
+          s"trial $trial id ${w.regionId} ringStarts")
       }
     }
   }
