@@ -263,12 +263,18 @@ object Bench {
       tps4N = math.max(tps4N, measure4N(ec))
     }
     for (_ <- 1 to Rounds) round()
+    // 3% tolerance on the equality-shaped orderings: sustained windows
+    // still carry ±2% noise, and retrying a 2% violation burns a full
+    // phase re-measure without information
     var retries = 0
     while (retries < 4 &&
-      (tps4N < 0.85 * cap4N || cap4N < tps4N || 4.0 * tpsN < cap4N)) {
+      (tps4N < 0.85 * cap4N || cap4N < 0.97 * tps4N ||
+        4.0 * tpsN < 0.97 * math.max(cap4N, tps4N))) {
       if (tps4N < 0.85 * cap4N) tps4N = math.max(tps4N, measure4N(ec))
-      else if (cap4N < tps4N) cap4N = math.max(cap4N, measureCapacity4N(ec))
-      else tpsN = math.max(tpsN, measureN(ec))
+      else if (cap4N < 0.97 * tps4N)
+        cap4N = math.max(cap4N, measureCapacity4N(ec))
+      else tpsN = math.max(tpsN, measureN(ec)) // also the eff > 1 case:
+      // a fleet above 4x solo N means the solo N window was depressed
       retries += 1
     }
     var extra = 0
@@ -462,18 +468,20 @@ object Bench {
          |shuffle.partitions = cores; ~16 MB input splits; input slice
          |pruning via Hive-partition directories.
          |
-         |Steal-burst retry policy (all figures are best-of-N under it,
-         |SYMMETRIC across the three measurements): after the interleaved
-         |rounds, any number violating a physical ordering of the trio is
-         |re-measured — fleet < 0.85 x same-run capacity (fleet hit a
-         |burst), capacity < fleet (the ceiling itself hit one), solo N <
-         |capacity / 4 (N hit one; raising N LOWERS raw efficiency, the
-         |conservative direction). The two rule-bearing ladders (2- and
-         |4-core) additionally run up to two extra FULL rounds — all
-         |three sides together, never one side alone — while their raw
+         |Steal-burst retry policy (all figures are best-window-of-N
+         |under it, SYMMETRIC across the three measurements): after the
+         |interleaved rounds, any number violating a physical ordering
+         |of the trio (with 3% noise tolerance) is re-measured — fleet
+         |< 0.85 x same-run capacity (fleet hit a burst), capacity <
+         |fleet (the ceiling itself hit one), 4 x solo N < max(capacity,
+         |fleet) (N hit one; raising N LOWERS raw efficiency, the
+         |conservative direction — this also covers a raw reading above
+         |1.0). The two rule-bearing ladders (2- and 4-core)
+         |additionally run up to two extra FULL rounds — all three
+         |sides together, never one side alone — while their raw
          |reading straddles the 0.8 bar. On a steal-free host every
          |retry is a no-op; none of them can push a number above what a
-         |clean pass of this box delivers.
+         |clean window of this box delivers.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
