@@ -370,4 +370,29 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(got(0) - lon) < 1e-6 && math.abs(got(1) - lat) < 1e-6)
     }
   }
+
+  test("K4: KML export writes hole rings as innerBoundaryIs (ring 0 " +
+    "outer, later rings inner), each closed") {
+    val holed = Polygon(1,
+      Array(0.0, 2000000.0, 2000000.0, 0.0,
+        500000.0, 1500000.0, 1500000.0, 500000.0),
+      Array(0.0, 0.0, 2000000.0, 2000000.0,
+        500000.0, 500000.0, 1500000.0, 1500000.0),
+      Array(0, 4))
+    val kml = Kml.render(Seq(holed))
+    assert(kml.contains("<outerBoundaryIs>") &&
+      kml.contains("<innerBoundaryIs>"))
+    // exactly one inner ring, and it appears after the outer
+    assert(kml.sliding("<innerBoundaryIs>".length)
+      .count(_ == "<innerBoundaryIs>") == 1)
+    assert(kml.indexOf("<outerBoundaryIs>") < kml.indexOf("<innerBoundaryIs>"))
+    // both rings are closed (first coordinate repeated last)
+    val ringBodies = "<coordinates>\\s*([^<]*?)\\s*</coordinates>".r
+      .findAllMatchIn(kml).map(_.group(1).trim).toSeq
+    assert(ringBodies.length == 2)
+    ringBodies.foreach { body =>
+      val pts = body.split("\\s+")
+      assert(pts.length == 5 && pts.head == pts.last)
+    }
+  }
 }
