@@ -99,10 +99,7 @@ object Spatial {
 
   /** Polygon edge list as a SQL VALUES literal (kept in sync with the
     * engine's polygons by construction). */
-  private def edgesValues: String =
-    World.edges(spec).map { case (r, x1, y1, x2, y2) =>
-      s"($r, CAST($x1 AS DOUBLE), CAST($y1 AS DOUBLE), CAST($x2 AS DOUBLE), CAST($y2 AS DOUBLE))"
-    }.mkString(", ")
+  private def edgesValues: String = edgesValuesOf(World.polygons(spec))
 
   /** Even-odd ray-cast as SQL: odd crossing count per (cell, region),
     * lowest region wins (mirrors Geom.regionOf exactly — the dyadic

@@ -776,7 +776,16 @@ object TextOps {
         i += 1
       }
       rounds += syncEvery
-      val next = cur.truncated(s)
+      // loop iterates use localCheckpoint DELIBERATELY (not the
+      // reliable Checkpoint.truncate the one-time docs/edges frames
+      // get): Spark never deletes non-streaming reliable checkpoint
+      // files until app exit (cleanCheckpoints defaults false), so a
+      // reliable snapshot per block would grow the checkpoint dir
+      // without bound across the loop. Losing an executor instead
+      // recomputes a SMALL frame (edge-incident labels, ~1000x smaller
+      // than the corpus) from the reliably-checkpointed edges — a
+      // bounded, cheap recovery.
+      val next = cur.localCheckpoint(true)
       changed = next.filter(col("lbl") < col("lbl0")).count()
       labels = next.drop("lbl0")
     }

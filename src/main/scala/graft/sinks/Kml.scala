@@ -17,9 +17,6 @@ object Kml {
   def render(polys: Seq[Polygon],
       toXY: (Double, Double) => (Double, Double) = (x, y) => (x, y)): String = {
     val placemarks = polys.map { p =>
-      // ring 0 is the outer boundary, later rings are inner (KML's
-      // outer/inner distinction; the engine's even-odd ray-cast is
-      // orientation-free, so ring order carries the roles)
       def ringCoords(r: Int): String = {
         val (s, e) = p.ringRange(r)
         ((s until e) :+ s).map { i => // closed ring
@@ -28,18 +25,44 @@ object Kml {
           f"$lon%.8f,$lat%.8f,0"
         }.mkString(" ")
       }
-      val outer =
-        s"""<outerBoundaryIs><LinearRing><coordinates>
-           |        ${ringCoords(0)}
-           |      </coordinates></LinearRing></outerBoundaryIs>""".stripMargin
-      val inners = (1 until p.nRings).map { r =>
-        s"""<innerBoundaryIs><LinearRing><coordinates>
-           |        ${ringCoords(r)}
-           |      </coordinates></LinearRing></innerBoundaryIs>""".stripMargin
+      // The engine's even-odd fill carries no ring roles, but KML
+      // requires them: an innerBoundaryIs is a HOLE, so emitting every
+      // ring after the first as inner would render island parts of a
+      // multipolygon as holes of the first island (i.e. they vanish).
+      // Classify by containment NESTING DEPTH — a ring's depth is the
+      // number of other rings containing its first vertex; even depth
+      // = an outer boundary (filled), odd depth = a hole of the
+      // innermost containing outer (depth - 1). This is exactly the
+      // even-odd rule expressed as ring roles. Representative-vertex
+      // containment assumes rings do not share vertices/edges (true of
+      // valid simple-features geometries).
+      val rp = (0 until p.nRings).map { r =>
+        val (s, e) = p.ringRange(r)
+        Polygon(1, p.xs.slice(s, e), p.ys.slice(s, e))
       }
+      def containsRing(a: Int, b: Int): Boolean = {
+        val v0 = p.ringRange(b)._1
+        rp(a).contains(p.xs(v0), p.ys(v0))
+      }
+      val depth = (0 until p.nRings).map(b =>
+        (0 until p.nRings).count(a => a != b && containsRing(a, b)))
+      val outers = (0 until p.nRings).filter(depth(_) % 2 == 0)
+      def boundary(kind: String, r: Int): String =
+        s"""<${kind}BoundaryIs><LinearRing><coordinates>
+           |        ${ringCoords(r)}
+           |      </coordinates></LinearRing></${kind}BoundaryIs>""".stripMargin
+      val polyXmls = outers.map { o =>
+        val holes = (0 until p.nRings).filter(h =>
+          depth(h) == depth(o) + 1 && containsRing(o, h))
+        s"<Polygon>${(boundary("outer", o) +:
+          holes.map(boundary("inner", _))).mkString}</Polygon>"
+      }
+      val geom =
+        if (polyXmls.length == 1) polyXmls.head
+        else s"<MultiGeometry>${polyXmls.mkString}</MultiGeometry>"
       s"""    <Placemark>
          |      <name>region_${p.regionId}</name>
-         |      <Polygon>${(outer +: inners).mkString}</Polygon>
+         |      $geom
          |    </Placemark>""".stripMargin
     }.mkString("\n")
     s"""<?xml version="1.0" encoding="UTF-8"?>

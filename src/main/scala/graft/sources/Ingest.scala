@@ -73,9 +73,18 @@ object Ingest {
     // true for both POLYGON ((outer), (hole)...) and
     // MULTIPOLYGON (((outer), (hole)), ((outer2))); the even-odd
     // ray-cast over all rings' edges makes the two grammars' fill
-    // semantics identical, so the flattened ring list loses nothing
-    val ringBodies = """\(([^()]+)\)""".r
-      .findAllMatchIn(wkt).map(_.group(1)).toArray
+    // semantics identical, so the flattened ring list loses nothing.
+    // STRUCTURE is still validated loudly (never misread a truncated /
+    // unbalanced layer): with each ring group reduced to '@', the
+    // remainder must be exactly the WKT skeleton.
+    val ringRe = """\(([^()]+)\)""".r
+    val skeleton = ringRe.replaceAllIn(wkt, "@").replaceAll("\\s+", "")
+    val polyGroup = "\\(@(,@)*\\)" // ( ring [, ring]* )
+    require(
+      skeleton.matches(s"(?i)POLYGON$polyGroup") ||
+        skeleton.matches(s"(?i)MULTIPOLYGON\\($polyGroup(,$polyGroup)*\\)"),
+      s"malformed (MULTI)POLYGON (unbalanced or truncated): $wkt")
+    val ringBodies = ringRe.findAllMatchIn(wkt).map(_.group(1)).toArray
     require(ringBodies.nonEmpty, s"malformed (MULTI)POLYGON: $wkt")
     val rings = ringBodies.map { body =>
       val pts = body.split(",").map { p =>

@@ -38,7 +38,8 @@ object Shp {
   private val PolygonType = 5
   private val NullType = 0
 
-  /** Write a single-ring polygon layer (the fixture/sink side). The
+  /** Write a polygon layer (the fixture/sink side); multi-ring
+    * polygons become multi-part records, one closed part per ring. The
     * .shp main file has no id field — parse() reports the RECORD
     * NUMBER — so polygons must arrive in id order 1..n; arbitrary ids
     * belong in a sidecar .dbf (encodeDbf + shpPolygonsWithAttr), and

@@ -394,5 +394,32 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       val pts = body.split("\\s+")
       assert(pts.length == 5 && pts.head == pts.last)
     }
+
+    // island MULTIPOLYGON parts must become separate <Polygon>s in a
+    // <MultiGeometry>, NOT holes of the first island
+    val islands = Polygon(2,
+      Array(0.0, 1000000.0, 1000000.0, 0.0,
+        3000000.0, 4000000.0, 4000000.0, 3000000.0),
+      Array(0.0, 0.0, 1000000.0, 1000000.0,
+        0.0, 0.0, 1000000.0, 1000000.0),
+      Array(0, 4))
+    val kml2 = Kml.render(Seq(islands))
+    assert(kml2.contains("<MultiGeometry>"))
+    assert(kml2.sliding("<Polygon>".length).count(_ == "<Polygon>") == 2)
+    assert(!kml2.contains("<innerBoundaryIs>"))
+
+    // island-in-hole (depth 2) is a filled outer of its own polygon:
+    // outer square + hole + island inside the hole
+    val nested = Polygon(3,
+      Array(0.0, 4e6, 4e6, 0.0, 5e5, 3.5e6, 3.5e6, 5e5,
+        1.5e6, 2.5e6, 2.5e6, 1.5e6),
+      Array(0.0, 0.0, 4e6, 4e6, 5e5, 5e5, 3.5e6, 3.5e6,
+        1.5e6, 1.5e6, 2.5e6, 2.5e6),
+      Array(0, 4, 8))
+    val kml3 = Kml.render(Seq(nested))
+    assert(kml3.contains("<MultiGeometry>"))
+    assert(kml3.sliding("<Polygon>".length).count(_ == "<Polygon>") == 2)
+    assert(kml3.sliding("<innerBoundaryIs>".length)
+      .count(_ == "<innerBoundaryIs>") == 1)
   }
 }
