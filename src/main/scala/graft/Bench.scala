@@ -102,20 +102,30 @@ object Bench {
     // driver work that production amortizes over a 100 TB scan;
     // re-counting a single RDD instead would silently REUSE the first
     // pass's shuffle map outputs and skip the whole scan.
-    Headline.plan(s, trees, slice, nSlices).count() // warmup: codegen + JIT
-    val sliceTiles = Headline.spec.nTiles.toLong * (slice + 1) / nSlices -
-      Headline.spec.nTiles.toLong * slice / nSlices
-    // One timed execution = ONE Spark job covering nSlices passes over
-    // this worker's slice (an RDD union of `nSlices` fresh plans, each
-    // with its own shuffle lineage): every worker's execution then
-    // carries the same ~nTiles of work regardless of slicing, so the
-    // fixed per-job turnaround (~0.2 s of submission/result collection
-    // on this box — 15-30% of a bare 0.5-1.4 s quarter-slice job, which
-    // a full-input job amortizes 4x better) weighs identically on
-    // fleet and capacity phases. Production's 100 TB scan is one long
-    // job; per-job turnaround is the one cost this benchmark is
-    // entitled to amortize.
-    val reps = nSlices
+    // One timed execution = ONE Spark job = an RDD union of `nSlices`
+    // fresh quarter-slice plans (each with its own shuffle lineage):
+    // every worker's execution carries the same ~nTiles of work
+    // regardless of slicing, so the fixed per-job turnaround (~0.2 s
+    // of submission/result collection on this box — 15-30% of a bare
+    // 0.5-1.4 s quarter-slice job, which a full-input job amortizes 4x
+    // better) weighs identically on every phase. Production's 100 TB
+    // scan is one long job; per-job turnaround is the one cost this
+    // benchmark is entitled to amortize.
+    //
+    // slice >= 0 (fleet worker): nSlices copies of ITS OWN quarter —
+    // the cluster model partitions the input, this worker owns one
+    // quarter. slice < 0 (solo N / capacity worker): the four DISTINCT
+    // quarters — covering the full grid, so its rate reflects the same
+    // spatial work mix as the fleet's aggregate (per-tile PIP cost
+    // varies across the grid; measuring one quarter 4x would bias the
+    // efficiency ratios by that quarter's cost vs the average).
+    val slices: Seq[Int] =
+      if (slice < 0) 0 until nSlices else Seq.fill(nSlices)(slice)
+    Headline.plan(s, trees, slices.head, nSlices).count() // warmup: codegen+JIT
+    val tilesPerExec = slices.map { sl =>
+      Headline.spec.nTiles.toLong * (sl + 1) / nSlices -
+        Headline.spec.nTiles.toLong * sl / nSlices
+    }.sum
     // >= 2 executions so a single burst cannot be the whole sample
     var tiles = 0L
     var execSecs = 0.0
@@ -123,15 +133,16 @@ object Bench {
     val t0 = System.nanoTime()
     while (execs < 2 ||
       (System.nanoTime() - t0) / 1e9 < windowSec.toDouble) {
-      val rdds = (1 to reps).map(_ =>
-        Headline.plan(s, trees, slice, nSlices).queryExecution.toRdd)
-      val rdd = if (reps == 1) rdds.head else s.sparkContext.union(rdds)
+      val rdds = slices.map(sl =>
+        Headline.plan(s, trees, sl, nSlices).queryExecution.toRdd)
+      val rdd = if (rdds.length == 1) rdds.head
+        else s.sparkContext.union(rdds)
       val e0 = System.nanoTime()
       rdd.count()
       val sec = (System.nanoTime() - e0) / 1e9
-      println(f"SCALE_PASS $sec%.3f x$reps")
+      println(f"SCALE_PASS $sec%.3f x${slices.length}")
       execSecs += sec
-      tiles += sliceTiles * reps
+      tiles += tilesPerExec
       execs += 1
     }
     println(s"SCALE_WIN $tiles $execSecs")
@@ -178,16 +189,17 @@ object Bench {
   private val CoRunWindowSec = 15
 
   /** N level: ONE executor JVM on `ec` pinned cores, sustained window.
-    * Runs the SAME job shape as every other phase (union-4 over a
-    * quarter slice — see scaleWorker): a rate is a rate, and one job
-    * shape everywhere means the residual small-stage scheduling tax of
-    * the sandbox-sized world (~9% at 4 cores, measured solo: 448
-    * tiles/s full-input execs vs 407 union-4-slice execs) divides out
-    * of every reported ratio instead of appearing as phantom engine
-    * inefficiency. */
+    * Runs the SAME job shape as every other phase (a union of 4
+    * quarter-slice plans — here the four DISTINCT quarters, i.e. the
+    * full grid, so the work mix matches the fleet's aggregate): one
+    * job shape everywhere means the residual small-stage scheduling
+    * tax of the sandbox-sized world (~9% at 4 cores, measured solo:
+    * 448 tiles/s full-input execs vs 407 union-4-slice execs) divides
+    * out of every reported ratio instead of appearing as phantom
+    * engine inefficiency. */
   private def measureN(ec: Int): Double =
     readWin(startPinned(s"0-${ec - 1}",
-      Seq("scale-worker", ec.toString, "0", "4", CoRunWindowSec.toString)))
+      Seq("scale-worker", ec.toString, "-1", "4", CoRunWindowSec.toString)))
 
   /** 4N level: FOUR executor JVMs on disjoint pinned `ec`-core sets,
     * each owning a contiguous quarter of the tile table, running
@@ -207,17 +219,18 @@ object Bench {
 
   /** Hardware co-run capacity at 4N: FOUR duplicate executor JVMs on
     * the same disjoint core sets, each running EXACTLY the N-level job
-    * (the shared union-4 quarter-slice shape — all four on slice 0, so
-    * the only difference from the fleet phase is that they need no
-    * input partitioning). Pure hardware measurement, no engine
-    * coordination. The aggregate rate is the most this box can deliver
-    * to four `ec`-core executors of this workload (its shared memory
-    * system saturates below 4x one executor at large `ec` — a ceiling
-    * a real 4-executor cluster with 4x DRAM would not have). */
+    * (the shared union-4 shape over the four distinct quarters — the
+    * only difference from the fleet phase is that duplicates all cover
+    * the whole grid instead of partitioning it). Pure hardware
+    * measurement, no engine coordination. The aggregate rate is the
+    * most this box can deliver to four `ec`-core executors of this
+    * workload (its shared memory system saturates below 4x one
+    * executor at large `ec` — a ceiling a real 4-executor cluster
+    * with 4x DRAM would not have). */
   private def measureCapacity4N(ec: Int): Double = {
     val procs = (0 until 4).map { i =>
       startPinned(s"${ec * i}-${ec * i + ec - 1}",
-        Seq("scale-worker", ec.toString, "0", "4",
+        Seq("scale-worker", ec.toString, "-1", "4",
           CoRunWindowSec.toString))
     }
     procs.map(readWin).sum
@@ -262,24 +275,31 @@ object Bench {
       cap4N = math.max(cap4N, measureCapacity4N(ec))
       tps4N = math.max(tps4N, measure4N(ec))
     }
-    for (_ <- 1 to Rounds) round()
     // 3% tolerance on the equality-shaped orderings: sustained windows
     // still carry ±2% noise, and retrying a 2% violation burns a full
     // phase re-measure without information
-    var retries = 0
-    while (retries < 4 &&
-      (tps4N < 0.85 * cap4N || cap4N < 0.97 * tps4N ||
-        4.0 * tpsN < 0.97 * math.max(cap4N, tps4N))) {
-      if (tps4N < 0.85 * cap4N) tps4N = math.max(tps4N, measure4N(ec))
-      else if (cap4N < 0.97 * tps4N)
-        cap4N = math.max(cap4N, measureCapacity4N(ec))
-      else tpsN = math.max(tpsN, measureN(ec)) // also the eff > 1 case:
-      // a fleet above 4x solo N means the solo N window was depressed
-      retries += 1
+    def enforceOrderings(): Unit = {
+      var retries = 0
+      while (retries < 4 &&
+        (tps4N < 0.85 * cap4N || cap4N < 0.97 * tps4N ||
+          4.0 * tpsN < 0.97 * math.max(cap4N, tps4N))) {
+        if (tps4N < 0.85 * cap4N) tps4N = math.max(tps4N, measure4N(ec))
+        else if (cap4N < 0.97 * tps4N)
+          cap4N = math.max(cap4N, measureCapacity4N(ec))
+        else tpsN = math.max(tpsN, measureN(ec)) // also the eff > 1
+        // case: a fleet above 4x solo N means the N window was the
+        // depressed one
+        retries += 1
+      }
     }
+    for (_ <- 1 to Rounds) round()
+    enforceOrderings()
     var extra = 0
     while (extra < 2 && targetRaw.exists(t => tps4N / tpsN / 4.0 < t)) {
       round()
+      // an extra round moves the maxima, so the published trio must be
+      // re-checked against the orderings the retry policy promises
+      enforceOrderings()
       extra += 1
     }
     Ladder(ec, tpsN, tps4N, cap4N)
@@ -453,12 +473,14 @@ object Bench {
          |
          |Every phase runs the IDENTICAL job shape: one Spark job = an
          |RDD union of 4 fresh quarter-slice plans (~full-grid work per
-         |execution) — fleet workers union their own disjoint quarter,
-         |solo-N and capacity workers union slice 0. One shape
-         |everywhere means the fixed per-job turnaround and the
-         |small-stage scheduling tax of the sandbox-sized world (~9% at
-         |4 cores, measured solo) divide out of every reported ratio —
-         |on a real 100 TB scan these costs vanish into one long job.
+         |execution) — fleet workers union 4 copies of their own
+         |disjoint quarter, solo-N and capacity workers union the four
+         |DISTINCT quarters (full grid, so their work mix matches the
+         |fleet aggregate's). One shape everywhere means the fixed
+         |per-job turnaround and the small-stage scheduling tax of the
+         |sandbox-sized world (~9% at 4 cores, measured solo) divide
+         |out of every reported ratio — on a real 100 TB scan these
+         |costs vanish into one long job.
          |Isolated best-pass timing was likewise abandoned in round 4:
          |it measures a burst rate (isolated 4-core slice passes ran
          |1.20 s vs 1.43 s back-to-back — the idle gap lets GC/turbo
