@@ -45,7 +45,9 @@ object Spatial {
     Q("q39_wkt_pip", q39, Some(q39Sql)),
     Q("q57_shp_pip", q57, Some(q57Sql)),
     Q("q65_shp_pip_holes", q65, Some(q65Sql)),
-    Q("q66_shp_dbf_pip", q66, Some(q66Sql))
+    Q("q66_shp_dbf_pip", q66, Some(q66Sql)),
+    Q("q67_s2_cell", q67, Some(q67Sql)),
+    Q("q68_s2_partition", q68, Some(q68Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -879,6 +881,121 @@ object Spatial {
        |  MAX(cell_id) AS max_cell
        |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---- q67/q68: S2 cell ids (G1 — the north rule's second index
+  // scheme beside H3). The engine encodes each cell centroid's lat/lng
+  // (equirectangular here: the S2 encoder is what's under test, the
+  // Goode path is the headline's) through core/S2Lite (cube face ->
+  // quadratic ST -> Hilbert order, the public S2 scheme); the oracle
+  // re-implements the whole chain in DuckDB SQL — face pick, UV, ST and
+  // a recursive CTE walking the Hilbert lookup tables level by level —
+  // so the two implementations are fully independent. ------------------
+  private val S2Lvl = 10 // 1024x1024 cells per face
+  private val S2ParentLvl = 4 // the north rule's res-4 partition key
+
+  private def latDegCol: Column =
+    (rowCol(cellCol).cast("double") - 0.5) / spec.rows * 180.0 - 90.0
+  private def lngDegCol: Column =
+    (colCol(cellCol).cast("double") - 0.5) / C * 360.0 - 180.0
+
+  private def s2Frame(s: SparkSession): DataFrame =
+    spine(s).select(cellCol,
+        s2_cell(latDegCol, lngDegCol, S2Lvl).as("s2_id"))
+      .withColumn("s2_face", shiftrightunsigned(col("s2_id"), 61).cast("int"))
+      .withColumn("s2_l4_key", s2_parent(col("s2_id"), S2ParentLvl))
+
+  /** q67: per-row S2 ids — the strong oracle (every id bit-compared). */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    s2Frame(s).orderBy("cell_id")
+
+  /** q68: partition-key derivation over the S2 l4 parent (the q27 shape
+    * on the second index scheme). */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    s2Frame(s)
+      .groupBy("s2_l4_key")
+      .agg(count(lit(1)).as("n_cells"),
+        min("cell_id").as("min_cell"), max("cell_id").as("max_cell"))
+      .orderBy("s2_l4_key")
+
+  /** The full S2 encode as DuckDB SQL, ending in a CTE `s2(cell_id,
+    * s2_id, s2_face, s2_l4_key)`. Signed-int64 note: faces 4/5 set bit
+    * 63, so the unsigned id wraps negative in int64; the oracle builds
+    * the same two's-complement value as (face-8) * 2^61. */
+  private def s2Cte: String = {
+    val m = 1 << S2Lvl
+    val topBit = S2Lvl - 1
+    val posShift = 2L << (2 * (30 - S2Lvl)) // 2^(2*(30-lvl)+1)
+    val lsb = 1L << (2 * (30 - S2Lvl))
+    val pShift = 2L << (2 * (30 - S2ParentLvl))
+    val pLsb = 1L << (2 * (30 - S2ParentLvl))
+    val drop = 2 * (S2Lvl - S2ParentLvl)
+    // IJToPos flattened as CASE over o*4 + ij (tables in core/S2Lite)
+    val ijToPos = "CASE o * 4 + (((i >> (" + topBit + " - lvl)) & 1) * 2 " +
+      "+ ((j >> (" + topBit + " - lvl)) & 1)) " +
+      "WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2 " +
+      "WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2 " +
+      "WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0 " +
+      "WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 WHEN 15 THEN 0 END"
+    s"""geo AS (SELECT cell_id,
+       |  ((CAST(${rowSql("cell_id")} AS DOUBLE) - 0.5) / ${spec.rows} * 180 - 90) * (PI() / 180) AS phi,
+       |  ((CAST(${colSql("cell_id")} AS DOUBLE) - 0.5) / $C * 360 - 180) * (PI() / 180) AS lam
+       |  FROM cells),
+       |xyz AS (SELECT cell_id, cos(phi) * cos(lam) AS x,
+       |  cos(phi) * sin(lam) AS y, sin(phi) AS z FROM geo),
+       |fax AS (SELECT cell_id, x, y, z,
+       |  CASE WHEN abs(x) > abs(y) THEN (CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END)
+       |       ELSE (CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END) END AS axis
+       |  FROM xyz),
+       |fc AS (SELECT cell_id, x, y, z,
+       |  CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+       |    THEN axis + 3 ELSE axis END AS face
+       |  FROM fax),
+       |uv AS (SELECT cell_id, face,
+       |  CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+       |            WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+       |  CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+       |            WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+       |  FROM fc),
+       |st AS (SELECT cell_id, face,
+       |  CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+       |       ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+       |  CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+       |       ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t
+       |  FROM uv),
+       |ij AS (SELECT cell_id, face,
+       |  CAST(LEAST(${m - 1}, GREATEST(0, FLOOR(s * $m))) AS BIGINT) AS i,
+       |  CAST(LEAST(${m - 1}, GREATEST(0, FLOOR(t * $m))) AS BIGINT) AS j
+       |  FROM st),
+       |hil AS (
+       |  SELECT cell_id, face, i, j, 0 AS lvl, face % 2 AS o,
+       |    CAST(0 AS BIGINT) AS pos
+       |  FROM ij
+       |  UNION ALL
+       |  SELECT cell_id, face, i, j, lvl + 1,
+       |    xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+       |    pos * 4 + p
+       |  FROM (SELECT cell_id, face, i, j, lvl, o, pos, $ijToPos AS p
+       |        FROM hil WHERE lvl < $S2Lvl) step),
+       |s2 AS (SELECT cell_id,
+       |  (CASE WHEN face >= 4 THEN face - 8 ELSE face END) * ${1L << 61}
+       |    + pos * $posShift + $lsb AS s2_id,
+       |  CAST(face AS INT) AS s2_face,
+       |  (CASE WHEN face >= 4 THEN face - 8 ELSE face END) * ${1L << 61}
+       |    + (pos >> $drop) * $pShift + $pLsb AS s2_l4_key
+       |  FROM hil WHERE lvl = $S2Lvl)""".stripMargin
+  }
+
+  private def q67Sql =
+    s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
+       |${s2Cte}
+       |SELECT cell_id, s2_id, s2_face, s2_l4_key FROM s2 ORDER BY cell_id""".stripMargin
+
+  private def q68Sql =
+    s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
+       |${s2Cte}
+       |SELECT s2_l4_key, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
     * tile (input_hint). */

@@ -244,6 +244,63 @@ case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
     copy(child = newChild)
 }
 
+/** S2 cell id of a (lat, lng) point at plan-time `level` — the second
+  * half of the north rule's "H3/S2 index" (SURVEY.md §2.8 G1), backed
+  * by the from-scratch S2 scheme in core/S2Lite.scala (cube face +
+  * quadratic ST + Hilbert order). Stateless scalar, one static call so
+  * the encode stays inside whole-stage codegen. Children: (lat: double,
+  * lng: double), both degrees. */
+case class S2Cell(left: Expression, right: Expression, level: Int)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+    Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(lat: Any, lng: Any): Any =
+    graft.core.S2Lite.encode(lat.asInstanceOf[Double],
+      lng.asInstanceOf[Double], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s2 = graft.core.S2Lite.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (lat, lng) =>
+      s"${ev.value} = $s2.encode($lat, $lng, $level);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Ancestor of an S2 cell id at coarser plan-time `level` — the
+  * partition-key derivation of the north rule (res-4 parents as the
+  * shuffle key). Pure bit math, inlined directly into generated code
+  * (no call at all). */
+case class S2Parent(child: Expression, level: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+    Seq(LongType)
+  override def dataType: DataType = LongType
+
+  // same unchecked bit math as the generated code (S2Lite.parent's loud
+  // level check belongs to the library API; in-plan ids come from S2Cell
+  // at a known level, and eval/codegen must agree bit for bit)
+  override def nullSafeEval(id: Any): Any = {
+    val lsb = graft.core.S2Lite.lsbForLevel(level)
+    (id.asInstanceOf[Long] & -lsb) | lsb
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lsb = graft.core.S2Lite.lsbForLevel(level)
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = ($id & ${-lsb}L) | ${lsb}L;")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Inverse of DecodeBand — the raster-ENCODE side of the K2 sink
   * (rastOut, `Supplemental_Data_1.R:53-72`): sparse in-tile (pixel,
   * value) pairs -> a full tile payload with NaN for missing pixels
@@ -530,6 +587,14 @@ object GraftFunctions {
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =
     column(GridH3(expression(cellId), rows, cols, res))
+
+  /** S2 cell id at `level` of a (lat, lng) point in degrees. */
+  def s2_cell(lat: Column, lng: Column, level: Int): Column =
+    column(S2Cell(expression(lat), expression(lng), level))
+
+  /** Ancestor of an S2 cell id at coarser `level` (partition key). */
+  def s2_parent(id: Column, level: Int): Column =
+    column(S2Parent(expression(id), level))
 
   /** One-pass decode + media feature stats over a binary payload. */
   def media_stats(bytes: Column, fmt: Column, w: Column, h: Column,

@@ -93,6 +93,16 @@ object GraftExtensions {
           intLit(a(2), "graft_grid_h3", "cols"),
           intLit(a(3), "graft_grid_h3", "res"))
       },
+      entry("graft_s2_cell",
+        "graft_s2_cell(lat, lng, level) - S2 cell id of a lat/lng point " +
+          "in degrees (level literal)", 3) { a =>
+        S2Cell(a(0), a(1), intLit(a(2), "graft_s2_cell", "level"))
+      },
+      entry("graft_s2_parent",
+        "graft_s2_parent(id, level) - ancestor of an S2 cell id at " +
+          "coarser level (level literal)", 2) { a =>
+        S2Parent(a(0), intLit(a(1), "graft_s2_parent", "level"))
+      },
       entry("graft_media_stats",
         "graft_media_stats(bytes, fmt, w, h, frameK) - one-pass decode + " +
           "media feature stats (frameK literal)", 5) { a =>

@@ -10,4 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `types.AbstractDataType` is also `private[sql]` in Spark 4; this
+    * alias lets engine expressions declare `inputTypes` (for
+    * ImplicitCastInputTypes) from outside the package. */
+  type AbstractType = types.AbstractDataType
 }

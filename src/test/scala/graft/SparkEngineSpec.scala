@@ -616,11 +616,34 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getFloat(0) == World.loss(spec.cellId(0, 0)).toFloat)
     assert(r.getFloat(1) == World.band(spec.cellId(0, 0), 1).toFloat)
     assert(!r.isNullAt(2))
+    // S2 encode + parent: SQL registry vs Column API vs core, and the
+    // implicit input cast (INT lat) resolves instead of class-casting
+    val s2row = spark.sql(
+      "SELECT graft_s2_cell(37.5D, -122.25D, 12) AS id, " +
+        "graft_s2_parent(graft_s2_cell(37.5D, -122.25D, 12), 4) AS p, " +
+        "graft_s2_cell(0, 0, 12) AS origin").collect()(0)
+    assert(s2row.getLong(0) == graft.core.S2Lite.encode(37.5, -122.25, 12))
+    assert(s2row.getLong(1) ==
+      graft.core.S2Lite.parent(graft.core.S2Lite.encode(37.5, -122.25, 12), 4))
+    assert(s2row.getLong(2) == graft.core.S2Lite.encode(0.0, 0.0, 12))
+    // codegen path (DataFrame over a real column) agrees with eval/core
+    val s2df = Seq((1L, 10.0, 20.0), (2L, -45.5, 170.25), (3L, 80.0, -3.0))
+      .toDF("k", "lat", "lng")
+      .select(col("k"), GraftFunctions.s2_cell(col("lat"), col("lng"), 10)
+        .as("id"))
+    val got = s2df.orderBy("k").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(graft.core.S2Lite.encode(10.0, 20.0, 10),
+      graft.core.S2Lite.encode(-45.5, 170.25, 10),
+      graft.core.S2Lite.encode(80.0, -3.0, 10)))
     // non-literal plan parameters are refused loudly
     val e = intercept[Exception](
       spark.sql("SELECT graft_grid_h3(5L, 64, 96, CAST(doc_id AS INT)) " +
         "FROM g_docs").collect())
     assert(e.getMessage.contains("integer literal"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_s2_cell(0D, 0D, CAST(doc_id AS INT)) " +
+        "FROM g_docs").collect())
+    assert(e2.getMessage.contains("integer literal"))
     // the spark.sql.extensions injection entry point wires up cleanly
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }

@@ -1,0 +1,153 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class S2Spec extends AnyFunSuite with SeededChecks {
+  import S2Lite._
+
+  test("fromFaceIJ <-> toFaceIJ round-trip at all levels") {
+    for (lvl <- Seq(0, 1, 5, 10, 17, 30)) {
+      checkN(300) { r =>
+        val m = 1 << lvl
+        (r.nextInt(6), r.nextInt(m), r.nextInt(m))
+      } { case (f, i, j) =>
+        val id = fromFaceIJ(f, i, j, lvl)
+        assert(isValid(id))
+        assert(level(id) == lvl)
+        assert(face(id) == f)
+        assert(toFaceIJ(id) == ((f, i, j, lvl)))
+      }
+    }
+  }
+
+  test("Hilbert curve is continuous within a face: consecutive " +
+    "positions are ij-adjacent") {
+    val lvl = 6
+    val m = 1 << lvl
+    for (f <- 0 until 6) {
+      // walk the whole face in pos order via toFaceIJ of consecutive ids
+      val lsb = lsbForLevel(lvl)
+      val first = fromFaceIJ(f, 0, 0, lvl) & -(1L << (2 * (MaxLevel - lvl) + 1))
+      var prev: (Int, Int) = null
+      var pos = 0L
+      while (pos < m.toLong * m) {
+        val id = (f.toLong << 61) | (pos << (2 * (MaxLevel - lvl) + 1)) | lsb
+        val (_, i, j, _) = toFaceIJ(id)
+        if (prev != null)
+          assert(math.abs(i - prev._1) + math.abs(j - prev._2) == 1,
+            s"face $f pos $pos jumped from $prev to ($i,$j)")
+        prev = (i, j)
+        pos += 1
+      }
+      assert(first >= 0 || f >= 4) // silence unused warning, sign sanity
+    }
+  }
+
+  test("the face-chained curve is continuous ACROSS faces (the reason " +
+    "initial orientation is face & 1): last cell of face f touches " +
+    "first cell of face f+1, closing into one loop over the sphere") {
+    val lvl = 6
+    val m = 1 << lvl
+    def xyzOf(id: Long): (Double, Double, Double) = {
+      val (lat, lng) = centroid(id)
+      val phi = math.toRadians(lat); val lam = math.toRadians(lng)
+      (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam),
+        math.sin(phi))
+    }
+    // max centroid gap between in-face consecutive cells = the scale bar
+    var inFaceMax = 0.0
+    for (pos <- 0L until (m.toLong * m - 1)) {
+      val a = (0L << 61) | (pos << (2 * (MaxLevel - lvl) + 1)) | lsbForLevel(lvl)
+      val b = (0L << 61) | ((pos + 1) << (2 * (MaxLevel - lvl) + 1)) | lsbForLevel(lvl)
+      val (x1, y1, z1) = xyzOf(a); val (x2, y2, z2) = xyzOf(b)
+      val d = math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) +
+        (z1 - z2) * (z1 - z2))
+      inFaceMax = math.max(inFaceMax, d)
+    }
+    for (f <- 0 until 6) {
+      val lastPos = m.toLong * m - 1
+      val last = (f.toLong << 61) | (lastPos << (2 * (MaxLevel - lvl) + 1)) |
+        lsbForLevel(lvl)
+      val nf = (f + 1) % 6
+      val next = (nf.toLong << 61) | lsbForLevel(lvl)
+      val (x1, y1, z1) = xyzOf(last); val (x2, y2, z2) = xyzOf(next)
+      val d = math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) +
+        (z1 - z2) * (z1 - z2))
+      assert(d <= inFaceMax * 1.5,
+        s"curve breaks between face $f and face $nf: gap $d vs in-face max $inFaceMax")
+    }
+  }
+
+  test("parent: shared prefix, ij truncation, level marker") {
+    checkN(500) { r =>
+      val lvl = 2 + r.nextInt(29)
+      val m = 1 << lvl
+      (r.nextInt(6), r.nextInt(m), r.nextInt(m), lvl)
+    } { case (f, i, j, lvl) =>
+      val id = fromFaceIJ(f, i, j, lvl)
+      val up = 1 + (i % (lvl - 1)) // some coarser level in [1, lvl-1]
+      val p = parent(id, lvl - up)
+      assert(level(p) == lvl - up)
+      assert(toFaceIJ(p) == ((f, i >> up, j >> up, lvl - up)))
+      // prefix property: p and id agree above p's marker bit
+      val lsb = lsbForLevel(lvl - up)
+      assert((id & -(lsb << 1)) == (p & -(lsb << 1)))
+    }
+  }
+
+  test("encode lands on the expected face at the axis points") {
+    assert(face(encode(0, 0, 10)) == 0)
+    assert(face(encode(0, 90, 10)) == 1)
+    assert(face(encode(90, 0, 10)) == 2)
+    assert(face(encode(0, 180, 10)) == 3)
+    assert(face(encode(0, -90, 10)) == 4)
+    assert(face(encode(-90, 0, 10)) == 5)
+    // level-0 ids are face << 61 | 1 << 60; faces 4/5 negative as signed
+    val axisPoints = Seq((0.0, 0.0), (0.0, 90.0), (90.0, 0.0),
+      (0.0, 180.0), (0.0, -90.0), (-90.0, 0.0))
+    for ((f, (lat, lng)) <- axisPoints.zipWithIndex.map(_.swap))
+      assert(parent(encode(lat, lng, 10), 0) == ((f.toLong << 61) | (1L << 60)))
+    assert(encode(0, -90, 10) < 0 && encode(-90, 0, 10) < 0)
+  }
+
+  test("encode/centroid stability: the cell center re-encodes to the " +
+    "same cell") {
+    for (lvl <- Seq(4, 10, 16)) {
+      checkN(400) { r =>
+        (r.nextDouble() * 180 - 90, r.nextDouble() * 360 - 180)
+      } { case (lat, lng) =>
+        val id = encode(lat, lng, lvl)
+        val (clat, clng) = centroid(id)
+        assert(encode(clat, clng, lvl) == id,
+          s"center of ($lat,$lng)@L$lvl drifted to another cell")
+      }
+    }
+  }
+
+  test("uvToSt/stToUv are inverse and monotone") {
+    checkN(1000)(r => r.nextDouble() * 2 - 1) { u =>
+      val s = uvToSt(u)
+      assert(s >= 0 && s <= 1)
+      assert(math.abs(stToUv(s) - u) < 1e-14)
+    }
+    assert(uvToSt(-1) == 0.0 && uvToSt(1) == 1.0 && uvToSt(0) == 0.5)
+  }
+
+  test("spatial-locality of the id order (the partition-key property): " +
+    "nearby points get numerically close ids") {
+    val lvl = 12
+    checkN(300) { r =>
+      (r.nextDouble() * 160 - 80, r.nextDouble() * 360 - 180)
+    } { case (lat, lng) =>
+      val a = encode(lat, lng, lvl)
+      val b = encode(lat + 0.01, lng + 0.01, lvl)
+      if (face(a) == face(b)) {
+        // same face: ids differ by at most a tiny fraction of the face range
+        val posSpan = 1L << (2 * lvl)
+        val da = (a >>> (2 * (MaxLevel - lvl) + 1)) & (posSpan - 1)
+        val db = (b >>> (2 * (MaxLevel - lvl) + 1)) & (posSpan - 1)
+        assert(math.abs(da - db) < posSpan / 4)
+      }
+    }
+  }
+}
