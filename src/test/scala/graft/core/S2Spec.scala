@@ -27,7 +27,6 @@ class S2Spec extends AnyFunSuite with SeededChecks {
     for (f <- 0 until 6) {
       // walk the whole face in pos order via toFaceIJ of consecutive ids
       val lsb = lsbForLevel(lvl)
-      val first = fromFaceIJ(f, 0, 0, lvl) & -(1L << (2 * (MaxLevel - lvl) + 1))
       var prev: (Int, Int) = null
       var pos = 0L
       while (pos < m.toLong * m) {
@@ -39,7 +38,6 @@ class S2Spec extends AnyFunSuite with SeededChecks {
         prev = (i, j)
         pos += 1
       }
-      assert(first >= 0 || f >= 4) // silence unused warning, sign sanity
     }
   }
 
