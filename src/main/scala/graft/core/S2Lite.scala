@@ -160,6 +160,87 @@ object S2Lite {
     fromFaceIJ(f, i, j, lvl)
   }
 
+  /** Face axes: (u, v) on `face` -> xyz direction (not normalized),
+    * inverting the ValidFaceXYZtoUV formulas per face. */
+  private def faceUvToXyz(f: Int, u: Double, v: Double): (Double, Double, Double) =
+    f match {
+      case 0 => (1.0, u, v)
+      case 1 => (-u, 1.0, v)
+      case 2 => (-u, -v, 1.0)
+      case 3 => (-1.0, -v, -u)
+      case 4 => (v, -1.0, -u)
+      case 5 => (v, u, -1.0)
+    }
+
+  /** xyz -> (face, u, v), same face pick + UV formulas as encode. */
+  private def xyzToFaceUv(x: Double, y: Double, z: Double): (Int, Double, Double) = {
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    val axis = if (ax > ay) { if (ax > az) 0 else 2 }
+               else { if (ay > az) 1 else 2 }
+    val comp = if (axis == 0) x else if (axis == 1) y else z
+    val f = if (comp < 0) axis + 3 else axis
+    val u = f match {
+      case 0 => y / x
+      case 1 => -x / y
+      case 2 => -x / z
+      case 3 => z / x
+      case 4 => z / y
+      case 5 => -y / z
+    }
+    val v = f match {
+      case 0 => z / x
+      case 1 => z / y
+      case 2 => -y / z
+      case 3 => y / x
+      case 4 => -x / y
+      case 5 => -x / z
+    }
+    (f, u, v)
+  }
+
+  private val LeafSize = 1 << MaxLevel // 2^30
+
+  /** Leaf-coordinate neighbor that may fall off the face: relocate
+    * (face, i, j) with i or j just outside [0, 2^30) onto the adjacent
+    * face (the public FromFaceIJWrap algorithm — the linear ST<->UV
+    * projection is an identity on the in-range axis, so only the
+    * crossing axis moves). Returns a LEAF id. */
+  private def fromLeafIJWrap(f: Int, i0: Int, j0: Int): Long = {
+    val i = math.max(-1, math.min(LeafSize, i0))
+    val j = math.max(-1, math.min(LeafSize, j0))
+    val scale = 1.0 / LeafSize
+    val limit = 1.0 + java.lang.Math.ulp(1.0)
+    val u = math.max(-limit, math.min(limit,
+      scale * (2.0 * (i - LeafSize / 2) + 1.0)))
+    val v = math.max(-limit, math.min(limit,
+      scale * (2.0 * (j - LeafSize / 2) + 1.0)))
+    val (x, y, z) = faceUvToXyz(f, u, v)
+    val (nf, nu, nv) = xyzToFaceUv(x, y, z)
+    def stToLeaf(s: Double): Int =
+      math.max(0, math.min(LeafSize - 1, math.floor(s * LeafSize).toInt))
+    fromFaceIJ(nf, stToLeaf(0.5 * (nu + 1.0)), stToLeaf(0.5 * (nv + 1.0)),
+      MaxLevel)
+  }
+
+  /** The four edge-adjacent cells at the same level (down, right, up,
+    * left in (i,j) terms), crossing cube-face boundaries where needed —
+    * the S2 counterpart of H3Lite.kRing for neighbor joins. */
+  def edgeNeighbors(id: Long): Array[Long] = {
+    val (f, i, j, lvl) = toFaceIJ(id)
+    val shift = MaxLevel - lvl
+    val size = 1 << shift
+    val li = i << shift
+    val lj = j << shift
+    val m = 1 << lvl
+    def same(ni: Int, nj: Int): Long = fromFaceIJ(f, ni, nj, lvl)
+    def wrap(ni: Int, nj: Int): Long = parent(fromLeafIJWrap(f, ni, nj), lvl)
+    Array(
+      if (j - 1 >= 0) same(i, j - 1) else wrap(li, lj - size),
+      if (i + 1 < m) same(i + 1, j) else wrap(li + size, lj),
+      if (j + 1 < m) same(i, j + 1) else wrap(li, lj + size),
+      if (i - 1 >= 0) same(i - 1, j) else wrap(li - size, lj))
+  }
+
   /** Center of the cell, as (latDeg, lngDeg) — the inverse path
     * (ij -> st center -> uv -> face xyz -> lat/lng), used by tests to
     * pin encode/decode consistency. */

@@ -47,7 +47,8 @@ object Spatial {
     Q("q65_shp_pip_holes", q65, Some(q65Sql)),
     Q("q66_shp_dbf_pip", q66, Some(q66Sql)),
     Q("q67_s2_cell", q67, Some(q67Sql)),
-    Q("q68_s2_partition", q68, Some(q68Sql))
+    Q("q68_s2_partition", q68, Some(q68Sql)),
+    Q("q69_s2_neighbor_join", q69, Some(q69Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -917,25 +918,45 @@ object Spatial {
         min("cell_id").as("min_cell"), max("cell_id").as("max_cell"))
       .orderBy("s2_l4_key")
 
-  /** The full S2 encode as DuckDB SQL, ending in a CTE `s2(cell_id,
-    * s2_id, s2_face, s2_l4_key)`. Signed-int64 note: faces 4/5 set bit
-    * 63, so the unsigned id wraps negative in int64; the oracle builds
-    * the same two's-complement value as (face-8) * 2^61. */
-  private def s2Cte: String = {
-    val m = 1 << S2Lvl
+  // oracle-side id assembly constants, shared by q67/q68/q69
+  private def s2PosShift = 2L << (2 * (30 - S2Lvl)) // 2^(2*(30-lvl)+1)
+  private def s2IdLsb = 1L << (2 * (30 - S2Lvl))
+  /** `face` (0-5) as the signed-int64 top bits: faces 4/5 set bit 63,
+    * so the unsigned id wraps negative; (face-8) * 2^61 builds the same
+    * two's-complement value without DuckDB BIGINT overflow. */
+  private val s2FaceSql =
+    s"(CASE WHEN face >= 4 THEN face - 8 ELSE face END) * ${1L << 61}"
+
+  /** The Hilbert walk as a recursive CTE over a seed table `$seed`
+    * with columns (`$keys`, face, i, j): carries orientation o (init
+    * face & 1) and accumulates pos MSB-first, level by level, via the
+    * flattened IJToPos / PosToOrientation tables (core/S2Lite). */
+  private def s2HilCte(seed: String, keys: String): String = {
     val topBit = S2Lvl - 1
-    val posShift = 2L << (2 * (30 - S2Lvl)) // 2^(2*(30-lvl)+1)
-    val lsb = 1L << (2 * (30 - S2Lvl))
-    val pShift = 2L << (2 * (30 - S2ParentLvl))
-    val pLsb = 1L << (2 * (30 - S2ParentLvl))
-    val drop = 2 * (S2Lvl - S2ParentLvl)
-    // IJToPos flattened as CASE over o*4 + ij (tables in core/S2Lite)
     val ijToPos = "CASE o * 4 + (((i >> (" + topBit + " - lvl)) & 1) * 2 " +
       "+ ((j >> (" + topBit + " - lvl)) & 1)) " +
       "WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2 " +
       "WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2 " +
       "WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0 " +
       "WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 WHEN 15 THEN 0 END"
+    s"""hil AS (
+       |  SELECT $keys, face, i, j, 0 AS lvl, face % 2 AS o,
+       |    CAST(0 AS BIGINT) AS pos
+       |  FROM $seed
+       |  UNION ALL
+       |  SELECT $keys, face, i, j, lvl + 1,
+       |    xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
+       |    pos * 4 + p
+       |  FROM (SELECT $keys, face, i, j, lvl, o, pos, $ijToPos AS p
+       |        FROM hil WHERE lvl < $S2Lvl) step)""".stripMargin
+  }
+
+  /** lat/lng -> face/i/j as DuckDB SQL, ending in a CTE
+    * `ij(cell_id, face, i, j)` — the projection half of the S2 encode
+    * (face pick, UV, quadratic ST), mirroring S2Lite.encode term for
+    * term. */
+  private def s2IjCte: String = {
+    val m = 1 << S2Lvl
     s"""geo AS (SELECT cell_id,
        |  ((CAST(${rowSql("cell_id")} AS DOUBLE) - 0.5) / ${spec.rows} * 180 - 90) * (PI() / 180) AS phi,
        |  ((CAST(${colSql("cell_id")} AS DOUBLE) - 0.5) / $C * 360 - 180) * (PI() / 180) AS lam
@@ -965,23 +986,20 @@ object Spatial {
        |ij AS (SELECT cell_id, face,
        |  CAST(LEAST(${m - 1}, GREATEST(0, FLOOR(s * $m))) AS BIGINT) AS i,
        |  CAST(LEAST(${m - 1}, GREATEST(0, FLOOR(t * $m))) AS BIGINT) AS j
-       |  FROM st),
-       |hil AS (
-       |  SELECT cell_id, face, i, j, 0 AS lvl, face % 2 AS o,
-       |    CAST(0 AS BIGINT) AS pos
-       |  FROM ij
-       |  UNION ALL
-       |  SELECT cell_id, face, i, j, lvl + 1,
-       |    xor(o, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END),
-       |    pos * 4 + p
-       |  FROM (SELECT cell_id, face, i, j, lvl, o, pos, $ijToPos AS p
-       |        FROM hil WHERE lvl < $S2Lvl) step),
+       |  FROM st)""".stripMargin
+  }
+
+  /** Full per-cell S2 encode: `s2(cell_id, s2_id, s2_face, s2_l4_key)`. */
+  private def s2Cte: String = {
+    val pShift = 2L << (2 * (30 - S2ParentLvl))
+    val pLsb = 1L << (2 * (30 - S2ParentLvl))
+    val drop = 2 * (S2Lvl - S2ParentLvl)
+    s"""$s2IjCte,
+       |${s2HilCte("ij", "cell_id")},
        |s2 AS (SELECT cell_id,
-       |  (CASE WHEN face >= 4 THEN face - 8 ELSE face END) * ${1L << 61}
-       |    + pos * $posShift + $lsb AS s2_id,
+       |  $s2FaceSql + pos * $s2PosShift + $s2IdLsb AS s2_id,
        |  CAST(face AS INT) AS s2_face,
-       |  (CASE WHEN face >= 4 THEN face - 8 ELSE face END) * ${1L << 61}
-       |    + (pos >> $drop) * $pShift + $pLsb AS s2_l4_key
+       |  $s2FaceSql + (pos >> $drop) * $pShift + $pLsb AS s2_l4_key
        |  FROM hil WHERE lvl = $S2Lvl)""".stripMargin
   }
 
@@ -996,6 +1014,40 @@ object Spatial {
        |SELECT s2_l4_key, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
        |  MAX(cell_id) AS max_cell
        |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q69: the S2 neighbor derivation as a query — explode each cell's
+    * four edge neighbors (S2Neighbors crosses cube faces via the wrap
+    * algorithm), keep the same-face ones, aggregate per cell. A
+    * neighbor stays on the cell's face exactly when its (i,j) is in
+    * range, so the oracle enumerates the in-bounds ij offsets and
+    * Hilbert-encodes them with the same recursive CTE — which also
+    * cross-checks the wrapped count via 4 - n_same_face. The wrap path
+    * itself is pinned by S2Spec (symmetry + geometric adjacency over
+    * every face boundary). */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    s2Frame(s).select(col("cell_id"), col("s2_id"),
+        explode(s2_neighbors(col("s2_id"))).as("nbr_id"))
+      .filter(shiftrightunsigned(col("nbr_id"), 61) ===
+        shiftrightunsigned(col("s2_id"), 61))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_same_face"),
+        min("nbr_id").as("min_nbr"), max("nbr_id").as("max_nbr"))
+      .orderBy("cell_id")
+
+  private def q69Sql = {
+    val m = 1 << S2Lvl
+    s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
+       |$s2IjCte,
+       |nb AS (SELECT c.cell_id, c.face, c.i + d.di AS i, c.j + d.dj AS j
+       |  FROM ij c, (VALUES (0, -1), (1, 0), (0, 1), (-1, 0)) d(di, dj)
+       |  WHERE c.i + d.di BETWEEN 0 AND ${m - 1}
+       |    AND c.j + d.dj BETWEEN 0 AND ${m - 1}),
+       |${s2HilCte("nb", "cell_id")}
+       |SELECT cell_id, COUNT(*) AS n_same_face,
+       |  MIN($s2FaceSql + pos * $s2PosShift + $s2IdLsb) AS min_nbr,
+       |  MAX($s2FaceSql + pos * $s2PosShift + $s2IdLsb) AS max_nbr
+       |FROM hil WHERE lvl = $S2Lvl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
     * tile (input_hint). */

@@ -272,6 +272,36 @@ case class S2Cell(left: Expression, right: Expression, level: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** The four edge-adjacent S2 cells of an id at its own level, crossing
+  * cube-face boundaries (core/S2Lite.edgeNeighbors) — the S2 side of
+  * the tile-neighbor join (G4), like GridH3 + H3Lite.kRing on the H3
+  * side. Emits array<long> of length 4 in (down, right, up, left)
+  * order. */
+case class S2Neighbors(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
+    Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(id: Any): Any =
+    S2Neighbors.eval(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = S2Neighbors.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, id => s"${ev.value} = $cls.eval($id);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object S2Neighbors {
+  def eval(id: Long): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.S2Lite.edgeNeighbors(id))
+}
+
 /** Ancestor of an S2 cell id at coarser plan-time `level` — the
   * partition-key derivation of the north rule (res-4 parents as the
   * shuffle key). Pure bit math, inlined directly into generated code
@@ -595,6 +625,10 @@ object GraftFunctions {
   /** Ancestor of an S2 cell id at coarser `level` (partition key). */
   def s2_parent(id: Column, level: Int): Column =
     column(S2Parent(expression(id), level))
+
+  /** The four edge-adjacent S2 cells at the id's own level. */
+  def s2_neighbors(id: Column): Column =
+    column(S2Neighbors(expression(id)))
 
   /** One-pass decode + media feature stats over a binary payload. */
   def media_stats(bytes: Column, fmt: Column, w: Column, h: Column,

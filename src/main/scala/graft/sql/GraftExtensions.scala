@@ -103,6 +103,11 @@ object GraftExtensions {
           "coarser level (level literal)", 2) { a =>
         S2Parent(a(0), intLit(a(1), "graft_s2_parent", "level"))
       },
+      entry("graft_s2_neighbors",
+        "graft_s2_neighbors(id) - the four edge-adjacent S2 cells at " +
+          "the id's own level (face-crossing), as array<long>", 1) { a =>
+        S2Neighbors(a(0))
+      },
       entry("graft_media_stats",
         "graft_media_stats(bytes, fmt, w, h, frameK) - one-pass decode + " +
           "media feature stats (frameK literal)", 5) { a =>

@@ -131,6 +131,63 @@ class S2Spec extends AnyFunSuite with SeededChecks {
     assert(uvToSt(-1) == 0.0 && uvToSt(1) == 1.0 && uvToSt(0) == 0.5)
   }
 
+  test("edgeNeighbors: interior cells get ij+-1; all neighbors distinct, " +
+    "valid, same level") {
+    checkN(300) { r =>
+      val lvl = 2 + r.nextInt(12)
+      val m = 1 << lvl
+      // interior: 1..m-2 on both axes
+      (r.nextInt(6), 1 + r.nextInt(m - 2), 1 + r.nextInt(m - 2), lvl)
+    } { case (f, i, j, lvl) =>
+      val id = fromFaceIJ(f, i, j, lvl)
+      val nbrs = edgeNeighbors(id)
+      assert(nbrs.length == 4 && nbrs.distinct.length == 4)
+      assert(nbrs.forall(n => isValid(n) && level(n) == lvl))
+      assert(nbrs.toSet == Set(
+        fromFaceIJ(f, i, j - 1, lvl), fromFaceIJ(f, i + 1, j, lvl),
+        fromFaceIJ(f, i, j + 1, lvl), fromFaceIJ(f, i - 1, j, lvl)))
+    }
+  }
+
+  test("edgeNeighbors across face boundaries: symmetric, geometrically " +
+    "adjacent, never self") {
+    def chord(a: Long, b: Long): Double = {
+      def xyz(id: Long) = {
+        val (lat, lng) = centroid(id)
+        val phi = math.toRadians(lat); val lam = math.toRadians(lng)
+        (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam),
+          math.sin(phi))
+      }
+      val (x1, y1, z1) = xyz(a); val (x2, y2, z2) = xyz(b)
+      math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) +
+        (z1 - z2) * (z1 - z2))
+    }
+    for (lvl <- Seq(1, 4, 8)) {
+      val m = 1 << lvl
+      // boundary cells: walk the full edge frame of every face
+      for (f <- 0 until 6; k <- 0 until m;
+           (i, j) <- Seq((k, 0), (k, m - 1), (0, k), (m - 1, k))) {
+        val id = fromFaceIJ(f, i, j, lvl)
+        val nbrs = edgeNeighbors(id)
+        assert(nbrs.distinct.length == 4 && !nbrs.contains(id))
+        // cell edge chord length ~ 2/m..4/m on the unit sphere; adjacency
+        // means centroids sit within ~2 cell diagonals
+        val bar = 6.0 / m
+        for (n <- nbrs) {
+          assert(chord(id, n) < bar, s"face $f ($i,$j)@L$lvl nbr too far")
+          assert(edgeNeighbors(n).contains(id),
+            s"face $f ($i,$j)@L$lvl neighbor relation not symmetric")
+        }
+      }
+    }
+    // level 0: each face's neighbors are the four non-opposite faces
+    for (f <- 0 until 6) {
+      val id0 = (f.toLong << 61) | (1L << 60)
+      val got = edgeNeighbors(id0).map(face).toSet
+      assert(got == (0 until 6).toSet - f - ((f + 3) % 6))
+    }
+  }
+
   test("spatial-locality of the id order (the partition-key property): " +
     "nearby points get numerically close ids") {
     val lvl = 12
