@@ -626,6 +626,11 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2row.getLong(1) ==
       graft.core.S2Lite.parent(graft.core.S2Lite.encode(37.5, -122.25, 12), 4))
     assert(s2row.getLong(2) == graft.core.S2Lite.encode(0.0, 0.0, 12))
+    val nbrs = spark.sql(
+      "SELECT graft_s2_neighbors(graft_s2_cell(37.5D, -122.25D, 12)) AS n")
+      .collect()(0).getSeq[Long](0)
+    assert(nbrs == graft.core.S2Lite.edgeNeighbors(
+      graft.core.S2Lite.encode(37.5, -122.25, 12)).toSeq)
     // codegen path (DataFrame over a real column) agrees with eval/core
     val s2df = Seq((1L, 10.0, 20.0), (2L, -45.5, 170.25), (3L, 80.0, -3.0))
       .toDF("k", "lat", "lng")
