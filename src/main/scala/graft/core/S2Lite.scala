@@ -127,33 +127,17 @@ object S2Lite {
     * term for term. */
   def encode(latDeg: Double, lngDeg: Double, lvl: Int): Long = {
     require(lvl >= 0 && lvl <= MaxLevel, s"level $lvl out of [0,$MaxLevel]")
+    require(latDeg >= -90.0 && latDeg <= 90.0, // also rejects NaN
+      s"latitude $latDeg out of [-90, 90]")
+    require(java.lang.Double.isFinite(lngDeg),
+      s"longitude $lngDeg is not finite")
     val phi = latDeg * DegToRad
     val lam = lngDeg * DegToRad
     val cosPhi = math.cos(phi)
     val x = cosPhi * math.cos(lam)
     val y = cosPhi * math.sin(lam)
     val z = math.sin(phi)
-    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
-    val axis = if (ax > ay) { if (ax > az) 0 else 2 }
-               else { if (ay > az) 1 else 2 }
-    val comp = if (axis == 0) x else if (axis == 1) y else z
-    val f = if (comp < 0) axis + 3 else axis
-    val u = f match {
-      case 0 => y / x
-      case 1 => -x / y
-      case 2 => -x / z
-      case 3 => z / x
-      case 4 => z / y
-      case 5 => -y / z
-    }
-    val v = f match {
-      case 0 => z / x
-      case 1 => z / y
-      case 2 => -y / z
-      case 3 => y / x
-      case 4 => -x / y
-      case 5 => -x / z
-    }
+    val (f, u, v) = xyzToFaceUv(x, y, z)
     val m = 1 << lvl
     val i = math.min(m - 1, math.max(0, math.floor(uvToSt(u) * m).toInt))
     val j = math.min(m - 1, math.max(0, math.floor(uvToSt(v) * m).toInt))
@@ -249,15 +233,7 @@ object S2Lite {
     val m = (1 << lvl).toDouble
     val u = stToUv((i + 0.5) / m)
     val v = stToUv((j + 0.5) / m)
-    // xyz derived by inverting the ValidFaceXYZtoUV formulas per face
-    val (x, y, z) = f match {
-      case 0 => (1.0, u, v)
-      case 1 => (-u, 1.0, v)
-      case 2 => (-u, -v, 1.0)
-      case 3 => (-1.0, -v, -u)
-      case 4 => (v, -1.0, -u)
-      case 5 => (v, u, -1.0)
-    }
+    val (x, y, z) = faceUvToXyz(f, u, v)
     val lat = math.atan2(z, math.sqrt(x * x + y * y)) / DegToRad
     val lng = math.atan2(y, x) / DegToRad
     (lat, lng)

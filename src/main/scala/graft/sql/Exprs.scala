@@ -309,26 +309,40 @@ object S2Neighbors {
 case class S2Parent(child: Expression, level: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
 
+  require(level >= 0 && level <= graft.core.S2Lite.MaxLevel,
+    s"s2_parent level $level out of [0, ${graft.core.S2Lite.MaxLevel}]")
+
   override def inputTypes: Seq[org.apache.spark.sql.GraftColumnBridge.AbstractType] =
     Seq(LongType)
   override def dataType: DataType = LongType
 
-  // same unchecked bit math as the generated code (S2Lite.parent's loud
-  // level check belongs to the library API; in-plan ids come from S2Cell
-  // at a known level, and eval/codegen must agree bit for bit)
-  override def nullSafeEval(id: Any): Any = {
-    val lsb = graft.core.S2Lite.lsbForLevel(level)
-    (id.asInstanceOf[Long] & -lsb) | lsb
-  }
+  // one AND per row guards the silent-garbage case (an id COARSER than
+  // `level`: its marker would be kept as a position bit); eval and
+  // codegen share the check and the bit math exactly
+  override def nullSafeEval(id: Any): Any =
+    S2Parent.eval(id.asInstanceOf[Long],
+      graft.core.S2Lite.lsbForLevel(level), level)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = S2Parent.getClass.getName.stripSuffix("$") + "$.MODULE$"
     val lsb = graft.core.S2Lite.lsbForLevel(level)
     nullSafeCodeGen(ctx, ev, id =>
-      s"${ev.value} = ($id & ${-lsb}L) | ${lsb}L;")
+      s"${ev.value} = $cls.eval($id, ${lsb}L, $level);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object S2Parent {
+  /** `lsb` is lsbForLevel(level), passed as a plan-time constant. */
+  def eval(id: Long, lsb: Long, level: Int): Long = {
+    if ((id & ((lsb << 1) - 1)) == 0)
+      throw new IllegalArgumentException(
+        s"s2_parent: id $id is coarser than level $level (its level " +
+          s"marker sits above the level-$level marker bit)")
+    (id & -lsb) | lsb
+  }
 }
 
 /** Inverse of DecodeBand — the raster-ENCODE side of the K2 sink

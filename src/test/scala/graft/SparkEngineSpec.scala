@@ -649,6 +649,12 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT graft_s2_cell(0D, 0D, CAST(doc_id AS INT)) " +
         "FROM g_docs").collect())
     assert(e2.getMessage.contains("integer literal"))
+    // s2_parent refuses a target level FINER than the id's own level
+    // instead of emitting a plausible-looking garbage id
+    val e3 = intercept[Exception](
+      spark.sql("SELECT graft_s2_parent(graft_s2_cell(0D, 0D, 4), 10)")
+        .collect())
+    assert(e3.getMessage.contains("coarser"))
     // the spark.sql.extensions injection entry point wires up cleanly
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }

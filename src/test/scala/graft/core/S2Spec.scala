@@ -122,6 +122,18 @@ class S2Spec extends AnyFunSuite with SeededChecks {
     }
   }
 
+  test("loud contracts: NaN / out-of-range inputs are refused, not " +
+    "silently encoded") {
+    intercept[IllegalArgumentException](encode(Double.NaN, 0, 10))
+    intercept[IllegalArgumentException](encode(0, Double.NaN, 10))
+    intercept[IllegalArgumentException](encode(100.0, 0, 10))
+    intercept[IllegalArgumentException](encode(0, Double.PositiveInfinity, 10))
+    intercept[IllegalArgumentException](encode(0, 0, 31))
+    // lng is periodic: any finite value is legal
+    assert(encode(0, 540.0, 10) == encode(0, 540.0, 10))
+    intercept[IllegalArgumentException](parent(encode(0, 0, 4), 10))
+  }
+
   test("uvToSt/stToUv are inverse and monotone") {
     checkN(1000)(r => r.nextDouble() * 2 - 1) { u =>
       val s = uvToSt(u)
@@ -189,19 +201,40 @@ class S2Spec extends AnyFunSuite with SeededChecks {
   }
 
   test("spatial-locality of the id order (the partition-key property): " +
-    "nearby points get numerically close ids") {
+    "a run of consecutive ids covers a spatially connected patch") {
+    // This is the direction Hilbert curves actually guarantee (close
+    // ids -> close cells); the converse fails at curve seams, e.g. the
+    // first/last-quadrant boundary of a face, where neighboring points
+    // sit half the position range apart.
     val lvl = 12
-    checkN(300) { r =>
-      (r.nextDouble() * 160 - 80, r.nextDouble() * 360 - 180)
-    } { case (lat, lng) =>
-      val a = encode(lat, lng, lvl)
-      val b = encode(lat + 0.01, lng + 0.01, lvl)
-      if (face(a) == face(b)) {
-        // same face: ids differ by at most a tiny fraction of the face range
-        val posSpan = 1L << (2 * lvl)
-        val da = (a >>> (2 * (MaxLevel - lvl) + 1)) & (posSpan - 1)
-        val db = (b >>> (2 * (MaxLevel - lvl) + 1)) & (posSpan - 1)
-        assert(math.abs(da - db) < posSpan / 4)
+    val m = 1 << lvl
+    val posSpan = m.toLong * m
+    val runLen = 16
+    def xyz(id: Long): (Double, Double, Double) = {
+      val (lat, lng) = centroid(id)
+      val phi = math.toRadians(lat); val lam = math.toRadians(lng)
+      (math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam),
+        math.sin(phi))
+    }
+    // a level-lvl cell edge subtends ~pi/2 / m of arc; consecutive
+    // centroids sit within ~2 edge lengths, a run within runLen of them
+    val stepBar = 2.0 * (math.Pi / 2) / m
+    checkN(200) { r =>
+      (r.nextInt(6), (r.nextLong() & Long.MaxValue) % (posSpan - runLen))
+    } { case (f, pos0) =>
+      val ids = (0 until runLen).map(k =>
+        (f.toLong << 61) | ((pos0 + k) << (2 * (MaxLevel - lvl) + 1)) |
+          lsbForLevel(lvl))
+      val pts = ids.map(xyz)
+      val (x0, y0, z0) = pts.head
+      for (((x, y, z), k) <- pts.zipWithIndex.drop(1)) {
+        val (px, py, pz) = pts(k - 1)
+        val step = math.sqrt((x - px) * (x - px) + (y - py) * (y - py) +
+          (z - pz) * (z - pz))
+        assert(step <= stepBar, s"face $f pos ${pos0 + k}: step $step")
+        val spread = math.sqrt((x - x0) * (x - x0) + (y - y0) * (y - y0) +
+          (z - z0) * (z - z0))
+        assert(spread <= runLen * stepBar)
       }
     }
   }
