@@ -49,7 +49,8 @@ object TextOps {
     Q("q59_neardup_bucketed", q59, Some(q49Sql)),
     Q("q61_bpe_tokens", q61, Some(q61Sql)),
     Q("q62_salted_agg", q62, Some(q62Sql)),
-    Q("q63_asof_join", q63, Some(q63Sql))
+    Q("q63_asof_join", q63, Some(q63Sql)),
+    Q("q70_span_dedup", q70, Some(q70Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -881,4 +882,51 @@ object TextOps {
   private def q51(s: SparkSession, dir: String): DataFrame =
     graft.engine.Multimodal.features(
       graft.engine.Multimodal.syntheticMedia(s)).orderBy("image_id")
+
+  // ---- q70: k-gram SPAN dedup — the exact-substring boilerplate pass
+  // of a pretraining corpus (remove/flag word spans repeated across
+  // documents), at 8-gram granularity since the corpus has no line
+  // structure. Per doc: total 8-gram count and how many of those gram
+  // INSTANCES also occur in at least one other document.
+  //
+  // Scale shape: three shuffles — distinct on (doc_id, gram) [the
+  // partial-aggregate dedups map-side], document frequency groupBy on
+  // gram, and the join back on gram (each instance matches exactly one
+  // df row, so skew on hot grams only concentrates the probe side; at
+  // real scale the gram string would be xxhash64'd first so the
+  // shuffles carry 8 bytes, and the df frame's >1 filter usually makes
+  // it broadcastable: most grams are unique, duplicated ones are few).
+  private val SpanK = 8
+
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $k)))")).as("gram"))
+    val df = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") > 1, 1)).as("n_dup_grams"))
+      .orderBy("doc_id")
+  }
+
+  private val q70Sql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |gi AS (SELECT doc_id, w,
+      |    unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM docs WHERE len(w) >= 8),
+      |g AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
+      |  FROM gi),
+      |d AS (SELECT DISTINCT doc_id, gram FROM g),
+      |f AS (SELECT gram, COUNT(*) AS df FROM d GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  COUNT(CASE WHEN f.df > 1 THEN 1 END) AS n_dup_grams
+      |FROM g JOIN f ON g.gram = f.gram
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
