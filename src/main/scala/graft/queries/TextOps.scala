@@ -50,7 +50,8 @@ object TextOps {
     Q("q61_bpe_tokens", q61, Some(q61Sql)),
     Q("q62_salted_agg", q62, Some(q62Sql)),
     Q("q63_asof_join", q63, Some(q63Sql)),
-    Q("q70_span_dedup", q70, Some(q70Sql))
+    Q("q70_span_dedup", q70, Some(q70Sql)),
+    Q("q71_span_scrub", q71, Some(q71Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -929,4 +930,67 @@ object TextOps {
       |  COUNT(CASE WHEN f.df > 1 THEN 1 END) AS n_dup_grams
       |FROM g JOIN f ON g.gram = f.gram
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q71: the REWRITE half of the span pass — q70 flags duplicated
+  // spans, q71 emits the scrubbed corpus: every word position covered
+  // by any cross-document 8-gram is dropped, the survivors re-assemble
+  // in order. Positional anti-join + in-aggregate ordered re-assembly
+  // (the U2 sort-inside-agg pattern the raster sink uses). Same shuffle
+  // keys as q70 plus one word-level anti-join on (doc_id) and the final
+  // per-doc aggregation; at scale the covered-positions frame is tiny
+  // relative to the corpus (dup spans are rare), so the anti-join
+  // broadcast-or-shuffles cheaply on doc_id.
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val words = docs.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "word")))
+    val grams = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $k)))")).as(Seq("start", "gram")))
+    val dupGrams = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${k - 1})")).as("pos"))
+      .distinct()
+    words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, word))), p -> p.word)")).as("clean_text"))
+      .join(docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words")),
+        Seq("doc_id"))
+      .select("doc_id", "n_words", "n_kept", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  private val q71Sql =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |words AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS pos,
+      |    unnest(w) AS word
+      |  FROM docs),
+      |gi AS (SELECT doc_id, w,
+      |    unnest(generate_series(1, len(w) - 7)) AS i
+      |  FROM docs WHERE len(w) >= 8),
+      |g AS (SELECT doc_id, i - 1 AS start,
+      |    array_to_string(w[i : i + 7], ' ') AS gram
+      |  FROM gi),
+      |d AS (SELECT DISTINCT doc_id, gram FROM g),
+      |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1),
+      |covered AS (SELECT DISTINCT doc_id, pos FROM (
+      |  SELECT g.doc_id, unnest(generate_series(g.start, g.start + 7)) AS pos
+      |  FROM g JOIN f ON g.gram = f.gram) c0),
+      |kept AS (SELECT wd.doc_id, wd.pos, wd.word
+      |  FROM words wd LEFT JOIN covered c
+      |    ON wd.doc_id = c.doc_id AND wd.pos = c.pos
+      |  WHERE c.doc_id IS NULL)
+      |SELECT k.doc_id, len(docs.w) AS n_words, COUNT(*) AS n_kept,
+      |  string_agg(k.word, ' ' ORDER BY k.pos) AS clean_text
+      |FROM kept k JOIN docs ON k.doc_id = docs.doc_id
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }
