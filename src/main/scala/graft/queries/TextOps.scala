@@ -907,12 +907,16 @@ object TextOps {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $k), " +
           s"i -> concat_ws(' ', slice(w, i + 1, $k)))")).as("gram"))
-    val df = grams.select("doc_id", "gram").distinct()
+    // join only the (small) duplicated-gram list, not the full df frame:
+    // most grams are unique, so this side stays broadcastable at scale
+    val dup = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
-    grams.join(df, "gram")
+      .filter(col("df") > 1)
+      .select(col("gram"), lit(1).as("is_dup"))
+    grams.join(dup, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
-        count(when(col("df") > 1, 1)).as("n_dup_grams"))
+        count(col("is_dup")).as("n_dup_grams"))
       .orderBy("doc_id")
   }
 
@@ -925,10 +929,10 @@ object TextOps {
       |g AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
       |  FROM gi),
       |d AS (SELECT DISTINCT doc_id, gram FROM g),
-      |f AS (SELECT gram, COUNT(*) AS df FROM d GROUP BY 1)
+      |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1)
       |SELECT g.doc_id, COUNT(*) AS n_grams,
-      |  COUNT(CASE WHEN f.df > 1 THEN 1 END) AS n_dup_grams
-      |FROM g JOIN f ON g.gram = f.gram
+      |  COUNT(f.gram) AS n_dup_grams
+      |FROM g LEFT JOIN f ON g.gram = f.gram
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- q71: the REWRITE half of the span pass — q70 flags duplicated
