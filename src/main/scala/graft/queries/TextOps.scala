@@ -899,20 +899,31 @@ object TextOps {
   // it broadcastable: most grams are unique, duplicated ones are few).
   private val SpanK = 8
 
-  private def q70(s: SparkSession, dir: String): DataFrame = {
-    val k = SpanK
-    val grams = t(s, dir, "documents")
+  /** documents -> (doc_id, w: array<string>) word frame. */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $k), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $k)))")).as("gram"))
-    // join only the (small) duplicated-gram list, not the full df frame:
-    // most grams are unique, so this side stays broadcastable at scale
-    val dup = grams.select("doc_id", "gram").distinct()
+
+  /** Sliding SpanK-grams with 0-based start positions. */
+  private def spanGrams(docs: DataFrame): DataFrame =
+    docs.filter(size(col("w")) >= SpanK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $SpanK), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $SpanK)))"))
+        .as(Seq("start", "gram")))
+
+  /** Grams occurring in more than one distinct document — the small
+    * frame both span queries join against: most grams are unique, so
+    * this side stays broadcastable at scale. */
+  private def spanDupGrams(grams: DataFrame): DataFrame =
+    grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
-      .select(col("gram"), lit(1).as("is_dup"))
+      .select("gram")
+
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val grams = spanGrams(spanDocs(s, dir))
+    val dup = spanDupGrams(grams).withColumn("is_dup", lit(1))
     grams.join(dup, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -920,16 +931,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  private val q70Sql =
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+  /** Shared oracle prefix: docs -> sliding 8-grams `g(doc_id, start,
+    * gram)` -> cross-document duplicated grams `f(gram)` (mirrors
+    * spanDocs/spanGrams/spanDupGrams). */
+  private val spanCte =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS w
       |  FROM documents),
       |gi AS (SELECT doc_id, w,
       |    unnest(generate_series(1, len(w) - 7)) AS i
       |  FROM docs WHERE len(w) >= 8),
-      |g AS (SELECT doc_id, array_to_string(w[i : i + 7], ' ') AS gram
+      |g AS (SELECT doc_id, i - 1 AS start,
+      |    array_to_string(w[i : i + 7], ' ') AS gram
       |  FROM gi),
       |d AS (SELECT DISTINCT doc_id, gram FROM g),
-      |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1)
+      |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin
+
+  private val q70Sql =
+    s"""WITH $spanCte
       |SELECT g.doc_id, COUNT(*) AS n_grams,
       |  COUNT(f.gram) AS n_dup_grams
       |FROM g LEFT JOIN f ON g.gram = f.gram
@@ -945,56 +963,46 @@ object TextOps {
   // relative to the corpus (dup spans are rare), so the anti-join
   // broadcast-or-shuffles cheaply on doc_id.
   private def q71(s: SparkSession, dir: String): DataFrame = {
-    val k = SpanK
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val docs = spanDocs(s, dir)
     val words = docs.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "word")))
-    val grams = docs.filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k), " +
-          s"i -> concat_ws(' ', slice(w, i + 1, $k)))")).as(Seq("start", "gram")))
-    val dupGrams = grams.select("doc_id", "gram").distinct()
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
-    val covered = grams.join(dupGrams, "gram")
+    val grams = spanGrams(docs)
+    val covered = grams.join(spanDupGrams(grams), "gram")
       .select(col("doc_id"),
-        explode(expr(s"sequence(start, start + ${k - 1})")).as("pos"))
+        explode(expr(s"sequence(start, start + ${SpanK - 1})")).as("pos"))
       .distinct()
-    words.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", expr("transform(array_sort(" +
           "collect_list(struct(pos, word))), p -> p.word)")).as("clean_text"))
-      .join(docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words")),
-        Seq("doc_id"))
-      .select("doc_id", "n_words", "n_kept", "clean_text")
+    // keep fully-scrubbed documents as explicit empty rows instead of
+    // silently shrinking the corpus
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
 
   private val q71Sql =
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
-      |  FROM documents),
+    s"""WITH $spanCte,
       |words AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS pos,
       |    unnest(w) AS word
       |  FROM docs),
-      |gi AS (SELECT doc_id, w,
-      |    unnest(generate_series(1, len(w) - 7)) AS i
-      |  FROM docs WHERE len(w) >= 8),
-      |g AS (SELECT doc_id, i - 1 AS start,
-      |    array_to_string(w[i : i + 7], ' ') AS gram
-      |  FROM gi),
-      |d AS (SELECT DISTINCT doc_id, gram FROM g),
-      |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1),
       |covered AS (SELECT DISTINCT doc_id, pos FROM (
       |  SELECT g.doc_id, unnest(generate_series(g.start, g.start + 7)) AS pos
       |  FROM g JOIN f ON g.gram = f.gram) c0),
-      |kept AS (SELECT wd.doc_id, wd.pos, wd.word
+      |kept AS (SELECT wd.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(wd.word, ' ' ORDER BY wd.pos) AS clean_text
       |  FROM words wd LEFT JOIN covered c
       |    ON wd.doc_id = c.doc_id AND wd.pos = c.pos
-      |  WHERE c.doc_id IS NULL)
-      |SELECT k.doc_id, len(docs.w) AS n_words, COUNT(*) AS n_kept,
-      |  string_agg(k.word, ' ' ORDER BY k.pos) AS clean_text
-      |FROM kept k JOIN docs ON k.doc_id = docs.doc_id
-      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+      |  WHERE c.doc_id IS NULL
+      |  GROUP BY 1)
+      |SELECT docs.doc_id, len(docs.w) AS n_words,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.clean_text, '') AS clean_text
+      |FROM docs LEFT JOIN kept k ON docs.doc_id = k.doc_id
+      |ORDER BY 1""".stripMargin
 }

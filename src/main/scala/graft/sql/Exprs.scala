@@ -304,8 +304,9 @@ object S2Neighbors {
 
 /** Ancestor of an S2 cell id at coarser plan-time `level` — the
   * partition-key derivation of the north rule (res-4 parents as the
-  * shuffle key). Pure bit math, inlined directly into generated code
-  * (no call at all). */
+  * shuffle key). One static call of guarded bit math per row (eval and
+  * codegen share S2Parent.eval, which throws on ids coarser than the
+  * target level instead of emitting plausible garbage). */
 case class S2Parent(child: Expression, level: Int)
   extends UnaryExpression with ImplicitCastInputTypes {
 

@@ -129,8 +129,10 @@ class S2Spec extends AnyFunSuite with SeededChecks {
     intercept[IllegalArgumentException](encode(100.0, 0, 10))
     intercept[IllegalArgumentException](encode(0, Double.PositiveInfinity, 10))
     intercept[IllegalArgumentException](encode(0, 0, 31))
-    // lng is periodic: any finite value is legal
-    assert(encode(0, 540.0, 10) == encode(0, 540.0, 10))
+    // lng is periodic: any finite value is legal and wraps onto the
+    // same cell (level 2 keeps the comparison far from any boundary)
+    assert(isValid(encode(0, 540.0, 10)))
+    assert(encode(0, 390.0, 2) == encode(0, 30.0, 2))
     intercept[IllegalArgumentException](parent(encode(0, 0, 4), 10))
   }
 
@@ -226,15 +228,13 @@ class S2Spec extends AnyFunSuite with SeededChecks {
         (f.toLong << 61) | ((pos0 + k) << (2 * (MaxLevel - lvl) + 1)) |
           lsbForLevel(lvl))
       val pts = ids.map(xyz)
-      val (x0, y0, z0) = pts.head
       for (((x, y, z), k) <- pts.zipWithIndex.drop(1)) {
         val (px, py, pz) = pts(k - 1)
         val step = math.sqrt((x - px) * (x - px) + (y - py) * (y - py) +
           (z - pz) * (z - pz))
+        // per-step adjacency implies (triangle inequality) the whole
+        // run stays within runLen * stepBar — connected patch
         assert(step <= stepBar, s"face $f pos ${pos0 + k}: step $step")
-        val spread = math.sqrt((x - x0) * (x - x0) + (y - y0) * (y - y0) +
-          (z - z0) * (z - z0))
-        assert(spread <= runLen * stepBar)
       }
     }
   }
