@@ -48,7 +48,8 @@ object Spatial {
     Q("q66_shp_dbf_pip", q66, Some(q66Sql)),
     Q("q67_s2_cell", q67, Some(q67Sql)),
     Q("q68_s2_partition", q68, Some(q68Sql)),
-    Q("q69_s2_neighbor_join", q69, Some(q69Sql))
+    Q("q69_s2_neighbor_join", q69, Some(q69Sql)),
+    Q("q72_pip_covered", q72, Some(q21Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1047,6 +1048,38 @@ object Spatial {
        |  MIN($s2FaceSql + pos * $s2PosShift + $s2IdLsb) AS min_nbr,
        |  MAX($s2FaceSql + pos * $s2PosShift + $s2IdLsb) AS max_nbr
        |FROM hil WHERE lvl = $S2Lvl GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q72: covering-accelerated PIP (G3's scale path) — classify
+  // 8x8 point blocks once driver-side (engine/Covering): blocks no
+  // polygon edge crosses carry a constant region id and skip the
+  // ray-cast entirely; only boundary-block points pay the exact test.
+  // The block map broadcasts (rows*cols/64 ints) and the conditional
+  // ray-cast folds into the same single-eval Generate shape as q21.
+  // Oracle: q21's exact SQL ray-cast — the covering must be invisible
+  // in the output. ------------------------------------------------------
+  private val CoverB = 8
+
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val polys = World.polygons(spec)
+    val blocks = graft.engine.Covering.build(polys, spec.rows, spec.cols,
+      CoverB)
+    import s.implicits._
+    val blockDf = blocks.const.zipWithIndex.toSeq.map { case (c, id) =>
+      (id.toLong, c == graft.engine.Covering.Boundary,
+        if (c == graft.engine.Covering.Boundary) -1 else c)
+    }.toDF("block_id", "boundary", "const_region")
+    val pts = spine(s).select(cellCol, pxCol(cellCol).as("px"),
+        pyCol(cellCol).as("py"))
+      .withColumn("block_id", (floor(col("py") / CoverB) * blocks.nbx +
+        floor(col("px") / CoverB)).cast("long"))
+    val region = when(col("boundary"),
+        region_of_neg1(col("px"), col("py"), polys))
+      .otherwise(col("const_region"))
+    pts.join(broadcast(blockDf), "block_id")
+      .select(cellCol,
+        explode(array_remove(array(region), lit(-1))).as("region_id"))
+      .orderBy("cell_id")
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per

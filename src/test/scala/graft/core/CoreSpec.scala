@@ -171,6 +171,71 @@ class GeomSpec extends AnyFunSuite with SeededChecks {
   }
 }
 
+class CoveringSpec extends AnyFunSuite with SeededChecks {
+  import graft.engine.Covering
+
+  test("segmentMeetsRect: pinned cases") {
+    val r = (2.0, 2.0, 6.0, 6.0)
+    def m(x1: Double, y1: Double, x2: Double, y2: Double) =
+      Covering.segmentMeetsRect(x1, y1, x2, y2, r._1, r._2, r._3, r._4)
+    assert(m(0, 0, 8, 8)) // diagonal through
+    assert(m(3, 3, 4, 4)) // fully inside
+    assert(m(0, 4, 8, 4)) // horizontal through
+    assert(m(2, 0, 2, 8)) // along the left edge (closed rect)
+    assert(!m(0, 0, 1, 8)) // left of rect
+    assert(!m(0, 7, 8, 9)) // above, sloped
+    assert(!m(7, 0, 9, 9)) // right of rect
+  }
+
+  test("every const block's region id equals the exact ray-cast for " +
+    "EVERY point in the block; boundary and const blocks both occur") {
+    val spec = graft.world.World.tiny
+    val polys = graft.world.World.polygons(spec)
+    val b = 8
+    val blocks = Covering.build(polys, spec.rows, spec.cols, b)
+    assert(blocks.nConst > 0 && blocks.nBoundary > 0)
+    // the shortcut must cover a useful share of the plane, not a corner
+    // (36/96 at the tiny 64x96 world; the interior share scales with
+    // grid area while boundary scales with perimeter * B, so the real
+    // 1737x4008 grid is overwhelmingly const)
+    assert(blocks.nConst * 4 > blocks.const.length,
+      s"covering too weak: ${blocks.nConst}/${blocks.const.length} const")
+    var checked = 0
+    for (row <- 1 to spec.rows; colN <- 1 to spec.cols) {
+      val px = colN - 1 + 0.5
+      val py = row - 1 + 0.5
+      val id = (py / b).toInt * blocks.nbx + (px / b).toInt
+      val c = blocks.const(id)
+      if (c != Covering.Boundary) {
+        assert(c == Geom.regionOf(polys, px, py),
+          s"block $id claims $c but point ($px,$py) ray-casts to " +
+            s"${Geom.regionOf(polys, px, py)}")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("holes stay exact: a holed polygon's hole interior is const -1 " +
+    "or boundary, never the outer ring's id") {
+    // outer 0..32 square with an 8..24 hole; block grid 8 divides both
+    val holed = Polygon(1,
+      Array(0, 32, 32, 0, 8, 24, 24, 8).map(_.toDouble),
+      Array(0, 0, 32, 32, 8, 8, 24, 24).map(_.toDouble),
+      Array(0, 4))
+    val blocks = Covering.build(Array(holed), 32, 32, 8)
+    // hole-center block (points 12..20): edges at 8 and 24 touch the
+    // closed rect [8,16]x[8,16] etc; the strictly-inner block is
+    // [8..16) x 2 -> block (1,1) rect [8,16]x[8,16] touches the hole
+    // edge, so only assert: no block inside the hole carries id 1
+    for (bi <- 1 to 2; bj <- 1 to 2) {
+      val c = blocks.const(bi * blocks.nbx + bj)
+      assert(c == Covering.Boundary || c == -1,
+        s"hole block ($bi,$bj) wrongly classified $c")
+    }
+  }
+}
+
 class CodecSpec extends AnyFunSuite {
 
   test("f32 multiband round-trip is exact") {
