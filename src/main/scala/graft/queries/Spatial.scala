@@ -49,7 +49,8 @@ object Spatial {
     Q("q67_s2_cell", q67, Some(q67Sql)),
     Q("q68_s2_partition", q68, Some(q68Sql)),
     Q("q69_s2_neighbor_join", q69, Some(q69Sql)),
-    Q("q72_pip_covered", q72, Some(q21Sql))
+    Q("q72_pip_covered", q72, Some(q21Sql)),
+    Q("q73_raster_roundtrip", q73, Some(q73Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1080,6 +1081,44 @@ object Spatial {
       .select(cellCol,
         explode(array_remove(array(region), lit(-1))).as("region_id"))
       .orderBy("cell_id")
+  }
+
+  // ---- q73: the raster SINK under the oracle — q28 can only be
+  // rows-only (DuckDB cannot CRC bytes), so this query closes the loop
+  // differently: rasterize the class map (K2/G6), decode the payloads
+  // back (S3/G5), and aggregate per tile; the oracle computes the same
+  // aggregates straight from the class formula, so any encode/decode
+  // corruption (pixel order, NaN holes, value mangling) breaks the
+  // hash compare. ------------------------------------------------------
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val ras = graft.engine.Rasterize(spec, classifiedDF(s), "final_class")
+    ras.select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), col("fmt"), spec.pixPerTile, 0))
+          .as(Seq("p", "v")))
+      .groupBy("tile_id")
+      .agg(count(when(isnan(col("v")), 1)).as("n_missing"),
+        sum(when(!isnan(col("v")), col("v").cast("long"))).as("class_sum"),
+        count(when(col("v") === 0.0, 1)).as("n_zero"))
+      .orderBy("tile_id")
+  }
+
+  private def q73Sql = {
+    val ps = (1 to 5).map(c => s"${probSql("cell_id", c)} AS p$c").mkString(", ")
+    s"""$cellsCte,
+       |p AS (SELECT cell_id, $ps, ${lossSql("cell_id")} AS loss FROM cells),
+       |cls AS (SELECT cell_id,
+       |  CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS final_class
+       |  FROM p)
+       |SELECT ${tileSql("cell_id")} AS tile_id,
+       |  CAST(0 AS BIGINT) AS n_missing,
+       |  CAST(SUM(final_class) AS BIGINT) AS class_sum,
+       |  COUNT(CASE WHEN final_class = 0 THEN 1 END) AS n_zero
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
