@@ -60,27 +60,35 @@ object Covering {
       clip(-dy, y1 - ymin) && clip(dy, ymax - y1)
   }
 
-  /** Classify every block of the rows x cols point grid. */
+  /** Classify every block of the rows x cols point grid. Block size
+    * need not divide the grid — edge blocks are ragged (their rects
+    * clip to the grid extent), so e.g. 8x8 blocks work on the real
+    * 1737x4008 reference grid. */
   def build(polys: Array[Polygon], rows: Int, cols: Int, b: Int): Blocks = {
-    require(b > 0 && rows % b == 0 && cols % b == 0,
-      s"block size $b must divide rows=$rows and cols=$cols")
-    val nbx = cols / b
-    val nby = rows / b
+    require(b > 0, s"block size $b must be positive")
+    val nbx = (cols + b - 1) / b
+    val nby = (rows + b - 1) / b
     val const = new Array[Int](nbx * nby)
     var bi = 0
     while (bi < nby) {
       val ymin = (bi * b).toDouble
-      val ymax = ((bi + 1) * b).toDouble
+      val ymax = math.min((bi + 1) * b, rows).toDouble
       var bj = 0
       while (bj < nbx) {
         val xmin = (bj * b).toDouble
-        val xmax = ((bj + 1) * b).toDouble
+        val xmax = math.min((bj + 1) * b, cols).toDouble
         var crossed = false
         var pi = 0
         while (pi < polys.length && !crossed) {
           val p = polys(pi)
+          // bbox precheck: an edge of a polygon whose bounding box
+          // misses the rect cannot meet it — O(1) skip per polygon
+          // instead of O(edges) clips (the usual case for strip-shaped
+          // regions at 100k+ blocks)
+          val bboxMisses = p.maxX < xmin || p.minX > xmax ||
+            p.maxY < ymin || p.minY > ymax
           var r = 0
-          while (r < p.nRings && !crossed) {
+          while (!bboxMisses && r < p.nRings && !crossed) {
             val (s, e) = p.ringRange(r)
             var i = s
             while (i < e && !crossed) {

@@ -1098,7 +1098,12 @@ object Spatial {
       .groupBy("tile_id")
       .agg(count(when(isnan(col("v")), 1)).as("n_missing"),
         sum(when(!isnan(col("v")), col("v").cast("long"))).as("class_sum"),
-        count(when(col("v") === 0.0, 1)).as("n_zero"))
+        count(when(col("v") === 0.0, 1)).as("n_zero"),
+        // position-weighted: sums are permutation-invariant, so this is
+        // the term that actually pins WITHIN-TILE PIXEL ORDER (p is the
+        // decode position, the oracle recomputes it from cell_id)
+        sum((col("p") + 1) * when(!isnan(col("v")), col("v").cast("long")))
+          .as("pos_weighted"))
       .orderBy("tile_id")
   }
 
@@ -1117,7 +1122,10 @@ object Spatial {
        |SELECT ${tileSql("cell_id")} AS tile_id,
        |  CAST(0 AS BIGINT) AS n_missing,
        |  CAST(SUM(final_class) AS BIGINT) AS class_sum,
-       |  COUNT(CASE WHEN final_class = 0 THEN 1 END) AS n_zero
+       |  COUNT(CASE WHEN final_class = 0 THEN 1 END) AS n_zero,
+       |  CAST(SUM(((((${rowSql("cell_id")} - 1) % $T) * $T
+       |    + ((cell_id - 1) % $C) % $T) + 1) * final_class) AS BIGINT)
+       |    AS pos_weighted
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

@@ -216,22 +216,43 @@ class CoveringSpec extends AnyFunSuite with SeededChecks {
     assert(checked > 0)
   }
 
-  test("holes stay exact: a holed polygon's hole interior is const -1 " +
-    "or boundary, never the outer ring's id") {
-    // outer 0..32 square with an 8..24 hole; block grid 8 divides both
+  test("holes stay exact: a block strictly inside a hole is const -1, " +
+    "one strictly inside the ring annulus is const 1, and every point " +
+    "agrees with the exact ray-cast") {
+    // outer 0..64 square with a 20..44 hole; 8x8 blocks: block (1,1) =
+    // [8,16]^2 sits strictly inside the annulus (edges at 0/64 and
+    // 20/44), block (3,3) = [24,32]^2 strictly inside the hole
     val holed = Polygon(1,
-      Array(0, 32, 32, 0, 8, 24, 24, 8).map(_.toDouble),
-      Array(0, 0, 32, 32, 8, 8, 24, 24).map(_.toDouble),
+      Array(0, 64, 64, 0, 20, 44, 44, 20).map(_.toDouble),
+      Array(0, 0, 64, 64, 20, 20, 44, 44).map(_.toDouble),
       Array(0, 4))
-    val blocks = Covering.build(Array(holed), 32, 32, 8)
-    // hole-center block (points 12..20): edges at 8 and 24 touch the
-    // closed rect [8,16]x[8,16] etc; the strictly-inner block is
-    // [8..16) x 2 -> block (1,1) rect [8,16]x[8,16] touches the hole
-    // edge, so only assert: no block inside the hole carries id 1
-    for (bi <- 1 to 2; bj <- 1 to 2) {
-      val c = blocks.const(bi * blocks.nbx + bj)
-      assert(c == Covering.Boundary || c == -1,
-        s"hole block ($bi,$bj) wrongly classified $c")
+    val blocks = Covering.build(Array(holed), 64, 64, 8)
+    assert(blocks.const(1 * blocks.nbx + 1) == 1, "annulus block")
+    assert(blocks.const(3 * blocks.nbx + 3) == -1, "hole-interior block")
+    for (row <- 1 to 64; colN <- 1 to 64) {
+      val px = colN - 1 + 0.5
+      val py = row - 1 + 0.5
+      val c = blocks.const((py / 8).toInt * blocks.nbx + (px / 8).toInt)
+      if (c != Covering.Boundary)
+        assert(c == Geom.regionOf(Array(holed), px, py))
+    }
+  }
+
+  test("ragged grids: block size need not divide rows/cols (the real " +
+    "1737x4008 grid with B=8), edge blocks clip to the extent") {
+    val spec = graft.world.World.tiny
+    val polys = graft.world.World.polygons(spec)
+    // 13 divides neither 64 nor 96
+    val b = 13
+    val blocks = Covering.build(polys, spec.rows, spec.cols, b)
+    assert(blocks.nbx == (spec.cols + b - 1) / b &&
+      blocks.nby == (spec.rows + b - 1) / b)
+    for (row <- 1 to spec.rows; colN <- 1 to spec.cols) {
+      val px = colN - 1 + 0.5
+      val py = row - 1 + 0.5
+      val c = blocks.const((py / b).toInt * blocks.nbx + (px / b).toInt)
+      if (c != Covering.Boundary)
+        assert(c == Geom.regionOf(polys, px, py))
     }
   }
 }
