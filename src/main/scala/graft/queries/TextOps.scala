@@ -748,11 +748,25 @@ object TextOps {
     // 10^12 docs with ~10^9 duplicate pairs this shrinks the iterated
     // frame ~1000x; isolated docs rejoin as their own cluster at the
     // end (left join + coalesce).
+    // the iterated frame is ~1000x smaller than the corpus, so its
+    // shuffles should be narrower than the corpus-sized default: size
+    // the loop's shuffle width by the edge count (one task per ~100k
+    // edges, floor 8) and restore the session default afterwards —
+    // at sweep scale this turns 32-task no-op stages into 8-task ones
+    val nEdges = edges.count()
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(8L, math.min(defaultParts.toLong,
+      nEdges / 100000L)).toString
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("lbl"))
       .repartition(col("doc_id")).truncated(s)
     var changed = 1L
     var rounds = 0
+    // convergence is detected by an accumulator counted DURING the
+    // localCheckpoint job instead of a separate count action per block
+    // (round-3 verdict Next #5); task retries can only over-count,
+    // which at worst runs one extra (monotone no-op) block
+    val changedAcc = s.sparkContext.longAccumulator("q56_changed")
     // converges in <= component-diameter rounds; fail LOUDLY rather
     // than emit silently-wrong clusters if a pathological chain exceeds
     // the cap ("no silent caps")
@@ -765,6 +779,8 @@ object TextOps {
     // compares against the block-entry labels (lbl0): any decrease
     // anywhere in the block keeps iterating.
     val syncEvery = 2
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     while (changed > 0 && rounds < maxRounds) {
       var cur = labels.withColumn("lbl0", col("lbl"))
       var i = 0
@@ -787,10 +803,17 @@ object TextOps {
       // recomputes a SMALL frame (edge-incident labels, ~1000x smaller
       // than the corpus) from the reliably-checkpointed edges — a
       // bounded, cheap recovery.
-      val next = cur.localCheckpoint(true)
-      changed = next.filter(col("lbl") < col("lbl0")).count()
+      import s.implicits._
+      val before = changedAcc.value
+      val counted = cur.select("doc_id", "lbl0", "lbl")
+        .as[(Long, Long, Long)]
+        .map { r => if (r._3 < r._2) changedAcc.add(1L); r }
+        .toDF("doc_id", "lbl0", "lbl")
+      val next = counted.localCheckpoint(true)
+      changed = changedAcc.value - before
       labels = next.drop("lbl0")
     }
+    } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
     require(changed == 0,
       s"component labels did not converge within $maxRounds rounds")
     // loud round accounting (stderr, same channel as Spark's own logs)
