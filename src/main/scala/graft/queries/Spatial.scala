@@ -50,7 +50,8 @@ object Spatial {
     Q("q68_s2_partition", q68, Some(q68Sql)),
     Q("q69_s2_neighbor_join", q69, Some(q69Sql)),
     Q("q72_pip_covered", q72, Some(q21Sql)),
-    Q("q73_raster_roundtrip", q73, Some(q73Sql))
+    Q("q73_raster_roundtrip", q73, Some(q73Sql)),
+    Q("q74_image_resize", q74, Some(q74Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1127,6 +1128,53 @@ object Spatial {
        |    + ((cell_id - 1) % $C) % $T) + 1) * final_class) AS BIGINT)
        |    AS pos_weighted
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q74: image RESIZE as pure expression composition — the
+  // multimodal pipeline's downscale op with no new operator code:
+  // decode (DecodeBand) -> 2x2 box average built from element_at inside
+  // a Catalyst `transform` lambda (stays in codegen) -> re-encode the
+  // half-resolution payload (TileEncode, a REAL resized image, not a
+  // stat) -> decode back and emit every resized pixel. The world's
+  // pixel values are dyadic rationals, so the box average is exact in
+  // f32 and the DuckDB oracle reproduces every pixel bit-for-bit from
+  // the cell formula. ---------------------------------------------------
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    val T2 = T / 2
+    val n2 = T2 * T2
+    val dec = World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        decode_band(col("bytes"), col("fmt"), spec.pixPerTile, 0).as("b"))
+    def at(r: String, c: String) =
+      s"element_at(b, CAST(($r) * $T + ($c) + 1 AS INT))"
+    val avg = s"(CAST(${at("2*(p DIV " + T2 + ")", "2*(p % " + T2 + ")")} AS DOUBLE)" +
+      s" + ${at("2*(p DIV " + T2 + ")", "2*(p % " + T2 + ") + 1")}" +
+      s" + ${at("2*(p DIV " + T2 + ") + 1", "2*(p % " + T2 + ")")}" +
+      s" + ${at("2*(p DIV " + T2 + ") + 1", "2*(p % " + T2 + ") + 1")}) / 4"
+    val resized = dec.select(col("tile_id"),
+      expr(s"transform(sequence(0, ${n2 - 1}), p -> $avg)").as("v2"))
+    val enc = resized.select(col("tile_id"),
+      tile_encode(col("tile_id").cast("int"),
+        expr(s"sequence(0, ${n2 - 1})"), col("v2"),
+        n2, T2, TX, gtiff = false, cellSize = 1.0, xMin = 0.0,
+        yMax = 0.0).as("bytes"))
+    enc.select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), lit("f32"), n2, 0))
+          .as(Seq("p2", "v")))
+      .select(col("tile_id"), col("p2").cast("long").as("p2"),
+        col("v").cast("double").as("v"))
+      .orderBy("tile_id", "p2")
+  }
+
+  private def q74Sql = {
+    val T2 = T / 2
+    val r = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c = s"(((cell_id - 1) % $C) % $T)"
+    s"""$cellsCte
+       |SELECT ${tileSql("cell_id")} AS tile_id,
+       |  CAST(($r // 2) * $T2 + ($c // 2) AS BIGINT) AS p2,
+       |  AVG(${lossSql("cell_id")}) AS v
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per
