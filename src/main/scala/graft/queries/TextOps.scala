@@ -814,6 +814,17 @@ object TextOps {
       labels = next.drop("lbl0")
     }
     } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    if (changed > 0) {
+      // the accumulator can only OVER-count (task retries/speculation),
+      // which mid-loop just runs an extra monotone no-op block — but at
+      // the rounds cap it could abort a converged result, so confirm
+      // with one exact retry-immune recount before failing loudly
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
+      changed = labels.join(nbrMin, Seq("doc_id"), "left")
+        .filter(coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).count()
+    }
     require(changed == 0,
       s"component labels did not converge within $maxRounds rounds")
     // loud round accounting (stderr, same channel as Spark's own logs)
