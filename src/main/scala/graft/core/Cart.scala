@@ -138,6 +138,24 @@ object Cart {
       if (r < 0) -1L
       else classify(pf, bytes, p, r, nPix, lossFloor, confFloor)
     }
+
+    /** classifyAt() with the block-covering short circuit (the q72 scale
+      * path folded into the fused vote): points in a region-constant
+      * block read the region from the broadcast block map in O(1);
+      * only boundary-block points pay the exact ray-cast. `blockConst`
+      * is Covering.Blocks.const (Int.MinValue = boundary), `nbx` its
+      * block-grid width, `b` the block size in grid units. Bit-equal to
+      * classifyAt by Covering's parity argument (proven vs the exact
+      * oracle by q72; re-asserted over the real geometry in CoreSpec). */
+    def classifyAtCovered(pf: PackedForest, polys: Array[Polygon],
+        blockConst: Array[Int], nbx: Int, b: Int,
+        bytes: Array[Byte], p: Int, px: Double, py: Double, nPix: Int,
+        lossFloor: Double, confFloor: Double): Long = {
+      val c = blockConst((py / b).toInt * nbx + (px / b).toInt)
+      val r = if (c != Int.MinValue) c else Geom.regionOf(polys, px, py)
+      if (r < 0) -1L
+      else classify(pf, bytes, p, r, nPix, lossFloor, confFloor)
+    }
   }
 
   final case class Leaf(value: Double, n: Int, dev: Double) extends Tree

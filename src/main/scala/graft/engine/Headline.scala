@@ -53,6 +53,18 @@ object Headline {
     * region assignment to the coarse strips (dyadic densification). */
   val polys: Array[graft.core.Polygon] =
     World.densify(World.polygons(spec), 256)
+  /** Block size (grid units) of the PIP covering. At B=8 on the real
+    * geometry the boundary fraction is a few percent (~perimeter*B/area),
+    * so nearly every pixel resolves its region from the block map in
+    * O(1) and the ray-cast survives only along region boundaries. */
+  val CoverB = 8
+  /** Block covering of the densified region layer (engine/Covering —
+    * bit-equal to the exact ray-cast, proven by q72's oracle and
+    * re-asserted over this exact geometry in CoreSpec). Built once per
+    * JVM, plan-time; ~rows*cols/B^2 ints, broadcast into the generated
+    * code via addReferenceObj like the polygons themselves. */
+  lazy val cover: Covering.Blocks =
+    Covering.build(polys, spec.rows, spec.cols, CoverB)
   /** Files in the materialized table: fine-grained input splits (64 per
     * 8-core slice worker = 8 waves) so a straggling task — host steal is
     * bursty on this box — costs ~1.5% of a pass, not 12% (16 splits per
@@ -189,8 +201,9 @@ object Headline {
     fusedCells(s.read.parquet(tilesPath))
       .select(col("cell_id"),
         when(bandCol(0) <= 0.0, -1L)
-          .otherwise(driver_classify_at(col("bytes"), col("p"), pxCol,
-            pyCol, polys, forest, spec.pixPerTile, cfg.lossFloor,
+          .otherwise(driver_classify_at_covered(col("bytes"), col("p"),
+            pxCol, pyCol, polys, forest, cover.const, cover.nbx, CoverB,
+            spec.pixPerTile, cfg.lossFloor,
             cfg.confidenceFloor)).as("final_class"))
   }
 
@@ -200,8 +213,10 @@ object Headline {
       .select(col("cell_id"), bandCol(0).as("loss"))
 
   /** The headline plan over a given tile table (parquet scan or a
-    * cached/cluster-local source). */
-  def planFrom(tiles: DataFrame, trees: Map[(Int, Int), Cart.Tree]): DataFrame = {
+    * cached/cluster-local source). `covered = false` keeps the
+    * all-pixels ray-cast variant for A/B measurement. */
+  def planFrom(tiles: DataFrame, trees: Map[(Int, Int), Cart.Tree],
+      covered: Boolean = true): DataFrame = {
     val cfg = Pipeline.Config()
     val forest = Cart.PackedForest(trees, spec.nRegions, Pipeline.NumDrivers)
     // ONE projection: the PIP runs exactly once per pixel, inside
@@ -214,8 +229,13 @@ object Headline {
     val classed = fusedCells(tiles)
       .select(col("cell_id"),
         grid_h3(col("cell_id"), spec.rows, spec.cols, H3Res).as("h3"),
-        driver_classify_at(col("bytes"), col("p"), pxCol, pyCol, polys,
-          forest, spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor)
+        (if (covered)
+          driver_classify_at_covered(col("bytes"), col("p"), pxCol, pyCol,
+            polys, forest, cover.const, cover.nbx, CoverB, spec.pixPerTile,
+            cfg.lossFloor, cfg.confidenceFloor)
+        else
+          driver_classify_at(col("bytes"), col("p"), pxCol, pyCol, polys,
+            forest, spec.pixPerTile, cfg.lossFloor, cfg.confidenceFloor))
           .as("class"),
         bandCol(0).as("loss"))
     val inRegion = col("class") >= 0

@@ -133,16 +133,23 @@ case class FloatAt(left: Expression, right: Expression)
 case class DriverClassifyAt(first: Expression, second: Expression,
     third: Expression, fourth: Expression, polys: Array[Polygon],
     forest: Cart.PackedForest, nPix: Int, lossFloor: Double,
-    confFloor: Double)
+    confFloor: Double, blockConst: Array[Int] = null, nbx: Int = 0,
+    blockB: Int = 0)
   extends QuaternaryExpression {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(bytes: Any, p: Any, px: Any, py: Any): Any =
-    Cart.PackedForest.classifyAt(forest, polys,
-      bytes.asInstanceOf[Array[Byte]], p.asInstanceOf[Int],
-      px.asInstanceOf[Double], py.asInstanceOf[Double], nPix, lossFloor,
-      confFloor)
+    if (blockConst == null)
+      Cart.PackedForest.classifyAt(forest, polys,
+        bytes.asInstanceOf[Array[Byte]], p.asInstanceOf[Int],
+        px.asInstanceOf[Double], py.asInstanceOf[Double], nPix, lossFloor,
+        confFloor)
+    else
+      Cart.PackedForest.classifyAtCovered(forest, polys, blockConst, nbx,
+        blockB, bytes.asInstanceOf[Array[Byte]], p.asInstanceOf[Int],
+        px.asInstanceOf[Double], py.asInstanceOf[Double], nPix, lossFloor,
+        confFloor)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pfRef = ctx.addReferenceObj("forest", forest,
@@ -150,9 +157,17 @@ case class DriverClassifyAt(first: Expression, second: Expression,
     val polysRef = ctx.addReferenceObj("polys", polys,
       classOf[Polygon].getName + "[]")
     val cls = Cart.PackedForest.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (bytes, p, px, py) =>
-      s"${ev.value} = $cls.classifyAt($pfRef, $polysRef, $bytes, $p, $px, " +
-        s"$py, $nPix, $lossFloor, $confFloor);")
+    if (blockConst == null)
+      nullSafeCodeGen(ctx, ev, (bytes, p, px, py) =>
+        s"${ev.value} = $cls.classifyAt($pfRef, $polysRef, $bytes, $p, $px, " +
+          s"$py, $nPix, $lossFloor, $confFloor);")
+    else {
+      val bcRef = ctx.addReferenceObj("blockConst", blockConst, "int[]")
+      nullSafeCodeGen(ctx, ev, (bytes, p, px, py) =>
+        s"${ev.value} = $cls.classifyAtCovered($pfRef, $polysRef, $bcRef, " +
+          s"$nbx, $blockB, $bytes, $p, $px, $py, $nPix, $lossFloor, " +
+          s"$confFloor);")
+    }
   }
 
   override protected def withNewChildrenInternal(newFirst: Expression,
@@ -616,6 +631,18 @@ object GraftFunctions {
     column(DriverClassifyAt(expression(bytes), expression(p),
       expression(px), expression(py), polys, forest, nPix, lossFloor,
       confFloor))
+
+  /** driver_classify_at with the block-covering short circuit: points
+    * in region-constant blocks skip the ray-cast entirely (the q72
+    * scale path fused into the vote; bit-equal by Covering's parity
+    * argument). */
+  def driver_classify_at_covered(bytes: Column, p: Column, px: Column,
+      py: Column, polys: Array[Polygon], forest: Cart.PackedForest,
+      blockConst: Array[Int], nbx: Int, blockB: Int, nPix: Int,
+      lossFloor: Double, confFloor: Double): Column =
+    column(DriverClassifyAt(expression(bytes), expression(p),
+      expression(px), expression(py), polys, forest, nPix, lossFloor,
+      confFloor, blockConst, nbx, blockB))
 
   /** Encode sparse in-tile (pixel, value) pairs to a tile payload
     * (NaN-filled f32 or georeferenced LZW GeoTIFF). */

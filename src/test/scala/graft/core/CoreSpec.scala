@@ -238,6 +238,45 @@ class CoveringSpec extends AnyFunSuite with SeededChecks {
     }
   }
 
+  test("headline covering: the REAL 1737x4008 geometry's block map " +
+    "agrees with the exact ray-cast on a dense sample, the interior " +
+    "share dominates, and classifyAtCovered == classifyAt") {
+    val spec = graft.engine.Headline.spec
+    val polys = graft.engine.Headline.polys
+    val b = graft.engine.Headline.CoverB
+    val t0 = System.nanoTime()
+    val blocks = graft.engine.Headline.cover
+    val buildMs = (System.nanoTime() - t0) / 1e6
+    info(f"covering build: $buildMs%.0f ms, const ${blocks.nConst}/" +
+      s"${blocks.const.length} blocks")
+    // at B=8 on the real geometry boundary ~ perimeter*B/area: const
+    // blocks must dominate for the short circuit to matter
+    assert(blocks.nConst * 10 > blocks.const.length * 9,
+      s"covering too weak: ${blocks.nConst}/${blocks.const.length}")
+    // dense deterministic sample (every 7th cell) + the fused classify:
+    // region equality is the full property (classify depends on the
+    // point only through the region id)
+    val pf = Cart.PackedForest(
+      (1 to spec.nRegions).flatMap(r => (1 to 5).map(d =>
+        (r, d) -> (Cart.Leaf(0.6, 1, 0.0): Cart.Tree))).toMap,
+      spec.nRegions, 5)
+    val bytes = Codec.encodeF32(Array(Array.fill(4)(0.5f)))
+    var id = 1L
+    while (id <= spec.nCells) {
+      val px = ((id - 1) % spec.cols).toDouble + 0.5
+      val py = ((id - 1) / spec.cols).toDouble + 0.5
+      val c = blocks.const((py / b).toInt * blocks.nbx + (px / b).toInt)
+      val exact = Geom.regionOf(polys, px, py)
+      if (c != Covering.Boundary)
+        assert(c == exact, s"block claims $c, exact $exact at ($px,$py)")
+      assert(Cart.PackedForest.classifyAtCovered(pf, polys, blocks.const,
+        blocks.nbx, b, bytes, 0, px, py, 4, 0.005, 0.5) ==
+        Cart.PackedForest.classifyAt(pf, polys, bytes, 0, px, py, 4,
+          0.005, 0.5))
+      id += 7
+    }
+  }
+
   test("ragged grids: block size need not divide rows/cols (the real " +
     "1737x4008 grid with B=8), edge blocks clip to the extent") {
     val spec = graft.world.World.tiny
