@@ -119,6 +119,22 @@ object H3Lite {
     packed(row0) | c
   }
 
+  /** The (clamped lat, wrapped lng) degrees of a grid cell centroid —
+    * the geodetic midpoint of the gridCellToH3 chain, exposed so the
+    * driver's DuckDB oracle can cross-check the Goode inverse itself
+    * (q75), not just the id arithmetic around it. Exactly the double-op
+    * sequence of gridCellToH3Direct up to the encode (which the row-
+    * table hot path is property-tested bit-identical to). */
+  def gridCellToLatLng(id: Long, rows: Int, cols: Int): (Double, Double) = {
+    val col0 = (id - 1) % cols
+    val row0 = (id - 1) / cols
+    val x = XMin + (col0 + 0.5) * (XMax - XMin) / cols
+    val y = YMax - (row0 + 0.5) * (YMax - YMin) / rows
+    val (lon, lat) = Igh.inverse(x, y)
+    val lngW = ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+    (math.max(-90.0, math.min(90.0, lat)), lngW)
+  }
+
   /** The direct (uncached, trig-per-call) formulation — the reference
     * implementation the row-table path is property-tested against. */
   private[core] def gridCellToH3Direct(id: Long, rows: Int, cols: Int,

@@ -156,8 +156,10 @@ object S2Lite {
       case 5 => (v, u, -1.0)
     }
 
-  /** xyz -> (face, u, v), same face pick + UV formulas as encode. */
-  private def xyzToFaceUv(x: Double, y: Double, z: Double): (Int, Double, Double) = {
+  /** xyz -> (face, u, v), same face pick + UV formulas as encode.
+    * private[core] so the oracle guard-band test can measure how far
+    * each fixture point's s*m / t*m sits from a floor boundary. */
+  private[core] def xyzToFaceUv(x: Double, y: Double, z: Double): (Int, Double, Double) = {
     val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
     val axis = if (ax > ay) { if (ax > az) 0 else 2 }
                else { if (ay > az) 1 else 2 }

@@ -51,7 +51,8 @@ object Spatial {
     Q("q69_s2_neighbor_join", q69, Some(q69Sql)),
     Q("q72_pip_covered", q72, Some(q21Sql)),
     Q("q73_raster_roundtrip", q73, Some(q73Sql)),
-    Q("q74_image_resize", q74, Some(q74Sql))
+    Q("q74_image_resize", q74, Some(q74Sql)),
+    Q("q75_goode_chain", q75, Some(q75Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1175,6 +1176,108 @@ object Spatial {
        |  CAST(($r // 2) * $T2 + ($c // 2) AS BIGINT) AS p2,
        |  AVG(${lossSql("cell_id")}) AS v
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- q75: the Goode projection chain under the oracle — the
+  // headline's own spatial index (GridH3 = Goode inverse -> H3-lite
+  // encode) cross-checked end to end on the REAL 1737x4008 geometry:
+  // cell_id -> centroid x/y -> interrupted-homolosine inverse (12-lobe
+  // central meridians, sinusoidal below 40d44'11.8", Mollweide above
+  // with the lobes-meet y shift) -> clamped/wrapped lat/lng -> res-9
+  // H3-lite id -> res-4 parent. The oracle re-implements the WHOLE
+  // chain in DuckDB SQL: the sinusoidal zone is closed-form; the
+  // Mollweide zone's blend constant (mollYAdd) is recomputed by a
+  // bounded Newton recursive CTE replicating Igh.mollTheta's exact
+  // break conditions (the q67 Hilbert-walk pattern); the inverse itself
+  // is asin/cos closed-form. lat/lng are compared at 1e-6 deg
+  // quantization and the ids bit-exactly; a guard test (SparkEngineSpec)
+  // asserts every sampled value sits far from its floor/round boundary,
+  // so a last-ulp libm divergence (JVM fdlibm vs DuckDB libm) cannot
+  // silently flip a compared value — the ADVICE.md cross-platform
+  // caveat, made detectable by construction. Sample: 6144 ids at
+  // stride 1133 covering all rows, both projection zones, and all 12
+  // lobes. Reference proj4 strings: Supplemental_Data_1.R:70,885.
+  private[graft] val GoodeRows = 1737
+  private[graft] val GoodeCols = 4008
+  private[graft] val GoodeSample = 6144L
+  private[graft] val GoodeStride = 1133L
+  private val GoodeH3Res = 9
+
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val ll = grid_latlng(col("cell_id"), GoodeRows, GoodeCols)
+    s.range(0, GoodeSample)
+      .select((col("id") * GoodeStride + 1).as("cell_id"))
+      .select(col("cell_id"), ll.as("ll"),
+        grid_h3(col("cell_id"), GoodeRows, GoodeCols, GoodeH3Res).as("h3"))
+      .select(col("cell_id"),
+        round(col("ll.lat") * 1e6).cast("long").as("lat_q6"),
+        round(col("ll.lng") * 1e6).cast("long").as("lng_q6"),
+        col("h3"),
+        h3_parent_col(col("h3"), GoodeH3Res, 4).as("h3_r4"))
+      .orderBy("cell_id")
+  }
+
+  private def q75Sql: String = {
+    // phi0 = the blend latitude 40d44'11.8" in radians, written with the
+    // engine's exact literal arithmetic (Igh.PhiBoundary)
+    val phi0 = "(40.0 + 44.0/60.0 + 11.8/3600.0) * (pi()/180.0)"
+    // one Newton step of Igh.mollTheta: t - (2t + sin 2t - pi sin phi0)
+    // / (2 + 2 cos 2t)
+    val next = s"t - (2*t + sin(2*t) - pi()*sin($phi0)) / (2 + 2*cos(2*t))"
+    val nr = 1 << GoodeH3Res
+    val nc = 1 << (GoodeH3Res + 1)
+    val marker = 1L << 62
+    val resShift = 1L << 48
+    s"""WITH RECURSIVE
+       |cells AS (SELECT r.range * $GoodeStride + 1 AS cell_id FROM range($GoodeSample) r),
+       |moll AS (
+       |  SELECT 0 AS it, CAST($phi0 AS DOUBLE) AS t, FALSE AS done
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    CASE WHEN done OR abs(2 + 2*cos(2*t)) < 1e-15 THEN t ELSE $next END,
+       |    done OR abs(2 + 2*cos(2*t)) < 1e-15 OR abs(($next) - t) < 1e-14
+       |  FROM moll WHERE it < 20),
+       |cons AS (SELECT
+       |  $phi0 AS yb,
+       |  pi()/180.0 AS d,
+       |  (SELECT $phi0 - sqrt(2.0)*sin(t) FROM moll WHERE it = 20) AS mya),
+       |xy AS (SELECT cell_id,
+       |  (-20037506.5671 + (((cell_id - 1) % $GoodeCols) + 0.5) * (20042493.4328 - (-20037506.5671)) / $GoodeCols) / 6378137.0 AS xs,
+       |  (8686794.9791 - (((cell_id - 1) // $GoodeCols) + 0.5) * (8686794.9791 - (-8683205.0209)) / $GoodeRows) / 6378137.0 AS ys
+       |  FROM cells),
+       |rv AS (SELECT x.cell_id, x.xs, x.ys, (x.ys >= 0) AS north,
+       |    CASE WHEN abs(x.ys) <= k.yb THEN NULL
+       |         ELSE asin(GREATEST(-1.0, LEAST(1.0, (x.ys - sign(x.ys) * k.mya) / sqrt(2.0)))) END AS tm
+       |  FROM xy x CROSS JOIN cons k),
+       |lc AS (SELECT cell_id, xs, ys, north, tm,
+       |    CASE WHEN tm IS NULL THEN ys
+       |         ELSE asin(GREATEST(-1.0, LEAST(1.0, (2*tm + sin(2*tm)) / pi()))) END AS lat,
+       |    CASE WHEN tm IS NULL THEN cos(ys) ELSE cos(tm) END AS c
+       |  FROM rv),
+       |cmv AS (SELECT lc.*, k.d,
+       |    CASE WHEN north THEN (CASE WHEN xs < -40*k.d THEN -100*k.d ELSE 30*k.d END)
+       |         ELSE (CASE WHEN xs < -100*k.d THEN -160*k.d
+       |               WHEN xs < -20*k.d THEN -60*k.d
+       |               WHEN xs < 80*k.d THEN 20*k.d ELSE 140*k.d END) END AS cm
+       |  FROM lc CROSS JOIN cons k),
+       |geo AS (SELECT cell_id,
+       |    GREATEST(-90.0, LEAST(90.0, lat / d)) AS latd,
+       |    (CASE WHEN tm IS NULL
+       |          THEN (CASE WHEN abs(c) < 1e-12 THEN cm ELSE cm + (xs - cm) / c END)
+       |          ELSE (CASE WHEN abs(c) < 1e-12 THEN cm ELSE cm + (xs - cm) * pi() / (2.0 * sqrt(2.0) * c) END) END) / d AS lond
+       |  FROM cmv),
+       |wr AS (SELECT cell_id, latd,
+       |    ((lond + 180.0) % 360.0 + 360.0) % 360.0 - 180.0 AS lngd FROM geo),
+       |enc AS (SELECT cell_id, latd, lngd,
+       |    CAST(LEAST(${nr - 1}, GREATEST(0, FLOOR((latd + 90.0) / 180.0 * $nr))) AS BIGINT) AS rr,
+       |    ((CAST(FLOOR((lngd + 180.0) / 360.0 * $nc) AS BIGINT) % $nc) + $nc) % $nc AS cc
+       |  FROM wr)
+       |SELECT cell_id,
+       |  CAST(ROUND(latd * 1000000.0) AS BIGINT) AS lat_q6,
+       |  CAST(ROUND(lngd * 1000000.0) AS BIGINT) AS lng_q6,
+       |  $marker + ${GoodeH3Res.toLong} * $resShift + rr * 16777216 + cc AS h3,
+       |  $marker + 4 * $resShift + (rr // 32) * 16777216 + (cc // 32) AS h3_r4
+       |FROM enc ORDER BY cell_id""".stripMargin
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per

@@ -259,6 +259,39 @@ case class GridH3(child: Expression, rows: Int, cols: Int, res: Int)
     copy(child = newChild)
 }
 
+/** (clamped lat, wrapped lng) degrees of a grid cell centroid through
+  * the interrupted-Goode inverse (H3Lite.gridCellToLatLng) — the
+  * geodetic midpoint of the GridH3 chain as a first-class column, so
+  * the projection math itself sits under the driver's DuckDB oracle
+  * (q75) instead of only inside the opaque id encode. One static call;
+  * stays in whole-stage codegen. */
+case class GridLatLng(child: Expression, rows: Int, cols: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lng", DoubleType, nullable = false)))
+
+  override def nullSafeEval(id: Any): Any =
+    GridLatLng.eval(id.asInstanceOf[Long], rows, cols)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GridLatLng.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = $cls.eval($id, $rows, $cols);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GridLatLng {
+  def eval(id: Long, rows: Int, cols: Int): InternalRow = {
+    val (lat, lng) = H3Lite.gridCellToLatLng(id, rows, cols)
+    new GenericInternalRow(Array[Any](lat, lng))
+  }
+}
+
 /** S2 cell id of a (lat, lng) point at plan-time `level` — the second
   * half of the north rule's "H3/S2 index" (SURVEY.md §2.8 G1), backed
   * by the from-scratch S2 scheme in core/S2Lite.scala (cube face +
@@ -659,6 +692,24 @@ object GraftFunctions {
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =
     column(GridH3(expression(cellId), rows, cols, res))
+
+  /** struct(lat, lng) of a grid cell centroid via the Goode inverse. */
+  def grid_latlng(cellId: Column, rows: Int, cols: Int): Column =
+    column(GridLatLng(expression(cellId), rows, cols))
+
+  /** Parent of an H3-lite id at coarser `toRes`, as pure Column bit
+    * arithmetic (H3Lite.parent semantics; the id layout is
+    * [marker:1][res:4][row:24][col:24]). */
+  def h3_parent_col(h3: Column, fromRes: Int, toRes: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(toRes <= fromRes, s"parent res $toRes finer than $fromRes")
+    val shift = fromRes - toRes
+    val row = shiftright(h3, 24).bitwiseAND(lit(0xFFFFFFL))
+    val c = h3.bitwiseAND(lit(0xFFFFFFL))
+    lit((1L << 62) | (toRes.toLong << 48))
+      .bitwiseOR(shiftleft(shiftright(row, shift), 24))
+      .bitwiseOR(shiftright(c, shift))
+  }
 
   /** S2 cell id at `level` of a (lat, lng) point in degrees. */
   def s2_cell(lat: Column, lng: Column, level: Int): Column =

@@ -277,6 +277,55 @@ class CoveringSpec extends AnyFunSuite with SeededChecks {
     }
   }
 
+  test("oracle guard bands: every q75/q67 fixture value sits far from " +
+    "its floor/round boundary, so a last-ulp libm divergence between " +
+    "the JVM and DuckDB cannot silently flip a compared value") {
+    // q75: the 6144 sampled Goode cells. Floors feed the H3 row/col
+    // bits; ROUND(x*1e6) boundaries sit at half-integers. Cross-engine
+    // divergence is a few ulps (floor units ~3e-13; round units ~1e-7),
+    // so thresholds of 1e-6 / 1e-5 sit 2-6 orders above the failure
+    // scale and comfortably under the measured minima (7.7e-5 / 1.4e-4).
+    // Deterministic fixture: measured minima, not statistical hopes.
+    def fracDist(v: Double): Double = {
+      val f = v - math.floor(v)
+      math.min(f, 1.0 - f)
+    }
+    def roundDist(v: Double): Double = math.abs(v - math.round(v).toDouble)
+    var minFloor = Double.MaxValue
+    var minRound = Double.MaxValue
+    (0L until 6144L).foreach { k =>
+      val id = k * 1133L + 1
+      val (lat, lng) = H3Lite.gridCellToLatLng(id, 1737, 4008)
+      minFloor = math.min(minFloor, fracDist((lat + 90.0) / 180.0 * 512))
+      minFloor = math.min(minFloor, fracDist((lng + 180.0) / 360.0 * 1024))
+      minRound = math.min(minRound, roundDist(lat * 1e6))
+      minRound = math.min(minRound, roundDist(lng * 1e6))
+    }
+    info(f"q75 min floor distance: $minFloor%.3e, min round distance: $minRound%.3e")
+    assert(minFloor > 1e-6, f"a sampled Goode cell sits $minFloor%.2e " +
+      "from an H3 floor boundary - cross-libm flip risk; adjust the sample")
+    assert(minRound > 1e-5, f"a sampled Goode cell sits $minRound%.2e " +
+      "from a 1e-6-deg round boundary; adjust the sample")
+    // q67: s*m / t*m floor distances for the tiny-world S2 fixture
+    val spec = graft.world.World.tiny
+    val m = 1 << 10
+    var minS2 = Double.MaxValue
+    (1L to spec.nCells).foreach { id =>
+      val lat = (((id - 1) / spec.cols) + 0.5) / spec.rows * 180.0 - 90.0
+      val lng = (((id - 1) % spec.cols) + 0.5) / spec.cols * 360.0 - 180.0
+      val phi = lat * (math.Pi / 180.0)
+      val lam = lng * (math.Pi / 180.0)
+      val cosPhi = math.cos(phi)
+      val (_, u, v) = S2Lite.xyzToFaceUv(cosPhi * math.cos(lam),
+        cosPhi * math.sin(lam), math.sin(phi))
+      minS2 = math.min(minS2, fracDist(S2Lite.uvToSt(u) * m))
+      minS2 = math.min(minS2, fracDist(S2Lite.uvToSt(v) * m))
+    }
+    info(f"q67 min s*m/t*m floor distance: $minS2%.3e")
+    assert(minS2 > 1e-6, f"an S2 fixture point sits $minS2%.2e from an " +
+      "ST cell boundary - cross-libm flip risk; adjust the fixture")
+  }
+
   test("ragged grids: block size need not divide rows/cols (the real " +
     "1737x4008 grid with B=8), edge blocks clip to the extent") {
     val spec = graft.world.World.tiny
