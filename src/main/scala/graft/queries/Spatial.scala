@@ -32,7 +32,7 @@ object Spatial {
     Q("q26_region_stats", q26, Some(q26Sql)),
     Q("q27_h3_partition", q27, Some(q27Sql)),
     Q("q28_rasterize", q28, None),
-    Q("q29_tree_fit_predict", q29, None),
+    Q("q29_tree_fit_predict", q29, Some(q29Sql)),
     Q("q30_expand_fixpoint", q30, Some(q30Sql)),
     Q("q31_psnr_png16", q31, None),
     Q("q32_tile_knn_context", q32, Some(q32Sql)),
@@ -400,9 +400,82 @@ object Spatial {
   }
 
   /** q29: fit-and-predict (M1-M3): per (region, driver) CART trees on
-    * the synthetic training cells, inference as codegen when-chains. */
+    * the synthetic training cells, inference as codegen when-chains.
+    * Oracled: the fit is deterministic from the world, so the registry
+    * fits the same trees at oracle-build time (pure Scala, no Spark —
+    * `tinyTrees`) and emits them as CASE chains in q29Sql, putting
+    * fit AND predict under the driver's DuckDB compare end to end. */
   private def q29(s: SparkSession, dir: String): DataFrame =
     graft.engine.Pipeline.fitPredictVote(s, spec).orderBy("cell_id")
+
+  /** The (region x driver) tree matrix fitted from the pure-Scala
+    * transcription of the training construction — the same multiset the
+    * Spark path collects, and CART's fit is a function of the training
+    * MULTISET only (labels are 0/1 so every sum the split search takes
+    * is an exact integer; sorted sweeps only split between distinct
+    * feature values), so these trees equal the engine's bit for bit
+    * (independently pinned by SparkEngineSpec's golden e2e test). */
+  private lazy val tinyTrees: Map[(Int, Int), graft.core.Cart.Tree] = {
+    import graft.core.Geom
+    val cfg = graft.engine.Pipeline.Config()
+    val polys = World.polygons(spec)
+    val training = (1L to N).flatMap { id =>
+      val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
+      if (r < 0) None
+      else World.trainingClass(id) match {
+        case Some(c) if c > 0 && !cfg.dropClasses(c) =>
+          Some((r, c, (1 until spec.nBands)
+            .map(b => World.band(id, b).toFloat.toDouble).toArray))
+        case _ => None
+      }
+    }.toArray
+    graft.engine.Pipeline.fitTrees(training, spec.nRegions, cfg)
+  }
+
+  /** A fitted tree as a nested SQL CASE chain over b1..b5. Leaf values
+    * print via Double.toString (shortest round-trip form) and are CAST
+    * to DOUBLE **from a string**: a bare 17-digit decimal literal goes
+    * through DuckDB's DECIMAL type, whose ->DOUBLE conversion double-
+    * rounds (scaled int > 2^53 rounds once to double, /10^17 rounds
+    * again — observed 1-ulp confidence drift = driver hash-red), while
+    * the VARCHAR->DOUBLE cast is a correctly-rounded parse that
+    * round-trips Double.toString exactly. Thresholds stay bare — they
+    * are dyadic midpoints of integers (x.0/x.5), exact on every path. */
+  private def treeSql(t: graft.core.Cart.Tree): String = t match {
+    case graft.core.Cart.Leaf(v, _, _) => s"CAST('${v.toString}' AS DOUBLE)"
+    case graft.core.Cart.Split(f, thr, lo, hi, _, _, _) =>
+      s"(CASE WHEN b${f + 1} < ${thr.toString} THEN ${treeSql(lo)} " +
+        s"ELSE ${treeSql(hi)} END)"
+  }
+
+  private lazy val q29Sql: String = {
+    val probCols = (1 to graft.engine.Pipeline.NumDrivers).map { d =>
+      val cases = (1 to spec.nRegions)
+        .map(r => s"WHEN $r THEN ${treeSql(tinyTrees((r, d)))}")
+        .mkString(" ")
+      s"(CASE region_id $cases ELSE 0.0 END) AS p$d"
+    }.mkString(",\n  ")
+    val bands = (1 to 5)
+      .map(b => s"${bandSql("c.cell_id", b)} AS b$b").mkString(", ")
+    s"""$cellsCte,
+       |$pipCte,
+       |f AS (SELECT c.cell_id, r.region_id, ${lossSql("c.cell_id")} AS loss,
+       |  $bands
+       |  FROM cells c JOIN region_of r ON c.cell_id = r.cell_id
+       |  WHERE ${lossSql("c.cell_id")} > 0),
+       |p AS (SELECT cell_id, region_id, loss,
+       |  $probCols
+       |  FROM f)
+       |SELECT cell_id, region_id,
+       |  CAST(CASE WHEN loss < 0.005 THEN 0
+       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
+       |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
+       |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
+       |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS class,
+       |  GREATEST(p1, p2, p3, p4, p5) AS confidence
+       |FROM p ORDER BY cell_id""".stripMargin
+  }
 
   /** q30: the expand fixed-point loop (G4, the ArcGIS "Expand" analog,
     * R:445-454) with documented tie-break (min class). The oracle is the
@@ -519,21 +592,11 @@ object Spatial {
     * a small report table (driver-side fit; rows-only check). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.core.{Cart, Geom}
-    val cfg = graft.engine.Pipeline.Config()
-    val polys = World.polygons(spec)
-    val training = (1L to N).flatMap { id =>
-      val r = Geom.regionOf(polys, World.px(spec, id), World.py(spec, id))
-      if (r < 0) None
-      else World.trainingClass(id) match {
-        case Some(c) if c > 0 && !cfg.dropClasses(c) =>
-          Some((r, c, (1 until spec.nBands)
-            .map(b => World.band(id, b).toFloat.toDouble).toArray))
-        case _ => None
-      }
-    }.toArray
-    val trees = graft.engine.Pipeline.fitTrees(training, spec.nRegions, cfg)
-    val rows = trees.toSeq.flatMap { case ((r, d), t) =>
+    import graft.core.Cart
+    // same pure-Scala fit the q29 oracle uses (tinyTrees); importance
+    // itself stays golden-only — an "oracle" restating the engine's own
+    // importance numbers as a VALUES literal would not be independent
+    val rows = tinyTrees.toSeq.flatMap { case ((r, d), t) =>
       Cart.importance(t, spec.nBands - 1).zipWithIndex.collect {
         case (imp, f) if imp > 0 =>
           (r, d, f + 1, math.round(imp * 1e6) / 1e6)
@@ -1131,16 +1194,36 @@ object Spatial {
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
-  // ---- q74: image RESIZE as pure expression composition — the
-  // multimodal pipeline's downscale op with no new operator code:
-  // decode (DecodeBand) -> 2x2 box average built from element_at inside
-  // a Catalyst `transform` lambda (stays in codegen) -> re-encode the
-  // half-resolution payload (TileEncode, a REAL resized image, not a
-  // stat) -> decode back and emit every resized pixel. The world's
-  // pixel values are dyadic rationals, so the box average is exact in
-  // f32 and the DuckDB oracle reproduces every pixel bit-for-bit from
-  // the cell formula. ---------------------------------------------------
+  // ---- q74: image RESIZE — the multimodal pipeline's downscale op as
+  // a real codegen expression: Resize2x reads band 0 of the payload and
+  // emits a genuine half-resolution f32 payload (2x2 box average, four
+  // loads + double sum per output pixel) in ONE static call that stays
+  // inside whole-stage codegen. The equivalent expression-composition
+  // chain (DecodeBand -> element_at box average inside a `transform`
+  // lambda -> TileEncode) is kept in SparkEngineSpec as a bit-equality
+  // reference — Spark's higher-order `transform` is CodegenFallback, so
+  // the composed form dropped this projection out of codegen (the r4
+  // plan finding). The world's pixel values are dyadic rationals, so
+  // the box average is exact in f32 and the DuckDB oracle reproduces
+  // every pixel bit-for-bit from the cell formula. ----------------------
   private def q74(s: SparkSession, dir: String): DataFrame = {
+    val T2 = T / 2
+    val n2 = T2 * T2
+    World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        resize2x(col("bytes"), T, T).as("bytes"))
+      .select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), lit("f32"), n2, 0))
+          .as(Seq("p2", "v")))
+      .select(col("tile_id"), col("p2").cast("long").as("p2"),
+        col("v").cast("double").as("v"))
+      .orderBy("tile_id", "p2")
+  }
+
+  /** The expression-composition resize (decode -> transform-lambda box
+    * average -> TileEncode) — q74's original formulation, kept as the
+    * bit-equality reference for Resize2x in SparkEngineSpec. */
+  private[graft] def q74Composed(s: SparkSession): DataFrame = {
     val T2 = T / 2
     val n2 = T2 * T2
     val dec = World.tilesDF(s, spec)

@@ -446,6 +446,60 @@ object TileEncode {
   }
 }
 
+/** 2x box-average downscale of band 0 of an f32 tile payload -> a real
+  * half-resolution f32 payload (the multimodal pipeline's resize op).
+  * Per output pixel: the four source pixels are summed LEFT-TO-RIGHT in
+  * double precision and divided by 4, bit-identical to the expression
+  * composition `(CAST(at(2r,2c) AS DOUBLE) + at(2r,2c+1) + at(2r+1,2c)
+  * + at(2r+1,2c+1)) / 4` inside a `transform` lambda + TileEncode
+  * (asserted in SparkEngineSpec) — but where Spark's higher-order
+  * `transform` is CodegenFallback (it dropped q74's resize projection
+  * out of whole-stage codegen), this is one static call that stays in
+  * the generated code, with one float[] per tile instead of a lambda
+  * frame per output pixel. */
+case class Resize2x(child: Expression, w: Int, h: Int)
+  extends UnaryExpression {
+
+  require(w % 2 == 0 && h % 2 == 0, s"Resize2x needs even dims, got ${w}x$h")
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(bytes: Any): Any =
+    Resize2x.eval(bytes.asInstanceOf[Array[Byte]], w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Resize2x.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $w, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Resize2x {
+  def eval(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val w2 = w / 2
+    val h2 = h / 2
+    val out = new Array[Float](w2 * h2)
+    var r = 0
+    while (r < h2) {
+      var c = 0
+      while (c < w2) {
+        val base = (2 * r) * w + 2 * c
+        val s = Codec.floatAt(bytes, base).toDouble +
+          Codec.floatAt(bytes, base + 1) +
+          Codec.floatAt(bytes, base + w) +
+          Codec.floatAt(bytes, base + w + 1)
+        out(r * w2 + c) = (s / 4).toFloat
+        c += 1
+      }
+      r += 1
+    }
+    Codec.encodeF32(Array(out))
+  }
+}
+
 /** All k MinHash signature values of a document in ONE pass over its
   * characters: for each 3-char shingle window, code = c0*961 + c1*31 +
   * c2 (the same polynomial the SQL oracle uses), and sig_j =
@@ -688,6 +742,10 @@ object GraftFunctions {
   /** Float element at flat index `idx` of an f32 payload. */
   def float_at(bytes: Column, idx: Column): Column =
     column(FloatAt(expression(bytes), expression(idx)))
+
+  /** 2x box-average downscale of band 0 of an f32 payload. */
+  def resize2x(bytes: Column, w: Int, h: Int): Column =
+    column(Resize2x(expression(bytes), w, h))
 
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =

@@ -695,6 +695,32 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Resize2x is bit-identical to the expression-composition resize " +
+    "(decode -> transform-lambda box avg -> TileEncode) AND its " +
+    "projection stays inside whole-stage codegen (the composed form's " +
+    "transform lambda is CodegenFallback and drops out)") {
+    import graft.sql.GraftFunctions.resize2x
+    val viaExpr = SparkEntry.queries("q74_image_resize")(spark, "")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaComposition = graft.queries.Spatial.q74Composed(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaExpr.length == spec.nTiles * (spec.tile / 2) * (spec.tile / 2))
+    assert(viaExpr.sameElements(viaComposition),
+      "Resize2x diverges from the composed box average")
+    // plan shape: the resize projection is codegen'd (a 1-row filter
+    // keeps Catalyst from collapsing the frame; limit(0) would fold to
+    // an empty LocalTableScan)
+    val plan = World.tilesDF(spark, spec)
+      .select(col("tile_id"), resize2x(col("bytes"), spec.tile, spec.tile)
+        .as("small"))
+      .filter(col("tile_id") >= 0)
+      .queryExecution.executedPlan.toString
+    val resizeLine = plan.linesIterator
+      .find(_.toLowerCase.contains("resize2x")).getOrElse("")
+    assert(resizeLine.trim.startsWith("*("),
+      s"the resize PROJECT node itself is not codegen'd:\n$plan")
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
