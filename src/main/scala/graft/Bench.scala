@@ -136,7 +136,14 @@ object Bench {
       (0L until Headline.spec.nTiles.toLong)
         .count(t => t * nSlices / Headline.spec.nTiles == sl).toLong
     }.sum
-    // >= 2 executions so a single burst cannot be the whole sample
+    // >= 2 executions so a single burst cannot be the whole sample.
+    // Each execution also reports its wall-clock [start, end] (all
+    // workers share one machine clock) so CO-RUN phases can trim to
+    // the interval where all four JVMs are simultaneously active —
+    // without it, window tails run with fewer than 4 live workers
+    // (start skew + final-execution overshoot) and read faster than
+    // true co-run rate (the round-4 ADVICE simultaneity leak).
+    println(s"SCALE_TPE $tilesPerExec")
     var tiles = 0L
     var execSecs = 0.0
     var execs = 0
@@ -147,10 +154,11 @@ object Bench {
         Headline.plan(s, trees, sl, nSlices).queryExecution.toRdd)
       val rdd = if (rdds.length == 1) rdds.head
         else s.sparkContext.union(rdds)
+      val w0 = System.currentTimeMillis()
       val e0 = System.nanoTime()
       rdd.count()
       val sec = (System.nanoTime() - e0) / 1e9
-      println(f"SCALE_PASS $sec%.3f x${slices.length}")
+      println(f"SCALE_EXEC $w0 ${System.currentTimeMillis()} $sec%.4f")
       execSecs += sec
       tiles += tilesPerExec
       execs += 1
@@ -183,16 +191,57 @@ object Bench {
       .start()
   }
 
-  /** Sustained-window result: tiles/sec over the worker's accumulated
-    * execution seconds. */
-  private def readWin(p: Process): Double = {
+  /** One worker's parsed output: per-execution wall spans + the
+    * whole-window totals. */
+  private final case class WorkerOut(tilesPerExec: Long,
+      execs: Seq[(Long, Long, Double)], winTiles: Long, winSecs: Double) {
+    def windowRate: Double = winTiles / winSecs
+  }
+
+  private def readWorker(p: Process): WorkerOut = {
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
-    out.linesIterator.collectFirst {
-      case l if l.startsWith("SCALE_WIN") =>
-        val parts = l.stripPrefix("SCALE_WIN").trim.split(' ')
-        parts(0).toDouble / parts(1).toDouble
-    }.getOrElse(sys.error("worker printed no SCALE_WIN"))
+    var tpe = -1L
+    val execs = Seq.newBuilder[(Long, Long, Double)]
+    var winTiles = -1L
+    var winSecs = 0.0
+    out.linesIterator.foreach { l =>
+      if (l.startsWith("SCALE_TPE")) tpe = l.split(' ')(1).toLong
+      else if (l.startsWith("SCALE_EXEC")) {
+        val p = l.split(' ')
+        execs += ((p(1).toLong, p(2).toLong, p(3).toDouble))
+      } else if (l.startsWith("SCALE_WIN")) {
+        val p = l.split(' ')
+        winTiles = p(1).toLong
+        winSecs = p(2).toDouble
+      }
+    }
+    if (tpe < 0 || winTiles < 0) sys.error("worker printed no SCALE output")
+    WorkerOut(tpe, execs.result(), winTiles, winSecs)
+  }
+
+  /** Sustained-window rate of a SOLO worker. */
+  private def readWin(p: Process): Double = readWorker(p).windowRate
+
+  /** Per-worker rates of a CO-RUN phase, trimmed to the interval where
+    * ALL workers were executing simultaneously: keep only executions
+    * contained in [latest first-execution start, earliest window
+    * close], so start skew and final-execution overshoot (tails where
+    * fewer than 4 JVMs are live, which read faster than true co-run
+    * rate) drop out of the estimator — the round-4 ADVICE simultaneity
+    * leak, closed at the parent. Workers share one machine clock, so
+    * the spans are comparable. A worker with no fully-contained
+    * execution (never observed; executions are ~0.3-1.5 s inside a
+    * 15 s window) falls back to its whole-window rate. */
+  private def trimmedRates(outs: Seq[WorkerOut], windowSec: Int): Seq[Double] = {
+    val starts = outs.map(_.execs.head._1)
+    val tStart = starts.max
+    val tClose = starts.map(_ + windowSec * 1000L).min
+    outs.map { o =>
+      val kept = o.execs.filter(e => e._1 >= tStart && e._2 <= tClose)
+      if (kept.isEmpty) o.windowRate
+      else kept.length.toLong * o.tilesPerExec / kept.map(_._3).sum
+    }
   }
 
   /** Sustained co-run window per phase (seconds of wall per worker). */
@@ -232,7 +281,7 @@ object Bench {
         Seq("scale-worker", ec.toString, i.toString, "4",
           CoRunWindowSec.toString))
     }
-    val rates = procs.map(readWin)
+    val rates = trimmedRates(procs.map(readWorker), CoRunWindowSec)
     16.0 / rates.map(1.0 / _).sum // 4 x harmonic mean of quarter rates
   }
 
@@ -252,7 +301,7 @@ object Bench {
         Seq("scale-worker", ec.toString, "-1", "4",
           CoRunWindowSec.toString))
     }
-    procs.map(readWin).sum
+    trimmedRates(procs.map(readWorker), CoRunWindowSec).sum
   }
 
   final case class Ladder(ec: Int, tpsN: Double, tps4N: Double,
@@ -488,7 +537,15 @@ object Bench {
          |timing, so Catalyst planning stays untimed; each plan has its
          |own shuffle lineage, nothing reused). $Rounds interleaved
          |rounds per ladder; each phase keeps its best full WINDOW
-         |across rounds (host steal only slows a window).
+         |across rounds (host steal only slows a window). CO-RUN phases
+         |(fleet, capacity) additionally trim each worker's sample to
+         |the interval where all four JVMs were executing
+         |SIMULTANEOUSLY — executions starting before the last worker's
+         |window opened or finishing after the first worker's window
+         |closed are dropped at the parent, so start skew and final-
+         |execution overshoot (tails with fewer than 4 live JVMs, which
+         |read faster than true co-run rate) cannot leak into the
+         |aggregate.
          |
          |Every phase runs the IDENTICAL job shape: one Spark job = an
          |RDD union of 4 fresh quarter-slice plans (~full-grid work per

@@ -760,7 +760,7 @@ object Spatial {
 
   /** Per-JVM fixture dir of real LZW GeoTIFF variable files. */
   private lazy val gtiffVarDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_vars")
+    val dir = graft.util.TempDirs.create("graft_vars")
     gtiffVars.foreach { case (name, b) =>
       val px = Array.tabulate(N.toInt)(i => World.band(i + 1L, b).toFloat)
       java.nio.file.Files.write(dir.resolve(s"Goode_$name.tif"),
@@ -804,7 +804,7 @@ object Spatial {
   // the distributed WKT scan, and drive the codegen ray-cast PIP join;
   // the oracle ray-casts the same (identical, dyadic) geometry in SQL. --
   private lazy val wktFixture: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_wkt_q39")
+    val dir = graft.util.TempDirs.create("graft_wkt_q39")
     val lines = World.polygons(spec).map { p =>
       val ring = (p.xs.indices :+ 0)
         .map(i => s"${p.xs(i)} ${p.ys(i)}").mkString(", ")
@@ -839,7 +839,7 @@ object Spatial {
   // codegen ray-cast PIP; the oracle ray-casts the identical dyadic
   // geometry in SQL (the .shp round trip is double-bit-exact). ---------
   private lazy val shpFixture: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q57")
+    val dir = graft.util.TempDirs.create("graft_shp_q57")
     java.nio.file.Files.write(dir.resolve("regions.shp"),
       graft.sources.Shp.encode(World.polygons(spec)))
     s"$dir/regions.shp"
@@ -885,7 +885,7 @@ object Spatial {
       Array[Double](20, 20, 55, 55)))
 
   private lazy val holedShpFixture: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q65")
+    val dir = graft.util.TempDirs.create("graft_shp_q65")
     java.nio.file.Files.write(dir.resolve("regions.shp"),
       graft.sources.Shp.encode(holedPolys))
     s"$dir/regions.shp"
@@ -919,7 +919,7 @@ object Spatial {
   private lazy val dbfIds: Array[Long] = Array(30L, 10L, 20L)
 
   private lazy val attrShpFixture: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_shp_q66")
+    val dir = graft.util.TempDirs.create("graft_shp_q66")
     java.nio.file.Files.write(dir.resolve("regions.shp"),
       graft.sources.Shp.encode(holedPolys))
     java.nio.file.Files.write(dir.resolve("regions.dbf"),

@@ -41,6 +41,7 @@ object TextOps {
     Q("q49_embed_neardup", q49, Some(q49Sql)),
     Q("q50_fingerprint", q50, Some(q50Sql)),
     Q("q51_media_stub", q51, None),
+    Q("q76_media_stats", q76, Some(q76Sql)),
     Q("q52_ann_ivf", q52, Some(q52Sql)),
     Q("q53_ann_topk", q53, Some(q53Sql)),
     Q("q54_jaccard_neardup", q54, Some(q54Sql)),
@@ -862,6 +863,15 @@ object TextOps {
     // compares against the block-entry labels (lbl0): any decrease
     // anywhere in the block keeps iterating.
     val syncEvery = 2
+    // SCOPE NOTE (round-4 ADVICE): this narrows the SESSION-wide
+    // shuffle width for the loop's duration (restored in finally) —
+    // correct under the sweep/driver's sequential execution, but a
+    // query submitted CONCURRENTLY on this SparkSession would plan
+    // with the narrowed width too. On a shared session, scope the
+    // width per-plan instead (df.repartition(loopParts, col(...)) on
+    // each loop frame); the session flip is kept here because the
+    // loop's joins/aggregates inherit it wholesale, which per-plan
+    // repartition cannot reach without rewriting every exchange.
     s.conf.set("spark.sql.shuffle.partitions", loopParts)
     try {
     while (changed > 0 && rounds < maxRounds) {
@@ -993,13 +1003,57 @@ object TextOps {
        |SELECT vec_id, rk, nn_id FROM r WHERE rk <= 3 ORDER BY 1, 2""".stripMargin
   }
 
-  // --- q51: multimodal binary columns (rows-only): payloads in three
-  // REAL formats (f32 raw, png16 via ImageIO, gtiff via the TIFF
-  // reader) decoded per-partition in batches -> feature columns; decoded
-  // stats are asserted against the generator in SparkEngineSpec ----------
+  // --- q51: multimodal binary columns — the CODEC-DEPENDENT formats
+  // (png16 via ImageIO, baseline jpeg via the JDK codec), rows-only:
+  // their payload bytes and round-trip stats depend on the codec
+  // implementation, not on SQL-reproducible math; decoded stats are
+  // asserted against the generator in SparkEngineSpec. The hash-
+  // reproducible formats (f32, gtiff) moved to q76 under the full
+  // DuckDB oracle. -------------------------------------------------------
   private def q51(s: SparkSession, dir: String): DataFrame =
     graft.engine.Multimodal.features(
-      graft.engine.Multimodal.syntheticMedia(s)).orderBy("image_id")
+        graft.engine.Multimodal.syntheticMedia(s))
+      .filter(col("fmt").isin("png16", "jpeg"))
+      .orderBy("image_id")
+
+  // --- q76: media stats under the oracle — the same MediaStats
+  // one-pass decode+feature expression over the f32 and LZW-GeoTIFF
+  // payloads, whose band-0 pixels are pure functions of the cell hash:
+  // the oracle regenerates mean/max per tile from the loss formula
+  // (dyadic /1024 values: the f32 decode and the double sum are both
+  // exact, so the compare is bit-exact). n_bytes/thumb_hash stay out —
+  // compressed length and the 8x8 thumbnail hash are codec-layout
+  // facts, covered by unit goldens (and the gtiff byte path by q73). --
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Multimodal.features(
+        graft.engine.Multimodal.syntheticMedia(s))
+      .filter(col("fmt").isin("f32", "gtiff"))
+      .select(col("image_id"), col("fmt"), col("mean_px"), col("max_px"),
+        col("n_frames"))
+      .orderBy("image_id")
+
+  private val q76Sql = {
+    val spec = graft.world.World.tiny
+    val T = spec.tile
+    val TX = spec.tilesX
+    val C = spec.cols
+    val nFrames = (T + 3) / 4 // MediaStats frameK = 4 over T pixel rows
+    val tileSql = s"(CAST(FLOOR(FLOOR(((cell_id) - 1) / $C) / $T) * $TX " +
+      s"+ FLOOR((((cell_id) - 1) % $C) / $T) AS BIGINT))"
+    val lossSql = "(CASE WHEN ((cell_id * 2654435761) % 4294967296) % 16 < 6 " +
+      "THEN 0.0 ELSE (((cell_id * 2654435761) % 4294967296) % 1024) / 1024.0 END)"
+    s"""WITH cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
+       |t AS (SELECT $tileSql AS tile_id,
+       |    SUM($lossSql) / COUNT(*) AS mean_px,
+       |    MAX($lossSql) AS max_px
+       |  FROM cells GROUP BY 1)
+       |SELECT printf('tile_%05d', tile_id) AS image_id, 'f32' AS fmt,
+       |  mean_px, max_px, CAST($nFrames AS INT) AS n_frames FROM t
+       |UNION ALL
+       |SELECT printf('tile_%05d_tif', tile_id), 'gtiff',
+       |  mean_px, max_px, CAST($nFrames AS INT) FROM t
+       |ORDER BY 1""".stripMargin
+  }
 
   // ---- q70: k-gram SPAN dedup — the exact-substring boilerplate pass
   // of a pretraining corpus (remove/flag word spans repeated across

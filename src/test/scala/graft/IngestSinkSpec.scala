@@ -31,7 +31,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     "Loss_10kMean_20002016" -> "loss") // the header schism, SURVEY §1.3
 
   test("S1: both loss-mask header generations load identically") {
-    val dir = Files.createTempDirectory("graft_csv")
+    val dir = graft.util.TempDirs.create("graft_csv")
     val v1 = dir.resolve("v1.csv")
     val v2 = dir.resolve("v2.csv")
     Files.writeString(v1, "GoodeR.ID,Loss\n1,0.25\n2,0.0\n3,0.75\n")
@@ -47,7 +47,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("S1: missing canonical column is an error, extras are dropped") {
-    val dir = Files.createTempDirectory("graft_csv2")
+    val dir = graft.util.TempDirs.create("graft_csv2")
     val f = dir.resolve("bad.csv")
     Files.writeString(f, "GoodeR.ID,Region,Junk\n1,2,x\n")
     intercept[IllegalArgumentException] {
@@ -61,7 +61,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("S2: manifest discovery filters, strips, sorts (R:142-166)") {
-    val dir = Files.createTempDirectory("graft_manifest")
+    val dir = graft.util.TempDirs.create("graft_manifest")
     Seq("Goode_Loss_10kMean.tif", "Goode_Fire_Count_10kSum.tif",
       "Tree_cover2000_10kMax.tif", "readme.txt", "Goode_Loss.tif.ovr")
       .foreach(n => Files.writeString(dir.resolve(n), ""))
@@ -83,7 +83,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(i => s"${p.xs(i)} ${p.ys(i)}").mkString(", ")
       s"${p.regionId},POLYGON(($ring))"
     }
-    val f = Files.createTempDirectory("graft_wkt").resolve("regions.wkt")
+    val f = graft.util.TempDirs.create("graft_wkt").resolve("regions.wkt")
     Files.writeString(f, wkt.mkString("\n") + "\n")
     val back = Ingest.wktPolygons(spark, f.toString)
     assert(back.length == polys.length)
@@ -163,7 +163,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     "polygons; hostile records are rejected loudly") {
     import graft.world.World
     val polys = World.polygons(World.tiny)
-    val dir = Files.createTempDirectory("graft_shp")
+    val dir = graft.util.TempDirs.create("graft_shp")
     Files.write(dir.resolve("regions.shp"), graft.sources.Shp.encode(polys))
     val got = Ingest.shpPolygons(spark, s"$dir/regions.shp")
     assert(got.length == polys.length)
@@ -246,7 +246,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // encode -> attribute-joined layer read: ids come from the .dbf
     import graft.world.World
     val polys = World.polygons(World.tiny)
-    val dir = Files.createTempDirectory("graft_shp_dbf")
+    val dir = graft.util.TempDirs.create("graft_shp_dbf")
     Files.write(dir.resolve("regions.shp"), graft.sources.Shp.encode(polys))
     Files.write(dir.resolve("regions.dbf"),
       graft.sources.Shp.encodeDbf("REGION_ID",
@@ -326,7 +326,7 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = (1L to 100L).map { id =>
       (id, (id % 4).toInt, id.toDouble / 16.0)
     }.toDF("cell_id", "final_class", "loss_mean")
-    val dir = Files.createTempDirectory("graft_csv_sink").toString
+    val dir = graft.util.TempDirs.create("graft_csv_sink").toString
     graft.sinks.Csv.writeClassMasks(df, dir, "final_class", "loss_mean",
       classes = 0 to 3)
     (0 to 3).foreach { k =>

@@ -27,7 +27,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      graft.util.TempDirs.create("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
     .getOrCreate()
@@ -227,7 +227,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("checkpoint/resume: second run loads, invalidation recomputes " +
     "downstream only, partition lineage recorded") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val dir = graft.util.TempDirs.create("graft_ckpt").toString
     val (out1, store1) = Pipeline.runCheckpointed(spark, spec, dir)
     val result1 = out1.orderBy("cell_id").collect().toSeq
     assert(store1.log.forall(_._2 == "computed"), store1.log.toString)
@@ -506,7 +506,7 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val local = Expand.run(spark, spec, cls, maxIters = 8,
         requireConvergence = true)
       .orderBy("cell_id").collect().toSeq
-    val dir = java.nio.file.Files.createTempDirectory("graft_rckpt")
+    val dir = graft.util.TempDirs.create("graft_rckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     val reliable = Expand.run(spark, spec, cls, maxIters = 8,
         requireConvergence = true)
