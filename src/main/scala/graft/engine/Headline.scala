@@ -30,9 +30,12 @@ import graft.world.{World, WorldSpec}
   *   scan (parquet; column pruning reads only tile_id + bytes)
   *   -> explode pixel index (in-grid guard drops edge padding)
   *   -> GridH3 (Goode inverse projection + hierarchical encode)
-  *   -> DriverClassifyAt: ray-cast PIP (ONCE per pixel) + packed 7x5
-  *      CART forest walk + vote (argmax, 0.5 confidence, 0.005 loss
-  *      floor, R:362-411) in one expression; -1 = outside every region
+  *   -> DriverClassifyAt: block-covered PIP (97% of 8x8 blocks are
+  *      region-constant on this geometry, resolved by one broadcast
+  *      array read; boundary blocks pay the exact banded ray-cast,
+  *      ONCE per pixel) + packed 7x5 CART forest walk + vote (argmax,
+  *      0.5 confidence, 0.005 loss floor, R:362-411) in one
+  *      expression; -1 = outside every region
   *   -> salted zonal aggregation by H3 res-4 parent (Salted), agg
   *      inputs gated on class >= 0 so no Filter re-evaluates the PIP
   *      (Catalyst pushes filter conditions through projections, which
