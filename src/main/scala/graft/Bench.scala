@@ -225,22 +225,28 @@ object Bench {
 
   /** Per-worker rates of a CO-RUN phase, trimmed to the interval where
     * ALL workers were executing simultaneously: keep only executions
-    * contained in [latest first-execution start, earliest window
-    * close], so start skew and final-execution overshoot (tails where
-    * fewer than 4 JVMs are live, which read faster than true co-run
-    * rate) drop out of the estimator — the round-4 ADVICE simultaneity
-    * leak, closed at the parent. Workers share one machine clock, so
-    * the spans are comparable. A worker with no fully-contained
-    * execution (never observed; executions are ~0.3-1.5 s inside a
-    * 15 s window) falls back to its whole-window rate. */
-  private def trimmedRates(outs: Seq[WorkerOut], windowSec: Int): Seq[Double] = {
-    val starts = outs.map(_.execs.head._1)
-    val tStart = starts.max
-    val tClose = starts.map(_ + windowSec * 1000L).min
-    outs.map { o =>
+    * contained in [latest first-execution start, earliest
+    * last-execution END], so start skew and final-execution overshoot
+    * (tails where fewer than 4 JVMs are live, which read faster than
+    * true co-run rate) drop out of the estimator — the round-4 ADVICE
+    * simultaneity leak, closed at the parent. The close anchor is the
+    * earliest observed last-exec end (not first-start + window, which
+    * overestimates the earliest-finishing worker's activity by its
+    * initial plan-build gap and would keep executions running while
+    * only 3 JVMs are live). Workers share one machine clock, so the
+    * spans are comparable. A worker with no fully-contained execution
+    * (never observed; executions are ~0.3-1.5 s inside a 15 s window)
+    * falls back to its whole-window rate, loudly. */
+  private def trimmedRates(outs: Seq[WorkerOut]): Seq[Double] = {
+    val tStart = outs.map(_.execs.head._1).max
+    val tClose = outs.map(_.execs.last._2).min
+    outs.zipWithIndex.map { case (o, i) =>
       val kept = o.execs.filter(e => e._1 >= tStart && e._2 <= tClose)
-      if (kept.isEmpty) o.windowRate
-      else kept.length.toLong * o.tilesPerExec / kept.map(_._3).sum
+      if (kept.isEmpty) {
+        println(s"[bench] WARN co-run trim kept 0 of ${o.execs.length} " +
+          s"executions for worker $i; using its untrimmed window rate")
+        o.windowRate
+      } else kept.length.toLong * o.tilesPerExec / kept.map(_._3).sum
     }
   }
 
@@ -281,7 +287,7 @@ object Bench {
         Seq("scale-worker", ec.toString, i.toString, "4",
           CoRunWindowSec.toString))
     }
-    val rates = trimmedRates(procs.map(readWorker), CoRunWindowSec)
+    val rates = trimmedRates(procs.map(readWorker))
     16.0 / rates.map(1.0 / _).sum // 4 x harmonic mean of quarter rates
   }
 
@@ -301,7 +307,7 @@ object Bench {
         Seq("scale-worker", ec.toString, "-1", "4",
           CoRunWindowSec.toString))
     }
-    trimmedRates(procs.map(readWorker), CoRunWindowSec).sum
+    trimmedRates(procs.map(readWorker)).sum
   }
 
   final case class Ladder(ec: Int, tpsN: Double, tps4N: Double,

@@ -167,15 +167,12 @@ object Headline {
     Pipeline.fitTrees(training, spec.nRegions, cfg)
   }
 
-  /** H3 res-4 parent of a res-9 H3-lite id: pure bit arithmetic
-    * (pack(4, row >> 5, col >> 5)), stays in codegen. */
-  private def h3Parent4(h3: Column): Column = {
-    val row9 = shiftright(h3, 24).bitwiseAND(lit(0xFFFFFFL))
-    val col9 = h3.bitwiseAND(lit(0xFFFFFFL))
-    lit(1L << 62).bitwiseOR(lit(4L << 48))
-      .bitwiseOR(shiftleft(shiftright(row9, 5), 24))
-      .bitwiseOR(shiftright(col9, 5))
-  }
+  /** H3 res-4 parent of a res-9 H3-lite id: pure bit arithmetic,
+    * stays in codegen. Delegates to the shared generalized form so the
+    * headline and the oracle-checked q75 chain can never diverge on
+    * the id layout. */
+  private def h3Parent4(h3: Column): Column =
+    graft.sql.GraftFunctions.h3_parent_col(h3, 9, 4)
 
   /** The timed job. Returns the zonal row count (forces evaluation). */
   def job(s: SparkSession, trees: Map[(Int, Int), Cart.Tree]): Long =

@@ -89,7 +89,7 @@ object Spatial {
   private val cellsCte =
     s"WITH cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r)"
   private def hSql(k: String) = s"((($k) * 2654435761) % 4294967296)"
-  private def lossSql(id: String) =
+  private[queries] def lossSql(id: String) =
     s"(CASE WHEN ${hSql(id)} % 16 < 6 THEN 0.0 ELSE (${hSql(id)} % 1024) / 1024.0 END)"
   private def bandSql(id: String, b: Int) =
     s"(CAST(${hSql(s"($id) * 7 + $b")} % 256 AS DOUBLE))"
@@ -101,7 +101,7 @@ object Spatial {
   private def colSql(id: String) = s"((($id) - 1) % $C + 1)"
   private def pxSql(id: String) = s"(CAST((($id) - 1) % $C AS DOUBLE) + 0.5)"
   private def pySql(id: String) = s"(CAST(FLOOR((($id) - 1) / $C) AS DOUBLE) + 0.5)"
-  private def tileSql(id: String) =
+  private[queries] def tileSql(id: String) =
     s"(CAST(FLOOR(FLOOR((($id) - 1) / $C) / $T) * $TX + FLOOR(((($id) - 1) % $C) / $T) AS BIGINT))"
 
   /** Polygon edge list as a SQL VALUES literal (kept in sync with the

@@ -718,8 +718,13 @@ object TextOps {
     * literal routes through DuckDB's DECIMAL, whose ->DOUBLE conversion
     * double-rounds (1-ulp drift); VARCHAR->DOUBLE is the correctly-
     * rounded parse that round-trips exactly (the q29 finding). */
+  /** Pre-fit placeholder, shared with tools.DumpSql so it can detect a
+    * fit-dependent oracle and run the query before dumping. */
+  private[graft] val PreFitSentinel =
+    "SELECT 'q52 oracle needs the query to run first (IvfFit)' AS err"
+
   private def q52Sql: String = IvfFit.last match {
-    case None => "SELECT 'q52 oracle needs the query to run first (IvfFit)' AS err"
+    case None => PreFitSentinel
     case Some(cents) => q52SqlWith(cents)
   }
 
@@ -1034,14 +1039,13 @@ object TextOps {
 
   private val q76Sql = {
     val spec = graft.world.World.tiny
-    val T = spec.tile
-    val TX = spec.tilesX
-    val C = spec.cols
-    val nFrames = (T + 3) / 4 // MediaStats frameK = 4 over T pixel rows
-    val tileSql = s"(CAST(FLOOR(FLOOR(((cell_id) - 1) / $C) / $T) * $TX " +
-      s"+ FLOOR((((cell_id) - 1) % $C) / $T) AS BIGINT))"
-    val lossSql = "(CASE WHEN ((cell_id * 2654435761) % 4294967296) % 16 < 6 " +
-      "THEN 0.0 ELSE (((cell_id * 2654435761) % 4294967296) % 1024) / 1024.0 END)"
+    val nFrames = (spec.tile + 3) / 4 // MediaStats frameK = 4 over T pixel rows
+    // Loss/tile formulas come from Spatial's shared oracle fragments
+    // (same World.tiny spec) — one definition for engine, Spatial
+    // oracles, and this one, so a world change cannot silently leave a
+    // stale copy here.
+    val tileSql = Spatial.tileSql("cell_id")
+    val lossSql = Spatial.lossSql("cell_id")
     s"""WITH cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
        |t AS (SELECT $tileSql AS tile_id,
        |    SUM($lossSql) / COUNT(*) AS mean_px,

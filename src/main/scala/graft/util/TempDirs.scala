@@ -26,8 +26,15 @@ object TempDirs {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRecursively)
+      if (Files.isDirectory(p)) {
+        // Files.list holds an open DirectoryStream until close() — the
+        // shutdown sweep walks thousands of dirs, so an unclosed stream
+        // per dir would exhaust fds mid-sweep (closing here bounds open
+        // fds by nesting depth, not dir count).
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively)
+        finally children.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: Exception => () } // best effort at shutdown
   }
