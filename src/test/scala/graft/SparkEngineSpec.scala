@@ -545,6 +545,32 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "no separate PIP evaluation may exist in the headline plan")
       assert(count("Exchange") == 2,
         s"salted zonal agg = exactly two exchanges:\n$plan")
+      // The classify projection must stay inside whole-stage codegen
+      // (tree-string spans carry a leading `*(id)`): a CodegenFallback
+      // expression sneaking into the hot path would silently demote the
+      // per-pixel loop to interpreted eval — the round-4 q74 regression
+      // class, guarded here for the headline.
+      val classifyLine =
+        plan.linesIterator.find(_.contains("driverclassifyat(")).get
+      assert(classifyLine.contains("*("),
+        s"classify projection fell out of whole-stage codegen:\n$classifyLine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("q74 resize plan shape: the Resize2x projection is whole-stage " +
+    "codegen'd (the expression-composition form rode CodegenFallback " +
+    "via transform(); the dedicated expression must not regress)") {
+    // AQE's executedPlan string is the pre-codegen initial plan (no
+    // `*(id)` stars yet) — disable it so codegen collapse is visible.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.SparkEntry.queries("q74_image_resize")(spark, "ignored")
+      val plan = df.queryExecution.executedPlan.toString
+      val line = plan.linesIterator.find(_.toLowerCase.contains("resize2x("))
+      assert(line.nonEmpty, s"no resize2x in the q74 plan:\n$plan")
+      assert(line.get.contains("*("),
+        s"resize projection fell out of whole-stage codegen:\n${line.get}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
