@@ -91,7 +91,7 @@ object Spatial {
   private def hSql(k: String) = s"((($k) * 2654435761) % 4294967296)"
   private[queries] def lossSql(id: String) =
     s"(CASE WHEN ${hSql(id)} % 16 < 6 THEN 0.0 ELSE (${hSql(id)} % 1024) / 1024.0 END)"
-  private def bandSql(id: String, b: Int) =
+  private[queries] def bandSql(id: String, b: Int) =
     s"(CAST(${hSql(s"($id) * 7 + $b")} % 256 AS DOUBLE))"
   private def probSql(id: String, c: Int) =
     s"((${hSql(s"($id) * 11 + $c")} % 64) / 64.0)"

@@ -52,7 +52,8 @@ object TextOps {
     Q("q62_salted_agg", q62, Some(q62Sql)),
     Q("q63_asof_join", q63, Some(q63Sql)),
     Q("q70_span_dedup", q70, Some(q70Sql)),
-    Q("q71_span_scrub", q71, Some(q71Sql))
+    Q("q71_span_scrub", q71, Some(q71Sql)),
+    Q("q77_phash_neardup", q77, Some(q77Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1188,4 +1189,102 @@ object TextOps {
       |  COALESCE(k.clean_text, '') AS clean_text
       |FROM docs LEFT JOIN kept k ON docs.doc_id = k.doc_id
       |ORDER BY 1""".stripMargin
+
+  // ---- q77: image near-duplicate pairs over the input table's
+  // perceptual-hash column — the 64-bit-fingerprint / hamming<=3 dedup
+  // configuration of Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+  // for Web Crawling" (WWW'07, public), applied to the media table's
+  // `phash` (input_hint column): split the 64-bit hash into 4 disjoint
+  // 16-bit bands; by pigeonhole, ANY pair at hamming distance <= 3
+  // matches on at least one band exactly, so an equi-join on
+  // (band, chunk) finds every true pair with replication factor exactly
+  // 4, and an exact popcount verify discards band collisions. No brute
+  // O(n^2) anywhere.
+  //
+  // Scale shape: one shuffle on (band, chunk) for the self-join (both
+  // sides partition identically — co-located SMJ), one distinct on the
+  // candidate pair (dedups pairs matching in >1 band). At 10^12 images
+  // a 16-bit chunk has ~10^7 rows per band value: production widens the
+  // per-band key with extra permuted-bit tables (the paper's t-table
+  // construction) or salts hot chunks exactly like Salted.agg — the
+  // band key is already the shuffle key, so both drop in here.
+  //
+  // The oracle reproduces Codec.phash from the cell formulas (8x8
+  // block-mean average hash over band 0 for f32/png16/gtiff rows, band
+  // 1 for the jpeg row): every value is dyadic (/1024 loss, integer
+  // predictor bands), so block means and the global mean are EXACT in
+  // double on both engines and every bit compare is deterministic —
+  // this is the first driver-side coverage of the phash column (q76
+  // deliberately left thumb_hash out). The verify is brute-force in
+  // DuckDB (6k comparisons at tiny scale) against the banded Spark
+  // plan, so the compare also proves pigeonhole completeness end to
+  // end. ---------------------------------------------------------------
+  private val PhashBands = 4
+  private val PhashHamK = 3
+
+  /** Banded hamming near-dup pairs over (id, sig64): the reusable
+    * operator — q77 applies it to the media table's phash. */
+  def hammingPairs(df: DataFrame, idCol: String,
+      sigCol: String, maxDist: Int, bands: Int = PhashBands): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs more bands than flipped bits")
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1
+    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col(sigCol), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "chunk")))
+    val l = banded.select(col("id").as("a"), col("sig").as("pa"),
+      col("band"), col("chunk"))
+    val r = banded.select(col("id").as("b"), col("sig").as("pb"),
+      col("band"), col("chunk"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
+      .select("a", "b", "pa", "pb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+      .filter(col("hamming") <= maxDist)
+      .select("a", "b", "hamming")
+  }
+
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    hammingPairs(
+      graft.engine.Multimodal.syntheticMedia(s).select("image_id", "phash"),
+      "image_id", "phash", PhashHamK)
+      .withColumnRenamed("a", "a_id").withColumnRenamed("b", "b_id")
+      .orderBy("a_id", "b_id")
+
+  private val q77Sql = {
+    val spec = graft.world.World.tiny
+    val C = spec.cols
+    val T = spec.tile
+    val blk = T / 8 // pixels per phash block side
+    // 1 << k as a BIGINT literal per block index (k = 63 prints as
+    // Long.MinValue, which DuckDB parses via HUGEINT then casts back)
+    val bitval = "CASE k " + (0 until 64).map(k =>
+      s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
+    s"""WITH cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
+       |px AS (SELECT ${Spatial.tileSql("cell_id")} AS tile_id,
+       |   CAST(FLOOR((FLOOR((cell_id - 1) / $C) % $T) / $blk) AS BIGINT) AS by,
+       |   CAST(FLOOR((((cell_id - 1) % $C) % $T) / $blk) AS BIGINT) AS bx,
+       |   ${Spatial.lossSql("cell_id")} AS v0,
+       |   ${Spatial.bandSql("cell_id", 1)} AS v1 FROM cells),
+       |blk AS (SELECT tile_id, by * 8 + bx AS k,
+       |   SUM(v0) / COUNT(*) AS m0, SUM(v1) / COUNT(*) AS m1
+       | FROM px GROUP BY 1, 2),
+       |gm AS (SELECT tile_id, SUM(v0) / COUNT(*) AS g0,
+       |   SUM(v1) / COUNT(*) AS g1 FROM px GROUP BY 1),
+       |ph AS (SELECT b.tile_id,
+       |   CAST(SUM(CASE WHEN m0 > g0 THEN $bitval ELSE 0 END) AS BIGINT) AS ph0,
+       |   CAST(SUM(CASE WHEN m1 > g1 THEN $bitval ELSE 0 END) AS BIGINT) AS ph1
+       | FROM blk b JOIN gm USING (tile_id) GROUP BY 1),
+       |imgs AS (
+       | SELECT printf('tile_%05d', tile_id) AS image_id, ph0 AS phash FROM ph
+       | UNION ALL SELECT printf('tile_%05d_png', tile_id), ph0 FROM ph
+       | UNION ALL SELECT printf('tile_%05d_tif', tile_id), ph0 FROM ph
+       | UNION ALL SELECT printf('tile_%05d_jpg', tile_id), ph1 FROM ph)
+       |SELECT a.image_id AS a_id, b.image_id AS b_id,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamK
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

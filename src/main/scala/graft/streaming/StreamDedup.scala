@@ -142,6 +142,82 @@ object StreamDedup {
     out.iterator
   }
 
+  /** One incoming image row (the input_hint table's dedup-relevant
+    * columns; event-time `ts` drives the watermark). */
+  final case class Img(image_id: Long, phash: Long, ts: java.sql.Timestamp)
+
+  /** Internal banded image row: bucket = (band << 16) | 16-bit chunk. */
+  final case class ImgBanded(image_id: Long, bucket: Long, phash: Long,
+      ts: java.sql.Timestamp)
+
+  /** Verdict for one image in one band bucket: dup_of = the smallest
+    * prior image_id within `maxDist` hamming bits (or -1), hamming =
+    * its distance (or -1). An image is a near-dup iff ANY of its 4
+    * bucket rows carries dup_of != -1. */
+  final case class ImgVerdict(image_id: Long, bucket: Long, dup_of: Long,
+      hamming: Int)
+
+  /** Incremental IMAGE near-dup over the perceptual-hash column — the
+    * streaming shape of batch q77 (4x16-bit pigeonhole banding,
+    * hamming <= maxDist, Manku et al. WWW'07): each arriving image is
+    * judged against EVERY prior image within the horizon, not just the
+    * current micro-batch.
+    *
+    * Unlike `nearDupVerdicts` (one LSH bucket per doc, probabilistic
+    * recall), recall here is EXACT by pigeonhole: the image fans out to
+    * its 4 band buckets, state in each bucket holds the full 64-bit
+    * phash of every image seen there within the horizon (dups
+    * included — that is what makes the relation exact and keeps the
+    * per-bucket judge independent, no cross-bucket keeper feedback),
+    * and any prior image at distance <= maxDist < 4 shares at least
+    * one band bucket. State is per-bucket rate x horizon, pruned
+    * per-image by event time plus a whole-bucket idle timeout, exactly
+    * the `judgeBucket` bounds. Consumers reduce the 4 verdict rows per
+    * image with min(dup_of != -1). */
+  def phashDupVerdicts(imgs: DataFrame, watermark: String = "24 hours",
+      horizonMs: Long = 24L * 3600 * 1000,
+      maxDist: Int = 3): Dataset[ImgVerdict] = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    require(horizonMs > 0, "dedup horizon must be positive")
+    require(maxDist < 4, "4-band pigeonhole covers hamming <= 3")
+    imgs.withWatermark("ts", watermark)
+      .select(col("image_id"), col("phash"), col("ts"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band", "chunk")))
+      .select(col("image_id"),
+        (shiftleft(col("band"), 16).cast("long") + col("chunk"))
+          .as("bucket"),
+        col("phash"), col("ts"))
+      .as[ImgBanded]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(judgeImgBucket(horizonMs, maxDist))
+  }
+
+  private def judgeImgBucket(horizonMs: Long, maxDist: Int)(key: Long,
+      rows: Iterator[ImgBanded],
+      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[ImgVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val cutoffMs = state.getCurrentWatermarkMs() - horizonMs
+    var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= cutoffMs)
+    val batch = rows.toSeq.sortBy(_.image_id)
+    val out = batch.map { m =>
+      val hit = seen.iterator
+        .filter(p => java.lang.Long.bitCount(p._2 ^ m.phash) <= maxDist)
+        .minByOption(_._1)
+      seen = seen :+ ((m.image_id, m.phash, m.ts.getTime))
+      ImgVerdict(m.image_id, key, hit.fold(-1L)(_._1),
+        hit.fold(-1)(p => java.lang.Long.bitCount(p._2 ^ m.phash)))
+    }
+    state.update(seen)
+    val maxTs = batch.map(_.ts.getTime).max
+    state.setTimeoutTimestamp(
+      math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
+    out.iterator
+  }
+
   /** Streaming SESSIONIZATION — the incremental shape of batch q60:
     * per-user sessions close after `gap` of event-time silence, via
     * Spark's native `session_window` (dynamic, merging windows; state

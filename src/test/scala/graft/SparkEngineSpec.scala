@@ -747,6 +747,47 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the resize PROJECT node itself is not codegen'd:\n$plan")
   }
 
+  test("hammingPairs (4x16-bit pigeonhole banding, q77) equals brute " +
+    "force at maxDist 3, including a 3-shared-band candidate the exact " +
+    "verify must reject and a sign-bit-band match") {
+    import spark.implicits._
+    val base = 0x0123456789ABCDEFL
+    val sigs = Seq(
+      "d1" -> base,
+      "d2" -> (base ^ 1L), // hamming 1, band 0
+      // 3 flips spread over bands 1..3: shares ONLY band 0 with d1 —
+      // the pigeonhole worst case (one surviving band)
+      "d3" -> (base ^ ((1L << 17) | (1L << 33) | (1L << 49))),
+      // 1 flip in EVERY band vs d1: no shared band, distance 4 — a
+      // true negative the banding correctly never surfaces
+      "d4" -> (base ^ (1L | (1L << 17) | (1L << 33) | (1L << 49))),
+      // 4 flips all inside band 0: bands 1..3 still collide with d1,
+      // so this IS a candidate — only the exact popcount rejects it
+      "d5" -> (base ^ 0xFL),
+      "d6" -> ~base,
+      "d7" -> (Long.MinValue | 5L),
+      // sign-bit flip: hamming 1 found via the TOP band (pins the
+      // arithmetic-shift + mask chunk math on negative longs)
+      "d8" -> ((Long.MinValue | 5L) ^ (1L << 63)))
+    val got = graft.queries.TextOps
+      .hammingPairs(sigs.toDF("id", "sig"), "id", "sig", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(want.exists(_._3 == 3), "fixture must exercise distance 3")
+    assert(got == want)
+    assert(!got.exists(p => p._1 == "d1" && p._2 == "d5"),
+      "the 3-shared-band candidate at distance 4 must be verify-rejected")
+    // Pin the JVM phash against the q77 oracle's DuckDB reconstruction
+    // (independent block-mean/global-mean arithmetic over the cell
+    // formulas produced this exact value for tile 0's band 0).
+    assert(Codec.phash(World.tileBands(spec, 0)(0), spec.tile, spec.tile)
+      == 8969051118866561272L)
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, min, when}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamDedup
@@ -132,6 +133,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(33L) == -1L,
         "the aged-out keeper must be pruned from the active bucket — " +
           "doc 33 re-keeps instead of matching 20h-stale state")
+    } finally q.stop()
+  }
+
+  test("streaming phash near-dup (banded pigeonhole, q77 incremental): " +
+    "exact recall vs brute force across micro-batches, min-prior " +
+    "verdict after the per-image bucket reduce, horizon expiry") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val P = 0x0123456789ABCDEFL
+    val batch1 = Seq(
+      StreamDedup.Img(1, P, ts(0)),
+      // 2 bit flips in bands 0 and 1: a same-batch dup of img 1,
+      // findable only via the untouched bands 2,3
+      StreamDedup.Img(2, P ^ ((1L << 5) | (1L << 20)), ts(1)),
+      StreamDedup.Img(3, ~P, ts(2)))
+    val batch2 = Seq(
+      // hamming 1 vs img 1 (cross-micro-batch), 3 vs img 2 — the
+      // reduced verdict must name the SMALLEST matching prior (1)
+      StreamDedup.Img(4, P ^ 1L, ts(3)),
+      // sign-bit flip vs img 3: found via the top band on negatives
+      StreamDedup.Img(5, (~P) ^ (1L << 63), ts(4)),
+      StreamDedup.Img(6, 0x5555555555555555L, ts(5)))
+    val in = MemoryStream[StreamDedup.Img]
+    val q = StreamDedup.phashDupVerdicts(in.toDF())
+      .writeStream.format("memory").queryName("g_phash")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // consumer-side reduce: per image, the smallest non-(-1) dup_of
+      def reduced(): Map[Long, Long] = spark.table("g_phash")
+        .groupBy("image_id")
+        .agg(min(when(col("dup_of") =!= -1L, col("dup_of"))).as("d"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      // brute-force expectation over all priors (what batch q77 finds)
+      val all = batch1 ++ batch2
+      val want = all.map { m =>
+        m.image_id -> all.iterator
+          .filter(p => p.image_id < m.image_id &&
+            java.lang.Long.bitCount(p.phash ^ m.phash) <= 3)
+          .map(_.image_id).minOption.getOrElse(-1L)
+      }.toMap
+      assert(want.values.count(_ != -1L) == 3,
+        "fixture must carry exactly the three crafted matches " +
+          "(2->1 same-batch, 4->1 cross-batch, 5->3 sign-bit band)")
+      assert(reduced() == want)
+      // horizon expiry: push the watermark one horizon past every
+      // prior, then repeat img 1's exact phash — it must re-keep
+      in.addData(StreamDedup.Img(7, 0x00FF00FF00FF00FFL, ts(60 * 50)))
+      q.processAllAvailable()
+      in.addData(StreamDedup.Img(8, 0x0F0F0F0F0F0F0F0FL, ts(60 * 50 + 1)))
+      q.processAllAvailable()
+      in.addData(StreamDedup.Img(9, P, ts(60 * 50 + 2)))
+      q.processAllAvailable()
+      assert(reduced()(9L) == -1L,
+        "state must expire one horizon past the watermark")
     } finally q.stop()
   }
 
