@@ -239,8 +239,10 @@ object Bench {
     * initial plan-build gap and would keep executions running while
     * only 3 JVMs are live). Workers share one machine clock, so the
     * spans are comparable. A worker with no fully-contained execution
-    * (never observed; executions are ~0.3-1.5 s inside a 15 s window)
-    * falls back to its whole-window rate, loudly. */
+    * falls back to its whole-window rate, loudly — the window scaling
+    * below makes this a should-never-fire path: full-grid phases at
+    * small executor widths stretch the window so every worker always
+    * holds several fully-contained executions. */
   private def trimmedRates(outs: Seq[WorkerOut]): Seq[Double] = {
     val tStart = outs.map(_.execs.head._1).max
     val tClose = outs.map(_.execs.last._2).min
@@ -257,6 +259,19 @@ object Bench {
   /** Sustained co-run window per phase (seconds of wall per worker). */
   private val CoRunWindowSec = 15
 
+  /** Per-phase window, scaled by 8/cores (60/30/15 s at 2/4/8): EVERY
+    * phase's execution is one union-of-4-slices job carrying ~full-grid
+    * work (the identical-job-shape design), and that execution's wall
+    * scales ~1/cores — at 2 cores it is ~8 s, so the fixed 15 s window
+    * held only ~2 executions: too few for the co-run trim to keep any
+    * fully-contained one (it fell back to untrimmed rates, re-admitting
+    * exactly the tail leak the trim removes) and a noisy 2-sample
+    * estimate for solo N. Scaling the window by 8/cores keeps the
+    * EXECUTIONS PER WINDOW roughly constant across ladders (~6+
+    * everywhere), so every phase's estimator has the same sample
+    * support. */
+  private def windowSec(ec: Int): Int = CoRunWindowSec * 8 / ec
+
   /** N level: ONE executor JVM on `ec` pinned cores, sustained window.
     * Runs the SAME job shape as every other phase (a union of 4
     * quarter-slice plans — here the four DISTINCT quarters, i.e. the
@@ -268,7 +283,8 @@ object Bench {
     * engine inefficiency. */
   private def measureN(ec: Int): Double =
     readWin(startPinned(s"0-${ec - 1}",
-      Seq("scale-worker", ec.toString, "-1", "4", CoRunWindowSec.toString)))
+      Seq("scale-worker", ec.toString, "-1", "4",
+        windowSec(ec).toString)))
 
   /** 4N level: FOUR executor JVMs on disjoint pinned `ec`-core sets,
     * each owning a contiguous quarter of the tile table, running
@@ -289,7 +305,7 @@ object Bench {
     val procs = (0 until 4).map { i =>
       startPinned(s"${ec * i}-${ec * i + ec - 1}",
         Seq("scale-worker", ec.toString, i.toString, "4",
-          CoRunWindowSec.toString))
+          windowSec(ec).toString))
     }
     val rates = trimmedRates(procs.map(readWorker))
     16.0 / rates.map(1.0 / _).sum // 4 x harmonic mean of quarter rates
@@ -309,7 +325,7 @@ object Bench {
     val procs = (0 until 4).map { i =>
       startPinned(s"${ec * i}-${ec * i + ec - 1}",
         Seq("scale-worker", ec.toString, "-1", "4",
-          CoRunWindowSec.toString))
+          windowSec(ec).toString))
     }
     trimmedRates(procs.map(readWorker)).sum
   }
@@ -572,8 +588,14 @@ object Bench {
          |Methodology: per phase, child JVM(s) pinned with `taskset -c`;
          |EVERY phase (solo N, 4N fleet, duplicate-fleet capacity) is
          |measured as SUSTAINED throughput — 1 warmup execution, then
-         |fresh-plan executions back-to-back for a $CoRunWindowSec s
-         |wall window with every execution counted (per-execution
+         |fresh-plan executions back-to-back for a wall window of
+         |${windowSec(2)}/${windowSec(4)}/${windowSec(8)} s at 2/4/8
+         |cores (8/cores x $CoRunWindowSec s: every phase's execution
+         |carries ~full-grid work whose wall scales ~1/cores, so the
+         |scaling keeps the executions per window roughly constant
+         |across ladders — ~6+ everywhere — and the co-run trim always
+         |has fully-contained executions to keep) with every execution
+         |counted (per-execution
          |timing, so Catalyst planning stays untimed; each plan has its
          |own shuffle lineage, nothing reused). $Rounds rounds per
          |ladder, interleaved ACROSS ladders (round 1 of every ladder,

@@ -788,6 +788,29 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 8969051118866561272L)
   }
 
+  test("q77 plan shape: the banded self-join reuses ONE exchange on the " +
+    "band key (ReusedExchange), three exchanges total (band join + " +
+    "pair distinct + output sort)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q77_phash_neardup")(spark, "ignored")
+        .queryExecution.executedPlan.toString
+      // node-line counting: a ReusedExchange line EMBEDS a textual
+      // reference to the exchange it reuses, so substring counts
+      // over-count by one
+      def nodes(tok: String): Int = plan.linesIterator
+        .count(_.replaceAll("""^[\s:+\-*()\d]*""", "").startsWith(tok))
+      assert(nodes("ReusedExchange") == 1,
+        s"the self-join's two sides must share one shuffle:\n$plan")
+      assert(nodes("Exchange") == 3,
+        s"band join + distinct + sort = exactly three exchanges:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"banding must never degrade to an O(n^2) join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
