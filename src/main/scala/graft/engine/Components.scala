@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components by iterative min-label propagation — the
+  * CLUSTER stage of a dedup pipeline (q56 keeper selection over
+  * verified text pairs, q78 over image phash pairs), extracted so every
+  * dedup family shares one convergence-checked implementation.
+  *
+  * Scale shape (unchanged from its q56 origin): iterate ONLY over
+  * edge-incident nodes — in a dedup corpus the overwhelming majority of
+  * rows have no near-duplicate, and an isolated node's label never
+  * changes; at 10^12 rows with ~10^9 duplicate pairs the iterated frame
+  * is ~1000x smaller than the corpus (callers re-attach isolated rows
+  * with a left join + coalesce). Each round every node adopts the
+  * smallest label among itself and its neighbors; converges in
+  * component-diameter rounds; edges shuffle on the endpoint key; no
+  * driver-side graph.
+  *
+  * The label type is generic over any orderable column type (long doc
+  * ids, string image ids): propagation uses `least`, the convergence
+  * accumulator compares via `Comparable`, and both Spark and DuckDB
+  * order ASCII strings identically (binary collation), so string-id
+  * oracles stay exact.
+  */
+object Components {
+
+  /** Min-label propagation over an undirected pair frame (two columns,
+    * each row one edge). Returns (node_id, lbl) for every EDGE-INCIDENT
+    * node. `name` labels the loud convergence log line. */
+  def minLabel(s: SparkSession, pairs: DataFrame, name: String): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.toSeq
+    val directed = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+    val edges = Checkpoint.truncate(s,
+      directed.unionByName(
+        directed.select(col("dst").as("src"), col("src").as("dst"))))
+
+    // the iterated frame is ~1000x smaller than the corpus, so its
+    // shuffles should be narrower than the corpus-sized default: size
+    // the loop's shuffle width by the edge count (one task per ~100k
+    // edges, floor 8) and restore the session default afterwards
+    val nEdges = edges.count()
+    val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.max(8L, math.min(defaultParts.toLong,
+      nEdges / 100000L)).toString
+    var labels = Checkpoint.truncate(s,
+      edges.select(col("src").as("node_id")).distinct()
+        .select(col("node_id"), col("node_id").as("lbl"))
+        .repartition(col("node_id")))
+    var changed = 1L
+    var rounds = 0
+    // convergence is detected by an accumulator counted DURING the
+    // localCheckpoint job instead of a separate count action per block;
+    // task retries can only over-count, which at worst runs one extra
+    // (monotone no-op) block
+    val changedAcc = s.sparkContext.longAccumulator(s"${name}_changed")
+    // converges in <= component-diameter rounds; fail LOUDLY rather
+    // than emit silently-wrong clusters if a pathological chain exceeds
+    // the cap ("no silent caps")
+    val maxRounds = 100
+    // Propagation is MONOTONE (labels only decrease), so extra rounds
+    // are harmless no-ops — run `syncEvery` propagation rounds per
+    // driver synchronization: ONE lineage truncation + ONE count per
+    // block instead of per round, halving the per-round action cost.
+    // The convergence check compares against the block-entry labels
+    // (lbl0): any decrease anywhere in the block keeps iterating.
+    val syncEvery = 2
+    // SCOPE NOTE (round-4 ADVICE): this narrows the SESSION-wide
+    // shuffle width for the loop's duration (restored in finally) —
+    // correct under the sweep/driver's sequential execution, but a
+    // query submitted CONCURRENTLY on this SparkSession would plan
+    // with the narrowed width too. On a shared session, scope the
+    // width per-plan instead (df.repartition(loopParts, col(...)) on
+    // each loop frame); the session flip is kept here because the
+    // loop's joins/aggregates inherit it wholesale, which per-plan
+    // repartition cannot reach without rewriting every exchange.
+    s.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      while (changed > 0 && rounds < maxRounds) {
+        var cur = labels.withColumn("lbl0", col("lbl"))
+        var i = 0
+        while (i < syncEvery) {
+          val nbrMin = edges
+            .join(cur.select(col("node_id").as("src"), col("lbl")),
+              Seq("src"))
+            .groupBy(col("dst").as("node_id"))
+            .agg(min("lbl").as("nbr_lbl"))
+          cur = cur.join(nbrMin, Seq("node_id"), "left")
+            .select(col("node_id"), col("lbl0"),
+              least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+                .as("lbl"))
+          i += 1
+        }
+        rounds += syncEvery
+        // loop iterates use localCheckpoint DELIBERATELY (not reliable
+        // Checkpoint.truncate): Spark never deletes non-streaming
+        // reliable checkpoint files until app exit (cleanCheckpoints
+        // defaults false), so a reliable snapshot per block would grow
+        // the checkpoint dir without bound across the loop. Losing an
+        // executor instead recomputes a SMALL frame (edge-incident
+        // labels) from the reliably-checkpointed edges — a bounded,
+        // cheap recovery.
+        val before = changedAcc.value
+        val sel = cur.select("node_id", "lbl0", "lbl")
+        // generic over the id type: boxed Long and String both
+        // implement Comparable, and the row passes through unchanged
+        val counted = sel.mapPartitions { it =>
+          it.map { r =>
+            if (r.get(2).asInstanceOf[Comparable[Any]]
+              .compareTo(r.get(1)) < 0) changedAcc.add(1L)
+            r
+          }
+        }(Encoders.row(sel.schema))
+        val next = counted.localCheckpoint(true)
+        changed = changedAcc.value - before
+        labels = next.drop("lbl0")
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
+    if (changed > 0) {
+      // the accumulator can only OVER-count (task retries/speculation),
+      // which mid-loop just runs an extra monotone no-op block — but at
+      // the rounds cap it could abort a converged result, so confirm
+      // with one exact retry-immune recount before failing loudly
+      val nbrMin = edges
+        .join(labels.select(col("node_id").as("src"), col("lbl")), Seq("src"))
+        .groupBy(col("dst").as("node_id")).agg(min("lbl").as("nbr_lbl"))
+      changed = labels.join(nbrMin, Seq("node_id"), "left")
+        .filter(coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).count()
+    }
+    require(changed == 0,
+      s"$name: component labels did not converge within $maxRounds rounds")
+    // loud round accounting (stderr, same channel as Spark's own logs)
+    Console.err.println(
+      s"$name: converged after $rounds propagation " +
+        s"rounds (${rounds / syncEvery} driver syncs)")
+    labels
+  }
+}

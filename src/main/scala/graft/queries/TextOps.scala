@@ -53,7 +53,8 @@ object TextOps {
     Q("q63_asof_join", q63, Some(q63Sql)),
     Q("q70_span_dedup", q70, Some(q70Sql)),
     Q("q71_span_scrub", q71, Some(q71Sql)),
-    Q("q77_phash_neardup", q77, Some(q77Sql))
+    Q("q77_phash_neardup", q77, Some(q77Sql)),
+    Q("q78_phash_clusters", q78, Some(q78Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -825,111 +826,15 @@ object TextOps {
       .filter(col("doc_a") < col("doc_b") &&
         inter.cast("double") / union >= JacThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val edges = verified
-      .unionByName(verified.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .truncated(s)
-
-    // Iterate ONLY over edge-incident nodes: in a dedup corpus the
-    // overwhelming majority of documents have no near-duplicate, and an
-    // isolated node's label never changes — carrying it through every
-    // propagation round would shuffle the full corpus per round. At
-    // 10^12 docs with ~10^9 duplicate pairs this shrinks the iterated
-    // frame ~1000x; isolated docs rejoin as their own cluster at the
-    // end (left join + coalesce).
-    // the iterated frame is ~1000x smaller than the corpus, so its
-    // shuffles should be narrower than the corpus-sized default: size
-    // the loop's shuffle width by the edge count (one task per ~100k
-    // edges, floor 8) and restore the session default afterwards —
-    // at sweep scale this turns 32-task no-op stages into 8-task ones
-    val nEdges = edges.count()
-    val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(8L, math.min(defaultParts.toLong,
-      nEdges / 100000L)).toString
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .repartition(col("doc_id")).truncated(s)
-    var changed = 1L
-    var rounds = 0
-    // convergence is detected by an accumulator counted DURING the
-    // localCheckpoint job instead of a separate count action per block
-    // (round-3 verdict Next #5); task retries can only over-count,
-    // which at worst runs one extra (monotone no-op) block
-    val changedAcc = s.sparkContext.longAccumulator("q56_changed")
-    // converges in <= component-diameter rounds; fail LOUDLY rather
-    // than emit silently-wrong clusters if a pathological chain exceeds
-    // the cap ("no silent caps")
-    val maxRounds = 100
-    // Propagation is MONOTONE (labels only decrease), so extra rounds
-    // are harmless no-ops — run `syncEvery` propagation rounds per
-    // driver synchronization: ONE lineage truncation + ONE count per
-    // block instead of per round, halving the per-round action cost
-    // that dominated this query's wall time. The convergence check
-    // compares against the block-entry labels (lbl0): any decrease
-    // anywhere in the block keeps iterating.
-    val syncEvery = 2
-    // SCOPE NOTE (round-4 ADVICE): this narrows the SESSION-wide
-    // shuffle width for the loop's duration (restored in finally) —
-    // correct under the sweep/driver's sequential execution, but a
-    // query submitted CONCURRENTLY on this SparkSession would plan
-    // with the narrowed width too. On a shared session, scope the
-    // width per-plan instead (df.repartition(loopParts, col(...)) on
-    // each loop frame); the session flip is kept here because the
-    // loop's joins/aggregates inherit it wholesale, which per-plan
-    // repartition cannot reach without rewriting every exchange.
-    s.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-    while (changed > 0 && rounds < maxRounds) {
-      var cur = labels.withColumn("lbl0", col("lbl"))
-      var i = 0
-      while (i < syncEvery) {
-        val nbrMin = edges
-          .join(cur.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
-          .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
-        cur = cur.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lbl0"),
-            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        i += 1
-      }
-      rounds += syncEvery
-      // loop iterates use localCheckpoint DELIBERATELY (not the
-      // reliable Checkpoint.truncate the one-time docs/edges frames
-      // get): Spark never deletes non-streaming reliable checkpoint
-      // files until app exit (cleanCheckpoints defaults false), so a
-      // reliable snapshot per block would grow the checkpoint dir
-      // without bound across the loop. Losing an executor instead
-      // recomputes a SMALL frame (edge-incident labels, ~1000x smaller
-      // than the corpus) from the reliably-checkpointed edges — a
-      // bounded, cheap recovery.
-      import s.implicits._
-      val before = changedAcc.value
-      val counted = cur.select("doc_id", "lbl0", "lbl")
-        .as[(Long, Long, Long)]
-        .map { r => if (r._3 < r._2) changedAcc.add(1L); r }
-        .toDF("doc_id", "lbl0", "lbl")
-      val next = counted.localCheckpoint(true)
-      changed = changedAcc.value - before
-      labels = next.drop("lbl0")
-    }
-    } finally s.conf.set("spark.sql.shuffle.partitions", defaultParts)
-    if (changed > 0) {
-      // the accumulator can only OVER-count (task retries/speculation),
-      // which mid-loop just runs an extra monotone no-op block — but at
-      // the rounds cap it could abort a converged result, so confirm
-      // with one exact retry-immune recount before failing loudly
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("lbl")), Seq("src"))
-        .groupBy(col("dst").as("doc_id")).agg(min("lbl").as("nbr_lbl"))
-      changed = labels.join(nbrMin, Seq("doc_id"), "left")
-        .filter(coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).count()
-    }
-    require(changed == 0,
-      s"component labels did not converge within $maxRounds rounds")
-    // loud round accounting (stderr, same channel as Spark's own logs)
-    Console.err.println(
-      s"q56_dedup_components: converged after $rounds propagation " +
-        s"rounds (${rounds / syncEvery} driver syncs)")
+    // cluster + keeper selection via the shared min-label propagation
+    // engine (Components.minLabel — the loop, its edge-count-sized
+    // shuffle width, accumulator convergence and loud round accounting
+    // moved there verbatim so q78's image clusters share one
+    // implementation); isolated docs rejoin as their own cluster via
+    // the left join + coalesce
+    val labels = graft.engine.Components
+      .minLabel(s, verified, "q56_dedup_components")
+      .withColumnRenamed("node_id", "doc_id")
     t(s, dir, "documents").select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1252,7 +1157,11 @@ object TextOps {
       .withColumnRenamed("a", "a_id").withColumnRenamed("b", "b_id")
       .orderBy("a_id", "b_id")
 
-  private val q77Sql = {
+  /** CTE chain reconstructing every media row's phash from the cell
+    * formulas — shared by the q77 pair oracle and the q78 cluster
+    * oracle (single definition, so a world change cannot leave a stale
+    * copy in one of them). */
+  private lazy val phashImgsCte: String = {
     val spec = graft.world.World.tiny
     val C = spec.cols
     val T = spec.tile
@@ -1261,7 +1170,7 @@ object TextOps {
     // Long.MinValue, which DuckDB parses via HUGEINT then casts back)
     val bitval = "CASE k " + (0 until 64).map(k =>
       s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
-    s"""WITH cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
+    s"""cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
        |px AS (SELECT ${Spatial.tileSql("cell_id")} AS tile_id,
        |   CAST(FLOOR((FLOOR((cell_id - 1) / $C) % $T) / $blk) AS BIGINT) AS by,
        |   CAST(FLOOR((((cell_id - 1) % $C) % $T) / $blk) AS BIGINT) AS bx,
@@ -1280,11 +1189,56 @@ object TextOps {
        | SELECT printf('tile_%05d', tile_id) AS image_id, ph0 AS phash FROM ph
        | UNION ALL SELECT printf('tile_%05d_png', tile_id), ph0 FROM ph
        | UNION ALL SELECT printf('tile_%05d_tif', tile_id), ph0 FROM ph
-       | UNION ALL SELECT printf('tile_%05d_jpg', tile_id), ph1 FROM ph)
+       | UNION ALL SELECT printf('tile_%05d_jpg', tile_id), ph1 FROM ph)""".stripMargin
+  }
+
+  private lazy val q77Sql =
+    s"""WITH $phashImgsCte
        |SELECT a.image_id AS a_id, b.image_id AS b_id,
        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
        |FROM imgs a JOIN imgs b ON a.image_id < b.image_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamK
        |ORDER BY 1, 2""".stripMargin
+
+  // ---- q78: image near-dup CLUSTERS + keeper selection — the final
+  // stage of the image dedup pipeline (what a 10^12-image table
+  // actually ships: one canonical keeper per near-dup cluster). Edges =
+  // the q77 banded pairs; clustering via the shared min-label
+  // propagation engine (Components.minLabel, the q56 machinery
+  // generalized over the id type — string image ids propagate through
+  // `least` and compare identically in Spark and DuckDB under binary
+  // collation). Isolated images are their own cluster (left join +
+  // coalesce, never entering the loop). Oracle: the shared phash CTE,
+  // brute-force pairs, recursive-CTE transitive closure, MIN label. ----
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.engine.Multimodal.syntheticMedia(s)
+      .select("image_id", "phash")
+    val pairs = hammingPairs(media, "image_id", "phash", PhashHamK)
+      .select("a", "b")
+    val labels = graft.engine.Components
+      .minLabel(s, pairs, "q78_phash_clusters")
+      .withColumnRenamed("node_id", "image_id")
+    media.select(col("image_id"))
+      .join(labels, Seq("image_id"), "left")
+      .select(col("image_id"),
+        coalesce(col("lbl"), col("image_id")).as("cluster"),
+        (coalesce(col("lbl"), col("image_id")) === col("image_id"))
+          .cast("int").as("is_keeper"))
+      .orderBy("image_id")
   }
+
+  private lazy val q78Sql =
+    s"""WITH RECURSIVE $phashImgsCte,
+       |cand AS (
+       |  SELECT a.image_id AS a, b.image_id AS b
+       |  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamK),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+       |reach(image_id, lbl) AS (
+       |  SELECT image_id, image_id FROM imgs
+       |  UNION
+       |  SELECT e.b, r.lbl FROM edges e JOIN reach r ON e.a = r.image_id)
+       |SELECT image_id, MIN(lbl) AS cluster,
+       |  CAST(CASE WHEN MIN(lbl) = image_id THEN 1 ELSE 0 END AS INT) AS is_keeper
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 }

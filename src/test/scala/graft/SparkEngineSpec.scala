@@ -811,6 +811,20 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("Components.minLabel (shared q56/q78 CC engine): chain longer " +
+    "than one sync block converges, separate components stay separate, " +
+    "string ids propagate lexically, only edge-incident nodes returned") {
+    import spark.implicits._
+    // b-c-d-e is a diameter-3 chain (> syncEvery = 2, so convergence
+    // spans driver-sync blocks); x-y is a second component
+    val pairs = Seq(("c", "b"), ("c", "d"), ("d", "e"), ("y", "x"))
+      .toDF("p", "q")
+    val labels = graft.engine.Components.minLabel(spark, pairs, "test_cc")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(labels == Map("b" -> "b", "c" -> "b", "d" -> "b", "e" -> "b",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
