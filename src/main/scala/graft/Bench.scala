@@ -438,12 +438,25 @@ object Bench {
     val results =
       if (laddersOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
-        name -> (1 to SweepPasses).map { _ =>
+        val best = (1 to SweepPasses).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(s1, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a THROWN pass is not a fast pass: its truncated elapsed
+          // must never win the min over a successful measurement —
+          // exclude it, and publish the -1 failure sentinel only when
+          // every pass failed
+          try { fn(s1, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.PositiveInfinity }
         }.min
+        name -> (if (best.isInfinity) -1.0 else best)
       }
+    // builder-side fast path: sweep only, emit the JSON line with
+    // zeroed ladders (the driver never sets this — it always runs both)
+    if (sys.env.get("SPARK_GRAFT_SWEEP_ONLY").contains("1")) {
+      s1.stop()
+      val zero = Ladder(0, 0.0, 0.0, 0.0)
+      emitJson(results, sfDir, zero, zero, zero)
+      return
+    }
     Headline.ensureTiles(s1)
     Headline.loadOrFitTrees(s1)
     s1.stop()
@@ -476,7 +489,11 @@ object Bench {
     val Seq(primary, middle, stress) = runs.map(_.finish())
 
     writeBenchMd(primary, middle, stress)
+    emitJson(results, sfDir, primary, middle, stress)
+  }
 
+  private def emitJson(results: Map[String, Double], sfDir: String,
+      primary: Ladder, middle: Ladder, stress: Ladder): Unit = {
     def ladderJson(l: Ladder): String =
       s"""{"executor_cores":${l.ec},"tps_n":${l.tpsN},"tps_4n":${l.tps4N},""" +
         s""""efficiency_raw":${l.eff},"hw_capacity_4n_tps":${l.cap4N},""" +

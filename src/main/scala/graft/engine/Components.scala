@@ -30,6 +30,9 @@ object Components {
     * each row one edge). Returns (node_id, lbl) for every EDGE-INCIDENT
     * node. `name` labels the loud convergence log line. */
   def minLabel(s: SparkSession, pairs: DataFrame, name: String): DataFrame = {
+    require(pairs.columns.length == 2,
+      s"$name: minLabel expects a two-column edge frame, got " +
+        pairs.columns.mkString("(", ", ", ")"))
     val Seq(ca, cb) = pairs.columns.toSeq
     val directed = pairs.select(col(ca).as("src"), col(cb).as("dst"))
     val edges = Checkpoint.truncate(s,

@@ -55,6 +55,60 @@ object Multimodal {
     base.unionByName(reEncoded)
   }
 
+  /** Frames per synthetic video payload. A plan-time constant here
+    * because the fixture table is homogeneous; a production table
+    * carries n_frames per row and partitions by payload shape before
+    * planning the sample. */
+  val VideoFrames = 12
+
+  /** Synthetic VIDEO table: one row per tile of the tiny world, the
+    * payload = `VideoFrames` frames of tile x tile f32 pixels
+    * concatenated frame-major — byte-identical to the multiband f32
+    * tile layout, so the codec's seek-to-band slice decode is reused
+    * as seek-to-frame. Pixel values evolve per frame via the dyadic
+    * `World.vid` formula (SQL-reproducible, so the frame-sample query
+    * sits under the full DuckDB oracle). */
+  def syntheticVideo(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val spec = World.tiny // unpadded: every pixel addresses a real cell
+    val nf = VideoFrames
+    s.range(0, spec.nTiles).map { t =>
+      val ti = t.toInt
+      val frames = Array.tabulate(nf) { f =>
+        Array.tabulate(spec.pixPerTile) { p =>
+          World.vid(spec.cellId(ti, p), f).toFloat
+        }
+      }
+      (f"vid_$ti%05d", Codec.encodeF32(frames), spec.tile, spec.tile,
+        "f32", nf)
+    }.toDF("video_id", "bytes", "w", "h", "fmt", "n_frames")
+  }
+
+  /** FRAME-SAMPLE — the video op of the multimodal pipeline: keep
+    * every `stride`-th frame of each payload and emit one row per
+    * sampled frame with its decoded stats. The sampled indices are
+    * plan-time constants, so each becomes ONE codegen'd `FrameStats`
+    * call that decodes only that frame's byte slice — a stride-k
+    * sample pays ~1/k of the decode work per payload (at real scale
+    * the same constants become byte-range pushdown into the reader).
+    * Fan-out is a single inline explode of the per-frame struct array:
+    * no join, no shuffle; downstream aggregation shuffles on video_id
+    * like any keyed op. */
+  def frameSample(videos: DataFrame, nFrames: Int, stride: Int,
+      nPixels: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sql.GraftFunctions.frame_stats
+    require(stride > 0, "frame-sample stride must be positive")
+    val sampled = (0 until nFrames by stride).map { f =>
+      struct(lit(f).as("frame_idx"),
+        frame_stats(col("bytes"), col("fmt"), nPixels, f).as("s"))
+    }
+    videos.select(col("video_id"), explode(array(sampled: _*)).as("fr"))
+      .select(col("video_id"), col("fr.frame_idx").as("frame_idx"),
+        col("fr.s.mean_px").as("mean_px"), col("fr.s.max_px").as("max_px"),
+        col("fr.s.wsum").as("wsum"))
+  }
+
   /** Real decode dispatch: band 0 of the payload in its actual format.
     * `stub` formats (absent codecs) fake pixels deterministically. */
   private def decodeBand0(m: Media): Array[Float] = m.fmt match {

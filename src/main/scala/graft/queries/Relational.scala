@@ -57,8 +57,52 @@ object Relational {
     Q("q18_stratified_exactn", q18, Some(q18Sql)),
     Q("q58_stratified_min40", q58, Some(q58Sql)),
     Q("q60_sessionize", q60, Some(q60Sql)),
-    Q("q64_json_extract", q64, Some(q64Sql))
+    Q("q64_json_extract", q64, Some(q64Sql)),
+    Q("q80_interval_join", q80, Some(q80Sql))
   )
+
+  // --- q80: INTERVAL (range) JOIN — points to overlapping value bands
+  // via the banded equi-join rewrite (engine/RangeJoin): lineitem
+  // prices against 300 overlapping price bands (stride 347 < width
+  // 500, so a price can fall in two bands — the multiplicity the
+  // rewrite must reproduce exactly). The naive BETWEEN join would plan
+  // a BroadcastNestedLoopJoin; the rewrite is an equi join on the
+  // bucket key (plan-guarded in SparkEngineSpec), which is the shape
+  // that survives two large sides. Oracle: DuckDB's native
+  // non-equi BETWEEN join over the identical range()-built bands. ------
+  private val BandN = 300
+  private val BandLo0 = 900L
+  private val BandStride = 347L
+  private val BandWidth = 500L
+  private val BandBucket = 256L
+
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, BandN)
+      .select(col("id").as("band_id"),
+        (lit(BandLo0) + col("id") * BandStride).as("lo"))
+      .withColumn("hi", col("lo") + BandWidth)
+    val pts = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    graft.engine.RangeJoin.bandedIntervalJoin(
+        pts, "l_extendedprice", bands, "lo", "hi", BandBucket)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum("l_orderkey").as("sum_okey"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+      .orderBy("band_id")
+  }
+
+  private val q80Sql =
+    s"""WITH bands AS (SELECT r.range AS band_id,
+       |    $BandLo0 + r.range * $BandStride AS lo FROM range($BandN) r)
+       |SELECT b.band_id, COUNT(*) AS n_items,
+       |  CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_okey,
+       |  MIN(l.l_extendedprice) AS min_price,
+       |  MAX(l.l_extendedprice) AS max_price
+       |FROM bands b JOIN lineitem l
+       |  ON l.l_extendedprice BETWEEN b.lo AND b.lo + $BandWidth
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q64: JSON property extraction over the events.props column —
   // both Spark JSON APIs exercised: path-based get_json_object AND the

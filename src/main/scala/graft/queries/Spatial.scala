@@ -36,7 +36,7 @@ object Spatial {
     Q("q30_expand_fixpoint", q30, Some(q30Sql)),
     Q("q31_psnr_png16", q31, None),
     Q("q32_tile_knn_context", q32, Some(q32Sql)),
-    Q("q33_importance", q33, None),
+    Q("q33_importance", q33, Some(q33Sql)),
     Q("q34_gtiff_decode", q34, Some(q34Sql)),
     Q("q35_class_loss_masks", q35, Some(q35Sql)),
     Q("q36_zonal_pyramid", q36, Some(q36Sql)),
@@ -52,7 +52,8 @@ object Spatial {
     Q("q72_pip_covered", q72, Some(q21Sql)),
     Q("q73_raster_roundtrip", q73, Some(q73Sql)),
     Q("q74_image_resize", q74, Some(q74Sql)),
-    Q("q75_goode_chain", q75, Some(q75Sql))
+    Q("q75_goode_chain", q75, Some(q75Sql)),
+    Q("q79_frame_sample", q79, Some(q79Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -588,21 +589,100 @@ object Spatial {
        |GROUP BY 1, 3 ORDER BY 1""".stripMargin
 
   /** q33: variable importance report (M4, R:319,352): per-(region,
-    * driver) gain-summed importances from the fitted trees, emitted as
-    * a small report table (driver-side fit; rows-only check). */
+    * driver) gain-summed importances from the fitted trees.
+    *
+    * Oracled INDEPENDENTLY: only the fitted trees' STRUCTURE (split
+    * feature, threshold, path) reaches the oracle SQL — no deviance or
+    * importance value leaves the engine. DuckDB recomputes every
+    * node's deviance from the training-data CTE itself (labels are
+    * 0/1, so dev = n1 - n1*n1/n: exact-integer inputs with one
+    * correctly-rounded IEEE division each — bit-equal across engines),
+    * sums the per-split gains per feature, and applies the same 1e-6
+    * rounding. SQL SUM order is unspecified where the engine sums in
+    * tree-walk order, so a guard-band test (SparkEngineSpec) asserts
+    * every per-feature sum sits far from its rounding boundary and
+    * from the >0 cut — an order-flip cannot silently change a compared
+    * value. */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.core.Cart
-    // same pure-Scala fit the q29 oracle uses (tinyTrees); importance
-    // itself stays golden-only — an "oracle" restating the engine's own
-    // importance numbers as a VALUES literal would not be independent
-    val rows = tinyTrees.toSeq.flatMap { case ((r, d), t) =>
-      Cart.importance(t, spec.nBands - 1).zipWithIndex.collect {
-        case (imp, f) if imp > 0 =>
-          (r, d, f + 1, math.round(imp * 1e6) / 1e6)
-      }
+    val rows = importanceGains.collect {
+      case ((r, d, f), gains) if gains.sum > 0 =>
+        (r, d, f, math.round(gains.sum * 1e6) / 1e6)
     }.sorted
     rows.toDF("region_id", "driver", "feature", "importance")
+  }
+
+  /** Internal splits of a pruned tree with their SQL path predicates
+    * over b1..b5 (structure only): (feature, pathConds). Thresholds
+    * are dyadic midpoints of integers — exact as bare SQL literals
+    * (treeSql precedent). */
+  private def splitPreds(t: graft.core.Cart.Tree,
+      path: List[String]): Seq[(Int, String, List[String])] = t match {
+    case _: graft.core.Cart.Leaf => Nil
+    case s: graft.core.Cart.Split =>
+      val cond = s"b${s.feature + 1} < ${s.threshold.toString}"
+      (s.feature, cond, path) +:
+        (splitPreds(s.lo, cond :: path) ++
+          splitPreds(s.hi, s"NOT ($cond)" :: path))
+  }
+
+  /** Deviance of a training subset, recomputed from data in DuckDB:
+    * max(0, n1 - n1*n1/n) with n1 = positive-label count — the exact
+    * FP expression Cart.devOf evaluates (0/1 labels make s = s2 = n1,
+    * every input an exact integer, each op correctly rounded). */
+  private def devSql(r: Int, d: Int, conds: Seq[String]): String = {
+    val where = (s"region_id = $r" +: conds).mkString(" AND ")
+    s"""(SELECT GREATEST(0.0, n1 - n1 * n1 / n) FROM (
+       |    SELECT CAST(COUNT(*) FILTER (WHERE cls = $d) AS DOUBLE) AS n1,
+       |           CAST(COUNT(*) AS DOUBLE) AS n
+       |    FROM train WHERE $where))""".stripMargin
+  }
+
+  private lazy val q33Sql: String = {
+    val bands = (1 to 5)
+      .map(b => s"${bandSql("c.cell_id", b)} AS b$b").mkString(", ")
+    val gainSelects = tinyTrees.toSeq.flatMap { case ((r, d), t) =>
+      splitPreds(t, Nil).map { case (f, cond, path) =>
+        s"""SELECT $r AS region_id, $d AS driver, ${f + 1} AS feature,
+           |  ${devSql(r, d, path)}
+           |  - ${devSql(r, d, cond :: path)}
+           |  - ${devSql(r, d, s"NOT ($cond)" :: path)} AS gain""".stripMargin
+      }
+    }
+    require(gainSelects.nonEmpty, "q33 oracle: no splits in any fitted tree")
+    s"""$cellsCte,
+       |$pipCte,
+       |train AS (SELECT r.region_id, ${trainSql("c.cell_id")} AS cls, $bands
+       |  FROM cells c JOIN region_of r ON c.cell_id = r.cell_id
+       |  WHERE ${trainSql("c.cell_id")} BETWEEN 1 AND 5),
+       |gains AS (
+       |${gainSelects.mkString("\n|UNION ALL\n|")}
+       |)
+       |SELECT CAST(region_id AS INT) AS region_id,
+       |  CAST(driver AS INT) AS driver, CAST(feature AS INT) AS feature,
+       |  ROUND(SUM(gain) * 1000000) / 1000000.0 AS importance
+       |FROM gains GROUP BY 1, 2, 3 HAVING SUM(gain) > 0
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** Walk-order gain terms of Cart.importance per (region, driver,
+    * feature): summing each list left-to-right reproduces the engine's
+    * importance bit-for-bit (Cart.importance accumulates in the same
+    * pre-order walk). Exposed for q33 and its guard-band test. */
+  private[graft] lazy val importanceGains
+      : Seq[((Int, Int, Int), Seq[Double])] = {
+    import graft.core.Cart
+    def gains(t: Cart.Tree): Seq[(Int, Double)] = t match {
+      case _: Cart.Leaf => Nil
+      case s: Cart.Split =>
+        (s.feature, s.dev - s.lo.dev - s.hi.dev) +:
+          (gains(s.lo) ++ gains(s.hi))
+    }
+    tinyTrees.toSeq.flatMap { case ((r, d), t) =>
+      gains(t).groupBy(_._1).toSeq.map { case (f, gs) =>
+        ((r, d, f + 1), gs.map(_._2))
+      }
+    }
   }
 
   // ---- q34: GeoTIFF decode scan (S3 on the reference's REAL input
@@ -1361,6 +1441,41 @@ object Spatial {
        |  $marker + ${GoodeH3Res.toLong} * $resShift + rr * 16777216 + cc AS h3,
        |  $marker + 4 * $resShift + (rr // 32) * 16777216 + (cc // 32) AS h3_r4
        |FROM enc ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q79: video FRAME-SAMPLE — the multimodal pipeline's video op
+  // (decode / feature-extract / resize / frame-SAMPLE): every 4th frame
+  // of a 12-frame f32 video payload is decoded (only that frame's byte
+  // slice) and reduced to per-frame stats, one codegen'd FrameStats
+  // call per sampled index. The oracle regenerates each sampled frame's
+  // pixels from the dyadic World.vid formula — mean/max/wsum are all
+  // exact dyadic sums, so the compare is bit-exact, and wsum's
+  // position weighting pins within-frame pixel order (q73 pattern). ----
+  private val FrameStride = 4
+
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Multimodal.frameSample(
+        graft.engine.Multimodal.syntheticVideo(s),
+        graft.engine.Multimodal.VideoFrames, FrameStride, spec.pixPerTile)
+      .orderBy("video_id", "frame_idx")
+
+  private def q79Sql = {
+    val frames = (0 until graft.engine.Multimodal.VideoFrames by FrameStride)
+      .map(f => s"($f)").mkString(", ")
+    // within-tile decode position of a cell: (row0 % T) * T + (col0 % T)
+    val posSql = s"(((${rowSql("cell_id")} - 1) % $T) * $T" +
+      s" + ((cell_id - 1) % $C) % $T)"
+    val vidSql = s"((${hSql(s"cell_id * 17 + fi")} % 512) / 512.0)"
+    s"""$cellsCte,
+       |f(fi) AS (VALUES $frames),
+       |v AS (SELECT ${tileSql("cell_id")} AS tile_id, fi,
+       |    $vidSql AS v, $posSql AS p
+       |  FROM cells, f)
+       |SELECT printf('vid_%05d', tile_id) AS video_id,
+       |  CAST(fi AS INT) AS frame_idx,
+       |  SUM(v) / COUNT(*) AS mean_px, MAX(v) AS max_px,
+       |  SUM((p + 1) * v) AS wsum
+       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** q31: lossy-payload invariant: png16 round-trip PSNR >= 40 dB per

@@ -229,6 +229,57 @@ object MediaStats {
   }
 }
 
+/** Stats of ONE frame of a multi-frame (video-like) payload: decode
+  * frame `frame` — band `frame` of the band-major f32 layout — and
+  * emit struct(mean_px, max_px, wsum) in a single codegen'd pass.
+  * The decode touches only the sampled frame's byte slice
+  * (`Codec.decodeF32Band` seeks to the band offset), so a stride-k
+  * frame-sample pays ~1/k of the per-payload decode work; wsum =
+  * SUM((p+1)*v) is the position-weighted term that pins within-frame
+  * pixel order under permutation-invariant aggregates (q73 pattern).
+  * Children: (bytes, fmt); nPixels/frame are plan-time constants. */
+case class FrameStats(left: Expression, right: Expression,
+    nPixels: Int, frame: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("mean_px", DoubleType, nullable = false),
+    StructField("max_px", DoubleType, nullable = false),
+    StructField("wsum", DoubleType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    FrameStats.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, frame)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FrameStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $frame);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FrameStats {
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int,
+      frame: Int): InternalRow = {
+    val px = Codec.decodeBand(fmt.toString, bytes, nPixels, frame)
+    var sum = 0.0
+    var mx = Double.MinValue
+    var ws = 0.0
+    var i = 0
+    while (i < px.length) {
+      sum += px(i)
+      if (px(i) > mx) mx = px(i)
+      ws += (i + 1).toDouble * px(i)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sum / px.length, mx, ws))
+  }
+}
+
 /** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
@@ -678,6 +729,12 @@ object GraftFunctions {
   /** Decode band `band` of an f32/png16 tile payload to array<float>. */
   def decode_band(bytes: Column, fmt: Column, nPixels: Int, band: Int): Column =
     column(DecodeBand(expression(bytes), expression(fmt), nPixels, band))
+
+  /** One-pass stats of frame `frame` of a multi-frame payload:
+    * struct(mean_px, max_px, wsum). */
+  def frame_stats(bytes: Column, fmt: Column, nPixels: Int,
+      frame: Int): Column =
+    column(FrameStats(expression(bytes), expression(fmt), nPixels, frame))
 
   /** Region id of point (px, py) among `polys`, null if none. */
   def region_of(px: Column, py: Column, polys: Array[Polygon]): Column =

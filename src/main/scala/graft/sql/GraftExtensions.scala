@@ -113,6 +113,13 @@ object GraftExtensions {
           "media feature stats (frameK literal)", 5) { a =>
         MediaStats(a(0), a(1), a(2), a(3),
           intLit(a(4), "graft_media_stats", "frameK"))
+      },
+      entry("graft_frame_stats",
+        "graft_frame_stats(bytes, fmt, nPixels, frame) - one-pass stats " +
+          "of one frame of a multi-frame payload (nPixels/frame literals)",
+        4) { a =>
+        FrameStats(a(0), a(1), intLit(a(2), "graft_frame_stats", "nPixels"),
+          intLit(a(3), "graft_frame_stats", "frame"))
       })
 
   /** Register on a live session (runtime alternative to the

@@ -107,39 +107,59 @@ object StreamDedup {
         GroupStateTimeout.EventTimeTimeout)(judgeBucket(horizonMs))
   }
 
-  private def judgeBucket(horizonMs: Long)(key: Long,
-      rows: Iterator[Banded],
-      state: GroupState[Seq[(Long, Long, Long, Long)]]): Iterator[Verdict] = {
+  /** Shared stateful-bucket scaffolding for both near-dup judges:
+    * whole-bucket idle-timeout cleanup, per-entry event-time pruning
+    * of the seen list BEFORE matching (an in-horizon doc whose only
+    * match is a stale entry must become a keeper itself), deterministic
+    * in-batch replay order, state write-back, and the event-time lease.
+    * The lease is anchored on EVENT time (the first batches run with
+    * the watermark still at zero — anchoring there would expire the
+    * bucket immediately) and extended every time the bucket sees data.
+    * `step` judges one row against the pruned seen list and returns
+    * (verdict, entry-to-remember-or-None). */
+  private def statefulBucket[R, E, V](horizonMs: Long, rows: Iterator[R],
+      state: GroupState[Seq[E]], orderKey: R => Long, rowTs: R => Long,
+      entryTs: E => Long)(step: (Seq[E], R) => (V, Option[E])): Iterator[V] = {
     if (state.hasTimedOut) { // idle past the horizon: drop the bucket
       state.remove()
       return Iterator.empty
     }
-    if (key == -1L) // unsigned docs: stateless pass-through keepers
-      return rows.toSeq.sortBy(_.doc_id)
-        .map(d => Verdict(d.doc_id, key, -1L)).iterator
-    // drop keepers that aged past the horizon BEFORE matching: a doc
-    // whose only match is a stale keeper must become a keeper itself
     val cutoffMs = state.getCurrentWatermarkMs() - horizonMs
     var seen = state.getOption.getOrElse(Seq.empty)
-      .filter(_._4 >= cutoffMs)
-    val batch = rows.toSeq.sortBy(_.doc_id)
-    val out = batch.map { d =>
-      val dupOf = seen.collectFirst {
-        case (id, m0, m1, _) if m0 == d.mh0 && m1 == d.mh1 => id
-      }.getOrElse(-1L)
-      if (dupOf == -1L) seen = seen :+ ((d.doc_id, d.mh0, d.mh1, d.ts.getTime))
-      Verdict(d.doc_id, key, dupOf)
+      .filter(e => entryTs(e) >= cutoffMs)
+    val batch = rows.toSeq.sortBy(orderKey)
+    val out = batch.map { r =>
+      val (verdict, remember) = step(seen, r)
+      remember.foreach(e => seen = seen :+ e)
+      verdict
     }
-    // seen is never empty here: the batch is non-empty and every
-    // unmatched doc just appended itself as a keeper
     state.update(seen)
-    // lease anchored on EVENT time (the first batches run with the
-    // watermark still at zero — anchoring there would expire the
-    // bucket immediately), extended every time the bucket sees data
-    val maxTs = batch.map(_.ts.getTime).max
+    val maxTs = batch.map(rowTs).max
     state.setTimeoutTimestamp(
       math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
     out.iterator
+  }
+
+  private def judgeBucket(horizonMs: Long)(key: Long,
+      rows: Iterator[Banded],
+      state: GroupState[Seq[(Long, Long, Long, Long)]]): Iterator[Verdict] = {
+    if (key == -1L) { // unsigned docs: stateless pass-through keepers
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      return rows.toSeq.sortBy(_.doc_id)
+        .map(d => Verdict(d.doc_id, key, -1L)).iterator
+    }
+    statefulBucket(horizonMs, rows, state,
+      (d: Banded) => d.doc_id, (d: Banded) => d.ts.getTime,
+      (e: (Long, Long, Long, Long)) => e._4) {
+      (seen, d) =>
+        val dupOf = seen.collectFirst {
+          case (id, m0, m1, _) if m0 == d.mh0 && m1 == d.mh1 => id
+        }.getOrElse(-1L)
+        // only keepers are remembered: a dup's signature is already present
+        (Verdict(d.doc_id, key, dupOf),
+          if (dupOf == -1L) Some((d.doc_id, d.mh0, d.mh1, d.ts.getTime))
+          else None)
+    }
   }
 
   /** One incoming image row (the input_hint table's dedup-relevant
@@ -198,25 +218,20 @@ object StreamDedup {
 
   private def judgeImgBucket(horizonMs: Long, maxDist: Int)(key: Long,
       rows: Iterator[ImgBanded],
-      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[ImgVerdict] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val cutoffMs = state.getCurrentWatermarkMs() - horizonMs
-    var seen = state.getOption.getOrElse(Seq.empty).filter(_._3 >= cutoffMs)
-    val batch = rows.toSeq.sortBy(_.image_id)
-    val out = batch.map { m =>
-      val hit = seen.iterator
-        .filter(p => java.lang.Long.bitCount(p._2 ^ m.phash) <= maxDist)
-        .minByOption(_._1)
-      seen = seen :+ ((m.image_id, m.phash, m.ts.getTime))
-      ImgVerdict(m.image_id, key, hit.fold(-1L)(_._1),
-        hit.fold(-1)(p => java.lang.Long.bitCount(p._2 ^ m.phash)))
+      state: GroupState[Seq[(Long, Long, Long)]]): Iterator[ImgVerdict] =
+    statefulBucket(horizonMs, rows, state,
+      (m: ImgBanded) => m.image_id, (m: ImgBanded) => m.ts.getTime,
+      (e: (Long, Long, Long)) => e._3) {
+      (seen, m) =>
+        val hit = seen.iterator
+          .filter(p => java.lang.Long.bitCount(p._2 ^ m.phash) <= maxDist)
+          .minByOption(_._1)
+        // EVERY image is remembered (dups included) — that is what keeps
+        // pigeonhole recall exact and the buckets independent
+        (ImgVerdict(m.image_id, key, hit.fold(-1L)(_._1),
+          hit.fold(-1)(p => java.lang.Long.bitCount(p._2 ^ m.phash))),
+          Some((m.image_id, m.phash, m.ts.getTime)))
     }
-    state.update(seen)
-    val maxTs = batch.map(_.ts.getTime).max
-    state.setTimeoutTimestamp(
-      math.max(state.getCurrentWatermarkMs(), maxTs) + horizonMs)
-    out.iterator
-  }
 
   /** Streaming SESSIONIZATION — the incremental shape of batch q60:
     * per-user sessions close after `gap` of event-time silence, via

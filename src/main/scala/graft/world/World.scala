@@ -83,6 +83,10 @@ object World {
   /** Predictor band b (1..5): small integer 0..255 (f32-exact). */
   def band(id: Long, b: Int): Double = (h(id * 7 + b) % 256).toDouble
 
+  /** Video frame f of a cell: dyadic k/512 evolving per frame (the
+    * frame-sample fixture formula — exact in f32 and in DuckDB SQL). */
+  def vid(id: Long, f: Int): Double = (h(id * 17 + f) % 512).toDouble / 512.0
+
   /** Synthetic per-class probability c (1..5): dyadic k/64 — coarse on
     * purpose so argmax ties occur and pin first-max semantics (R:370). */
   def prob(id: Long, c: Int): Double = (h(id * 11 + c) % 64).toDouble / 64.0

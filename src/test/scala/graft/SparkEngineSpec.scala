@@ -842,4 +842,81 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(H3Lite.col(p4) == (H3Lite.col(h3) >> 5))
     }
   }
+
+  test("q33 importance guard band: every per-feature gain sum sits far " +
+    "from its 1e-6 rounding boundary and from the >0 cut, so the " +
+    "oracle's unordered SUM cannot flip a compared value") {
+    val gains = graft.queries.Spatial.importanceGains
+    assert(gains.nonEmpty)
+    var minBoundary = Double.PositiveInfinity
+    var minPositive = Double.PositiveInfinity
+    gains.foreach { case (_, gs) =>
+      val imp = gs.sum
+      if (imp > 0) {
+        // distance of imp*1e6 from the nearest round-half boundary
+        val scaled = imp * 1e6
+        val frac = scaled - math.floor(scaled)
+        minBoundary = math.min(minBoundary, math.abs(frac - 0.5))
+        minPositive = math.min(minPositive, imp)
+      } else
+        // a sum at/below zero must be FAR below the >0 cut, or be an
+        // exact zero of all-zero terms (reorder-proof) — an order
+        // flip must not push it over the HAVING
+        assert(imp < -1e-9 || (imp == 0.0 && gs.forall(_ == 0.0)),
+          s"gain sum $imp too close to the >0 cut")
+    }
+    // ulp-scale reordering error is ~1e-10 relative; 1e-3 of margin in
+    // the 1e-6-scaled domain is 6+ orders of safety
+    assert(minBoundary > 1e-3,
+      s"importance too close to rounding boundary: $minBoundary")
+    assert(minPositive > 1e-6, s"positive importance too small: $minPositive")
+  }
+
+  test("frameSample: per-frame stats equal a brute decode of the World.vid " +
+    "formula, only the sampled stride-4 indices appear") {
+    import graft.engine.Multimodal
+    val out = Multimodal.frameSample(Multimodal.syntheticVideo(spark),
+        Multimodal.VideoFrames, stride = 4, spec.pixPerTile)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val wantFrames = (0 until Multimodal.VideoFrames by 4).toSet // 0,4,8
+    assert(out.keys.map(_._2).toSet == wantFrames)
+    assert(out.size == spec.nTiles * wantFrames.size)
+    for (t <- Seq(0, 7, spec.nTiles - 1); f <- wantFrames) {
+      val px = (0 until spec.pixPerTile)
+        .map(p => World.vid(spec.cellId(t, p), f).toFloat.toDouble)
+      val want = (px.sum / px.length, px.max,
+        px.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum)
+      assert(out((f"vid_$t%05d", f)) == want, s"tile $t frame $f")
+    }
+  }
+
+  test("RangeJoin.bandedIntervalJoin equals the naive non-equi join " +
+    "(overlapping intervals, boundary-inclusive), and plans an equi " +
+    "join — never a nested-loop/cartesian") {
+    import spark.implicits._
+    // points on band boundaries, in overlaps, and outside all bands
+    val pts = Seq(0.0, 99.5, 100.0, 100.5, 150.0, 199.0, 250.0, 777.0, -5.0)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("pt_id", "x")
+    // stride 50 < width 100: interiors overlap pairwise
+    val ivs = (0 until 12).map { i =>
+      (i.toLong, i * 50.0, i * 50.0 + 100.0)
+    }.toDF("iv_id", "lo", "hi")
+    val banded = graft.engine.RangeJoin.bandedIntervalJoin(
+      pts, "x", ivs, "lo", "hi", bucketWidth = 64)
+    val got = banded.select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pt_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.exists(p => want.count(_._1 == p._1) > 1),
+      "fixture must exercise a point matching multiple intervals")
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"banded rewrite must plan an equi join:\n$plan")
+  }
 }
