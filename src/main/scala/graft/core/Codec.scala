@@ -137,6 +137,31 @@ object Codec {
         ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24))
   }
 
+  /** Encode signed 16-bit PCM samples little-endian (the `s16le`
+    * audio payload format: raw interleavable mono frames, the byte
+    * layout of a WAV data chunk without the RIFF header). */
+  def encodeS16(samples: Array[Short]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2 * samples.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.asShortBuffer().put(samples)
+    buf.array()
+  }
+
+  def decodeS16(bytes: Array[Byte]): Array[Short] = {
+    val out = new Array[Short](bytes.length / 2)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().get(out)
+    out
+  }
+
+  /** Single s16le sample by index — the audio analog of `floatAt`:
+    * zero-allocation random access so windowed stats inside one
+    * codegen stage never materialize a sample array. */
+  @inline def s16At(bytes: Array[Byte], idx: Int): Int = {
+    val i = idx << 1
+    ((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort.toInt
+  }
+
   /** Decode dispatch on the table's `fmt` column. */
   def decodeBand(fmt: String, bytes: Array[Byte], nPixels: Int, band: Int): Array[Float] =
     fmt match {

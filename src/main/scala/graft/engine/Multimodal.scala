@@ -84,6 +84,64 @@ object Multimodal {
     }.toDF("video_id", "bytes", "w", "h", "fmt", "n_frames")
   }
 
+  /** Samples per synthetic audio clip / stats window size / resample
+    * stride. Plan-time constants here because the fixture table is
+    * homogeneous; a production table carries n_samples per row. */
+  val AudioSamples = 4096
+  val AudioWindow = 256
+  val AudioStride = 4
+
+  /** Synthetic AUDIO table: one clip per tile of the tiny world,
+    * payload = `AudioSamples` mono s16le samples from the dyadic
+    * `World.aud` formula (SQL-reproducible, so the windowed-stats and
+    * resample queries sit under the full DuckDB oracle). sample_rate
+    * is carried metadata, untouched by the integer ops. */
+  def syntheticAudio(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val spec = World.tiny
+    val n = AudioSamples
+    s.range(0, spec.nTiles).map { t =>
+      val samples = Array.tabulate(n)(i => World.aud(t, i).toShort)
+      (f"aud_$t%05d", Codec.encodeS16(samples), 16000, n, "s16le",
+        s"clip of tile $t")
+    }.toDF("audio_id", "bytes", "sample_rate", "n_samples", "fmt",
+      "caption")
+  }
+
+  /** WINDOWED STATS — the audio op of the multimodal pipeline: split
+    * each clip into fixed windows and emit one row per (clip, window)
+    * with its integer stats. Window indices are plan-time constants,
+    * so each becomes ONE codegen'd `AudioWindowStats` call touching
+    * only its own byte slice; fan-out is a single inline explode — no
+    * join, no shuffle (the exact shape of video frameSample). */
+  def audioWindows(audio: DataFrame, nSamples: Int, winSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sql.GraftFunctions.audio_window_stats
+    require(winSize > 0 && nSamples % winSize == 0,
+      s"window $winSize must divide clip length $nSamples")
+    val wins = (0 until nSamples / winSize).map { w =>
+      struct(lit(w).as("window_idx"),
+        audio_window_stats(col("bytes"), w, winSize).as("s"))
+    }
+    audio.select(col("audio_id"), explode(array(wins: _*)).as("wn"))
+      .select(col("audio_id"), col("wn.window_idx").as("window_idx"),
+        col("wn.s.sum_sq").as("sum_sq"), col("wn.s.peak").as("peak"),
+        col("wn.s.zero_cross").as("zero_cross"))
+  }
+
+  /** RESAMPLE round-trip: stride-k decimation re-encoded as a real
+    * s16le payload, verified by the order-pinning ClipStatsS16
+    * checksum (the q73 decode-round-trip pattern applied to audio). */
+  def audioResample(audio: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.sql.GraftFunctions.{clip_stats_s16, decimate_s16}
+    audio.select(col("audio_id"),
+        clip_stats_s16(decimate_s16(col("bytes"), k)).as("s"))
+      .select(col("audio_id"), col("s.n").as("n_out"),
+        col("s.sum_v").as("sum_v"), col("s.peak").as("peak"),
+        col("s.wsum").as("wsum"))
+  }
+
   /** FRAME-SAMPLE — the video op of the multimodal pipeline: keep
     * every `stride`-th frame of each payload and emit one row per
     * sampled frame with its decoded stats. The sampled indices are

@@ -551,6 +551,142 @@ object Resize2x {
   }
 }
 
+/** One-pass integer stats of window `win` (winSize samples) of an
+  * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
+  * outputs so the DuckDB oracle compare is bit-exact (no libm). The
+  * window index is a plan-time constant, so each call touches only its
+  * own 2*winSize byte slice — the audio analog of FrameStats' seek-to-
+  * frame decode; at real scale the same constants become byte-range
+  * pushdown into the object reader. Zero crossings count strict sign
+  * flips between CONSECUTIVE samples of the window (zeros break a
+  * flip), a window-local definition so windows are independently
+  * computable in any order. */
+case class AudioWindowStats(child: Expression, win: Int, winSize: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zero_cross", IntegerType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any): Any =
+    AudioWindowStats.eval(bytes.asInstanceOf[Array[Byte]], win, winSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AudioWindowStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $win, $winSize);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioWindowStats {
+  def eval(bytes: Array[Byte], win: Int, winSize: Int): InternalRow = {
+    val off = win * winSize
+    var sumSq = 0L
+    var peak = 0
+    var zc = 0
+    var prev = 0
+    var i = 0
+    while (i < winSize) {
+      val v = Codec.s16At(bytes, off + i)
+      sumSq += v.toLong * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      if (i > 0 && prev * v < 0) zc += 1
+      prev = v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sumSq, peak, zc))
+  }
+}
+
+/** Keep every k-th sample of an s16le payload (stride decimation — the
+  * audio resample op; a production resampler swaps the inner kernel
+  * for a windowed-sinc but keeps this exact shape: per-row, linear,
+  * no shuffle, output length n/k). */
+case class DecimateS16(child: Expression, k: Int)
+  extends UnaryExpression {
+
+  require(k > 0, s"decimation factor must be positive, got $k")
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(bytes: Any): Any =
+    DecimateS16.eval(bytes.asInstanceOf[Array[Byte]], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DecimateS16.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DecimateS16 {
+  def eval(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val n = bytes.length / 2
+    val m = (n + k - 1) / k
+    val out = new Array[Short](m)
+    var j = 0
+    while (j < m) {
+      out(j) = Codec.s16At(bytes, j * k).toShort
+      j += 1
+    }
+    Codec.encodeS16(out)
+  }
+}
+
+/** Whole-clip integer stats of an s16le payload: struct(n, sum_v,
+  * peak, wsum) with wsum = sum((i+1) * sample_i) — the position-
+  * weighted term makes the struct a checksum of the exact byte layout
+  * AND sample order (the q73 round-trip trick), so composing it over
+  * DecimateS16 pins the re-encoded payload bit-for-bit under the SQL
+  * oracle. */
+case class ClipStatsS16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("sum_v", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("wsum", LongType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any): Any =
+    ClipStatsS16.eval(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ClipStatsS16.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ClipStatsS16 {
+  def eval(bytes: Array[Byte]): InternalRow = {
+    val n = bytes.length / 2
+    var sum = 0L
+    var peak = 0
+    var wsum = 0L
+    var i = 0
+    while (i < n) {
+      val v = Codec.s16At(bytes, i)
+      sum += v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      wsum += (i + 1).toLong * v
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, sum, peak, wsum))
+  }
+}
+
 /** All k MinHash signature values of a document in ONE pass over its
   * characters: for each 3-char shingle window, code = c0*961 + c1*31 +
   * c2 (the same polynomial the SQL oracle uses), and sig_j =
@@ -766,6 +902,19 @@ object GraftFunctions {
   /** Sequential-order dot product of two array<double> columns. */
   def dot_f64(a: Column, b: Column): Column =
     column(DotF64(expression(a), expression(b)))
+
+  /** Integer stats of window `win` of an s16le audio payload:
+    * struct(sum_sq, peak, zero_cross). */
+  def audio_window_stats(bytes: Column, win: Int, winSize: Int): Column =
+    column(AudioWindowStats(expression(bytes), win, winSize))
+
+  /** Every k-th sample of an s16le payload (stride resample). */
+  def decimate_s16(bytes: Column, k: Int): Column =
+    column(DecimateS16(expression(bytes), k))
+
+  /** Whole-clip integer stats of an s16le payload, order-pinning. */
+  def clip_stats_s16(bytes: Column): Column =
+    column(ClipStatsS16(expression(bytes)))
 
   /** Per-pixel driver-class vote with the region PIP folded in: one
     * ray-cast per pixel, -1 for points outside every polygon. */

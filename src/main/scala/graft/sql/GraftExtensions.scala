@@ -120,6 +120,23 @@ object GraftExtensions {
         4) { a =>
         FrameStats(a(0), a(1), intLit(a(2), "graft_frame_stats", "nPixels"),
           intLit(a(3), "graft_frame_stats", "frame"))
+      },
+      entry("graft_audio_window_stats",
+        "graft_audio_window_stats(bytes, win, winSize) - integer stats " +
+          "(sum_sq, peak, zero_cross) of one window of an s16le audio " +
+          "payload (win/winSize literals)", 3) { a =>
+        AudioWindowStats(a(0), intLit(a(1), "graft_audio_window_stats", "win"),
+          intLit(a(2), "graft_audio_window_stats", "winSize"))
+      },
+      entry("graft_decimate_s16",
+        "graft_decimate_s16(bytes, k) - every k-th sample of an s16le " +
+          "payload re-encoded (k literal)", 2) { a =>
+        DecimateS16(a(0), intLit(a(1), "graft_decimate_s16", "k"))
+      },
+      entry("graft_clip_stats_s16",
+        "graft_clip_stats_s16(bytes) - whole-clip integer stats (n, " +
+          "sum_v, peak, order-pinning wsum) of an s16le payload", 1) { a =>
+        ClipStatsS16(a(0))
       })
 
   /** Register on a live session (runtime alternative to the

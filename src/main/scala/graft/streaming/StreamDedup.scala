@@ -277,4 +277,34 @@ object StreamDedup {
       .select(col("w.start").as("w_start"), col("n_docs"),
         col("mean_tokens"), col("quality_rate"))
   }
+
+  /** Streaming AUDIO windowed stats: each arriving clip (opaque s16le
+    * payload + event time) fans out to its per-window integer stats via
+    * the same plan-constant `AudioWindowStats` byte-slice reads as
+    * batch q81 — stateless per row, so it composes with any downstream
+    * watermarked aggregation; here, per event-time window: clip count,
+    * total energy, max peak (the live ingest-monitoring shape). */
+  def audioStatsByWindow(clips: DataFrame, nSamples: Int, winSize: Int,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.sql.GraftFunctions.audio_window_stats
+    require(winSize > 0 && nSamples % winSize == 0,
+      s"window $winSize must divide clip length $nSamples")
+    val wins = (0 until nSamples / winSize).map { w =>
+      audio_window_stats(col("bytes"), w, winSize)
+    }
+    val energy = wins.map(_.getField("sum_sq")).reduce(_ + _)
+    val peaks = wins.map(_.getField("peak"))
+    val peak = if (peaks.length == 1) peaks.head else greatest(peaks: _*)
+    clips
+      .withColumn("energy", energy)
+      .withColumn("peak", peak)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum("energy").as("total_energy"),
+        max("peak").as("max_peak"))
+      .select(col("w.start").as("w_start"), col("n_clips"),
+        col("total_energy"), col("max_peak"))
+  }
 }

@@ -87,6 +87,12 @@ object World {
     * frame-sample fixture formula — exact in f32 and in DuckDB SQL). */
   def vid(id: Long, f: Int): Double = (h(id * 17 + f) % 512).toDouble / 512.0
 
+  /** Audio sample i of clip `clip`: signed 16-bit integer in
+    * [-2048, 2047] (integer-exact in SQL and in s16le — the audio
+    * fixture formula, mirroring `vid` for video frames). */
+  def aud(clip: Long, i: Int): Int =
+    (h(clip * 8191 + i.toLong * 23) % 4096).toInt - 2048
+
   /** Synthetic per-class probability c (1..5): dyadic k/64 — coarse on
     * purpose so argmax ties occur and pin first-max semantics (R:370). */
   def prob(id: Long, c: Int): Double = (h(id * 11 + c) % 64).toDouble / 64.0

@@ -13,6 +13,9 @@ import graft.streaming.StreamDedup.Doc
   * non-local case class). */
 case class SessEv(user_id: Long, ts: Timestamp)
 
+/** Streaming audio clip: opaque s16le payload + event time. */
+case class ClipEv(audio_id: Long, bytes: Array[Byte], ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -245,6 +248,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.size == 2, "two 10-minute windows")
       assert(got(0L) == (2L, 0.5), "window 0: 2 docs, half quality-passing")
       assert(got(10L) == (1L, 1.0), "window 10: 1 doc, passing")
+    } finally q.stop()
+  }
+
+  test("streaming audio windowed stats match the batch AudioWindowStats " +
+    "recompute per event-time window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val nS = 512
+    val wS = 256
+    def clip(seed: Long): Array[Byte] = graft.core.Codec.encodeS16(
+      Array.tabulate(nS)(i => graft.world.World.aud(seed, i).toShort))
+    def stats(seed: Long): (Long, Int) = {
+      val b = clip(seed)
+      val ws = (0 until nS / wS)
+        .map(w => graft.sql.AudioWindowStats.eval(b, w, wS))
+      (ws.map(_.getLong(0)).sum, ws.map(_.getInt(1)).max)
+    }
+    val in = MemoryStream[ClipEv]
+    val q = StreamDedup.audioStatsByWindow(in.toDF(), nS, wS)
+      .writeStream.format("memory").queryName("g_audio")
+      .outputMode("complete").start()
+    try {
+      in.addData(ClipEv(1, clip(1), ts(1)), ClipEv(2, clip(2), ts(3)),
+        ClipEv(3, clip(3), ts(12)))
+      q.processAllAvailable()
+      val got = spark.table("g_audio")
+        .collect().map(r => (r.getTimestamp(0).getTime - Base) / 60000 ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      val (e1, p1) = stats(1); val (e2, p2) = stats(2); val (e3, p3) = stats(3)
+      assert(got == Map(
+        0L -> (2L, e1 + e2, math.max(p1, p2)),
+        10L -> (1L, e3, p3)), s"got $got")
     } finally q.stop()
   }
 }
