@@ -34,10 +34,17 @@ object Components {
       s"$name: minLabel expects a two-column edge frame, got " +
         pairs.columns.mkString("(", ", ", ")"))
     val Seq(ca, cb) = pairs.columns.toSeq
-    val directed = pairs.select(col(ca).as("src"), col(cb).as("dst"))
+    // Fan out each undirected pair to both directed edges with ONE
+    // inline explode, not `pairs UNION swap(pairs)`: the union shape
+    // evaluates the caller's pair pipeline TWICE (two branches of one
+    // plan, and candidate-pair generation is the expensive stage of a
+    // dedup run); the explode reads it once for the same rows.
     val edges = Checkpoint.truncate(s,
-      directed.unionByName(
-        directed.select(col("dst").as("src"), col("src").as("dst"))))
+      pairs.select(explode(array(
+          struct(col(ca).as("src"), col(cb).as("dst")),
+          struct(col(cb).cast(pairs.schema(ca).dataType).as("src"),
+            col(ca).cast(pairs.schema(cb).dataType).as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst")))
 
     // the iterated frame is ~1000x smaller than the corpus, so its
     // shuffles should be narrower than the corpus-sized default: size
