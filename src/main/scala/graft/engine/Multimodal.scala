@@ -108,6 +108,25 @@ object Multimodal {
       "caption")
   }
 
+  /** VARIANT clips for the audio near-dup fixture: one per base clip,
+    * identical samples except every 13th shifted by [-512, 512]
+    * (`World.audPerturb`) — a re-encode/transcode stand-in whose
+    * energy-delta fingerprint lands hamming 0..5 from the base
+    * clip's. Ids sort AFTER their base (`audv_` > `aud_`), so pair
+    * output is (base, variant). */
+  def syntheticAudioVariants(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val spec = World.tiny
+    val n = AudioSamples
+    s.range(0, spec.nTiles).map { t =>
+      val samples = Array.tabulate(n)(i =>
+        (World.aud(t, i) + World.audPerturb(t, i)).toShort)
+      (f"audv_$t%05d", Codec.encodeS16(samples), 16000, n, "s16le",
+        s"variant clip of tile $t")
+    }.toDF("audio_id", "bytes", "sample_rate", "n_samples", "fmt",
+      "caption")
+  }
+
   /** WINDOWED STATS — the audio op of the multimodal pipeline: split
     * each clip into fixed windows and emit one row per (clip, window)
     * with its integer stats. Window indices are plan-time constants,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.engine.Multimodal
 import graft.world.World
 
@@ -20,7 +21,8 @@ object Audio {
 
   def all: Seq[Q] = Seq(
     Q("q81_audio_windows", q81, Some(q81Sql)),
-    Q("q82_audio_resample", q82, Some(q82Sql)))
+    Q("q82_audio_resample", q82, Some(q82Sql)),
+    Q("q83_audio_neardup", q83, Some(q83Sql)))
 
   private val nClips = World.tiny.nTiles
   private val N = Multimodal.AudioSamples
@@ -75,4 +77,60 @@ object Audio {
        |  CAST(MAX(ABS(v)) AS INT) AS peak,
        |  CAST(SUM((i // $K + 1) * v) AS BIGINT) AS wsum
        |FROM s WHERE i % $K = 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fingerprint windows: 64 windows of N/64 samples -> 64 bits. */
+  private val FpWin = 64
+  /** Near-dup hamming radius (4 bands of 16 bits give exact recall). */
+  private val FpHamK = 3
+
+  /** q83: AUDIO NEAR-DUP — the dedup stage for the audio modality
+    * (text MinHash = q45-q56, image phash = q77/q78, audio = this).
+    * Each clip gets a 64-bit circular energy-delta fingerprint
+    * (AudioFingerprint, one codegen'd pass over the payload); the
+    * fixture adds one perturbed VARIANT per base clip (transcode
+    * stand-in); candidate pairs come from the shared exact-recall
+    * pigeonhole banding (TextOps.hammingPairs: hamming<=3 implies an
+    * equal 16-bit band, replication factor 4, shuffle keyed on
+    * (band, chunk) — no O(n^2) anywhere); popcount verifies. Oracle:
+    * fingerprints rebuilt in SQL from the sample formulas, brute-force
+    * pair scan. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val clips = Multimodal.syntheticAudio(s)
+      .unionByName(Multimodal.syntheticAudioVariants(s))
+    val fp = graft.sql.GraftFunctions
+      .audio_fingerprint(col("bytes"), N / FpWin, FpWin)
+    TextOps.hammingPairs(
+        clips.select(col("audio_id"), fp.as("fingerprint")),
+        "audio_id", "fingerprint", FpHamK)
+      .withColumnRenamed("a", "a_id").withColumnRenamed("b", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q83Sql = {
+    val w = N / FpWin
+    // 1 << k as a BIGINT literal (k = 63 prints Long.MinValue, which
+    // DuckDB parses via HUGEINT then casts back — the q77 trick)
+    val bitval = "CASE a.k " + (0 until FpWin).map(k =>
+      s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
+    val perturb = s"(CASE WHEN i % 13 = 0 THEN" +
+      s" (((t * 29 + i * 31) * 2654435761) % 4294967296 % 1025 - 512)" +
+      s" ELSE 0 END)"
+    s"""$samplesCte,
+       |a2 AS (SELECT printf('aud_%05d', t) AS id, i, v FROM s
+       |  UNION ALL
+       |  SELECT printf('audv_%05d', t), i, v + $perturb FROM s),
+       |e AS (SELECT id, i // $w AS k, SUM(v * v) AS e
+       |  FROM a2 GROUP BY 1, 2),
+       |fp AS (SELECT a.id,
+       |    CAST(SUM(CASE WHEN a.e > b.e THEN $bitval ELSE 0 END)
+       |      AS BIGINT) AS fingerprint
+       |  FROM e a JOIN e b ON a.id = b.id AND b.k = (a.k + 1) % $FpWin
+       |  GROUP BY 1)
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+       |    AS hamming
+       |FROM fp a JOIN fp b ON a.id < b.id
+       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= $FpHamK
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

@@ -687,6 +687,61 @@ object ClipStatsS16 {
   }
 }
 
+/** 64-bit audio fingerprint of an s16le payload: the clip is split
+  * into `nWin` equal windows, bit k = 1 iff window k's energy (sum of
+  * squared samples) exceeds window (k+1) mod nWin's — the circular
+  * energy-delta sign pattern, a 1-D analog of the 8x8 block-mean
+  * phash. Robust to small per-sample perturbations (energy moves by
+  * ~|2*v*delta| against window-to-window deltas orders of magnitude
+  * larger), so near-identical clips land within a few hamming bits and
+  * the pigeonhole-banded matcher (hammingPairs) finds them with exact
+  * recall. All-integer, so the DuckDB oracle rebuilds it bit-for-bit. */
+case class AudioFingerprint(child: Expression, winSize: Int, nWin: Int)
+  extends UnaryExpression {
+
+  require(nWin > 0 && nWin <= 64, s"fingerprint needs 1..64 windows, got $nWin")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(bytes: Any): Any =
+    AudioFingerprint.eval(bytes.asInstanceOf[Array[Byte]], winSize, nWin)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AudioFingerprint.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $winSize, $nWin);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AudioFingerprint {
+  def eval(bytes: Array[Byte], winSize: Int, nWin: Int): Long = {
+    val e = new Array[Long](nWin)
+    var k = 0
+    while (k < nWin) {
+      val off = k * winSize
+      var s = 0L
+      var i = 0
+      while (i < winSize) {
+        val v = Codec.s16At(bytes, off + i)
+        s += v.toLong * v
+        i += 1
+      }
+      e(k) = s
+      k += 1
+    }
+    var fp = 0L
+    k = 0
+    while (k < nWin) {
+      if (e(k) > e((k + 1) % nWin)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+}
+
 /** All k MinHash signature values of a document in ONE pass over its
   * characters: for each 3-char shingle window, code = c0*961 + c1*31 +
   * c2 (the same polynomial the SQL oracle uses), and sig_j =
@@ -915,6 +970,10 @@ object GraftFunctions {
   /** Whole-clip integer stats of an s16le payload, order-pinning. */
   def clip_stats_s16(bytes: Column): Column =
     column(ClipStatsS16(expression(bytes)))
+
+  /** 64-bit circular energy-delta fingerprint of an s16le payload. */
+  def audio_fingerprint(bytes: Column, winSize: Int, nWin: Int): Column =
+    column(AudioFingerprint(expression(bytes), winSize, nWin))
 
   /** Per-pixel driver-class vote with the region PIP folded in: one
     * ray-cast per pixel, -1 for points outside every polygon. */

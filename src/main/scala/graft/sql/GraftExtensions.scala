@@ -137,6 +137,14 @@ object GraftExtensions {
         "graft_clip_stats_s16(bytes) - whole-clip integer stats (n, " +
           "sum_v, peak, order-pinning wsum) of an s16le payload", 1) { a =>
         ClipStatsS16(a(0))
+      },
+      entry("graft_audio_fingerprint",
+        "graft_audio_fingerprint(bytes, winSize, nWin) - 64-bit " +
+          "circular energy-delta fingerprint of an s16le payload " +
+          "(winSize/nWin literals)", 3) { a =>
+        AudioFingerprint(a(0),
+          intLit(a(1), "graft_audio_fingerprint", "winSize"),
+          intLit(a(2), "graft_audio_fingerprint", "nWin"))
       })
 
   /** Register on a live session (runtime alternative to the

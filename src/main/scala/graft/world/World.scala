@@ -93,6 +93,17 @@ object World {
   def aud(clip: Long, i: Int): Int =
     (h(clip * 8191 + i.toLong * 23) % 4096).toInt - 2048
 
+  /** Sparse perturbation of audio sample i in a VARIANT clip: every
+    * 13th sample shifts by an integer in [-512, 512], else 0 — tuned
+    * so the 24 variants' energy-delta fingerprints spread over hamming
+    * 0..5 from their base clips (18 within the near-dup radius 3, 6
+    * just beyond it), exercising exact matches, near matches AND the
+    * radius cutoff. Fully deterministic: whichever bits flip are
+    * reproduced exactly by the SQL oracle — no probabilistic fixture
+    * behavior. Values stay within s16 (|base| <= 2048, |delta| <= 512). */
+  def audPerturb(clip: Long, i: Int): Int =
+    if (i % 13 == 0) (h(clip * 29 + i.toLong * 31) % 1025).toInt - 512 else 0
+
   /** Synthetic per-class probability c (1..5): dyadic k/64 — coarse on
     * purpose so argmax ties occur and pin first-max semantics (R:370). */
   def prob(id: Long, c: Int): Double = (h(id * 11 + c) % 64).toDouble / 64.0

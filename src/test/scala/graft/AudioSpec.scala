@@ -104,6 +104,44 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("AudioFingerprint matches a direct recompute; variants stay " +
+    "near their base; banded q83 pairs equal brute force (exact recall)") {
+    val n = Multimodal.AudioSamples
+    val w = n / 64
+    def fp(samples: Array[Short]): Long = {
+      val e = Array.tabulate(64)(k =>
+        samples.slice(k * w, (k + 1) * w).map(v => v.toLong * v).sum)
+      (0 until 64).foldLeft(0L)((acc, k) =>
+        if (e(k) > e((k + 1) % 64)) acc | (1L << k) else acc)
+    }
+    val fps = (0 until World.tiny.nTiles).flatMap { t =>
+      val base = Array.tabulate(n)(i => World.aud(t, i).toShort)
+      val variant = Array.tabulate(n)(i =>
+        (World.aud(t, i) + World.audPerturb(t, i)).toShort)
+      val fb = fp(base)
+      assert(graft.sql.AudioFingerprint.eval(
+        Codec.encodeS16(base), w, 64) == fb, s"clip $t")
+      val fv = fp(variant)
+      assert(java.lang.Long.bitCount(fb ^ fv) <= 8,
+        s"variant of clip $t drifted too far to be a near-dup fixture")
+      Seq(f"aud_$t%05d" -> fb, f"audv_$t%05d" -> fv)
+    }
+    // the fixture must exercise kept AND dropped hamming distances
+    val bv = (0 until World.tiny.nTiles).map(t =>
+      java.lang.Long.bitCount(fps.toMap.apply(f"aud_$t%05d") ^
+        fps.toMap.apply(f"audv_$t%05d")))
+    assert(bv.exists(_ == 0) && bv.exists(h => h >= 1 && h <= 3) &&
+      bv.exists(_ > 3), s"hamming spread degenerate: $bv")
+    // exact recall: engine pairs == brute force over the fingerprints
+    val brute = (for {
+      (a, fa) <- fps; (b, fb2) <- fps
+      if a < b && java.lang.Long.bitCount(fa ^ fb2) <= 3
+    } yield (a, b, java.lang.Long.bitCount(fa ^ fb2))).sortBy(p => (p._1, p._2))
+    val got = graft.SparkEntry.queries("q83_audio_neardup")(spark, "ignored")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == brute, s"banded pairs != brute force")
+  }
+
   test("audioWindows rejects a window that does not divide the clip") {
     intercept[IllegalArgumentException] {
       Multimodal.audioWindows(Multimodal.syntheticAudio(spark), 4096, 100)
