@@ -140,19 +140,28 @@ object Bench {
       (0L until Headline.spec.nTiles.toLong)
         .count(t => t * nSlices / Headline.spec.nTiles == sl).toLong
     }.sum
-    // >= 2 executions so a single burst cannot be the whole sample.
-    // Each execution also reports its wall-clock [start, end] (all
-    // workers share one machine clock) so CO-RUN phases can trim to
-    // the interval where all four JVMs are simultaneously active —
-    // without it, window tails run with fewer than 4 live workers
-    // (start skew + final-execution overshoot) and read faster than
-    // true co-run rate (the round-4 ADVICE simultaneity leak).
+    // >= 4 executions regardless of elapsed wall: the window length is
+    // sized for SOLO execution walls, but co-run contention stretches
+    // each execution (up to ~2x at the 8-core ladder's shared-DRAM
+    // ceiling), and a window holding only 2 stretched executions gives
+    // the simultaneity trim nothing fully contained to keep (it fell
+    // back to untrimmed rates — re-admitting the tail leak — twice per
+    // stress round). A minimum COUNT self-adapts: workers extend
+    // exactly where contention stretched walls, so every co-run phase
+    // hands the trim enough contained executions, and a single burst
+    // can never be the whole sample. Each execution also reports its
+    // wall-clock [start, end] (all workers share one machine clock) so
+    // CO-RUN phases can trim to the interval where all four JVMs are
+    // simultaneously active — without it, window tails run with fewer
+    // than 4 live workers (start skew + final-execution overshoot) and
+    // read faster than true co-run rate (the round-4 ADVICE
+    // simultaneity leak).
     println(s"SCALE_TPE $tilesPerExec")
     var tiles = 0L
     var execSecs = 0.0
     var execs = 0
     val t0 = System.nanoTime()
-    while (execs < 2 ||
+    while (execs < 4 ||
       (System.nanoTime() - t0) / 1e9 < windowSec.toDouble) {
       val rdds = slices.map(sl =>
         Headline.plan(s, trees, sl, nSlices).queryExecution.toRdd)
@@ -610,9 +619,12 @@ object Bench {
          |cores (8/cores x $CoRunWindowSec s: every phase's execution
          |carries ~full-grid work whose wall scales ~1/cores, so the
          |scaling keeps the executions per window roughly constant
-         |across ladders — ~6+ everywhere — and the co-run trim always
-         |has fully-contained executions to keep) with every execution
-         |counted (per-execution
+         |across ladders) AND to a minimum of 4 executions regardless
+         |of elapsed wall — co-run contention stretches execution walls
+         |up to ~2x at the shared-DRAM ceiling, and the count floor
+         |self-extends exactly those windows so the simultaneity trim
+         |always has fully-contained executions to keep — with every
+         |execution counted (per-execution
          |timing, so Catalyst planning stays untimed; each plan has its
          |own shuffle lineage, nothing reused). $Rounds rounds per
          |ladder, interleaved ACROSS ladders (round 1 of every ladder,

@@ -181,7 +181,9 @@ object StreamDedup {
     * streaming shape of batch q77 (4x16-bit pigeonhole banding,
     * hamming <= maxDist, Manku et al. WWW'07): each arriving image is
     * judged against EVERY prior image within the horizon, not just the
-    * current micro-batch.
+    * current micro-batch. The machinery is agnostic to what the 64
+    * signature bits encode — `audioDupVerdicts` below reuses it
+    * verbatim for energy-delta audio fingerprints.
     *
     * Unlike `nearDupVerdicts` (one LSH bucket per doc, probabilistic
     * recall), recall here is EXACT by pigeonhole: the image fans out to
@@ -232,6 +234,30 @@ object StreamDedup {
           hit.fold(-1)(p => java.lang.Long.bitCount(p._2 ^ m.phash))),
           Some((m.image_id, m.phash, m.ts.getTime)))
     }
+
+  /** Incremental AUDIO near-dup — the streaming shape of batch q83:
+    * each arriving clip's opaque s16le payload is fingerprinted
+    * in-stream (`AudioFingerprint`, the same codegen expression batch
+    * q83 uses) and judged through the banded machinery above — the
+    * pigeonhole state machine is agnostic to what the 64 bits MEAN
+    * (block-mean phash, energy-delta audio fingerprint, SimHash), so
+    * the audio path is a projection plus delegation, not a second
+    * state machine. Output columns renamed to the audio domain. */
+  def audioDupVerdicts(clips: DataFrame, nSamples: Int, nWin: Int = 64,
+      watermark: String = "24 hours",
+      horizonMs: Long = 24L * 3600 * 1000,
+      maxDist: Int = 3): DataFrame = {
+    import graft.sql.GraftFunctions.audio_fingerprint
+    require(nWin > 0 && nSamples % nWin == 0,
+      s"fingerprint windows $nWin must divide clip length $nSamples")
+    phashDupVerdicts(
+        clips.select(col("audio_id").as("image_id"),
+          audio_fingerprint(col("bytes"), nSamples / nWin, nWin)
+            .as("phash"),
+          col("ts")),
+        watermark, horizonMs, maxDist)
+      .withColumnRenamed("image_id", "audio_id")
+  }
 
   /** Streaming SESSIONIZATION — the incremental shape of batch q60:
     * per-user sessions close after `gap` of event-time silence, via

@@ -251,6 +251,63 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming audio near-dup (fingerprint through the banded phash " +
+    "machinery, q83 incremental): verdicts equal the brute-force " +
+    "min-prior rule over batch fingerprints, incl. variant-to-variant") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val n = graft.engine.Multimodal.AudioSamples
+    def clip(t: Int, variant: Boolean): Array[Byte] =
+      graft.core.Codec.encodeS16(Array.tabulate(n) { i =>
+        val v = graft.world.World.aud(t, i) +
+          (if (variant) graft.world.World.audPerturb(t, i) else 0)
+        v.toShort
+      })
+    def fp(bytes: Array[Byte]): Long =
+      graft.sql.AudioFingerprint.eval(bytes, n / 64, 64)
+    // stream ids: base clip t -> id 2t, its variant -> id 2t+1 (so the
+    // earlier base is always the smaller id = the expected keeper)
+    val nClips = 6
+    val in = MemoryStream[ClipEv]
+    val q = StreamDedup.audioDupVerdicts(in.toDF(), n)
+      .writeStream.format("memory").queryName("g_audio_dup")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until nClips).map(t => ClipEv(2L * t, clip(t, false), ts(t))): _*)
+      q.processAllAvailable()
+      // variants arrive in a LATER micro-batch: matching crosses batches
+      in.addData((0 until nClips).map(t =>
+        ClipEv(2L * t + 1, clip(t, true), ts(10 + t))): _*)
+      q.processAllAvailable()
+      val reduced = spark.table("g_audio_dup")
+        .groupBy("audio_id")
+        .agg(min(when(col("dup_of") =!= -1L, col("dup_of"))).as("dup_of"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // brute-force oracle over the exact processing order (bases'
+      // batch first; within a batch the bucket judge sorts by id):
+      // every remembered prior within hamming 3 is a candidate — dups
+      // included, so a variant may match an EARLIER VARIANT with a
+      // smaller id than its own base (state keeps everything; that is
+      // what makes pigeonhole recall exact)
+      val fps = (0 until 2 * nClips).map(id =>
+        id.toLong -> fp(clip(id / 2, id % 2 == 1))).toMap
+      def processedBefore(p: Long, id: Long): Boolean =
+        (p % 2 < id % 2) || (p % 2 == id % 2 && p < id)
+      val expected = fps.keys.map { id =>
+        id -> fps.keys.filter(p => processedBefore(p, id) &&
+            java.lang.Long.bitCount(fps(p) ^ fps(id)) <= 3)
+          .minOption.getOrElse(-1L)
+      }.toMap
+      assert(reduced == expected, s"got $reduced\nwant $expected")
+      // the slice must exercise keeps, base matches AND a
+      // variant-to-earlier-variant match (id 11 -> 1 at this fixture)
+      assert(expected.values.exists(_ == -1L) &&
+        expected.exists { case (id, d) => d != -1L && d % 2 == 1 },
+        s"degenerate fixture slice: $expected")
+    } finally q.stop()
+  }
+
   test("streaming audio windowed stats match the batch AudioWindowStats " +
     "recompute per event-time window") {
     import spark.implicits._
