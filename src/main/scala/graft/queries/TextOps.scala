@@ -54,7 +54,8 @@ object TextOps {
     Q("q70_span_dedup", q70, Some(q70Sql)),
     Q("q71_span_scrub", q71, Some(q71Sql)),
     Q("q77_phash_neardup", q77, Some(q77Sql)),
-    Q("q78_phash_clusters", q78, Some(q78Sql))
+    Q("q78_phash_clusters", q78, Some(q78Sql)),
+    Q("q84_hll_registers", q84, Some(q84Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -223,13 +224,15 @@ object TextOps {
       |FROM documents GROUP BY text ORDER BY 1""".stripMargin
 
   // --- shared shingle/code builders ---------------------------------------
-  /** Character 3-gram list of `text`. */
-  private def shingles(text: Column): Column =
+  /** Character 3-gram list of `text` (private[graft]: the HLL golden
+    * test rebuilds the exact-distinct reference through the identical
+    * shingle/code pipeline the sketch hashes). */
+  private[graft] def shingles(text: Column): Column =
     transform(sequence(lit(1), length(text) - 2),
       i => substr(text, i, lit(3)))
 
   /** 3-char polynomial code (exact in 64-bit both engines). */
-  private def code3(g: Column): Column =
+  private[graft] def code3(g: Column): Column =
     (ascii(substring(g, 1, 1)).cast("long") * 961 +
       ascii(substring(g, 2, 1)).cast("long") * 31 +
       ascii(substring(g, 3, 1)).cast("long"))
@@ -1241,4 +1244,100 @@ object TextOps {
        |SELECT image_id, MIN(lbl) AS cluster,
        |  CAST(CASE WHEN MIN(lbl) = image_id THEN 1 ELSE 0 END AS INT) AS is_keeper
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q84: HLL DISTINCT-COUNT SKETCH — approximate distinct
+  // fingerprints per language group, emitted as the sketch's 64 raw
+  // REGISTERS (all-integer, so the DuckDB oracle compares them
+  // bit-for-bit; the float estimator is a trivial driver-side fold
+  // over the registers, golden-tested in ScalaTest against exact
+  // distinct). Spark-first sketch design: bucket = 6 low bits of a
+  // 32-bit re-mix of the q50 fingerprint, rank = leading-zero count
+  // of the remaining 26 bits (+1), register = groupBy(lang, bucket)
+  // MAX(rank) — `max` is associative, so Catalyst's partial
+  // aggregation IS the sketch merge: each task reduces its partition
+  // to <= 64*langs rows before the exchange (one shuffle of sketch
+  // state, never of raw rows — the HLL property that matters at
+  // 10^12 docs), and sketches of disjoint corpora union by the same
+  // max. A custom TypedImperativeAggregate would re-implement exactly
+  // this merge, outside codegen and with opaque state; the groupBy
+  // form keeps the whole pipeline in Tungsten. Rank arithmetic stays
+  // libm-free on both sides: floor(log2(w)) is the length of the
+  // binary string (Spark `bin`, DuckDB printf('%b')). --------------
+  private val HllBuckets = 64
+  private val HllWBits = 26 // 32-bit mixed hash minus 6 bucket bits
+
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = split(col("text"), " ")
+    val sc = markers.map { case (_, ws) =>
+      size(filter(toks, tk => tk.isin(ws: _*)))
+    }
+    val lang = when(sc(0) >= sc(1) && sc(0) >= sc(2), markers(0)._1)
+      .when(sc(1) >= sc(2), markers(1)._1).otherwise(markers(2)._1)
+    val sh = array_distinct(shingles(col("text")))
+    val fp = aggregate(sh, lit(0L),
+      (acc, g) => (acc + code3(g) * code3(g)) % MersennePrime)
+    val h2 = (fp * lit(2654435761L)) % lit(4294967296L)
+    val w = shiftright(h2, 6)
+    val rank = when(w === 0, HllWBits + 1)
+      .otherwise(lit(HllWBits + 1) - length(bin(w))).cast("int")
+    val regs = t(s, dir, "documents")
+      .select(lang.as("lang"),
+        h2.bitwiseAND(lit(63L)).cast("int").as("bucket"),
+        rank.as("rank"))
+      .groupBy("lang", "bucket").agg(max("rank").as("register"))
+    // dense spine: every (lang, bucket) row, empty buckets register 0
+    // (the estimator needs the zero count; at scale this is a 192-row
+    // literal frame broadcast against the aggregated sketch)
+    val spine = markers.map(_._1).toDF("lang")
+      .crossJoin(s.range(HllBuckets).select(col("id").cast("int")
+        .as("bucket")))
+    spine.join(regs, Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"),
+        coalesce(col("register"), lit(0)).cast("int").as("register"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Driver-side HLL estimate from q84's register rows (per group):
+    * the standard bias-corrected harmonic mean with the small-range
+    * linear-counting correction. Lives here so tests and users share
+    * one estimator definition. */
+  def hllEstimate(registers: Seq[Int]): Double = {
+    val m = registers.length.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val raw = alpha * m * m / registers.map(r => math.pow(2.0, -r)).sum
+    val zeros = registers.count(_ == 0)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+  }
+
+  private def q84Sql = {
+    val langCase =
+      s"""CASE WHEN s0 >= s1 AND s0 >= s2 THEN '${markers(0)._1}'
+         |     WHEN s1 >= s2 THEN '${markers(1)._1}'
+         |     ELSE '${markers(2)._1}' END""".stripMargin
+    def scoreSql(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), tk -> tk IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    s"""WITH d AS (SELECT
+       |    ${scoreSql(markers(0)._2)} AS s0,
+       |    ${scoreSql(markers(1)._2)} AS s1,
+       |    ${scoreSql(markers(2)._2)} AS s2,
+       |    CAST(COALESCE(list_aggregate(list_transform(list_distinct($shinglesSql), g -> ${code3Sql("g")} * ${code3Sql("g")}), 'sum'), 0) % $MersennePrime AS BIGINT) AS fp
+       |  FROM documents),
+       |h AS (SELECT $langCase AS lang,
+       |    ((fp * 2654435761) % 4294967296) AS h2 FROM d),
+       |r AS (SELECT lang, CAST(h2 % $HllBuckets AS INT) AS bucket,
+       |    CAST(CASE WHEN h2 // $HllBuckets = 0 THEN ${HllWBits + 1}
+       |      ELSE ${HllWBits + 1} - length(printf('%b', h2 // $HllBuckets))
+       |      END AS INT) AS rank
+       |  FROM h),
+       |regs AS (SELECT lang, bucket, MAX(rank) AS register
+       |  FROM r GROUP BY 1, 2),
+       |spine AS (SELECT l.lang, CAST(b.range AS INT) AS bucket
+       |  FROM (VALUES ('${markers(0)._1}'), ('${markers(1)._1}'),
+       |    ('${markers(2)._1}')) l(lang), range($HllBuckets) b)
+       |SELECT s.lang, s.bucket,
+       |  CAST(COALESCE(regs.register, 0) AS INT) AS register
+       |FROM spine s LEFT JOIN regs USING (lang, bucket)
+       |ORDER BY 1, 2""".stripMargin
+  }
 }

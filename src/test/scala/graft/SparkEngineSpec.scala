@@ -919,4 +919,88 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       !plan.contains("CartesianProduct"),
       s"banded rewrite must plan an equi join:\n$plan")
   }
+
+  test("q84 HLL sketch: estimate lands within the theoretical error of " +
+    "exact distinct; registers are partitioning-invariant (max-merge); " +
+    "the plan partial-aggregates before the exchange") {
+    import spark.implicits._
+    // synthetic corpus: n distinct texts (3-char shingle alphabet wide
+    // enough that fingerprints rarely collide), written to a temp
+    // parquet dir shaped like the driver's documents table
+    val n = 3000
+    val docs = (0 until n).map { i =>
+      // lead with one marker token so the predicted langs spread
+      val b = new StringBuilder(
+        Seq("of", "spark", "customer")(i % 3)).append(' ')
+      var x = i * 2654435761L % 4294967296L
+      (0 until 12).foreach { _ =>
+        x = (x * 2654435761L + 13) % 4294967296L
+        b.append(('a' + (x % 26)).toInt.toChar)
+          .append(('a' + (x / 26 % 26)).toInt.toChar).append(' ')
+      }
+      (i.toLong, b.toString.trim)
+    }.toDF("doc_id", "text")
+    val dir = graft.util.TempDirs.create("hll_docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = graft.SparkEntry.queries("q84_hll_registers")
+    val rows = q(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 3 * 64, "dense spine: every (lang, bucket)")
+    // exact distinct mixed-hash count per predicted lang, recomputed
+    // through the SAME fingerprint pipeline the sketch hashes
+    // (TextOps' own shingle/code builders, private[graft])
+    import graft.queries.TextOps.{code3, shingles}
+    val fpCol = org.apache.spark.sql.functions.aggregate(
+      array_distinct(shingles(col("text"))),
+      org.apache.spark.sql.functions.lit(0L),
+      (acc, g) => (acc + code3(g) * code3(g)) % 2147483647L)
+    val est = rows.groupBy(_._1).map { case (lang, rs) =>
+      lang -> graft.queries.TextOps.hllEstimate(rs.sortBy(_._2).map(_._3))
+    }
+    // per-lang exact counts via the oracle-identical SQL route: group
+    // the mixed hash h2 by predicted lang with a DataFrame mirror
+    val exact = {
+      val toks = split(col("text"), " ")
+      val markers = Seq(
+        "grammar" -> Seq("the", "a", "of"),
+        "engine" -> Seq("spark", "vector", "stream", "window"),
+        "schema" -> Seq("customer", "line", "part", "orderkey"))
+      val sc = markers.map { case (_, ws) =>
+        size(filter(toks, tk => tk.isin(ws: _*)))
+      }
+      val lang = when(sc(0) >= sc(1) && sc(0) >= sc(2), "grammar")
+        .when(sc(1) >= sc(2), "engine").otherwise("schema")
+      val h2 = (fpCol * lit(2654435761L)) % lit(4294967296L)
+      docs.select(lang.as("lang"), h2.as("h2"))
+        .groupBy("lang").agg(countDistinct("h2").as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    est.foreach { case (lang, e) =>
+      val ex = exact.getOrElse(lang, 0L).toDouble
+      assert(ex > 0 && math.abs(e - ex) / ex < 0.35,
+        s"HLL-64 estimate for $lang: $e vs exact $ex " +
+          s"(expected within ~3 sigma of 1.04/sqrt(64) = 13%)")
+    }
+    // merge-associativity: registers identical under a different input
+    // partitioning (7-way vs default) — partial maxes merge to the
+    // same sketch no matter how rows are split across tasks
+    val dir7 = graft.util.TempDirs.create("hll_docs7")
+    docs.repartition(7).write.mode("overwrite")
+      .parquet(s"$dir7/documents.parquet")
+    val rowsRepart = q(spark, dir7.toString).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == rowsRepart.toSeq)
+    // partial aggregation (the sketch merge) happens BEFORE the shuffle
+    // (AQE off so the static plan string shows the aggregate modes)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q(spark, dir.toString).queryExecution.executedPlan.toString
+      // the tree prints top-down, so the partial (pre-shuffle) aggregate
+      // is BELOW the hash exchange in the text
+      val below = plan.split("Exchange hashpartitioning\\(lang").last
+      assert(below.contains("partial_max"),
+        s"sketch must reduce per-partition before the exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
