@@ -1272,18 +1272,34 @@ object TextOps {
     val sc = markers.map { case (_, ws) =>
       size(filter(toks, tk => tk.isin(ws: _*)))
     }
-    val lang = when(sc(0) >= sc(1) && sc(0) >= sc(2), markers(0)._1)
-      .when(sc(1) >= sc(2), markers(1)._1).otherwise(markers(2)._1)
     val sh = array_distinct(shingles(col("text")))
     val fp = aggregate(sh, lit(0L),
       (acc, g) => (acc + code3(g) * code3(g)) % MersennePrime)
-    val h2 = (fp * lit(2654435761L)) % lit(4294967296L)
-    val w = shiftright(h2, 6)
+    // Single-eval staging via a Generate (the region_explode trick):
+    // the marker scores and the fingerprint fold are higher-order
+    // lambdas (CodegenFallback, no cross-reference CSE), and the
+    // when-chain/bucket/rank each reference them 2-4 times. A plain
+    // staged select gets collapsed back into one Project by Catalyst
+    // (re-duplicating the lambdas), but a Project cannot be collapsed
+    // through a Generate, so exploding a one-element struct array pins
+    // every lambda to ONE evaluation per row (plan-guarded: the fold
+    // appears once).
+    val staged = t(s, dir, "documents")
+      .select(explode(array(struct(
+        sc(0).as("s0"), sc(1).as("s1"), sc(2).as("s2"),
+        ((fp * lit(2654435761L)) % lit(4294967296L)).as("h2")))).as("r"))
+      .select(col("r.s0").as("s0"), col("r.s1").as("s1"),
+        col("r.s2").as("s2"), col("r.h2").as("h2"))
+    val lang = when(col("s0") >= col("s1") && col("s0") >= col("s2"),
+        markers(0)._1)
+      .when(col("s1") >= col("s2"), markers(1)._1)
+      .otherwise(markers(2)._1)
+    val w = shiftright(col("h2"), 6)
     val rank = when(w === 0, HllWBits + 1)
       .otherwise(lit(HllWBits + 1) - length(bin(w))).cast("int")
-    val regs = t(s, dir, "documents")
+    val regs = staged
       .select(lang.as("lang"),
-        h2.bitwiseAND(lit(63L)).cast("int").as("bucket"),
+        col("h2").bitwiseAND(lit(63L)).cast("int").as("bucket"),
         rank.as("rank"))
       .groupBy("lang", "bucket").agg(max("rank").as("register"))
     // dense spine: every (lang, bucket) row, empty buckets register 0

@@ -1001,6 +1001,14 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val below = plan.split("Exchange hashpartitioning\\(lang").last
       assert(below.contains("partial_max"),
         s"sketch must reduce per-partition before the exchange:\n$plan")
+      // the staged selects must hold the fingerprint fold to ONE
+      // evaluation per row (bucket + rank both reference it; an
+      // un-staged projection re-evaluated the CodegenFallback lambda
+      // up to 4x per row)
+      val needle = "aggregate(array_distinct"
+      val folds = plan.sliding(needle.length).count(_ == needle)
+      assert(folds == 1,
+        s"fingerprint fold must be evaluated once per row, found $folds:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
