@@ -16,7 +16,8 @@ object SparkEntry {
   /** All registered queries, relational + spatial + text/dedup. */
   def registry: Seq[Q] =
     Relational.all ++ graft.queries.Spatial.all ++
-      graft.queries.TextOps.all ++ graft.queries.Audio.all
+      graft.queries.TextOps.all ++ graft.queries.Audio.all ++
+      graft.queries.Video.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

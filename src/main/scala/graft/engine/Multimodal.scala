@@ -84,6 +84,30 @@ object Multimodal {
     }.toDF("video_id", "bytes", "w", "h", "fmt", "n_frames")
   }
 
+  /** VARIANT videos for the video near-dup fixture: one per base
+    * video, same frames except ~1/9 of pixels shifted by a dyadic
+    * delta (`World.vidPerturb`) — a transcode stand-in whose sampled
+    * frames' phashes land hamming 0..6 from the base's, splitting the
+    * >=2-of-3 frame vote both ways (see vidPerturb's doc for the tuned
+    * spread). Ids sort AFTER their base (`vidv_` > `vid_`), so pair
+    * output is (base, variant). */
+  def syntheticVideoVariants(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val spec = World.tiny
+    val nf = VideoFrames
+    s.range(0, spec.nTiles).map { t =>
+      val ti = t.toInt
+      val frames = Array.tabulate(nf) { f =>
+        Array.tabulate(spec.pixPerTile) { p =>
+          val id = spec.cellId(ti, p)
+          (World.vid(id, f) + World.vidPerturb(id, f)).toFloat
+        }
+      }
+      (f"vidv_$ti%05d", Codec.encodeF32(frames), spec.tile, spec.tile,
+        "f32", nf)
+    }.toDF("video_id", "bytes", "w", "h", "fmt", "n_frames")
+  }
+
   /** Samples per synthetic audio clip / stats window size / resample
     * stride. Plan-time constants here because the fixture table is
     * homogeneous; a production table carries n_samples per row. */

@@ -90,6 +90,17 @@ object Spatial {
   private val cellsCte =
     s"WITH cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r)"
   private def hSql(k: String) = s"((($k) * 2654435761) % 4294967296)"
+  /** Nonlinear World.h2 in SQL: floor-div between the two multiplies
+    * (see World.h2 for why the video formulas need non-affinity). */
+  private[queries] def h2Sql(k: String) = hSql(s"${hSql(k)} // 65536")
+  /** World.vid in SQL: dyadic per-frame pixel of a cell. */
+  private[queries] def vidSql(id: String, f: String) =
+    s"((${h2Sql(s"($id) * 17 + ($f)")} % 512) / 512.0)"
+  /** World.vidPerturb in SQL: the variant-video sparse delta. */
+  private[queries] def vidPerturbSql(id: String, f: String) =
+    s"(CASE WHEN ${h2Sql(s"($id) * 37 + ($f)")} % 9 = 0 THEN " +
+      s"((${h2Sql(s"($id) * 41 + ($f) * 43")} % 257) - 128) / 512.0 " +
+      "ELSE 0.0 END)"
   private[queries] def lossSql(id: String) =
     s"(CASE WHEN ${hSql(id)} % 16 < 6 THEN 0.0 ELSE (${hSql(id)} % 1024) / 1024.0 END)"
   private[queries] def bandSql(id: String, b: Int) =
@@ -1465,11 +1476,10 @@ object Spatial {
     // within-tile decode position of a cell: (row0 % T) * T + (col0 % T)
     val posSql = s"(((${rowSql("cell_id")} - 1) % $T) * $T" +
       s" + ((cell_id - 1) % $C) % $T)"
-    val vidSql = s"((${hSql(s"cell_id * 17 + fi")} % 512) / 512.0)"
     s"""$cellsCte,
        |f(fi) AS (VALUES $frames),
        |v AS (SELECT ${tileSql("cell_id")} AS tile_id, fi,
-       |    $vidSql AS v, $posSql AS p
+       |    ${vidSql("cell_id", "fi")} AS v, $posSql AS p
        |  FROM cells, f)
        |SELECT printf('vid_%05d', tile_id) AS video_id,
        |  CAST(fi AS INT) AS frame_idx,

@@ -1131,26 +1131,33 @@ object TextOps {
   private val PhashHamK = 3
 
   /** Banded hamming near-dup pairs over (id, sig64): the reusable
-    * operator — q77 applies it to the media table's phash. */
+    * operator — q77 applies it to the media table's phash. `alignCols`
+    * (if any) join the shuffle key, so only rows agreeing on them are
+    * candidates — q85 aligns video frames by passing `frame_idx`, and
+    * the aligned columns ride through to the output (one pair row per
+    * (a, b, align...)). */
   def hammingPairs(df: DataFrame, idCol: String,
-      sigCol: String, maxDist: Int, bands: Int = PhashBands): DataFrame = {
+      sigCol: String, maxDist: Int, bands: Int = PhashBands,
+      alignCols: Seq[String] = Nil): DataFrame = {
     require(maxDist < bands, "pigeonhole needs more bands than flipped bits")
     val bits = 64 / bands
     val mask = (1L << bits) - 1
-    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"),
-      posexplode(array((0 until bands).map(b =>
+    val align = alignCols.map(col)
+    val banded = df.select(Seq(col(idCol).as("id"), col(sigCol).as("sig")) ++
+      align :+ posexplode(array((0 until bands).map(b =>
         shiftright(col(sigCol), b * bits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "chunk")))
-    val l = banded.select(col("id").as("a"), col("sig").as("pa"),
-      col("band"), col("chunk"))
-    val r = banded.select(col("id").as("b"), col("sig").as("pb"),
-      col("band"), col("chunk"))
-    l.join(r, Seq("band", "chunk"))
+        .as(Seq("band", "chunk")): _*)
+    val l = banded.select(Seq(col("id").as("a"), col("sig").as("pa"),
+      col("band"), col("chunk")) ++ align: _*)
+    val r = banded.select(Seq(col("id").as("b"), col("sig").as("pb"),
+      col("band"), col("chunk")) ++ align: _*)
+    l.join(r, alignCols ++ Seq("band", "chunk"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "pa", "pb").distinct()
+      .select((Seq("a", "b") ++ alignCols ++ Seq("pa", "pb")).map(col): _*)
+      .distinct()
       .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
       .filter(col("hamming") <= maxDist)
-      .select("a", "b", "hamming")
+      .select((Seq("a", "b") ++ alignCols ++ Seq("hamming")).map(col): _*)
   }
 
   private def q77(s: SparkSession, dir: String): DataFrame =

@@ -280,6 +280,41 @@ object FrameStats {
   }
 }
 
+/** 64-bit perceptual hash of ONE frame of a multi-frame payload:
+  * decode only frame `frame`'s byte slice (the FrameStats seek) and
+  * reduce it to the 8x8 block-mean hash (`Codec.phash` — the same
+  * function that fills the input table's phash column, so image and
+  * video near-dup share one signature definition). One codegen'd
+  * static call per sampled frame; pairs with the pigeonhole-banding
+  * matcher for frame-aligned video near-dup (q85).
+  * Children: (bytes, fmt); nPixels/frame/w/h are plan-time constants. */
+case class FramePhash(left: Expression, right: Expression,
+    nPixels: Int, frame: Int, w: Int, h: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    FramePhash.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, frame, w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = FramePhash.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $frame, $w, $h);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FramePhash {
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int,
+      frame: Int, w: Int, h: Int): Long =
+    Codec.phash(Codec.decodeBand(fmt.toString, bytes, nPixels, frame), w, h)
+}
+
 /** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
@@ -926,6 +961,13 @@ object GraftFunctions {
   def frame_stats(bytes: Column, fmt: Column, nPixels: Int,
       frame: Int): Column =
     column(FrameStats(expression(bytes), expression(fmt), nPixels, frame))
+
+  /** 64-bit block-mean perceptual hash of frame `frame` of a
+    * multi-frame payload (decodes only that frame's byte slice). */
+  def frame_phash(bytes: Column, fmt: Column, nPixels: Int, frame: Int,
+      w: Int, h: Int): Column =
+    column(FramePhash(expression(bytes), expression(fmt), nPixels, frame,
+      w, h))
 
   /** Region id of point (px, py) among `polys`, null if none. */
   def region_of(px: Column, py: Column, polys: Array[Polygon]): Column =

@@ -138,6 +138,15 @@ object GraftExtensions {
           "sum_v, peak, order-pinning wsum) of an s16le payload", 1) { a =>
         ClipStatsS16(a(0))
       },
+      entry("graft_frame_phash",
+        "graft_frame_phash(bytes, fmt, nPixels, frame, w, h) - 64-bit " +
+          "block-mean perceptual hash of one frame of a multi-frame " +
+          "payload (nPixels/frame/w/h literals)", 6) { a =>
+        FramePhash(a(0), a(1), intLit(a(2), "graft_frame_phash", "nPixels"),
+          intLit(a(3), "graft_frame_phash", "frame"),
+          intLit(a(4), "graft_frame_phash", "w"),
+          intLit(a(5), "graft_frame_phash", "h"))
+      },
       entry("graft_audio_fingerprint",
         "graft_audio_fingerprint(bytes, winSize, nWin) - 64-bit " +
           "circular energy-delta fingerprint of an s16le payload " +

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.sql.{GraftExtensions, GraftFunctions}
@@ -198,18 +198,25 @@ object StreamDedup {
     * image with min(dup_of != -1). */
   def phashDupVerdicts(imgs: DataFrame, watermark: String = "24 hours",
       horizonMs: Long = 24L * 3600 * 1000,
-      maxDist: Int = 3): Dataset[ImgVerdict] = {
+      maxDist: Int = 3,
+      bucketPrefix: Column = lit(0L)): Dataset[ImgVerdict] = {
     val spark = imgs.sparkSession
     import spark.implicits._
     require(horizonMs > 0, "dedup horizon must be positive")
     require(maxDist < 4, "4-band pigeonhole covers hamming <= 3")
     imgs.withWatermark("ts", watermark)
       .select(col("image_id"), col("phash"), col("ts"),
+        bucketPrefix.cast("long").as("pfx"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("phash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
           .as(Seq("band", "chunk")))
       .select(col("image_id"),
-        (shiftleft(col("band"), 16).cast("long") + col("chunk"))
+        // bucket = prefix << 18 | band << 16 | chunk: the prefix keeps
+        // differently-aligned signatures (video frame positions) in
+        // disjoint state buckets; the default prefix 0 leaves the
+        // image/audio bucket ids unchanged
+        (col("pfx") * lit(1L << 18) +
+          shiftleft(col("band"), 16).cast("long") + col("chunk"))
           .as("bucket"),
         col("phash"), col("ts"))
       .as[ImgBanded]
@@ -257,6 +264,47 @@ object StreamDedup {
           col("ts")),
         watermark, horizonMs, maxDist)
       .withColumnRenamed("image_id", "audio_id")
+  }
+
+  /** Incremental VIDEO near-dup — the streaming shape of batch q85:
+    * each arriving video's payload is frame-sampled and per-frame
+    * phashed in-stream (the same plan-constant `FramePhash` byte-slice
+    * decodes as the batch query), and every sampled frame is judged
+    * through the banded machinery FRAME-ALIGNED: the bucket key
+    * carries frame_idx above band+chunk (`bucketPrefix`), so state and
+    * matching never mix frame positions — the streaming twin of
+    * `hammingPairs(alignCols = frame_idx)`.
+    *
+    * Emits one verdict per (video, sampled frame, bucket); `frame_idx`
+    * is recovered from the bucket id. Consumers apply the batch q85
+    * vote incrementally: video V is a near-dup of prior P when
+    * verdicts for >= minVote DISTINCT frames of V carry dup_of = P.
+    * Per-bucket dup_of is the min-id prior within `maxDist` (the
+    * ImgVerdict contract), so when one frame matches several priors
+    * only the smallest id is voted — at dedup time that is the keeper
+    * candidate anyway. */
+  def videoDupVerdicts(videos: DataFrame, nFrames: Int, stride: Int,
+      nPixels: Int, w: Int, h: Int,
+      watermark: String = "24 hours",
+      horizonMs: Long = 24L * 3600 * 1000,
+      maxDist: Int = 3): DataFrame = {
+    import graft.sql.GraftFunctions.frame_phash
+    require(stride > 0, "frame-sample stride must be positive")
+    val sampled = (0 until nFrames by stride).map { f =>
+      struct(lit(f).as("frame_idx"),
+        frame_phash(col("bytes"), col("fmt"), nPixels, f, w, h)
+          .as("fphash"))
+    }
+    val perFrame = videos
+      .select(col("video_id"), col("ts"),
+        explode(array(sampled: _*)).as("fr"))
+      .select(col("video_id").as("image_id"),
+        col("fr.frame_idx").as("frame_idx"),
+        col("fr.fphash").as("phash"), col("ts"))
+    phashDupVerdicts(perFrame, watermark, horizonMs, maxDist,
+        bucketPrefix = col("frame_idx"))
+      .withColumnRenamed("image_id", "video_id")
+      .withColumn("frame_idx", shiftright(col("bucket"), 18).cast("int"))
   }
 
   /** Streaming SESSIONIZATION — the incremental shape of batch q60:

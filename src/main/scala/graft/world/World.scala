@@ -75,6 +75,17 @@ object World {
   /** Splittable counter hash: 32-bit Knuth multiplicative. */
   @inline def h(k: Long): Long = (k * Knuth) % M32
 
+  /** NONLINEAR counter hash: a floor-divide between two multiplies.
+    * `h` alone is affine mod 2^32 — h(k1) - h(k2) depends only on
+    * k1 - k2, so any per-cell formula h(linear(cell_id)) repeats
+    * EXACTLY under cell-id translation (two tiles at the right row
+    * offset carry identical pixels). Harmless for per-row oracles,
+    * fatal for a near-dup fixture, where cross-tile independence is
+    * the whole point. The >>16 between the multiplies breaks the
+    * affine structure while staying integer-exact in DuckDB SQL
+    * (`(((k*KN) % 2^32) // 2^16 * KN) % 2^32`). */
+  @inline def h2(k: Long): Long = h(h(k) >> 16)
+
   /** Loss fraction of a cell: 0 for ~37%, else dyadic k/1024 with a
     * populated band below the 0.005 floor (R:407). */
   def loss(id: Long): Double =
@@ -84,8 +95,26 @@ object World {
   def band(id: Long, b: Int): Double = (h(id * 7 + b) % 256).toDouble
 
   /** Video frame f of a cell: dyadic k/512 evolving per frame (the
-    * frame-sample fixture formula — exact in f32 and in DuckDB SQL). */
-  def vid(id: Long, f: Int): Double = (h(id * 17 + f) % 512).toDouble / 512.0
+    * frame-sample fixture formula — exact in f32 and in DuckDB SQL).
+    * Uses the nonlinear `h2`: with plain `h`, tiles whose cell ids are
+    * congruent mod 512 carried IDENTICAL frames (the affine-translation
+    * artifact above), which made every such tile pair an accidental
+    * phash near-dup in the q85 fixture. */
+  def vid(id: Long, f: Int): Double = (h2(id * 17 + f) % 512).toDouble / 512.0
+
+  /** Sparse perturbation of pixel `id` in frame f of a VARIANT video:
+    * ~1/9 of pixels shift by a dyadic delta in [-128, 128]/512, the
+    * rest are untouched — a transcode/re-encode stand-in tuned (by
+    * exhaustive simulation over the tiny world) so the 24 variants'
+    * per-frame phashes land hamming 0..6 from their base frames and
+    * the 3-sampled-frame vote splits 6/11/4/3 across 3/2/1/0 frames
+    * matched: the >=2-of-3 vote passes 17 pairs and rejects 7, and NO
+    * cross-tile pair matches on any frame. Fully deterministic and
+    * reproduced bit-for-bit by the SQL oracle. */
+  def vidPerturb(id: Long, f: Int): Double =
+    if (h2(id * 37 + f) % 9 == 0)
+      ((h2(id * 41 + f.toLong * 43) % 257) - 128).toDouble / 512.0
+    else 0.0
 
   /** Audio sample i of clip `clip`: signed 16-bit integer in
     * [-2048, 2047] (integer-exact in SQL and in s16le — the audio

@@ -16,6 +16,10 @@ case class SessEv(user_id: Long, ts: Timestamp)
 /** Streaming audio clip: opaque s16le payload + event time. */
 case class ClipEv(audio_id: Long, bytes: Array[Byte], ts: Timestamp)
 
+/** Streaming video: opaque multi-frame f32 payload + event time. */
+case class VidEv(video_id: Long, bytes: Array[Byte], fmt: String,
+    ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -304,6 +308,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // variant-to-earlier-variant match (id 11 -> 1 at this fixture)
       assert(expected.values.exists(_ == -1L) &&
         expected.exists { case (id, d) => d != -1L && d % 2 == 1 },
+        s"degenerate fixture slice: $expected")
+    } finally q.stop()
+  }
+
+  test("streaming video near-dup (frame-aligned banded buckets, q85 " +
+    "incremental): the >=2-of-3 distinct-frame vote over the verdict " +
+    "stream equals the batch rule, matching crosses micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val spec = graft.world.World.tiny
+    val nf = graft.engine.Multimodal.VideoFrames
+    val frames = 0 until nf by 4
+    def framePx(t: Int, f: Int, variant: Boolean): Array[Float] =
+      Array.tabulate(spec.pixPerTile) { p =>
+        val id = spec.cellId(t, p)
+        (graft.world.World.vid(id, f) +
+          (if (variant) graft.world.World.vidPerturb(id, f) else 0.0)).toFloat
+      }
+    def payload(t: Int, variant: Boolean): Array[Byte] =
+      graft.core.Codec.encodeF32(
+        Array.tabulate(nf)(f => framePx(t, f, variant)))
+    def ph(t: Int, variant: Boolean, f: Int): Long =
+      graft.core.Codec.phash(framePx(t, f, variant), spec.tile, spec.tile)
+    // stream ids: base tile t -> id 2t, its variant -> id 2t+1; tiles
+    // 0..7 are a non-degenerate slice (6 variants pass the vote, 2 fail)
+    val nVids = 8
+    val in = MemoryStream[VidEv]
+    val q = StreamDedup.videoDupVerdicts(in.toDF(), nf, 4,
+        spec.pixPerTile, spec.tile, spec.tile)
+      .writeStream.format("memory").queryName("g_video_dup")
+      .outputMode("append").start()
+    try {
+      in.addData((0 until nVids).map(t =>
+        VidEv(2L * t, payload(t, false), "f32", ts(t))): _*)
+      q.processAllAvailable()
+      // variants arrive in a LATER micro-batch: matching crosses batches
+      in.addData((0 until nVids).map(t =>
+        VidEv(2L * t + 1, payload(t, true), "f32", ts(10 + t))): _*)
+      q.processAllAvailable()
+      // the consumer-side vote: video V is a near-dup of P when
+      // verdicts for >=2 DISTINCT sampled frames carry dup_of = P
+      val votes = spark.table("g_video_dup")
+        .filter(col("dup_of") =!= -1L)
+        .groupBy("video_id", "dup_of")
+        .agg(org.apache.spark.sql.functions.countDistinct("frame_idx")
+          .as("frames_matched"))
+        .filter(col("frames_matched") >= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val expected = (0 until nVids).flatMap { t =>
+        val fm = frames.count(f => java.lang.Long.bitCount(
+          ph(t, false, f) ^ ph(t, true, f)) <= 3)
+        if (fm >= 2) Some((2L * t + 1, 2L * t, fm.toLong)) else None
+      }.toSet
+      assert(votes == expected, s"got $votes\nwant $expected")
+      assert(expected.nonEmpty && expected.size < nVids,
         s"degenerate fixture slice: $expected")
     } finally q.stop()
   }
