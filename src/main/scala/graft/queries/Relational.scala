@@ -58,8 +58,51 @@ object Relational {
     Q("q58_stratified_min40", q58, Some(q58Sql)),
     Q("q60_sessionize", q60, Some(q60Sql)),
     Q("q64_json_extract", q64, Some(q64Sql)),
-    Q("q80_interval_join", q80, Some(q80Sql))
+    Q("q80_interval_join", q80, Some(q80Sql)),
+    Q("q86_bloom_pruned_join", q86, Some(q86Sql))
   )
+
+  // --- q86: BLOOM-PRUNED equi join (engine/Bloom) — the explicit
+  // semi-join prune for the shape where the dim's key set fits in a
+  // broadcastable bitmap but the dim rows do not fit a broadcast hash
+  // table: fit a Bloom filter over the filtered dim's keys (typed
+  // Aggregator, map-side partial = bitmap OR), probe the fact side
+  // with the codegen BloomMightContain BEFORE its shuffle, then join.
+  // No false negatives, so the result is row-identical to the plain
+  // join — the oracle below is the UNPRUNED join, and the hash compare
+  // proves the prune dropped nothing. At this fixture scale Catalyst
+  // broadcasts the dim anyway; the at-scale value (shuffle bytes cut
+  // by ~the 1-segment selectivity) and the probe-below-Exchange plan
+  // shape are guarded in BloomSpec with broadcast joins disabled.
+  // Money output is SUM(ROUND(price*100)) as BIGINT cents — a
+  // deterministic integer sum, immune to fp addition order. ------
+
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.GraftFunctions.bloom_might_contain
+    val dim = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_nationkey")
+    // dim cardinality: one tiny count job on the already-filtered dim
+    // (at scale this is table-stats metadata, not a scan)
+    val bloom = graft.engine.Bloom.fit(dim, col("c_custkey"),
+      math.max(1L, dim.count()), fpp = 0.01)
+    val pruned = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+      .filter(bloom_might_contain(xxhash64(col("o_custkey")), bloom))
+    pruned.join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q86Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q80: INTERVAL (range) JOIN — points to overlapping value bands
   // via the banded equi-join rewrite (engine/RangeJoin): lineitem

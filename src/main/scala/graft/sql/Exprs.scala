@@ -315,6 +315,33 @@ object FramePhash {
     Codec.phash(Codec.decodeBand(fmt.toString, bytes, nPixels, frame), w, h)
 }
 
+/** Bloom-filter membership probe (engine/Bloom semi-join prune): true
+  * iff all k double-hashed probe bits of the child — which MUST be the
+  * same `xxhash64(key)` column the filter was fitted on — are set in
+  * the fitted bitmap. The bitmap rides the plan as a reference object,
+  * so Spark's TorrentBroadcast of the task binary ships it once per
+  * executor; the probe itself is k integer bit tests inside
+  * whole-stage codegen. No false negatives ever, so a pruned join is
+  * row-identical to the unpruned join (q86's oracle relies on this). */
+case class BloomMightContain(child: Expression, bits: Array[Long], k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(hash: Any): Any =
+    graft.engine.Bloom.mightContain(bits, hash.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    val bloom = graft.engine.Bloom.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, hash =>
+      s"${ev.value} = $bloom.mightContain($bitsRef, $hash, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Grid cell id -> H3-lite cell id at `res` (SURVEY.md §2.8 G1): cell
   * centroid in the Goode extent, inverse-projected through the
   * interrupted homolosine, then hierarchically encoded. Codegens to a
@@ -968,6 +995,11 @@ object GraftFunctions {
       w: Int, h: Int): Column =
     column(FramePhash(expression(bytes), expression(fmt), nPixels, frame,
       w, h))
+
+  /** True iff `hash` (an `xxhash64(key)` column — the same hashing the
+    * filter was fitted with) might be in the fitted Bloom filter. */
+  def bloom_might_contain(hash: Column, f: graft.engine.Bloom.Filter): Column =
+    column(BloomMightContain(expression(hash), f.bits, f.k))
 
   /** Region id of point (px, py) among `polys`, null if none. */
   def region_of(px: Column, py: Column, polys: Array[Polygon]): Column =
