@@ -53,7 +53,8 @@ object Spatial {
     Q("q73_raster_roundtrip", q73, Some(q73Sql)),
     Q("q74_image_resize", q74, Some(q74Sql)),
     Q("q75_goode_chain", q75, Some(q75Sql)),
-    Q("q79_frame_sample", q79, Some(q79Sql))
+    Q("q79_frame_sample", q79, Some(q79Sql)),
+    Q("q87_zorder_layout", q87, Some(q87Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1499,5 +1500,53 @@ object Spatial {
       val p = graft.core.Codec.psnr(bands(0), back, peak = 1.0)
       (t, p, p >= 40.0)
     }.toDF("tile_id", "psnr", "pass").orderBy("tile_id")
+  }
+
+  // --- q87: Z-ORDER LAYOUT (engine/Layout) — the write-path curve key
+  // behind min/max file pruning: z = Morton interleave of (col0,
+  // row0), fixed-width z-range buckets of 256 keys (16x16 spatial
+  // blocks where the grid is power-of-two-aligned). Per bucket: count,
+  // bbox, and the exact z sum — which pins every interleaved bit, so
+  // the oracle (the same interleave written as 7 explicit bit terms
+  // per axis in DuckDB integer arithmetic) proves the bit twiddling.
+  // The bbox columns make the locality claim inspectable: every
+  // bucket's extent is <= 16x16, vs. full-grid-width stripes under a
+  // row-major layout. clusterBy's disjoint-file-range contract (the
+  // part RangePartitioner's sampling makes non-bit-deterministic) is
+  // asserted in LayoutSpec, not here. ------
+  private val ZBucket = 256L
+
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val z = z_interleave((cellCol - 1) % C,
+      floor((cellCol - 1) / C).cast("long"))
+    spine(s)
+      .withColumn("z", z)
+      .withColumn("bucket", (col("z") / ZBucket).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_cells"), sum("z").as("sum_z"),
+        min((cellCol - 1) % C).as("min_c"),
+        max((cellCol - 1) % C).as("max_c"),
+        min(floor((cellCol - 1) / C).cast("long")).as("min_r"),
+        max(floor((cellCol - 1) / C).cast("long")).as("max_r"))
+      .orderBy("bucket")
+  }
+
+  private val q87Sql: String = {
+    def interleaveSql(c: String, r: String): String =
+      (0 until 7).map { k =>
+        s"((($c) // ${1L << k}) % 2) * ${1L << (2 * k)}" +
+          s" + ((($r) // ${1L << k}) % 2) * ${1L << (2 * k + 1)}"
+      }.mkString("(", " + ", ")")
+    val zSql = interleaveSql(s"(cell_id - 1) % $C",
+      s"(cell_id - 1) // $C")
+    s"""$cellsCte,
+       |z AS (SELECT (cell_id - 1) % $C AS c0, (cell_id - 1) // $C AS r0,
+       |    $zSql AS z
+       |  FROM cells)
+       |SELECT CAST(z // $ZBucket AS BIGINT) AS bucket, COUNT(*) AS n_cells,
+       |  CAST(SUM(z) AS BIGINT) AS sum_z,
+       |  CAST(MIN(c0) AS BIGINT) AS min_c, CAST(MAX(c0) AS BIGINT) AS max_c,
+       |  CAST(MIN(r0) AS BIGINT) AS min_r, CAST(MAX(r0) AS BIGINT) AS max_r
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

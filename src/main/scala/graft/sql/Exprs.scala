@@ -315,6 +315,29 @@ object FramePhash {
     Codec.phash(Codec.decodeBand(fmt.toString, bytes, nPixels, frame), w, h)
 }
 
+/** Morton z-value of two integer coordinates (engine/Layout): bit
+  * interleave with x on even bits, y on odd — the curve key behind
+  * z-order write clustering. Pure bit twiddling, codegen'd, and
+  * integer-exact in SQL (q87's oracle re-derives it bit-by-bit). */
+case class ZInterleave(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.engine.Layout.zInterleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val layout = graft.engine.Layout.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $layout.zInterleave($x, $y);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Bloom-filter membership probe (engine/Bloom semi-join prune): true
   * iff all k double-hashed probe bits of the child — which MUST be the
   * same `xxhash64(key)` column the filter was fitted on — are set in
@@ -995,6 +1018,10 @@ object GraftFunctions {
       w: Int, h: Int): Column =
     column(FramePhash(expression(bytes), expression(fmt), nPixels, frame,
       w, h))
+
+  /** Morton z-value of (x, y) — the z-order layout curve key. */
+  def z_interleave(x: Column, y: Column): Column =
+    column(ZInterleave(expression(x), expression(y)))
 
   /** True iff `hash` (an `xxhash64(key)` column — the same hashing the
     * filter was fitted with) might be in the fitted Bloom filter. */

@@ -138,6 +138,12 @@ object GraftExtensions {
           "sum_v, peak, order-pinning wsum) of an s16le payload", 1) { a =>
         ClipStatsS16(a(0))
       },
+      entry("graft_z_interleave",
+        "graft_z_interleave(x, y) - Morton z-value of two integer " +
+          "coordinates (x on even bits, y on odd): the z-order " +
+          "layout curve key", 2) { a =>
+        ZInterleave(a(0), a(1))
+      },
       entry("graft_frame_phash",
         "graft_frame_phash(bytes, fmt, nPixels, frame, w, h) - 64-bit " +
           "block-mean perceptual hash of one frame of a multi-frame " +
