@@ -1,0 +1,128 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed order statistics without a global sort — the
+  * at-scale shape for "what is the true p50/p95/p99 of 10^12 values":
+  * iterative histogram refinement (distributed selection). Each pass
+  * histograms every still-unresolved candidate value range into `bins`
+  * fixed-width bins — a groupBy whose partial aggregation reduces each
+  * task to <= bins rows per range, so the shuffle carries bin counts,
+  * never values — then the driver walks cumulative counts to find the
+  * bin holding each requested rank and recurses INTO those bins only.
+  * Tracking each bin's true (min, max) guarantees progress: a bin
+  * either narrows (its value span is < 1/bins of the parent) or
+  * resolves on the spot (all values equal — heavy duplicates terminate
+  * immediately, they never ping-pong). 10^12 rows resolve in ~3-4
+  * passes at 4096 bins; values cross the wire only in the final exact
+  * scan of bins whose count <= `collectCap`.
+  *
+  * All live ranges are histogrammed in ONE job per pass (a range-id
+  * when-chain; ranges are identical-or-disjoint by construction), so
+  * the pass count stays O(log_bins(spread)) no matter how many ranks
+  * are requested. The refinement predicate is a plain range filter on
+  * the value column, so parquet row-group min/max stats let later
+  * passes also READ less, not just shuffle less.
+  *
+  * Compare `approx_percentile`: one pass, approximate. This is the
+  * complement — a handful of narrow passes, bit-exact answers (q88's
+  * oracle is DuckDB row_number() at the same ranks).
+  */
+object Quantile {
+
+  /** Unresolved rank: the answer for rank `k` is the `localRank`-th
+    * smallest value among rows with lo <= v <= hi. */
+  private final case class RankState(k: Long, lo: Double, hi: Double,
+      localRank: Long)
+
+  /** k-th smallest (1-based position in the sorted column, ties kept)
+    * for every k in `ks`. NULL and NaN rows are excluded (SQL ORDER BY
+    * comparability). */
+  def kthElements(df: DataFrame, valueCol: String, ks: Seq[Long],
+      bins: Int = 4096, collectCap: Int = 1 << 20): Map[Long, Double] = {
+    require(ks.nonEmpty, "no ranks requested")
+    require(bins >= 2 && collectCap >= 1, s"bad ($bins, $collectCap)")
+    val base = df.select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && !col("v").isNaN)
+
+    val head = base.agg(count(lit(1)).as("n"), min("v").as("lo"),
+      max("v").as("hi")).head()
+    val n = head.getLong(0)
+    require(n > 0, "empty input")
+    ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
+
+    var resolved = Map.empty[Long, Double]
+    var live: Seq[RankState] =
+      ks.distinct.map(k => RankState(k, head.getDouble(1), head.getDouble(2), k))
+    var pass = 0
+    while (live.nonEmpty) {
+      pass += 1
+      require(pass <= 64,
+        s"selection failed to converge after $pass passes")
+
+      // ranges are identical-or-disjoint: pass 1 has one shared range;
+      // later ranges are value spans of disjoint bins
+      val ranges = live.map(s => (s.lo, s.hi)).distinct.sortBy(_._1)
+      val ridOf = ranges.zipWithIndex.toMap
+      val ridCol = ranges.zipWithIndex
+        .foldLeft(lit(-1)) { case (acc, ((l, h), i)) =>
+          when(col("v") >= l && col("v") <= h, i).otherwise(acc)
+        }
+      val binCol = ranges.zipWithIndex
+        .foldLeft(lit(0L)) { case (acc, ((l, h), i)) =>
+          val b =
+            if (l == h) lit(0L)
+            else least(lit(bins - 1).cast("long"),
+              floor((col("v") - l) / (h - l) * bins).cast("long"))
+          when(col("rid") === i, b).otherwise(acc)
+        }
+      // hist: rid -> bins sorted by bin index, each (count, min, max)
+      val hist = base.select(ridCol.as("rid"), col("v"))
+        .filter(col("rid") >= 0)
+        .select(col("rid"), binCol.as("bin"), col("v"))
+        .groupBy("rid", "bin")
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))))
+        .groupBy(_._1)
+        .map { case (rid, rows) => rid -> rows.map(_._2).sortBy(_._1) }
+
+      var toCollect = List.empty[RankState]
+      var nextLive = List.empty[RankState]
+      live.foreach { s =>
+        val rows = hist(ridOf((s.lo, s.hi)))
+        // walk cumulative counts to the bin holding localRank
+        var before = 0L
+        var i = 0
+        while (before + rows(i)._2 < s.localRank) {
+          before += rows(i)._2; i += 1
+        }
+        val (_, c, mn, mx) = rows(i)
+        val inner = RankState(s.k, mn, mx, s.localRank - before)
+        if (mn == mx) resolved += s.k -> mn
+        else if (c <= collectCap) toCollect ::= inner
+        else nextLive ::= inner
+      }
+
+      if (toCollect.nonEmpty) {
+        // one exact job for every capped bin: bins are disjoint value
+        // spans, so a per-range sort + index lookup resolves each rank
+        val cRanges = toCollect.map(s => (s.lo, s.hi)).distinct
+        val keep = cRanges
+          .map { case (l, h) => col("v") >= l && col("v") <= h }
+          .reduce(_ || _)
+        val vals = base.filter(keep).collect().map(_.getDouble(0))
+        cRanges.foreach { case (l, h) =>
+          val sortedVals = vals.filter(v => v >= l && v <= h).sorted
+          toCollect.filter(s => s.lo == l && s.hi == h).foreach { s =>
+            resolved += s.k -> sortedVals((s.localRank - 1).toInt)
+          }
+        }
+      }
+      live = nextLive
+    }
+    resolved
+  }
+}

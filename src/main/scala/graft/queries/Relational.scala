@@ -59,8 +59,54 @@ object Relational {
     Q("q60_sessionize", q60, Some(q60Sql)),
     Q("q64_json_extract", q64, Some(q64Sql)),
     Q("q80_interval_join", q80, Some(q80Sql)),
-    Q("q86_bloom_pruned_join", q86, Some(q86Sql))
+    Q("q86_bloom_pruned_join", q86, Some(q86Sql)),
+    Q("q88_exact_quantiles", q88, Some(q88Sql))
   )
+
+  // --- q88: EXACT distributed quantiles (engine/Quantile) — the true
+  // min/p50/p90/p99/max of l_extendedprice by iterative histogram
+  // refinement: a few narrow passes whose shuffles carry bin counts
+  // (partial agg caps each task at `bins` rows), never values, with an
+  // exact capped scan only inside the bins that hold the requested
+  // ranks. No global sort anywhere. The small bins/collectCap below
+  // deliberately force at least one refinement pass at sf0.01, proving
+  // the recursion in the driver-checked path; parameters never change
+  // the answer (QuantileSpec asserts parameter/partitioning
+  // invariance). Rank semantics are positional (value at sorted index
+  // k-1), so the oracle is DuckDB row_number() at identical ranks —
+  // both engines return an actual element of the column, making the
+  // double compare bit-exact. ------
+
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val n = li.filter(col("l_extendedprice").isNotNull).count()
+    def kq(q: Double) = math.max(1L, math.floor(q * n).toLong)
+    val ks = Seq(("min", 1L), ("p50", kq(0.5)), ("p90", kq(0.9)),
+      ("p99", kq(0.99)), ("max", n))
+    val res = graft.engine.Quantile.kthElements(li, "l_extendedprice",
+      ks.map(_._2), bins = 64, collectCap = 100)
+    ks.map { case (lbl, k) => (lbl, k, res(k)) }
+      .toDF("label", "k", "value").orderBy("k", "label")
+  }
+
+  private val q88Sql =
+    """WITH s AS (SELECT l_extendedprice AS v,
+      |    row_number() OVER (ORDER BY l_extendedprice) AS rn
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM s),
+      |ks AS (
+      |  SELECT 'min' AS label, CAST(1 AS BIGINT) AS k FROM n
+      |  UNION ALL SELECT 'p50',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.5 * n) AS BIGINT)) FROM n
+      |  UNION ALL SELECT 'p90',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.9 * n) AS BIGINT)) FROM n
+      |  UNION ALL SELECT 'p99',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.99 * n) AS BIGINT)) FROM n
+      |  UNION ALL SELECT 'max', n FROM n)
+      |SELECT ks.label, ks.k, s.v AS value
+      |FROM ks JOIN s ON s.rn = ks.k
+      |ORDER BY ks.k, ks.label""".stripMargin
 
   // --- q86: BLOOM-PRUNED equi join (engine/Bloom) — the explicit
   // semi-join prune for the shape where the dim's key set fits in a

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Quantile
+
+/** engine/Quantile: exact distributed selection by histogram
+  * refinement, cross-checked against a plain in-memory sort at every
+  * tested rank, with tiny bins/caps forcing deep recursion, heavy
+  * duplicates, negatives, NaN/null exclusion, and parameter +
+  * partitioning invariance.
+  */
+class QuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-quantile-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Deterministic pseudo-random doubles in a wide range, with a
+    * negative tail. */
+  private def mkValues(n: Int): Array[Double] =
+    Array.tabulate(n) { i =>
+      val h = graft.world.World.h(i.toLong * 31 + 7)
+      (h % 100000).toDouble / 3.0 - 5000.0
+    }
+
+  test("matches the in-memory sort oracle at every rank, with tiny " +
+    "bins forcing multi-pass refinement") {
+    import spark.implicits._
+    val vals = mkValues(10000)
+    val sorted = vals.sorted
+    val df = vals.toSeq.toDF("v").repartition(7)
+    val ks = Seq(1L, 2L, 17L, 5000L, 9000L, 9900L, 9999L, 10000L)
+    val got = Quantile.kthElements(df, "v", ks, bins = 16, collectCap = 20)
+    ks.foreach { k =>
+      assert(got(k) == sorted((k - 1).toInt), s"rank $k")
+    }
+  }
+
+  test("heavy duplicates resolve immediately (equal-value bins never " +
+    "ping-pong) and ties keep positional semantics") {
+    import spark.implicits._
+    // 50 distinct values, 200 copies each - every bin is eventually
+    // all-equal and must resolve without hitting the collect cap
+    val vals = Array.tabulate(10000)(i => (graft.world.World.h(i) % 50).toDouble)
+    val sorted = vals.sorted
+    val df = vals.toSeq.toDF("v").repartition(5)
+    val ks = Seq(1L, 100L, 5000L, 9999L, 10000L)
+    val got = Quantile.kthElements(df, "v", ks, bins = 8, collectCap = 10)
+    ks.foreach(k => assert(got(k) == sorted((k - 1).toInt), s"rank $k"))
+  }
+
+  test("all-equal column, single row, and rank bounds") {
+    import spark.implicits._
+    val df = Seq.fill(100)(42.5).toDF("v")
+    val got = Quantile.kthElements(df, "v", Seq(1L, 50L, 100L),
+      bins = 4, collectCap = 2)
+    assert(got == Map(1L -> 42.5, 50L -> 42.5, 100L -> 42.5))
+    val one = Seq(7.0).toDF("v")
+    assert(Quantile.kthElements(one, "v", Seq(1L)) == Map(1L -> 7.0))
+    intercept[IllegalArgumentException] {
+      Quantile.kthElements(one, "v", Seq(2L))
+    }
+  }
+
+  test("NULL and NaN rows are excluded from ranking") {
+    import spark.implicits._
+    val df = Seq[java.lang.Double](3.0, null, Double.NaN, 1.0, 2.0)
+      .toDF("v")
+    val got = Quantile.kthElements(df, "v", Seq(1L, 2L, 3L),
+      bins = 4, collectCap = 1)
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    intercept[IllegalArgumentException] {
+      Quantile.kthElements(df, "v", Seq(4L))
+    }
+  }
+
+  test("answers are invariant to bins/collectCap and partitioning") {
+    import spark.implicits._
+    val vals = mkValues(5000)
+    val sorted = vals.sorted
+    val ks = Seq(1L, 1250L, 2500L, 4999L, 5000L)
+    val variants = Seq(
+      (vals.toSeq.toDF("v").repartition(1), 16, 10),
+      (vals.toSeq.toDF("v").repartition(13), 4096, 1 << 20),
+      (vals.toSeq.toDF("v").repartition(3), 7, 3))
+    variants.foreach { case (df, b, cap) =>
+      val got = Quantile.kthElements(df, "v", ks, bins = b, collectCap = cap)
+      ks.foreach(k =>
+        assert(got(k) == sorted((k - 1).toInt), s"rank $k at ($b, $cap)"))
+    }
+  }
+}
