@@ -43,6 +43,7 @@ object TextOps {
     Q("q51_media_stub", q51, None),
     Q("q76_media_stats", q76, Some(q76Sql)),
     Q("q52_ann_ivf", q52, Some(q52Sql)),
+    Q("q89_ann_ivfpq", q89, Some(q89Sql)),
     Q("q53_ann_topk", q53, Some(q53Sql)),
     Q("q54_jaccard_neardup", q54, Some(q54Sql)),
     Q("q55_ann_bucketed_topk", q55, Some(q55Sql)),
@@ -762,6 +763,254 @@ object TextOps {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rk
        |  FROM p)
        |SELECT ivf_cell, vec_id, nn_id FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  // --- q89: IVF-PQ ANN — the production two-stage shape on top of
+  // q52's coarse quantizer. Stage 1 (candidate generation) never
+  // touches a vector: each embedding is PRODUCT-QUANTIZED into M=8
+  // 4-bit codes (per-subspace K=16 codebooks fitted by the same
+  // seeded driver-side Lloyd's as IvfFit, on 8-dim subvectors), and
+  // same-IVF-cell pairs are ranked by SYMMETRIC distance — M lookups
+  // into the driver-precomputed K x K inter-centroid tables. At 10^12
+  // scale this is the whole point: the SDC pass shuffles 4 code bytes
+  // per vector instead of 256 float bytes (~64x) and the distance is M
+  // adds, no dot products. Stage 2 re-ranks only the top-R=8 SDC
+  // candidates per vector with the exact cosine (joining the R
+  // candidate ids back to the full vectors) and keeps the best —
+  // PQ's approximation error is confined to candidate SELECTION, the
+  // reported neighbor is exact-scored. Output carries the codes
+  // (integer-exact) and ids only; the oracle regenerates codebooks,
+  // assignment CASE chains, lookup-table VALUES and both rank stages
+  // from the same fit (the q52 fit-dependent-oracle pattern). --------
+  private val PqM = 8        // subspaces
+  private val PqK = 16       // sub-centroids per subspace
+  private val PqSubDim = 8   // 64 dims / M
+  private val PqTopR = 8     // SDC candidates re-ranked exactly
+
+  private[queries] object PqFit {
+    /** (codebooks(m)(j) = 16-dim sub-centroid, sdc(m)(i*K+j) =
+      * ||c_mi - c_mj||^2). */
+    type Fit = (Array[Array[Array[Double]]], Array[Array[Double]])
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Fit]()
+    @volatile private var lastDir: Option[String] = None
+
+    def forDir(s: SparkSession, dir: String): Fit = {
+      val r = cache.computeIfAbsent(dir, d => fit(s, d))
+      lastDir = Some(dir)
+      r
+    }
+
+    def last: Option[Fit] = lastDir.map(cache.get)
+
+    /** Per-subspace seeded Lloyd's on the same deterministic sorted
+      * sample as IvfFit: init = K evenly spaced sample subvectors,
+      * 5 iterations of first-min L2 assignment + mean update. */
+    private def fit(s: SparkSession, dir: String): Fit = {
+      val df = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+      val stride = math.max(1L, df.count() / 4096L)
+      val sample = df.filter(col("vec_id") % stride === 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2)
+      require(sample.length >= PqK,
+        s"PQ fit needs >= $PqK sample vectors, got ${sample.length}")
+      val books = Array.tabulate(PqM) { m =>
+        val subs = sample.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim))
+        var cents = Array.tabulate(PqK)(j =>
+          subs((j.toLong * subs.length / PqK).toInt).clone())
+        (1 to IvfFit.Iters).foreach { it =>
+          val sums = Array.fill(PqK, PqSubDim)(0.0)
+          val counts = new Array[Long](PqK)
+          subs.foreach { v =>
+            var best = Double.PositiveInfinity
+            var bj = 0
+            var j = 0
+            while (j < PqK) {
+              var d = 0.0
+              var i = 0
+              while (i < PqSubDim) {
+                val e = v(i) - cents(j)(i); d += e * e; i += 1
+              }
+              if (d < best) { best = d; bj = j }
+              j += 1
+            }
+            counts(bj) += 1
+            var i = 0
+            while (i < PqSubDim) { sums(bj)(i) += v(i); i += 1 }
+          }
+          if (it == IvfFit.Iters)
+            println(s"[pq] $dir subspace $m occupancy: ${counts.mkString(",")}")
+          cents = Array.tabulate(PqK)(j =>
+            if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+        }
+        cents
+      }
+      val sdc = Array.tabulate(PqM) { m =>
+        Array.tabulate(PqK * PqK) { ij =>
+          val (ci, cj) = (books(m)(ij / PqK), books(m)(ij % PqK))
+          var d = 0.0
+          var i = 0
+          while (i < PqSubDim) { val e = ci(i) - cj(i); d += e * e; i += 1 }
+          d
+        }
+      }
+      (books, sdc)
+    }
+  }
+
+  /** q52's coarse-cell assignment as reusable columns: (first-max
+    * cosine vs the fitted IVF centroids). */
+  private def ivfCellCol(cents: Array[Array[Double]], v: Column): Column = {
+    val ds = cents.map { w =>
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      dot_f64(v, typedlit(w)) / (sqrt(dot_f64(v, v)) * wn)
+    }
+    array_position(array(ds.map(c => c): _*), greatest(ds.map(c => c): _*)) - 1
+  }
+
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (books, sdc) = PqFit.forDir(s, dir)
+    val cents = IvfFit.centroidsFor(s, dir)
+    val v = col("embedding").cast("array<double>")
+    // PQ assignment: argmin_j (||c_mj||^2 - 2 <sub_m, c_mj>) — the
+    // ||sub||^2 term is constant across j, dropped on BOTH engines
+    val codeCols = (0 until PqM).map { m =>
+      val sub = slice(v, m * PqSubDim + 1, PqSubDim)
+      val ds = (0 until PqK).map { j =>
+        val c = books(m)(j)
+        val cSq = c.map(x => x * x).sum
+        lit(cSq) - lit(2.0) * dot_f64(sub, typedlit(c))
+      }
+      (array_position(array(ds: _*), least(ds: _*)) - 1)
+        .cast("int").as(s"c$m")
+    }
+    val coded = t(s, dir, "embeddings")
+      .select(Seq(col("vec_id"), v.as("v"),
+        ivfCellCol(cents, v).cast("long").as("ivf_cell")) ++ codeCols: _*)
+      .truncated(s)
+    // stage 1: SDC over codes only (the vector column is NOT carried)
+    val codes = coded.select(Seq(col("ivf_cell"), col("vec_id")) ++
+      (0 until PqM).map(m => col(s"c$m")): _*)
+    val a = codes.select(col("ivf_cell") +: col("vec_id") +:
+      (0 until PqM).map(m => col(s"c$m").as(s"a$m")): _*)
+    val b = codes.select(col("ivf_cell") +: col("vec_id").as("nn_id") +:
+      (0 until PqM).map(m => col(s"c$m").as(s"b$m")): _*)
+    val sdcDist = (0 until PqM).map { m =>
+      element_at(typedlit(sdc(m)), (col(s"a$m") * PqK + col(s"b$m") + 1))
+    }.reduce(_ + _)
+    val pairs = graft.engine.Salted
+      .skewJoin(a, b, Seq("ivf_cell"), col("vec_id"),
+        salts = 8, hotThreshold = 64)
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("ivf_cell"), col("vec_id"), col("nn_id"),
+        sdcDist.as("sdc_dist"))
+    val wSdc = Window.partitionBy("vec_id")
+      .orderBy(col("sdc_dist"), col("nn_id"))
+    val cand = pairs
+      .withColumn("rk", row_number().over(wSdc))
+      .filter(col("rk") <= PqTopR)
+      .select("ivf_cell", "vec_id", "nn_id")
+    // stage 2: exact cosine re-rank of the <= R candidates per vector
+    val va = coded.select(col("vec_id"), col("v").as("va"))
+    val vb = coded.select(col("vec_id").as("nn_id"), col("v").as("vb"))
+    val sim = dot_f64(col("va"), col("vb")) /
+      (sqrt(dot_f64(col("va"), col("va"))) * sqrt(dot_f64(col("vb"), col("vb"))))
+    cand.join(va, "vec_id").join(vb, "nn_id")
+      .select(col("ivf_cell"), col("vec_id"), col("nn_id"), sim.as("sim"))
+      .groupBy("ivf_cell", "vec_id")
+      .agg(max(struct(col("sim"), (-col("nn_id")).as("neg_id"))).as("m"))
+      .select(col("ivf_cell"), col("vec_id"), (-col("m.neg_id")).as("nn_id"))
+      .join(codes.select(Seq(col("vec_id")) ++
+        (0 until PqM).map(m => col(s"c$m")): _*), "vec_id")
+      .select(Seq(col("ivf_cell"), col("vec_id")) ++
+        (0 until PqM).map(m => col(s"c$m")) :+ col("nn_id"): _*)
+      .orderBy("vec_id")
+  }
+
+  private def q89Sql: String = (PqFit.last, IvfFit.last) match {
+    case (Some(fitted), Some(cents)) => q89SqlWith(fitted, cents)
+    case _ => PreFitSentinel
+  }
+
+  private def q89SqlWith(fitted: PqFit.Fit,
+      cents: Array[Array[Double]]): String = {
+    val (books, sdc) = fitted
+    val ivfDots = cents.indices.map { c =>
+      val w = cents(c)
+      val wn = math.sqrt(w.map(x => x * x).sum)
+      s"(list_dot_product(embedding, [${w.map(dlit).mkString(", ")}])" +
+        s" / (sqrt(list_dot_product(embedding, embedding)) * ${dlit(wn)})) AS d$c"
+    }.mkString(",\n    ")
+    val ivfArgmax = cents.indices.map { c =>
+      val rest = (c + 1 until cents.length).map(j => s"d$c >= d$j")
+      if (rest.isEmpty) s"ELSE $c" else s"WHEN ${rest.mkString(" AND ")} THEN $c"
+    }.mkString(" ")
+    // per-subspace assignment distances + first-min CASE chains
+    val subDists = (0 until PqM).flatMap { m =>
+      val lo = m * PqSubDim + 1
+      val hi = (m + 1) * PqSubDim
+      (0 until PqK).map { j =>
+        val c = books(m)(j)
+        val cSq = c.map(x => x * x).sum
+        s"(${dlit(cSq)} - 2.0 * list_dot_product(embedding[$lo:$hi], " +
+          s"[${c.map(dlit).mkString(", ")}])) AS s${m}_$j"
+      }
+    }.mkString(",\n    ")
+    val codeCases = (0 until PqM).map { m =>
+      val chain = (0 until PqK).map { j =>
+        val rest = (j + 1 until PqK).map(i => s"s${m}_$j <= s${m}_$i")
+        if (rest.isEmpty) s"ELSE $j"
+        else s"WHEN ${rest.mkString(" AND ")} THEN $j"
+      }.mkString(" ")
+      s"CAST(CASE $chain END AS INT) AS c$m"
+    }.mkString(",\n    ")
+    val luts = (0 until PqM).map { m =>
+      val rows = (0 until PqK * PqK).map(ij =>
+        s"(${ij / PqK}, ${ij % PqK}, ${dlit(sdc(m)(ij))})").mkString(", ")
+      s"t$m(i, j, d) AS (VALUES $rows)"
+    }.mkString(",\n")
+    val lutJoins = (0 until PqM).map(m =>
+      s"  JOIN t$m ON t$m.i = a.c$m AND t$m.j = b.c$m").mkString("\n")
+    val codeList = (0 until PqM).map(m => s"c$m").mkString(", ")
+    s"""WITH d AS (SELECT vec_id, embedding,
+       |    $ivfDots
+       |  FROM embeddings),
+       |iv AS (SELECT vec_id, embedding,
+       |    CAST(CASE $ivfArgmax END AS BIGINT) AS ivf_cell FROM d),
+       |sd AS (SELECT vec_id, embedding, ivf_cell,
+       |    $subDists
+       |  FROM iv),
+       |coded AS (SELECT vec_id, embedding, ivf_cell,
+       |    $codeCases
+       |  FROM sd),
+       |$luts,
+       |p AS (SELECT a.ivf_cell, a.vec_id, b.vec_id AS nn_id,
+       |    ${(0 until PqM).map(m => s"t$m.d").mkString(" + ")} AS sdc_dist
+       |  FROM coded a JOIN coded b
+       |    ON a.ivf_cell = b.ivf_cell AND a.vec_id != b.vec_id
+       |$lutJoins),
+       |cand AS (SELECT ivf_cell, vec_id, nn_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sdc_dist, nn_id) AS rk
+       |  FROM p),
+       |rr AS (SELECT c.ivf_cell, c.vec_id, c.nn_id,
+       |    list_dot_product(ea.embedding, eb.embedding)
+       |      / (sqrt(list_dot_product(ea.embedding, ea.embedding))
+       |         * sqrt(list_dot_product(eb.embedding, eb.embedding))) AS sim
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = c.nn_id
+       |  WHERE c.rk <= $PqTopR),
+       |best AS (SELECT ivf_cell, vec_id, nn_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nn_id) AS rk
+       |  FROM rr)
+       |SELECT b.ivf_cell, b.vec_id, $codeList, b.nn_id
+       |FROM best b JOIN coded USING (vec_id)
+       |WHERE b.rk = 1 ORDER BY b.vec_id""".stripMargin
   }
 
   // --- q53: brute-force cosine top-k (k = 3) — the exhaustive ANN
