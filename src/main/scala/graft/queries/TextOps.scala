@@ -56,6 +56,7 @@ object TextOps {
     Q("q71_span_scrub", q71, Some(q71Sql)),
     Q("q77_phash_neardup", q77, Some(q77Sql)),
     Q("q78_phash_clusters", q78, Some(q78Sql)),
+    Q("q90_caption_consolidate", q90, Some(q90Sql)),
     Q("q84_hll_registers", q84, Some(q84Sql))
   )
 
@@ -1500,6 +1501,74 @@ object TextOps {
        |SELECT image_id, MIN(lbl) AS cluster,
        |  CAST(CASE WHEN MIN(lbl) = image_id THEN 1 ELSE 0 END AS INT) AS is_keeper
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q90: METADATA CONSOLIDATION on dedup clusters — what the
+  // image+caption table actually ships after dedup (input_hint: rows
+  // are image/caption PAIRS, so dropping near-dup images silently
+  // drops caption signal): one row per q78 visual-dup cluster carrying
+  // the keeper id, member count, and the members' DISTINCT captions
+  // merged deterministically (sorted, ' | '-joined), plus a conflict
+  // flag — the caption-noise audit (same pixels, disagreeing text)
+  // that curation pipelines route to relabeling. Merge order is pinned
+  // by sort_array / ORDER BY caption under binary collation on both
+  // engines, so the concatenated string compares bit-exact. One extra
+  // shuffle beyond q78 (the cluster-id groupBy); captions ride that
+  // shuffle once, which at 10^12 rows is the reason consolidation
+  // happens HERE and not as a per-member join downstream. ------------
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.engine.Multimodal.syntheticMedia(s)
+      .select("image_id", "phash", "caption")
+    val pairs = hammingPairs(media.select("image_id", "phash"),
+      "image_id", "phash", PhashHamK).select("a", "b")
+    val labels = graft.engine.Components
+      .minLabel(s, pairs, "q90_caption_consolidate")
+      .withColumnRenamed("node_id", "image_id")
+    media.join(labels, Seq("image_id"), "left")
+      .select(col("caption"),
+        coalesce(col("lbl"), col("image_id")).as("keeper"))
+      .groupBy("keeper")
+      .agg(count(lit(1)).as("n_members"),
+        size(collect_set(col("caption"))).cast("int").as("n_captions"),
+        concat_ws(" | ", sort_array(collect_set(col("caption"))))
+          .as("captions"))
+      .withColumn("caption_conflict",
+        (col("n_captions") > 1).cast("int"))
+      .orderBy("keeper")
+  }
+
+  private lazy val q90Sql = {
+    val spec = graft.world.World.tiny
+    val tx = spec.tilesX
+    val t = spec.tile
+    s"""WITH RECURSIVE $phashImgsCte,
+       |caps AS (
+       | SELECT printf('tile_%05d', tile_id) AS image_id,
+       |   printf('tile r%d c%d ${t}x$t bands=${spec.nBands}',
+       |     (tile_id // $tx) * $t, (tile_id % $tx) * $t) AS caption FROM ph
+       | UNION ALL SELECT printf('tile_%05d_png', tile_id),
+       |   printf('png16 of tile %d', tile_id) FROM ph
+       | UNION ALL SELECT printf('tile_%05d_tif', tile_id),
+       |   printf('gtiff of tile %d', tile_id) FROM ph
+       | UNION ALL SELECT printf('tile_%05d_jpg', tile_id),
+       |   printf('jpeg of tile %d band 1', tile_id) FROM ph),
+       |cand AS (
+       |  SELECT a.image_id AS a, b.image_id AS b
+       |  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHamK),
+       |edges AS (SELECT a, b FROM cand UNION ALL SELECT b, a FROM cand),
+       |reach(image_id, lbl) AS (
+       |  SELECT image_id, image_id FROM imgs
+       |  UNION
+       |  SELECT e.b, r.lbl FROM edges e JOIN reach r ON e.a = r.image_id),
+       |cl AS (SELECT image_id, MIN(lbl) AS keeper FROM reach GROUP BY 1)
+       |SELECT cl.keeper, COUNT(*) AS n_members,
+       |  CAST(COUNT(DISTINCT c.caption) AS INT) AS n_captions,
+       |  string_agg(DISTINCT c.caption, ' | ' ORDER BY c.caption) AS captions,
+       |  CAST(CASE WHEN COUNT(DISTINCT c.caption) > 1 THEN 1 ELSE 0 END
+       |    AS INT) AS caption_conflict
+       |FROM cl JOIN caps c USING (image_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // --- q84: HLL DISTINCT-COUNT SKETCH — approximate distinct
   // fingerprints per language group, emitted as the sketch's 64 raw
