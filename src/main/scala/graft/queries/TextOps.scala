@@ -57,7 +57,8 @@ object TextOps {
     Q("q77_phash_neardup", q77, Some(q77Sql)),
     Q("q78_phash_clusters", q78, Some(q78Sql)),
     Q("q90_caption_consolidate", q90, Some(q90Sql)),
-    Q("q84_hll_registers", q84, Some(q84Sql))
+    Q("q84_hll_registers", q84, Some(q84Sql)),
+    Q("q91_cm_sketch", q91, Some(q91Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1638,6 +1639,74 @@ object TextOps {
         coalesce(col("register"), lit(0)).cast("int").as("register"))
       .orderBy("lang", "bucket")
   }
+
+  // --- q91: COUNT-MIN SKETCH — the frequency twin of q84's
+  // distinct-count HLL, completing the sketch pair a 10^12-row profile
+  // pass needs (how many distinct / how often each). Same Spark-first
+  // design: register(r, c) = COUNT of rows whose r-th hash lands in
+  // column c, i.e. a groupBy(r, c) count — Catalyst's partial
+  // aggregation IS the sketch merge (each task reduces to <= d*w rows
+  // before the exchange; sketch state shuffles, never raw rows), and
+  // sketches of disjoint inputs union by adding registers, which is
+  // exactly what the final merge does. Row hashes are the nonlinear
+  // World.h2 (affine-free, SQL-exact, zero libm); registers are
+  // integers so the oracle compares bit-for-bit. The estimator
+  // (`cmEstimate` = min over rows of the addressed register) is a
+  // driver-side fold with the classic ONE-SIDED guarantee — never an
+  // undercount — golden-tested beside hllEstimate; heavy-hitter
+  // screening (est >= threshold has NO false negatives) rides that
+  // guarantee deterministically. ------------------------------------
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 64
+
+  private def hcCol(k: Column): Column =
+    (k * lit(2654435761L)) % lit(4294967296L)
+  /** World.h2 as a Column (floor-div between two Knuth multiplies). */
+  private def h2Col(k: Column): Column =
+    hcCol(floor(hcCol(k) / lit(65536)).cast("long"))
+
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val cells = (0 until CmDepth).map { r =>
+      struct(lit(r).as("r"),
+        (h2Col(col("user_id") * 31 + lit(r * 131)) % CmWidth)
+          .cast("int").as("c"))
+    }
+    val regs = t(s, dir, "events")
+      .select(explode(array(cells: _*)).as("rc"))
+      .select(col("rc.r").as("r"), col("rc.c").as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    // dense spine: absent registers are TRUE ZEROS the estimator needs
+    // (a key hashing into an untouched cell has exact count 0)
+    val spine = s.range(CmDepth).select(col("id").cast("int").as("r"))
+      .crossJoin(s.range(CmWidth).select(col("id").cast("int").as("c")))
+    spine.join(regs, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("r", "c")
+  }
+
+  private val q91Sql = {
+    val h = (k: String) => Spatial.h2Sql(k)
+    s"""WITH rc AS (SELECT rr.range AS r,
+       |    (${h(s"user_id * 31 + rr.range * 131")} % $CmWidth) AS c
+       |  FROM events, range($CmDepth) rr),
+       |agg AS (SELECT r, c, COUNT(*) AS cnt FROM rc GROUP BY 1, 2),
+       |spine AS (SELECT rr.range AS r, cc.range AS c
+       |  FROM range($CmDepth) rr, range($CmWidth) cc)
+       |SELECT CAST(s.r AS INT) AS r, CAST(s.c AS INT) AS c,
+       |  CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt
+       |FROM spine s LEFT JOIN agg a ON a.r = s.r AND a.c = s.c
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Driver-side count-min estimate of `key`'s frequency from q91's
+    * register rows: min over sketch rows of the addressed register.
+    * One-sided by construction — never an undercount — so a
+    * heavy-hitter screen (est >= threshold) has no false negatives. */
+  def cmEstimate(registers: Map[(Int, Int), Long], key: Long): Long =
+    (0 until CmDepth).map { r =>
+      val c = (graft.world.World.h2(key * 31 + r * 131) % CmWidth).toInt
+      registers.getOrElse((r, c), 0L)
+    }.min
 
   /** Driver-side HLL estimate from q84's register rows (per group):
     * the standard bias-corrected harmonic mean with the small-range

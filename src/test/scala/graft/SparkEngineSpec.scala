@@ -1011,4 +1011,70 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"fingerprint fold must be evaluated once per row, found $folds:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q91 count-min sketch: one-sided estimator guarantee on skewed " +
+    "keys, exact heavy-hitter screen, merge-associativity, partial agg " +
+    "below the exchange") {
+    import spark.implicits._
+    import graft.world.World.h
+    // skewed fixture: two heavy users (20% / 10% of rows) over a
+    // ~500-user tail
+    val n = 8000
+    val events = (0 until n).map { i =>
+      val hv = h(i.toLong * 11 + 3)
+      val user =
+        if (hv % 5 == 0) 7L
+        else if (hv % 10 == 1) 13L
+        else 100L + h(i.toLong * 29 + 1) % 500
+      (i.toLong, user)
+    }.toDF("event_id", "user_id")
+    val dir = graft.util.TempDirs.create("cm_events")
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val q = graft.SparkEntry.queries("q91_cm_sketch")
+    val rows = q(spark, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 4 * 64, "dense spine: every (row, col) register")
+    // every sketch row's registers sum to N (each event lands once per row)
+    (0 until 4).foreach { r =>
+      val s = rows.collect { case ((`r`, _), c) => c }.sum
+      assert(s == n, s"row $r registers sum $s != $n")
+    }
+    val exact = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided guarantee: NEVER an undercount, for every key
+    exact.foreach { case (u, ex) =>
+      val est = graft.queries.TextOps.cmEstimate(rows, u)
+      assert(est >= ex, s"CM undercounted user $u: $est < $ex")
+    }
+    // heavy hitters (>= 5% of rows) are found with small relative
+    // error: their own mass dominates the collision noise in a cell
+    exact.filter(_._2 >= n / 20).foreach { case (u, ex) =>
+      val est = graft.queries.TextOps.cmEstimate(rows, u)
+      assert((est - ex).toDouble / ex < 0.25,
+        s"heavy user $u overestimated: $est vs $ex")
+    }
+    // screen at threshold n/20: no false negatives (deterministic
+    // consequence of one-sidedness), and the candidate set stays small
+    val candidates = exact.keys.filter(u =>
+      graft.queries.TextOps.cmEstimate(rows, u) >= n / 20).toSet
+    val truly = exact.filter(_._2 >= n / 20).keySet
+    assert(truly.subsetOf(candidates), "screen missed a heavy hitter")
+    assert(candidates.size <= exact.size / 4,
+      s"screen kept ${candidates.size} of ${exact.size} keys - no pruning")
+    // merge-associativity: identical registers under 7-way repartition
+    val dir7 = graft.util.TempDirs.create("cm_events7")
+    events.repartition(7).write.mode("overwrite")
+      .parquet(s"$dir7/events.parquet")
+    assert(q(spark, dir7.toString).collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap == rows)
+    // the sketch merge is the partial count below the exchange
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q(spark, dir.toString).queryExecution.executedPlan.toString
+      val below = plan.split("Exchange hashpartitioning\\(r").last
+      assert(below.contains("partial_count"),
+        s"sketch must reduce per-partition before the exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
