@@ -381,4 +381,36 @@ object StreamDedup {
       .select(col("w.start").as("w_start"), col("n_clips"),
         col("total_energy"), col("max_peak"))
   }
+
+  /** Streaming COUNT-MIN registers per event-time window — the
+    * incremental shape of batch q91: each arriving event fans out to
+    * its d sketch cells (the same nonlinear World.h2 addressing), and
+    * a watermarked groupBy(window, r, c) count IS the sketch — Spark's
+    * windowed-aggregation state holds exactly d*w counters per open
+    * window (bounded regardless of key cardinality, the property that
+    * lets a heavy-hitter monitor watch 10^9-key streams), finalized
+    * rows emit on watermark close. Consumers screen with
+    * `TextOps.cmEstimate` per window; absent (r, c) rows are zero
+    * registers (append mode emits only touched cells — at d*w = 256
+    * cells per window and realistic volumes, effectively all). */
+  def cmSketchByWindow(events: DataFrame, keyCol: String,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val d = graft.queries.TextOps.CmDepth
+    val w = graft.queries.TextOps.CmWidth
+    def hc(k: Column): Column = (k * lit(2654435761L)) % lit(4294967296L)
+    def h2(k: Column): Column =
+      hc(floor(hc(k) / lit(65536)).cast("long"))
+    val cells = (0 until d).map { r =>
+      struct(lit(r).as("r"),
+        (h2(col(keyCol) * 31 + lit(r * 131)) % w).cast("int").as("c"))
+    }
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(array(cells: _*)).as("rc"))
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("r"), col("c"), col("cnt"))
+  }
 }

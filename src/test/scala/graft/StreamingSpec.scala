@@ -399,4 +399,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         10L -> (1L, e3, p3)), s"got $got")
     } finally q.stop()
   }
+
+  test("streaming count-min registers match the batch q91 addressing " +
+    "per event-time window, accumulating ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.world.World.h2
+    val in = MemoryStream[SessEv]
+    val q = StreamDedup.cmSketchByWindow(in.toDF(), "user_id")
+      .writeStream.format("memory").queryName("g_cm")
+      .outputMode("complete").start()
+    try {
+      // two windows; window 0's counts build across TWO batches
+      in.addData(SessEv(7, ts(1)), SessEv(7, ts(2)), SessEv(13, ts(4)))
+      q.processAllAvailable()
+      in.addData(SessEv(7, ts(8)), SessEv(99, ts(12)), SessEv(7, ts(13)))
+      q.processAllAvailable()
+      val got = spark.table("g_cm").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+      // batch recompute: the same World.h2 addressing per window
+      val events = Seq((7L, 0L), (7L, 0L), (13L, 0L), (7L, 0L),
+        (99L, 10L), (7L, 10L))
+      val want = events
+        .flatMap { case (u, w) =>
+          (0 until 4).map(r => (w, r, (h2(u * 31 + r * 131) % 64).toInt))
+        }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(got == want, s"got $got\nwant $want")
+      // estimator over window 0's registers: user 7 appeared 3x there,
+      // and the one-sided guarantee holds per window
+      val w0 = got.collect { case ((0L, r, c), n) => (r, c) -> n }.toMap
+      assert(graft.queries.TextOps.cmEstimate(w0, 7L) >= 3L)
+      assert(graft.queries.TextOps.cmEstimate(w0, 13L) >= 1L)
+    } finally q.stop()
+  }
 }
