@@ -60,8 +60,46 @@ object Relational {
     Q("q64_json_extract", q64, Some(q64Sql)),
     Q("q80_interval_join", q80, Some(q80Sql)),
     Q("q86_bloom_pruned_join", q86, Some(q86Sql)),
-    Q("q88_exact_quantiles", q88, Some(q88Sql))
+    Q("q88_exact_quantiles", q88, Some(q88Sql)),
+    Q("q92_bucketed_join", q92, Some(q92Sql))
   )
+
+  // --- q92: BUCKETED CO-LOCATED JOIN (engine/Layout.writeBucketed) —
+  // the third table-layout lever beside z-order (q87) and the bloom
+  // prune (q86): orders and customer are persisted hash-bucketed by
+  // the join key with the same bucket count, so the join needs NO
+  // exchange — the shuffle is paid once at write time and amortized
+  // over every subsequent join, which is what a 100 TB fact table
+  // standardizes on. The fixture-scale write happens inside the query
+  // (idempotent, temp-pathed, per-sf-dir table names); LayoutSpec
+  // guards the plan property (zero Exchange under the join with
+  // broadcast disabled). Oracle: the identical plain join on the
+  // original parquet — bucketing must never change results. ------
+
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toString
+    val (to, tc) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
+    graft.engine.Layout.writeBucketed(
+      t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+      to, graft.util.TempDirs.create(s"b_orders_$tag").toString,
+      "o_custkey", 8)
+    graft.engine.Layout.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+      tc, graft.util.TempDirs.create(s"b_customer_$tag").toString,
+      "c_custkey", 8)
+    s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q92Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --- q88: EXACT distributed quantiles (engine/Quantile) — the true
   // min/p50/p90/p99/max of l_extendedprice by iterative histogram

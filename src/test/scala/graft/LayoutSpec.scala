@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -115,5 +116,39 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"16x16 window touches $zTouch z-order buckets vs $rowTouch row-major")
     assert(zTouch <= 4 && rowTouch >= 6,
       s"z-order pruning win missing: $zTouch vs $rowTouch of 24 buckets")
+  }
+
+  test("writeBucketed: same-bucket-count tables join with ZERO exchange " +
+    "(the write-once shuffle), and results equal the plain join") {
+    import graft.engine.Layout
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = spark.range(0, 5000)
+        .select((col("id") % 700).as("k"), (col("id") * 7 % 97).as("v"))
+      val dim = spark.range(0, 700)
+        .select(col("id").as("dk"), (col("id") % 25).as("g"))
+      Layout.writeBucketed(fact, "graft_t_fact",
+        graft.util.TempDirs.create("bt_fact").toString, "k", 8)
+      Layout.writeBucketed(dim, "graft_t_dim",
+        graft.util.TempDirs.create("bt_dim").toString, "dk", 8)
+      val joined = spark.table("graft_t_fact")
+        .join(spark.table("graft_t_dim"), col("k") === col("dk"))
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.find(_.isInstanceOf[ShuffleExchangeExec]).isEmpty,
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"expected a sort-merge join over co-located buckets:\n$plan")
+      // results identical to the unbucketed join
+      val plain = fact.join(dim, col("k") === col("dk"))
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.sql("DROP TABLE IF EXISTS graft_t_fact")
+      spark.sql("DROP TABLE IF EXISTS graft_t_dim")
+    }
   }
 }
