@@ -45,7 +45,9 @@ object Bloom {
   /** Immutable fitted filter: `bits.length * 64` bits (power of two),
     * `k` probes per key. */
   final case class Filter(bits: Array[Long], k: Int) {
-    def mBits: Int = bits.length * 64
+    // Long arithmetic throughout: sizeFor permits up to 2^36 bits,
+    // where `bits.length * 64` overflows Int
+    def mBits: Long = bits.length.toLong * 64
     def mightContain(hash: Long): Boolean =
       Bloom.mightContain(bits, hash, k)
     /** Fraction of bits set — the load factor behind the fp rate. */
@@ -80,15 +82,17 @@ object Bloom {
   }
 
   /** Set the k probe bits of `hash` in `bits` (m = bits.length*64 must
-    * be a power of two). */
+    * be a power of two). Index math is Long: at the permitted 2^36-bit
+    * maximum, Int `bits.length * 64` would wrap and silently address
+    * only the low quarter of the bitmap. */
   def add(bits: Array[Long], hash: Long, k: Int): Unit = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1
     val h2 = mix(hash) | 1L
     var i = 0
     var h = hash
     while (i < k) {
-      val idx = (h & mask).toInt
-      bits(idx >>> 6) |= 1L << (idx & 63)
+      val idx = h & mask
+      bits((idx >>> 6).toInt) |= 1L << (idx & 63)
       h += h2
       i += 1
     }
@@ -96,13 +100,13 @@ object Bloom {
 
   /** True iff all k probe bits of `hash` are set. */
   def mightContain(bits: Array[Long], hash: Long, k: Int): Boolean = {
-    val mask = bits.length * 64 - 1
+    val mask = bits.length.toLong * 64 - 1
     val h2 = mix(hash) | 1L
     var i = 0
     var h = hash
     while (i < k) {
-      val idx = (h & mask).toInt
-      if ((bits(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      val idx = h & mask
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63))) == 0L) return false
       h += h2
       i += 1
     }

@@ -42,6 +42,36 @@ object Quantile {
   def kthElements(df: DataFrame, valueCol: String, ks: Seq[Long],
       bins: Int = 4096, collectCap: Int = 1 << 20): Map[Long, Double] = {
     require(ks.nonEmpty, "no ranks requested")
+    selectRanks(df, valueCol, _ => ks, bins, collectCap)
+  }
+
+  /** Quantiles by fraction: one scan computes n, min and max; ranks
+    * derive as max(1, floor(q * n)) from the SAME filtered count the
+    * selection uses (a caller-side pre-count would both scan the table
+    * an extra time and disagree on NaN rows). Returns
+    * (label, rank, value) per requested fraction. */
+  def quantilesAt(df: DataFrame, valueCol: String,
+      fractions: Seq[(String, Double)], bins: Int = 4096,
+      collectCap: Int = 1 << 20): Seq[(String, Long, Double)] = {
+    require(fractions.nonEmpty, "no fractions requested")
+    fractions.foreach { case (l, q) =>
+      require(q >= 0.0 && q <= 1.0, s"fraction $l = $q outside [0, 1]")
+    }
+    var ks = Seq.empty[(String, Long)]
+    val resolved = selectRanks(df, valueCol, n => {
+      ks = fractions.map { case (l, q) =>
+        l -> math.max(1L, math.floor(q * n).toLong)
+      }
+      ks.map(_._2)
+    }, bins, collectCap)
+    ks.map { case (l, k) => (l, k, resolved(k)) }
+  }
+
+  /** Shared core: `mkKs` receives the filtered row count and returns
+    * the 1-based ranks to select. */
+  private def selectRanks(df: DataFrame, valueCol: String,
+      mkKs: Long => Seq[Long], bins: Int, collectCap: Int)
+      : Map[Long, Double] = {
     require(bins >= 2 && collectCap >= 1, s"bad ($bins, $collectCap)")
     val base = df.select(col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull && !col("v").isNaN)
@@ -50,6 +80,8 @@ object Quantile {
       max("v").as("hi")).head()
     val n = head.getLong(0)
     require(n > 0, "empty input")
+    val ks = mkKs(n)
+    require(ks.nonEmpty, "no ranks requested")
     ks.foreach(k => require(k >= 1 && k <= n, s"rank $k outside [1, $n]"))
 
     var resolved = Map.empty[Long, Double]
@@ -73,7 +105,14 @@ object Quantile {
         .foldLeft(lit(0L)) { case (acc, ((l, h), i)) =>
           val b =
             if (l == h) lit(0L)
-            else least(lit(bins - 1).cast("long"),
+            else if ((h - l).isInfinity) {
+              // span overflows double: (v - l) / (h - l) degenerates
+              // to 0-or-NaN and every row lands in bin 0, so no pass
+              // would narrow. Split at the (always finite) midpoint
+              // instead — each half's span is finite, and the per-bin
+              // (min, max) tracking resumes normal refinement next pass
+              when(col("v") < l / 2 + h / 2, lit(0L)).otherwise(lit(1L))
+            } else least(lit(bins - 1).cast("long"),
               floor((col("v") - l) / (h - l) * bins).cast("long"))
           when(col("rid") === i, b).otherwise(acc)
         }

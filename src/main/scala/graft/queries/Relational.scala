@@ -117,15 +117,15 @@ object Relational {
 
   private def q88(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = t(s, dir, "lineitem")
-    val n = li.filter(col("l_extendedprice").isNotNull).count()
-    def kq(q: Double) = math.max(1L, math.floor(q * n).toLong)
-    val ks = Seq(("min", 1L), ("p50", kq(0.5)), ("p90", kq(0.9)),
-      ("p99", kq(0.99)), ("max", n))
-    val res = graft.engine.Quantile.kthElements(li, "l_extendedprice",
-      ks.map(_._2), bins = 64, collectCap = 100)
-    ks.map { case (lbl, k) => (lbl, k, res(k)) }
-      .toDF("label", "k", "value").orderBy("k", "label")
+    // quantilesAt derives ranks from ITS one head scan's count, so no
+    // separate pre-count pass (and no NaN-filter disagreement with the
+    // selection's own base)
+    val res = graft.engine.Quantile.quantilesAt(
+      t(s, dir, "lineitem"), "l_extendedprice",
+      Seq(("min", 0.0), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99),
+        ("max", 1.0)),
+      bins = 64, collectCap = 100)
+    res.toDF("label", "k", "value").orderBy("k", "label")
   }
 
   private val q88Sql =

@@ -683,18 +683,11 @@ object TextOps {
   private def q52(s: SparkSession, dir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val cents = IvfFit.centroidsFor(s, dir)
-    // nearest centroid by max cosine ~ max normalized dot; first-max
-    val dots = (0 until NCentroids).map { c =>
-      val w = cents(c)
-      val wn = math.sqrt(w.map(x => x * x).sum)
-      (dot_f64(v, typedlit(w)) / (sqrt(dot_f64(v, v)) * wn)).as(s"d$c")
-    }
-    val assigned = t(s, dir, "embeddings")
-      .select(col("vec_id") +: v.as("v") +: dots: _*)
-    val ds = (0 until NCentroids).map(c => col(s"d$c"))
-    val best = greatest(ds: _*)
-    val cell = (array_position(array(ds: _*), best) - 1).as("ivf_cell")
-    val cells = assigned.select(col("vec_id"), col("v"), cell)
+    // nearest centroid by max cosine — the SAME ivfCellCol q89 builds
+    // its coarse stage from, so the two ANN paths can never drift on
+    // normalization or the first-max tie-break
+    val cells = t(s, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"), ivfCellCol(cents, v).as("ivf_cell"))
       .truncated(s)
     val a = cells.select(col("ivf_cell"), col("vec_id"), col("v").as("va"))
     val b = cells.select(col("ivf_cell"), col("vec_id").as("nn_id"),
@@ -1422,15 +1415,21 @@ object TextOps {
     * formulas — shared by the q77 pair oracle and the q78 cluster
     * oracle (single definition, so a world change cannot leave a stale
     * copy in one of them). */
+  /** `1 << k` as a BIGINT literal per phash block index k — SHARED by
+    * every oracle that rebuilds a 64-bit block-mean phash in SQL (the
+    * image CTE below and Video.q85Sql): k = 63 prints as
+    * Long.MinValue, which DuckDB parses via HUGEINT then casts back,
+    * a caveat that must not fork across copies. */
+  private[queries] lazy val phashBitvalSql: String =
+    "CASE k " + (0 until 64).map(k =>
+      s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
+
   private lazy val phashImgsCte: String = {
     val spec = graft.world.World.tiny
     val C = spec.cols
     val T = spec.tile
     val blk = T / 8 // pixels per phash block side
-    // 1 << k as a BIGINT literal per block index (k = 63 prints as
-    // Long.MinValue, which DuckDB parses via HUGEINT then casts back)
-    val bitval = "CASE k " + (0 until 64).map(k =>
-      s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
+    val bitval = phashBitvalSql
     s"""cells AS (SELECT r.range + 1 AS cell_id FROM range(${spec.nCells}) r),
        |px AS (SELECT ${Spatial.tileSql("cell_id")} AS tile_id,
        |   CAST(FLOOR((FLOOR((cell_id - 1) / $C) % $T) / $blk) AS BIGINT) AS by,
@@ -1659,17 +1658,11 @@ object TextOps {
   private[graft] val CmDepth = 4
   private[graft] val CmWidth = 64
 
-  private def hcCol(k: Column): Column =
-    (k * lit(2654435761L)) % lit(4294967296L)
-  /** World.h2 as a Column (floor-div between two Knuth multiplies). */
-  private def h2Col(k: Column): Column =
-    hcCol(floor(hcCol(k) / lit(65536)).cast("long"))
-
   private def q91(s: SparkSession, dir: String): DataFrame = {
     val cells = (0 until CmDepth).map { r =>
       struct(lit(r).as("r"),
-        (h2Col(col("user_id") * 31 + lit(r * 131)) % CmWidth)
-          .cast("int").as("c"))
+        (graft.world.World.h2Col(col("user_id") * 31 + lit(r * 131))
+          % CmWidth).cast("int").as("c"))
     }
     val regs = t(s, dir, "events")
       .select(explode(array(cells: _*)).as("rc"))

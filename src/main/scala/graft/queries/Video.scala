@@ -78,10 +78,7 @@ object Video {
 
   private def q85Sql: String = {
     val frames = sampledFrames.map(f => s"($f)").mkString(", ")
-    // 1 << k as a BIGINT literal per block index (k = 63 prints as
-    // Long.MinValue, which DuckDB parses via HUGEINT then casts back)
-    val bitval = "CASE k " + (0 until 64).map(k =>
-      s"WHEN $k THEN CAST(${1L << k} AS BIGINT)").mkString(" ") + " END"
+    val bitval = TextOps.phashBitvalSql
     // within-tile phash block of a cell: 8x8 blocks of (T/8)^2 pixels
     val blk = T / 8
     val rowInTile = s"(CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) % $T)"

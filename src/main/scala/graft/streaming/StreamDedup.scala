@@ -398,12 +398,10 @@ object StreamDedup {
       watermark: String = "1 hour"): DataFrame = {
     val d = graft.queries.TextOps.CmDepth
     val w = graft.queries.TextOps.CmWidth
-    def hc(k: Column): Column = (k * lit(2654435761L)) % lit(4294967296L)
-    def h2(k: Column): Column =
-      hc(floor(hc(k) / lit(65536)).cast("long"))
     val cells = (0 until d).map { r =>
       struct(lit(r).as("r"),
-        (h2(col(keyCol) * 31 + lit(r * 131)) % w).cast("int").as("c"))
+        (graft.world.World.h2Col(col(keyCol) * 31 + lit(r * 131)) % w)
+          .cast("int").as("c"))
     }
     events
       .withWatermark("ts", watermark)

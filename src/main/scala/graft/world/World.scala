@@ -86,6 +86,22 @@ object World {
     * (`(((k*KN) % 2^32) // 2^16 * KN) % 2^32`). */
   @inline def h2(k: Long): Long = h(h(k) >> 16)
 
+  /** `h` as a Spark Column (bit-identical to the scalar form for
+    * non-negative inputs). */
+  def hCol(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (k * Knuth) % M32
+
+  /** `h2` as a Spark Column — THE definition shared by batch q91 and
+    * streaming cmSketchByWindow so sketch addressing and the
+    * `cmEstimate` scalar path can never drift (the one-sided
+    * never-undercount guarantee depends on all three agreeing
+    * bit-for-bit). `h(k) >> 16` on a value < 2^32 equals the floor
+    * divide, and the divide-by-2^16 is exact in double. */
+  def h2Col(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.floor
+    hCol(floor(hCol(k) / 65536L).cast("long"))
+  }
+
   /** Loss fraction of a cell: 0 for ~37%, else dyadic k/1024 with a
     * populated band below the 0.005 floor (R:407). */
   def loss(id: Long): Double =

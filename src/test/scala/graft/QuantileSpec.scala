@@ -82,6 +82,33 @@ class QuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a value range whose span overflows double still converges " +
+    "(midpoint split instead of the degenerate all-in-bin-0 histogram)") {
+    import spark.implicits._
+    val vals = Array(-1.7e308, -3.0e307, 0.0, 4.2, 1.1e308, 1.6e308,
+      -1.6e308, 7.7, -2.2, 9.9e307)
+    val sorted = vals.sorted
+    val df = vals.toSeq.toDF("v").repartition(3)
+    val ks = Seq(1L, 3L, 5L, 8L, 10L)
+    val got = Quantile.kthElements(df, "v", ks, bins = 4, collectCap = 2)
+    ks.foreach(k => assert(got(k) == sorted((k - 1).toInt), s"rank $k"))
+  }
+
+  test("quantilesAt: ranks derive from the selection's own filtered " +
+    "count (one scan, NaN-consistent), labels preserved") {
+    import spark.implicits._
+    val vals = mkValues(1000)
+    val sorted = vals.sorted
+    val df = (vals.map(v => java.lang.Double.valueOf(v)) :+
+      java.lang.Double.valueOf(Double.NaN)).toSeq.toDF("v")
+    val got = Quantile.quantilesAt(df, "v",
+      Seq(("min", 0.0), ("p50", 0.5), ("max", 1.0)),
+      bins = 16, collectCap = 50)
+    // n must be 1000 (NaN excluded), so max selects rank 1000
+    assert(got == Seq(("min", 1L, sorted(0)), ("p50", 500L, sorted(499)),
+      ("max", 1000L, sorted(999))), s"got $got")
+  }
+
   test("answers are invariant to bins/collectCap and partitioning") {
     import spark.implicits._
     val vals = mkValues(5000)
