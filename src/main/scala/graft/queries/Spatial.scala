@@ -54,7 +54,8 @@ object Spatial {
     Q("q74_image_resize", q74, Some(q74Sql)),
     Q("q75_goode_chain", q75, Some(q75Sql)),
     Q("q79_frame_sample", q79, Some(q79Sql)),
-    Q("q87_zorder_layout", q87, Some(q87Sql))
+    Q("q87_zorder_layout", q87, Some(q87Sql)),
+    Q("q93_focal_halo", q93, Some(q93Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1548,5 +1549,122 @@ object Spatial {
        |  CAST(MIN(c0) AS BIGINT) AS min_c, CAST(MAX(c0) AS BIGINT) AS max_c,
        |  CAST(MIN(r0) AS BIGINT) AS min_r, CAST(MAX(r0) AS BIGINT) AS max_r
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q93: 3x3 FOCAL STENCIL with cross-tile HALO EXCHANGE — the
+  // distributed focal-map-algebra pattern (slope/aspect/hotspot
+  // neighborhood ops over a tiled raster; the reference's toolchain
+  // applies the `focal()` family around the driver maps and the kNN
+  // expand (R:418-470) is itself a neighborhood op). Per cell: integer
+  // 3x3 window sum, in-grid window size, and a strict local-max flag
+  // over band 1, world-edge cells using only their in-grid neighbors.
+  //
+  // Scale design — the whole point of the query: a per-pixel stencil
+  // over tiled image payloads must NOT become a per-pixel self-join
+  // (9x pixel replication through a shuffle keyed by 6.9M+ cells).
+  // Instead each decoded pixel fans out to the <=4 neighboring tiles
+  // whose 1-pixel-padded patch needs it (border pixels only — the
+  // Generate emits 9 candidate tile offsets, the filter keeps an
+  // offset only when the pixel sits on the matching border, so the
+  // average fanout is (1+2/T)^2 ~ 1.13 at T=16 and ~1.03 at T=64),
+  // then ONE shuffle keyed by DESTINATION TILE reassembles each tile's
+  // (T+2)^2 halo-padded patch and the codegen'd Focal3x3 expression
+  // computes every core pixel's stencil locally. Shuffle bytes =
+  // pixels x fanout x ~12 bytes; tile state = one (T+2)^2 patch. At
+  // 100 TB the same plan holds: halo fraction shrinks with T, the
+  // patch stays O(T^2), and no stage ever materializes per-pixel
+  // neighbor pairs. Packed all-integer outputs keep the oracle compare
+  // bit-exact (fsum<<5 | ncnt<<1 | peak, split by integer shifts in
+  // the projection above the aggregate). -------------------------------
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    focalHalo(s, spec)
+
+  /** The halo-exchange stencil over any WorldSpec (padded edge tiles
+    * included: NaN padding pixels are dropped at decode, and core
+    * positions outside the grid come back packed -1 from Focal3x3 and
+    * are filtered). Factored out so FocalSpec can drive a non-dyadic
+    * padded grid the registry's oracle can't express. */
+  private[graft] def focalHalo(s: SparkSession, sp: WorldSpec): DataFrame = {
+    val T2 = sp.tile
+    val TX2 = sp.tilesX
+    val C2 = sp.cols
+    val P = T2 + 2
+    val offs = for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield struct(lit(dy).as("dty"), lit(dx).as("dtx"))
+    val px = World.tilesDF(s, sp)
+      .select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), col("fmt"), sp.pixPerTile, 1))
+          .as(Seq("p", "v")))
+      .filter(!isnan(col("v"))) // edge-tile padding (no-op on dyadic specs)
+      .select(col("tile_id"), col("v").cast("double").as("v"),
+        (col("p") / T2).cast("int").as("rr"),
+        (col("p") % T2).cast("int").as("cc"))
+    val fanned = px
+      .select(col("tile_id"), col("v"), col("rr"), col("cc"),
+        explode(array(offs: _*)).as("o"))
+      .select(col("tile_id"), col("v"), col("rr"), col("cc"),
+        col("o.dty").as("dty"), col("o.dtx").as("dtx"))
+      // a pixel feeds a neighbor tile's patch only from the matching border
+      .filter(
+        (col("dty") === 0 || (col("dty") === -1 && col("rr") === 0) ||
+          (col("dty") === 1 && col("rr") === T2 - 1)) &&
+        (col("dtx") === 0 || (col("dtx") === -1 && col("cc") === 0) ||
+          (col("dtx") === 1 && col("cc") === T2 - 1)))
+      .select(col("v"),
+        ((col("tile_id") / TX2).cast("int") + col("dty")).as("ty2"),
+        ((col("tile_id") % TX2).cast("int") + col("dtx")).as("tx2"),
+        col("rr"), col("cc"), col("dty"), col("dtx"))
+      .filter(col("ty2") >= 0 && col("ty2") < sp.tilesY &&
+        col("tx2") >= 0 && col("tx2") < TX2)
+      .select((col("ty2") * TX2 + col("tx2")).cast("long").as("dest_tile"),
+        ((col("rr") - col("dty") * T2 + 1) * P +
+          col("cc") - col("dtx") * T2 + 1).cast("int").as("pos"),
+        col("v"))
+    fanned
+      .groupBy("dest_tile")
+      .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("dest_tile"),
+        posexplode(focal3x3(col("pv.pos"), col("pv.v"), T2)).as(Seq("p", "f")))
+      .filter(col("f") >= 0) // edge-tile padding positions
+      .select(
+        ((floor(col("dest_tile") / TX2) * T2 + floor(col("p") / T2)) * C2 +
+          (col("dest_tile") % TX2) * T2 + col("p") % T2 + 1).cast("long")
+          .as("cell_id"),
+        shiftright(col("f"), 5).as("fsum"),
+        shiftright(col("f"), 1).bitwiseAND(lit(15L)).cast("int").as("ncnt"),
+        col("f").bitwiseAND(lit(1L)).cast("int").as("peak"))
+      .orderBy("cell_id")
+  }
+
+  /** Oracle: the same stencil straight from the band formulas — 9
+    * closed-form neighbor terms per cell (nid = (r0+dy)*C + c0+dx + 1),
+    * each guarded by the in-grid test the engine realizes via absent
+    * patch positions. */
+  private def q93Sql: String = {
+    def valid(dy: Int, dx: Int) =
+      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
+        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
+    def bandTerm(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val all = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dy, dx)
+    val fsum = all.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val ncnt = all.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val nbMax = all.filterNot(p => p._1 == 0 && p._2 == 0).map {
+      case (dy, dx) =>
+        s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE -1 END)"
+    }.mkString("GREATEST(", ", ", ")")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells)
+       |SELECT cell_id, CAST($fsum AS BIGINT) AS fsum,
+       |  CAST($ncnt AS INT) AS ncnt,
+       |  CAST(CASE WHEN ${bandTerm(0, 0)} > $nbMax THEN 1 ELSE 0 END AS INT)
+       |    AS peak
+       |FROM pts ORDER BY 1""".stripMargin
   }
 }

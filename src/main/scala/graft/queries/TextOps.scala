@@ -54,6 +54,7 @@ object TextOps {
     Q("q63_asof_join", q63, Some(q63Sql)),
     Q("q70_span_dedup", q70, Some(q70Sql)),
     Q("q71_span_scrub", q71, Some(q71Sql)),
+    Q("q94_decontaminate", q94, Some(q94Sql)),
     Q("q77_phash_neardup", q77, Some(q77Sql)),
     Q("q78_phash_clusters", q78, Some(q78Sql)),
     Q("q90_caption_consolidate", q90, Some(q90Sql)),
@@ -1267,10 +1268,9 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Shared oracle prefix: docs -> sliding 8-grams `g(doc_id, start,
-    * gram)` -> cross-document duplicated grams `f(gram)` (mirrors
-    * spanDocs/spanGrams/spanDupGrams). */
-  private val spanCte =
+  /** Oracle prefix shared by every span query: docs -> sliding 8-grams
+    * `g(doc_id, start, gram)` (mirrors spanDocs/spanGrams). */
+  private val gramCte =
     """docs AS (SELECT doc_id, string_split(text, ' ') AS w
       |  FROM documents),
       |gi AS (SELECT doc_id, w,
@@ -1278,7 +1278,12 @@ object TextOps {
       |  FROM docs WHERE len(w) >= 8),
       |g AS (SELECT doc_id, i - 1 AS start,
       |    array_to_string(w[i : i + 7], ' ') AS gram
-      |  FROM gi),
+      |  FROM gi)""".stripMargin
+
+  /** gramCte + cross-document duplicated grams `f(gram)` (mirrors
+    * spanDupGrams). */
+  private val spanCte =
+    s"""$gramCte,
       |d AS (SELECT DISTINCT doc_id, gram FROM g),
       |f AS (SELECT gram FROM d GROUP BY 1 HAVING COUNT(*) > 1)""".stripMargin
 
@@ -1341,6 +1346,59 @@ object TextOps {
       |  COALESCE(k.clean_text, '') AS clean_text
       |FROM docs LEFT JOIN kept k ON docs.doc_id = k.doc_id
       |ORDER BY 1""".stripMargin
+
+  // ---- q94: benchmark DECONTAMINATION — the third consumer of the
+  // span machinery: flag TRAINING documents that share any 8-gram with
+  // a HELD-OUT evaluation set (train/test leakage is the
+  // highest-stakes dedup pass a pretraining pipeline runs: a
+  // contaminated benchmark invalidates the eval, not just a loss
+  // curve). Held-out set = doc_id % 20 == 0 (a deterministic ~5%
+  // split, standing in for the external benchmark corpus).
+  //
+  // Scale shape — the asymmetry IS the design: the benchmark side is
+  // tiny and FIXED (thousands of docs) while the training side is the
+  // 100 TB corpus, so the eval grams distinct-reduce on the small side
+  // only and BROADCAST into the train scan; the train side's single
+  // shuffle is its per-doc partial-aggregated gram counts (grams of
+  // one doc are born colocated from one Generate, so the map-side
+  // combine reduces to ONE row per doc before the exchange). No
+  // train-side gram ever shuffles, and the keys are xxhash64(gram)
+  // 8-byte hashes as everywhere in the span family. ---------------------
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val isEval = col("doc_id") % 20 === 0
+    val evalGrams = spanGrams(docs.filter(isEval))
+      .select("gh").distinct().withColumn("hit", lit(1))
+    val flagged = spanGrams(docs.filter(!isEval))
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contam"))
+    // short docs (< 8 words) have no grams: explicit clean rows, the
+    // corpus must not silently shrink
+    docs.filter(!isEval).select("doc_id")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)) > 0).cast("int")
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val q94Sql =
+    s"""WITH $gramCte,
+      |eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+      |fl AS (SELECT tg.doc_id, COUNT(*) AS n_grams,
+      |    COUNT(eg.gram) AS n_contam
+      |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 20 <> 0) tg
+      |  LEFT JOIN eg ON tg.gram = eg.gram
+      |  GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(fl.n_grams, 0) AS n_grams,
+      |  COALESCE(fl.n_contam, 0) AS n_contam,
+      |  CAST(CASE WHEN COALESCE(fl.n_contam, 0) > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS contaminated
+      |FROM docs d LEFT JOIN fl ON d.doc_id = fl.doc_id
+      |WHERE d.doc_id % 20 <> 0 ORDER BY 1""".stripMargin
 
   // ---- q77: image near-duplicate pairs over the input table's
   // perceptual-hash column — the 64-bit-fingerprint / hamming<=3 dedup

@@ -636,6 +636,94 @@ object Resize2x {
   }
 }
 
+/** 3x3 focal (stencil) statistics over ONE tile's halo-padded patch —
+  * the per-tile compute half of distributed focal map algebra (the
+  * raster `focal()` family the reference's toolchain applies around
+  * the driver maps; here slope/hotspot-style neighborhood ops become
+  * a Spark pattern: tiles exchange 1-pixel halos keyed by destination
+  * tile, then every tile computes its stencil locally — ONE shuffle at
+  * ~(1+2/T)^2 of the pixel count instead of a 9x-replicated per-pixel
+  * self-join).
+  *
+  * Children: the (pos, value) pairs of the padded (tile+2)^2 patch as
+  * two parallel arrays (pos ascending — the U2 sort-inside-agg
+  * pattern; order is irrelevant here but pinned for free by the shared
+  * shape). Values are small non-negative integers carried as doubles
+  * (band pixels); absent positions (outside the world) count as no
+  * neighbor. Returns tile*tile packed longs, one per core pixel, in
+  * row-major order: (fsum << 5) | (ncnt << 1) | peak, where fsum =
+  * integer sum of the in-grid 3x3 window (self included), ncnt = its
+  * size (<= 9, 4 bits), peak = value strictly above every in-grid
+  * neighbor. -1 marks a core position absent from the patch (edge-tile
+  * padding) — callers filter those. All-integer outputs so the DuckDB
+  * oracle compare is bit-exact. */
+case class Focal3x3(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Focal3x3.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Focal3x3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Focal3x3 {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val v0 = grid((r + 1) * p + (c + 1))
+        if (v0 < 0) out(r * tile + c) = -1L
+        else {
+          var fsum = 0L
+          var ncnt = 0L
+          var nbMax = -1L
+          var dy = -1
+          while (dy <= 1) {
+            val base = (r + 1 + dy) * p + (c + 1)
+            var dx = -1
+            while (dx <= 1) {
+              val w = grid(base + dx)
+              if (w >= 0) {
+                fsum += w
+                ncnt += 1
+                if ((dy != 0 || dx != 0) && w > nbMax) nbMax = w
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(r * tile + c) =
+            (fsum << 5) | (ncnt << 1) | (if (v0 > nbMax) 1L else 0L)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** One-pass integer stats of window `win` (winSize samples) of an
   * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
   * outputs so the DuckDB oracle compare is bit-exact (no libm). The
@@ -1152,6 +1240,11 @@ object GraftFunctions {
       frameK: Int): Column =
     column(MediaStats(expression(bytes), expression(fmt), expression(w),
       expression(h), frameK))
+
+  /** 3x3 focal stats over a tile's halo-padded (pos, value) patch:
+    * array of tile*tile packed longs (fsum<<5 | ncnt<<1 | peak). */
+  def focal3x3(pixs: Column, vs: Column, tile: Int): Column =
+    column(Focal3x3(expression(pixs), expression(vs), tile))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =
