@@ -1579,15 +1579,15 @@ object Spatial {
   private def q93(s: SparkSession, dir: String): DataFrame =
     focalHalo(s, spec)
 
-  /** The halo-exchange stencil over any WorldSpec (padded edge tiles
-    * included: NaN padding pixels are dropped at decode, and core
-    * positions outside the grid come back packed -1 from Focal3x3 and
-    * are filtered). Factored out so FocalSpec can drive a non-dyadic
-    * padded grid the registry's oracle can't express. */
-  private[graft] def focalHalo(s: SparkSession, sp: WorldSpec): DataFrame = {
+  /** Halo patch assembly shared by every focal (stencil) query —
+    * q93's window stats, q98's Sobel gradient, q99's majority filter:
+    * each decoded pixel fans out to the <=4 neighbor tiles whose
+    * 1-pixel-padded patch needs it, ONE shuffle keyed by destination
+    * tile reassembles each (T+2)^2 patch as sorted (pos, v) arrays.
+    * The per-stencil compute is a codegen expression over the patch. */
+  private[graft] def haloPatches(s: SparkSession, sp: WorldSpec): DataFrame = {
     val T2 = sp.tile
     val TX2 = sp.tilesX
-    val C2 = sp.cols
     val P = T2 + 2
     val offs = for { dy <- -1 to 1; dx <- -1 to 1 }
       yield struct(lit(dy).as("dty"), lit(dx).as("dtx"))
@@ -1623,18 +1623,33 @@ object Spatial {
     fanned
       .groupBy("dest_tile")
       .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("pv"))
+  }
+
+  /** cell_id of a patch's core position `p` (row-major within the
+    * tile) — the inverse of the tiling. */
+  private def patchCellId(sp: WorldSpec): Column =
+    ((floor(col("dest_tile") / sp.tilesX) * sp.tile + floor(col("p") / sp.tile))
+      * sp.cols +
+      (col("dest_tile") % sp.tilesX) * sp.tile + col("p") % sp.tile + 1)
+      .cast("long")
+
+  /** The halo-exchange 3x3 window stats over any WorldSpec (padded
+    * edge tiles included: NaN padding pixels are dropped at decode,
+    * and core positions outside the grid come back packed -1 from
+    * Focal3x3 and are filtered). Factored out so FocalSpec can drive a
+    * non-dyadic padded grid the registry's oracle can't express. */
+  private[graft] def focalHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp)
       .select(col("dest_tile"),
-        posexplode(focal3x3(col("pv.pos"), col("pv.v"), T2)).as(Seq("p", "f")))
+        posexplode(focal3x3(col("pv.pos"), col("pv.v"), sp.tile))
+          .as(Seq("p", "f")))
       .filter(col("f") >= 0) // edge-tile padding positions
       .select(
-        ((floor(col("dest_tile") / TX2) * T2 + floor(col("p") / T2)) * C2 +
-          (col("dest_tile") % TX2) * T2 + col("p") % T2 + 1).cast("long")
-          .as("cell_id"),
+        patchCellId(sp).as("cell_id"),
         shiftright(col("f"), 5).as("fsum"),
         shiftright(col("f"), 1).bitwiseAND(lit(15L)).cast("int").as("ncnt"),
         col("f").bitwiseAND(lit(1L)).cast("int").as("peak"))
       .orderBy("cell_id")
-  }
 
   /** Oracle: the same stencil straight from the band formulas — 9
     * closed-form neighbor terms per cell (nid = (r0+dy)*C + c0+dx + 1),

@@ -59,7 +59,10 @@ object TextOps {
     Q("q78_phash_clusters", q78, Some(q78Sql)),
     Q("q90_caption_consolidate", q90, Some(q90Sql)),
     Q("q84_hll_registers", q84, Some(q84Sql)),
-    Q("q91_cm_sketch", q91, Some(q91Sql))
+    Q("q91_cm_sketch", q91, Some(q91Sql)),
+    Q("q95_domain_cap", q95, Some(q95Sql)),
+    Q("q96_seq_packing", q96, Some(q96Sql)),
+    Q("q97_token_budget", q97, Some(q97Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1748,6 +1751,168 @@ object TextOps {
        |FROM spine s LEFT JOIN agg a ON a.r = s.r AND a.c = s.c
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // --- q95: PER-DOMAIN DOCUMENT CAP — the mixture-balancing pass every
+  // pretraining corpus runs: no crawl domain may contribute more than K
+  // documents; keep the best K by length (ties to the smaller doc_id).
+  //
+  // Scale shape — the reason this is an engine/TopK Aggregator and not
+  // `ROW_NUMBER() OVER (PARTITION BY source ...)` like the oracle: the
+  // window sorts EVERY row of every domain after shuffling them all,
+  // so one hot domain (the 10^9-page crawl host) becomes one task
+  // sorting 10^9 rows. Here each row packs (n_chars, doc_id) into one
+  // bigger-wins long, Catalyst's partial aggregation reduces every
+  // task's rows into a size-K heap BEFORE the exchange, and only
+  // K-sized buffers cross the wire: shuffle bytes O(tasks * K * 8),
+  // per-task state O(K), the hot domain's cost spread over all its
+  // input tasks. Packing contract (documented on TopK.Agg): n_chars in
+  // the high 32 bits, 0xFFFFFFFF - doc_id in the low 32 so the SMALLER
+  // id wins ties — requires 0 <= n_chars < 2^31, 0 <= doc_id < 2^32
+  // (checked once at plan time against the table's own stated bounds,
+  // not per row). ---------------------------------------------------------
+  private val DomainCapK = 12
+
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val topk = udaf(new graft.engine.TopK.Agg(DomainCapK))
+    val packed = shiftleft(col("n_chars"), 32)
+      .plus(lit(0xFFFFFFFFL) - col("doc_id"))
+    docs
+      .select(col("source"), packed.as("pk"))
+      .groupBy("source")
+      .agg(topk(col("pk")).as("tops"))
+      .select(col("source"), posexplode(col("tops")).as(Seq("rk0", "pk")))
+      .select(
+        (lit(0xFFFFFFFFL) - col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
+          .as("doc_id"),
+        col("source"),
+        shiftright(col("pk"), 32).as("n_chars"),
+        (col("rk0") + 1).cast("int").as("rk"))
+      .orderBy("doc_id")
+  }
+
+  private val q95Sql =
+    s"""SELECT doc_id, source, n_chars, CAST(rn AS INT) AS rk FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= $DomainCapK ORDER BY doc_id""".stripMargin
+
+  // --- q96: SEQUENCE PACKING (concat-and-chunk) — the layout step
+  // between a cleaned corpus and a training run: documents are
+  // concatenated in a canonical order and the token stream is cut into
+  // fixed-length windows (the GPT-style W-token context blocks); each
+  // document needs its absolute token offset to know which sequences
+  // it lands in. Emits per doc: token count, absolute start offset,
+  // first/last sequence id, offset within the first sequence.
+  //
+  // Scale shape: the absolute offset is a GLOBAL running sum — as a
+  // plain `SUM() OVER (ORDER BY doc_id)` (the oracle's formulation)
+  // Spark plans ONE single-partition window task over the whole
+  // corpus. engine/PrefixSum instead range-partitions by doc_id,
+  // partial-sums per partition, prefix-sums only the ~hundreds of
+  // per-partition totals, and finishes with per-partition windows —
+  // every stage parallel, the single-point step is over the totals
+  // table. Derived ids (seq_first/seq_last/off) are integer div/mod,
+  // bit-exact under the oracle. -------------------------------------------
+  private val PackWindow = 128L
+
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    graft.engine.PrefixSum.exclusive(d, "doc_id", col("n_tok"), "tok_start")
+      // `div` = exact integer division — a double `/` would round past
+      // 2^53 token offsets
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        expr(s"tok_start div $PackWindow").as("seq_first"),
+        expr(s"(tok_start + n_tok - 1) div $PackWindow").as("seq_last"),
+        (col("tok_start") % PackWindow).as("off"))
+      .orderBy("doc_id")
+  }
+
+  private val q96Sql =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_start FROM d)
+       |SELECT doc_id, n_tok, tok_start,
+       |  CAST(tok_start // $PackWindow AS BIGINT) AS seq_first,
+       |  CAST((tok_start + n_tok - 1) // $PackWindow AS BIGINT) AS seq_last,
+       |  CAST(tok_start % $PackWindow AS BIGINT) AS off
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // --- q97: PER-DOMAIN TOKEN BUDGET — the other half of mixture
+  // balancing (q95 caps document COUNT; real mixtures cap TOKENS):
+  // per domain, keep the maximal quality-ordered prefix of documents
+  // whose cumulative token count stays within budget B. Quality =
+  // n_chars, ties to the smaller doc_id; "maximal prefix" = keep iff
+  // the running sum INCLUDING the doc is <= B (monotone, so the kept
+  // set is a prefix by construction).
+  //
+  // Scale shape — the oracle's `SUM() OVER (PARTITION BY source ORDER
+  // BY quality DESC, doc_id)` sorts every row of every domain in one
+  // task per domain. The engine never sorts the docs: (1) aggregate
+  // token sums per (domain, quality LEVEL) — a fine-grained two-column
+  // key, so a hot domain spreads over its levels; (2) cumulate over
+  // the LEVELS frame (tiny: domains x distinct scores) to find each
+  // domain's single boundary level where the running sum crosses B —
+  // levels fully inside the budget keep all their docs, levels past it
+  // drop all; (3) only the boundary level's docs (one score value per
+  // domain) pay a within-level running sum for the doc_id tie-break.
+  // The same refine-the-boundary idea as q88's quantile histogram,
+  // applied to a weighted selection. ---------------------------------------
+  private val TokenBudget = 1000L
+
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // (1) per-level token totals — the only docs-sized shuffle
+    val levels = d.groupBy("source", "n_chars")
+      .agg(sum("n_tok").as("lv_tok"))
+    // (2) running sum over the tiny levels frame, quality descending
+    val wl = Window.partitionBy("source").orderBy(col("n_chars").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classed = levels
+      .withColumn("cum_before", coalesce(sum("lv_tok").over(wl), lit(0L)))
+      .withColumn("cum_through", col("cum_before") + col("lv_tok"))
+    val docs = d.join(classed, Seq("source", "n_chars"))
+    // (3) exactly the boundary level's docs get the in-level ordering;
+    // one level per domain, so this frame is ~docs-per-score tiny
+    val wb = Window.partitionBy("source", "n_chars").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = docs
+      .filter(col("cum_before") < TokenBudget &&
+        col("cum_through") > TokenBudget)
+      .withColumn("in_cum", sum("n_tok").over(wb))
+      .select(col("doc_id"),
+        (col("cum_before") + col("in_cum") <= TokenBudget).cast("int")
+          .as("kept_b"))
+    docs.join(boundary, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_tok"),
+        when(col("cum_through") <= TokenBudget, 1)
+          .otherwise(coalesce(col("kept_b"), lit(0))).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val q97Sql =
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+       |    ORDER BY n_chars DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d)
+       |SELECT doc_id, source, n_chars, n_tok,
+       |  CAST(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END AS INT)
+       |    AS kept
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** Driver-side count-min estimate of `key`'s frequency from q91's
     * register rows: min over sketch rows of the addressed register.

@@ -382,6 +382,37 @@ object StreamDedup {
         col("total_energy"), col("max_peak"))
   }
 
+  /** Streaming PER-DOMAIN DOCUMENT CAP (batch q95 incremental): per
+    * event-time window and source domain, the top-k arriving documents
+    * by length with ties to the smaller doc_id — the live shape of the
+    * mixture-balancing cap (watch each crawl domain's best candidates
+    * as a window fills). State is the engine/TopK size-k heap buffer
+    * itself: Spark's streaming aggregation holds ONE k-long array per
+    * open (window, source) group regardless of arrival volume — the
+    * same bounded-state property that makes the batch shuffle
+    * O(tasks * k). Emits (w_start, source, rk, doc_id, doc_len) rows
+    * when the watermark closes the window (append mode), or the
+    * running leaderboard in complete mode. Packing contract as q95:
+    * length high 32, 0xFFFFFFFF - doc_id low 32. */
+  def domainCapByWindow(docs: DataFrame, k: Int,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val topk = udaf(new graft.engine.TopK.Agg(k))
+    val packed = shiftleft(length(col("text")).cast("long"), 32)
+      .plus(lit(0xFFFFFFFFL) - col("doc_id"))
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("source"))
+      .agg(topk(packed).as("tops"))
+      .select(col("w.start").as("w_start"), col("source"),
+        posexplode(col("tops")).as(Seq("rk0", "pk")))
+      .select(col("w_start"), col("source"),
+        (col("rk0") + 1).cast("int").as("rk"),
+        (lit(0xFFFFFFFFL) - col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
+          .as("doc_id"),
+        shiftright(col("pk"), 32).as("doc_len"))
+  }
+
   /** Streaming COUNT-MIN registers per event-time window — the
     * incremental shape of batch q91: each arriving event fans out to
     * its d sketch cells (the same nonlinear World.h2 addressing), and

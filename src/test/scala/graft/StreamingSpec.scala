@@ -16,6 +16,10 @@ case class SessEv(user_id: Long, ts: Timestamp)
 /** Streaming audio clip: opaque s16le payload + event time. */
 case class ClipEv(audio_id: Long, bytes: Array[Byte], ts: Timestamp)
 
+/** Streaming document with a source domain (domain-cap input). */
+case class SrcDoc(doc_id: Long, text: String, source: String,
+    ts: Timestamp)
+
 /** Streaming video: opaque multi-frame f32 payload + event time. */
 case class VidEv(video_id: Long, bytes: Array[Byte], fmt: String,
     ts: Timestamp)
@@ -252,6 +256,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.size == 2, "two 10-minute windows")
       assert(got(0L) == (2L, 0.5), "window 0: 2 docs, half quality-passing")
       assert(got(10L) == (1L, 1.0), "window 10: 1 doc, passing")
+    } finally q.stop()
+  }
+
+  test("streaming domain cap (TopK heap as streaming agg state, q95 " +
+    "incremental): per (window, source) leaderboard bounded at k, " +
+    "updated across micro-batches, ties to the smaller doc_id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def doc(id: Long, len: Int, src: String, min: Int) =
+      SrcDoc(id, "x" * len, src, ts(min))
+    val in = MemoryStream[SrcDoc]
+    val q = StreamDedup.domainCapByWindow(in.toDF(), k = 2)
+      .writeStream.format("memory").queryName("g_domcap")
+      .outputMode("complete").start()
+    try {
+      in.addData(doc(1, 50, "a", 1), doc(2, 80, "a", 2),
+        doc(3, 30, "b", 3), doc(10, 40, "a", 11))
+      q.processAllAvailable()
+      // a later micro-batch evicts doc 1 from window-0/a (len 70 > 50)
+      // and ties doc 4 vs doc 7 at len 70 — smaller id wins rank 1
+      in.addData(doc(7, 70, "a", 4), doc(4, 70, "a", 5))
+      q.processAllAvailable()
+      val got = spark.table("g_domcap").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getString(1), r.getInt(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(got(0L, "a", 1) == (2L, 80L), "window 0 src a rank 1")
+      assert(got(0L, "a", 2) == (4L, 70L),
+        "tie at len 70: smaller doc_id outranks; doc 1 evicted")
+      assert(got(0L, "b", 1) == (3L, 30L))
+      assert(got(10L, "a", 1) == (10L, 40L), "second window independent")
+      assert(got.size == 4, s"exactly k-capped rows, got $got")
     } finally q.stop()
   }
 

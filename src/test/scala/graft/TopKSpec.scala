@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.TopK
+
+/** engine/TopK: bounded per-group top-k via a size-k min-heap buffer.
+  * Heap algebra vs brute force under adversarial reduce/merge splits,
+  * and the q95 plan contract: partial aggregation BELOW the exchange
+  * (only k-sized buffers shuffle — the reason this beats the window
+  * formulation on a skewed domain). */
+class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-topk-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // deterministic pseudo-random stream (LCG; no Math.random in tests
+  // either — reproducible failures)
+  private def stream(seed: Long, n: Int): Seq[Long] =
+    Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .drop(1).map(_ >>> 16).take(n).toSeq
+
+  private def brute(xs: Seq[Long], k: Int): Seq[Long] =
+    xs.sorted(Ordering[Long].reverse).take(k)
+
+  test("reduce-only: top-k of a stream equals the sorted prefix, " +
+    "duplicates retained multiset-style") {
+    val agg = new TopK.Agg(7)
+    for (seed <- 1L to 5L; n <- Seq(1, 6, 7, 8, 50)) {
+      val xs = stream(seed, n) ++ stream(seed, math.min(n, 3)) // dups
+      val buf = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(buf).toSeq == brute(xs, 7), s"seed=$seed n=$n")
+    }
+  }
+
+  test("merge: any split of the stream into partial buffers finishes " +
+    "identically to the unsplit reduce") {
+    val agg = new TopK.Agg(5)
+    val xs = stream(42L, 40)
+    val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).toSeq
+    for (cut <- Seq(1, 5, 20, 39)) {
+      val (a, b) = xs.splitAt(cut)
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(ba, bb)).toSeq == whole, s"cut=$cut")
+      // and the empty-buffer edges
+      assert(agg.finish(agg.merge(agg.zero,
+        xs.foldLeft(agg.zero)(agg.reduce))).toSeq == whole)
+    }
+  }
+
+  test("k=1 degenerates to max") {
+    val agg = new TopK.Agg(1)
+    val xs = stream(7L, 30)
+    assert(agg.finish(xs.foldLeft(agg.zero)(agg.reduce)).toSeq ==
+      Seq(xs.max))
+  }
+
+  test("q95 plan: ObjectHashAggregate partial below ONE exchange; no " +
+    "Window/Sort of the full input") {
+    val df = graft.SparkEntry.queries("q95_domain_cap")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(plan).length
+    assert(exchanges == 2, // agg + presentation sort
+      s"expected agg + sort exchanges only, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"window formulation crept in:\n$plan")
+    // partial (ObjectHashAggregate) must appear below the exchange:
+    // first aggregate in bottom-up string order is the partial one
+    assert(plan.contains("ObjectHashAggregate"), s"no object agg:\n$plan")
+    val rows = df.collect()
+    // cap honored per domain, rank dense from 1
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= 12, s"$src over cap")
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"$src ranks not dense")
+    }
+  }
+}
