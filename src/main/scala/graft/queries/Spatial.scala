@@ -55,7 +55,9 @@ object Spatial {
     Q("q75_goode_chain", q75, Some(q75Sql)),
     Q("q79_frame_sample", q79, Some(q79Sql)),
     Q("q87_zorder_layout", q87, Some(q87Sql)),
-    Q("q93_focal_halo", q93, Some(q93Sql))
+    Q("q93_focal_halo", q93, Some(q93Sql)),
+    Q("q98_sobel_gradient", q98, Some(q98Sql)),
+    Q("q99_majority_filter", q99, Some(q99Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1681,5 +1683,106 @@ object Spatial {
        |  CAST(CASE WHEN ${bandTerm(0, 0)} > $nbMax THEN 1 ELSE 0 END AS INT)
        |    AS peak
        |FROM pts ORDER BY 1""".stripMargin
+  }
+
+  // ---- q98: SOBEL GRADIENT over the halo patches — the derivative
+  // stencil (slope/aspect from a DEM, edge detection on decoded
+  // imagery) on the same one-shuffle halo exchange as q93: integer 3x3
+  // kernels over band 1, interior cells only (the standard edge rule
+  // for gradients — a one-sided derivative is a different operator),
+  // packed bias-1020 so gx,gy survive the long round-trip losslessly.
+  // Same scale shape as q93: shuffle = pixels x ~(1+2/T)^2, per-tile
+  // state = one (T+2)^2 patch, Sobel3x3 codegen'd in the projection. --------
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    sobelHalo(s, spec)
+
+  private[graft] def sobelHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp)
+      .select(col("dest_tile"),
+        posexplode(sobel3x3(col("pv.pos"), col("pv.v"), sp.tile))
+          .as(Seq("p", "g")))
+      .filter(col("g") >= 0) // world-edge + padding: no full window
+      .select(patchCellId(sp).as("cell_id"),
+        (shiftright(col("g"), 12) - 1020).as("gx"),
+        (col("g").bitwiseAND(lit(4095L)) - 1020).as("gy"))
+      .withColumn("gmag", abs(col("gx")) + abs(col("gy")))
+      .orderBy("cell_id")
+
+  /** Oracle: the kernels written directly over the band formula for
+    * the 8 neighbors, interior cells only. */
+  private def q98Sql: String = {
+    def v(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
+    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells
+       |  WHERE (cell_id - 1) % $C BETWEEN 1 AND ${C - 2}
+       |    AND FLOOR((cell_id - 1) / $C) BETWEEN 1 AND ${spec.rows - 2})
+       |SELECT cell_id, CAST($gx AS BIGINT) AS gx, CAST($gy AS BIGINT) AS gy,
+       |  CAST(ABS($gx) + ABS($gy) AS BIGINT) AS gmag
+       |FROM pts ORDER BY 1""".stripMargin
+  }
+
+  // ---- q99: MAJORITY (MODAL) FILTER — the categorical smoothing pass
+  // the reference's workflow applies to the classified driver map
+  // (post-classification sieve/majority in the raster toolchain): per
+  // cell, the most frequent 32-wide quantized band level in the 3x3
+  // in-grid window, ties to the SMALLER level (the which.max first-max
+  // rule, W1). World-edge cells use their in-grid window like q93.
+  // Third rider on the haloPatches exchange: the stencil kernel is the
+  // only thing that changes, the shuffle shape does not. -------------------
+  private[graft] val ModeDiv = 32
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    modeHalo(s, spec)
+
+  private[graft] def modeHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp)
+      .select(col("dest_tile"),
+        posexplode(mode3x3(col("pv.pos"), col("pv.v"), sp.tile, ModeDiv))
+          .as(Seq("p", "g")))
+      .filter(col("g") >= 0) // edge-tile padding positions
+      .select(patchCellId(sp).as("cell_id"),
+        shiftright(col("g"), 4).as("mode_lvl"),
+        col("g").bitwiseAND(lit(15L)).cast("int").as("mode_cnt"))
+      .orderBy("cell_id")
+
+  /** Oracle: 9 guarded level columns from the band formula, then the
+    * pairwise argmax of (count, -level) as the engine packs it. */
+  private def q99Sql: String = {
+    val offs = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dy, dx)
+    def lvl(dy: Int, dx: Int) =
+      s"CAST(FLOOR(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)}" +
+        s" / $ModeDiv) AS BIGINT)"
+    val nbCols = offs.zipWithIndex.map { case ((dy, dx), k) =>
+      s"""CASE WHEN r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}
+         | AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C
+         | THEN ${lvl(dy, dx)} ELSE -1 END AS v_$k""".stripMargin
+        .replaceAll("\n", "")
+    }.mkString(",\n|    ")
+    val scores = offs.indices.map { k =>
+      val cnt = offs.indices
+        .map(j => s"(CASE WHEN v_$j = v_$k THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"CASE WHEN v_$k >= 0 THEN $cnt * 512 + (511 - v_$k) ELSE -1 END"
+    }.mkString("GREATEST(", ",\n|      ", ")")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |nb AS (SELECT cell_id,
+       |    $nbCols
+       |  FROM pts),
+       |sc AS (SELECT cell_id,
+       |    $scores AS best
+       |  FROM nb)
+       |SELECT cell_id, CAST(511 - best % 512 AS BIGINT) AS mode_lvl,
+       |  CAST(best // 512 AS INT) AS mode_cnt
+       |FROM sc ORDER BY 1""".stripMargin
   }
 }

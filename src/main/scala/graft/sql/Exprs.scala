@@ -724,6 +724,154 @@ object Focal3x3 {
   }
 }
 
+/** 3x3 Sobel gradient over a tile's halo-padded (pos, value) patch:
+  * array of tile*tile packed longs, (gx+1020)<<12 | (gy+1020), or -1
+  * where any of the 9 window samples is absent (world edges and
+  * edge-tile padding) — the standard interior-only rule for gradient
+  * stencils. Band values are 0..255 integers, so gx,gy in [-1020,1020]
+  * and the bias-pack is lossless; all-integer output keeps the DuckDB
+  * oracle compare bit-exact. Same patch contract as [[Focal3x3]]. */
+case class Sobel3x3(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Sobel3x3.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Sobel3x3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sobel3x3 {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val nw = grid(r * p + c)
+        val nn = grid(r * p + c + 1)
+        val ne = grid(r * p + c + 2)
+        val ww = grid((r + 1) * p + c)
+        val cc = grid((r + 1) * p + c + 1)
+        val ee = grid((r + 1) * p + c + 2)
+        val sw = grid((r + 2) * p + c)
+        val ss = grid((r + 2) * p + c + 1)
+        val se = grid((r + 2) * p + c + 2)
+        out(r * tile + c) =
+          if ((nw | nn | ne | ww | cc | ee | sw | ss | se) < 0) -1L
+          else {
+            val gx = (ne + 2 * ee + se) - (nw + 2 * ww + sw)
+            val gy = (sw + 2 * ss + se) - (nw + 2 * nn + ne)
+            ((gx + 1020L) << 12) | (gy + 1020L)
+          }
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** 3x3 majority (modal) filter over a tile's halo-padded patch, on
+  * values quantized to `div`-wide levels: array of tile*tile packed
+  * longs, (mode_level << 4) | count, or -1 where the core pixel is
+  * absent (edge-tile padding). World-edge cells take the mode over
+  * their in-grid window (same edge rule as [[Focal3x3]]'s ncnt); ties
+  * go to the SMALLER level — the same first-max determinism the
+  * reference's which.max vote pins (W1). Counting is pairwise over the
+  * <=9 present samples (no per-pixel histogram allocation). */
+case class Mode3x3(left: Expression, right: Expression, tile: Int, div: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Mode3x3.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile, div)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Mode3x3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile, $div);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Mode3x3 {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int, div: Int): ArrayData = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong / div
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    val win = new Array[Long](9)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        if (grid((r + 1) * p + (c + 1)) < 0) out(r * tile + c) = -1L
+        else {
+          var m = 0
+          var dy = 0
+          while (dy < 3) {
+            val base = (r + dy) * p + c
+            var dx = 0
+            while (dx < 3) {
+              val w = grid(base + dx)
+              if (w >= 0) { win(m) = w; m += 1 }
+              dx += 1
+            }
+            dy += 1
+          }
+          // argmax of (count, -level): cnt<<9 | (511 - level), level<=255
+          var best = -1L
+          var a = 0
+          while (a < m) {
+            var cnt = 0L
+            var b = 0
+            while (b < m) {
+              if (win(b) == win(a)) cnt += 1
+              b += 1
+            }
+            val score = (cnt << 9) | (511L - win(a))
+            if (score > best) best = score
+            a += 1
+          }
+          out(r * tile + c) = ((511L - (best & 511L)) << 4) | (best >> 9)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** One-pass integer stats of window `win` (winSize samples) of an
   * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
   * outputs so the DuckDB oracle compare is bit-exact (no libm). The
@@ -1245,6 +1393,16 @@ object GraftFunctions {
     * array of tile*tile packed longs (fsum<<5 | ncnt<<1 | peak). */
   def focal3x3(pixs: Column, vs: Column, tile: Int): Column =
     column(Focal3x3(expression(pixs), expression(vs), tile))
+
+  /** 3x3 Sobel gradient over a halo-padded patch: packed
+    * (gx+1020)<<12 | (gy+1020), -1 where the window is not full. */
+  def sobel3x3(pixs: Column, vs: Column, tile: Int): Column =
+    column(Sobel3x3(expression(pixs), expression(vs), tile))
+
+  /** 3x3 majority filter over `div`-quantized levels: packed
+    * (mode_level << 4) | count, ties to the smaller level. */
+  def mode3x3(pixs: Column, vs: Column, tile: Int, div: Int): Column =
+    column(Mode3x3(expression(pixs), expression(vs), tile, div))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

@@ -65,6 +65,54 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.values.exists(_._2 == 4) && want.values.exists(_._2 == 6))
   }
 
+  test("padded grid: Sobel gradient equals the brute kernels on every " +
+    "FULL-window cell and emits nothing elsewhere (interior-only rule)") {
+    val got = graft.queries.Spatial.sobelHalo(spark, padded).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def v(r: Long, c: Long) = World.band(r * padded.cols + c + 1, 1).toLong
+    var interior = 0
+    (1L to padded.nCells).foreach { id =>
+      val r0 = (id - 1) / padded.cols
+      val c0 = (id - 1) % padded.cols
+      if (r0 >= 1 && r0 < padded.rows - 1 && c0 >= 1 && c0 < padded.cols - 1) {
+        interior += 1
+        val gx = (v(r0 - 1, c0 + 1) + 2 * v(r0, c0 + 1) + v(r0 + 1, c0 + 1)) -
+          (v(r0 - 1, c0 - 1) + 2 * v(r0, c0 - 1) + v(r0 + 1, c0 - 1))
+        val gy = (v(r0 + 1, c0 - 1) + 2 * v(r0 + 1, c0) + v(r0 + 1, c0 + 1)) -
+          (v(r0 - 1, c0 - 1) + 2 * v(r0 - 1, c0) + v(r0 - 1, c0 + 1))
+        assert(got(id) == ((gx, gy, math.abs(gx) + math.abs(gy))),
+          s"sobel at cell $id")
+      } else assert(!got.contains(id), s"edge cell $id must be absent")
+    }
+    assert(got.size == interior)
+  }
+
+  test("padded grid: majority filter equals the brute mode with " +
+    "smaller-level tie-break over the in-grid window of every cell") {
+    val div = graft.queries.Spatial.ModeDiv
+    val got = graft.queries.Spatial.modeHalo(spark, padded).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got.size == padded.nCells)
+    var tied = 0
+    (1L to padded.nCells).foreach { id =>
+      val r0 = (id - 1) / padded.cols
+      val c0 = (id - 1) % padded.cols
+      val lvls = for {
+        dy <- -1 to 1; dx <- -1 to 1
+        r = r0 + dy; c = c0 + dx
+        if r >= 0 && r < padded.rows && c >= 0 && c < padded.cols
+      } yield World.band(r * padded.cols + c + 1, 1).toLong / div
+      val counts = lvls.groupBy(identity).view.mapValues(_.size)
+      val maxCnt = counts.values.max
+      val atMax = counts.filter(_._2 == maxCnt).keys
+      if (atMax.size > 1) tied += 1
+      assert(got(id) == ((atMax.min, maxCnt)), s"mode at cell $id")
+    }
+    // the tie-break rule must actually be exercised
+    assert(tied > 0, "fixture has no modal ties — tie-break untested")
+  }
+
   test("plan: one dest-tile aggregation shuffle + the presentation " +
     "sort — no per-pixel join, no extra exchange") {
     val df = graft.queries.Spatial.focalHalo(spark, World.tiny)
