@@ -1,7 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Bounded per-group top-k selection — the at-scale replacement for
   * `ROW_NUMBER() OVER (PARTITION BY g ORDER BY ...) <= k` when groups
@@ -24,6 +25,30 @@ import org.apache.spark.sql.expressions.Aggregator
   * reduce/merge, same encoder shape as [[Bloom.Agg]].
   */
 object TopK {
+
+  /** Packs (score, id) into one bigger-wins long for [[Agg]]: score in
+    * the high 32 bits, `0xFFFFFFFF - id` in the low 32 so the SMALLER
+    * id wins ties. The contract's bounds (0 <= score < 2^31,
+    * 0 <= id < 2^32) are guarded per row by `assert_true` — two
+    * comparisons riding the same codegen projection as the pack — so
+    * an out-of-range input fails the job loudly instead of silently
+    * borrowing into the score bits and corrupting the ordering. The
+    * single pack/unpack definition is shared by batch q95 and the
+    * streaming domainCapByWindow so the two shapes cannot diverge. */
+  def packDescSmallerId(score: Column, id: Column): Column = {
+    val ok = assert_true(
+      score >= 0 && score < (1L << 31) && id >= 0 && id <= 0xFFFFFFFFL,
+      lit("TopK pack bounds: 0 <= score < 2^31, 0 <= id < 2^32"))
+    shiftleft(score.cast("long"), 32) + (lit(0xFFFFFFFFL) - id) +
+      coalesce(ok.cast("long"), lit(0L)) // NULL on success: adds 0
+  }
+
+  /** Inverse of [[packDescSmallerId]], id half. */
+  def unpackId(pk: Column): Column =
+    lit(0xFFFFFFFFL) - pk.bitwiseAND(lit(0xFFFFFFFFL))
+
+  /** Inverse of [[packDescSmallerId]], score half. */
+  def unpackScore(pk: Column): Column = shiftright(pk, 32)
 
   /** Buffer layout: slot 0 = count n, slots 1..n = binary min-heap
     * (root at 1, children at 2i/2i+1). finish() returns the survivors

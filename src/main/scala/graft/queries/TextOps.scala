@@ -1765,28 +1765,27 @@ object TextOps {
   // task's rows into a size-K heap BEFORE the exchange, and only
   // K-sized buffers cross the wire: shuffle bytes O(tasks * K * 8),
   // per-task state O(K), the hot domain's cost spread over all its
-  // input tasks. Packing contract (documented on TopK.Agg): n_chars in
-  // the high 32 bits, 0xFFFFFFFF - doc_id in the low 32 so the SMALLER
-  // id wins ties — requires 0 <= n_chars < 2^31, 0 <= doc_id < 2^32
-  // (checked once at plan time against the table's own stated bounds,
-  // not per row). ---------------------------------------------------------
+  // input tasks. Packing contract (TopK.packDescSmallerId, shared with
+  // the streaming domain cap): n_chars in the high 32 bits,
+  // 0xFFFFFFFF - doc_id in the low 32 so the SMALLER id wins ties;
+  // the bounds (0 <= n_chars < 2^31, 0 <= doc_id < 2^32) are guarded
+  // per row by an assert_true riding the pack projection. -------------------
   private val DomainCapK = 12
 
   private def q95(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.TopK
     val docs = t(s, dir, "documents")
-    val topk = udaf(new graft.engine.TopK.Agg(DomainCapK))
-    val packed = shiftleft(col("n_chars"), 32)
-      .plus(lit(0xFFFFFFFFL) - col("doc_id"))
+    val topk = udaf(new TopK.Agg(DomainCapK))
     docs
-      .select(col("source"), packed.as("pk"))
+      .select(col("source"),
+        TopK.packDescSmallerId(col("n_chars"), col("doc_id")).as("pk"))
       .groupBy("source")
       .agg(topk(col("pk")).as("tops"))
       .select(col("source"), posexplode(col("tops")).as(Seq("rk0", "pk")))
       .select(
-        (lit(0xFFFFFFFFL) - col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
-          .as("doc_id"),
+        TopK.unpackId(col("pk")).as("doc_id"),
         col("source"),
-        shiftright(col("pk"), 32).as("n_chars"),
+        TopK.unpackScore(col("pk")).as("n_chars"),
         (col("rk0") + 1).cast("int").as("rk"))
       .orderBy("doc_id")
   }

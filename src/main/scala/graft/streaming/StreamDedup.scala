@@ -392,14 +392,17 @@ object StreamDedup {
     * same bounded-state property that makes the batch shuffle
     * O(tasks * k). Emits (w_start, source, rk, doc_id, doc_len) rows
     * when the watermark closes the window (append mode), or the
-    * running leaderboard in complete mode. Packing contract as q95:
-    * length high 32, 0xFFFFFFFF - doc_id low 32. */
+    * running leaderboard in complete mode. Pack/unpack are the SAME
+    * TopK helpers batch q95 uses (length high 32, 0xFFFFFFFF - doc_id
+    * low 32, bounds guarded per row), so the two shapes cannot
+    * diverge. */
   def domainCapByWindow(docs: DataFrame, k: Int,
       windowLen: String = "10 minutes",
       watermark: String = "1 hour"): DataFrame = {
-    val topk = udaf(new graft.engine.TopK.Agg(k))
-    val packed = shiftleft(length(col("text")).cast("long"), 32)
-      .plus(lit(0xFFFFFFFFL) - col("doc_id"))
+    import graft.engine.TopK
+    val topk = udaf(new TopK.Agg(k))
+    val packed =
+      TopK.packDescSmallerId(length(col("text")).cast("long"), col("doc_id"))
     docs
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("source"))
@@ -408,9 +411,8 @@ object StreamDedup {
         posexplode(col("tops")).as(Seq("rk0", "pk")))
       .select(col("w_start"), col("source"),
         (col("rk0") + 1).cast("int").as("rk"),
-        (lit(0xFFFFFFFFL) - col("pk").bitwiseAND(lit(0xFFFFFFFFL)))
-          .as("doc_id"),
-        shiftright(col("pk"), 32).as("doc_len"))
+        TopK.unpackId(col("pk")).as("doc_id"),
+        TopK.unpackScore(col("pk")).as("doc_len"))
   }
 
   /** Streaming COUNT-MIN registers per event-time window — the

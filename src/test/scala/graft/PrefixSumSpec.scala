@@ -53,7 +53,7 @@ class PrefixSumSpec extends AnyFunSuite with BeforeAndAfterAll {
     "SinglePartition exchange feeds the totals window (one row per " +
     "range partition)") {
     val df = graft.SparkEntry.queries("q96_seq_packing")(
-      spark, "/root/testdata/sf0.001")
+      spark, TopKSpec.writeDocsFixture(spark))
     val plan = df.queryExecution.executedPlan.toString
     // the data-side windows must be partitioned by __pid; a global
     // `Window [sum(...) ... ORDER BY doc_id]` without PARTITION BY

@@ -22,6 +22,10 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  /** Hermetic documents.parquet (the shape q95 reads) — specs never
+    * depend on the machine-local /root/testdata. */
+  private lazy val dataDir: String = TopKSpec.writeDocsFixture(spark)
+
   // deterministic pseudo-random stream (LCG; no Math.random in tests
   // either — reproducible failures)
   private def stream(seed: Long, n: Int): Seq[Long] =
@@ -66,8 +70,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q95 plan: ObjectHashAggregate partial below ONE exchange; no " +
     "Window/Sort of the full input") {
-    val df = graft.SparkEntry.queries("q95_domain_cap")(
-      spark, "/root/testdata/sf0.001")
+    val df = graft.SparkEntry.queries("q95_domain_cap")(spark, dataDir)
     val plan = df.queryExecution.executedPlan.toString
     val exchanges = "Exchange (hash|range)partitioning".r
       .findAllIn(plan).length
@@ -85,5 +88,22 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
         s"$src ranks not dense")
     }
+  }
+}
+
+object TopKSpec {
+  /** 400 deterministic docs over 7 domains (Knuth-hash lengths so
+    * in-domain n_chars ties occur), written as documents.parquet under
+    * a self-deleting temp dir. Shared by PrefixSumSpec. */
+  def writeDocsFixture(spark: SparkSession): String = {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_docs_fixture").toString
+    (1L to 400L).map { i =>
+      val nTok = 5 + ((i * 2654435761L) % 41L).toInt
+      (i, s"src${i % 7}", 10L + (i * 40503L) % 90L,
+        Seq.fill(nTok)("w").mkString(" "))
+    }.toDF("doc_id", "source", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
   }
 }
