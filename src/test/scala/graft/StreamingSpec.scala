@@ -24,6 +24,10 @@ case class SrcDoc(doc_id: Long, text: String, source: String,
 case class VidEv(video_id: Long, bytes: Array[Byte], fmt: String,
     ts: Timestamp)
 
+/** Streaming image tile (focal halo-assembly input). */
+case class FTile(tile_id: Int, bytes: Array[Byte], fmt: String,
+    ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -288,6 +292,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(0L, "b", 1) == (3L, 30L))
       assert(got(10L, "a", 1) == (10L, 40L), "second window independent")
       assert(got.size == 4, s"exactly k-capped rows, got $got")
+    } finally q.stop()
+  }
+
+  test("streaming focal stencil (stateful halo assembly, q93 " +
+    "incremental): a tile emits exactly when its LAST neighbor lands, " +
+    "out-of-order multi-batch arrival + a duplicate source converge to " +
+    "the batch q93 rows exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sp = graft.world.World.tiny // 4x6 = 24 tiles of 16x16
+    val tiles = graft.world.World.tilesDF(spark, sp).collect()
+      .map(r => FTile(r.getInt(7), r.getAs[Array[Byte]](1), r.getString(4),
+        ts(1)))
+      .sortBy(t => (t.tile_id * 40503) % 64) // scrambled feed order
+    val in = MemoryStream[FTile]
+    val q = graft.streaming.StreamFocal.focalByTile(in.toDF(), sp)
+      .writeStream.format("memory").queryName("g_focal")
+      .outputMode("append").start()
+    try {
+      // batch 1: everything except tile 8 — its 3x3 tile neighborhood
+      // (9 tiles) cannot complete, every other destination can
+      in.addData(tiles.filterNot(_.tile_id == 8).toIndexedSeq)
+      q.processAllAvailable()
+      val partial = spark.table("g_focal").count()
+      assert(partial == (24 - 9) * 256L,
+        s"only destinations not adjacent to tile 8 may emit: $partial")
+      // batch 2: the missing tile + a DUPLICATE of tile 7 (first
+      // contribution wins; still-open groups must not double-count it)
+      in.addData(tiles.find(_.tile_id == 8).get,
+        tiles.find(_.tile_id == 7).get)
+      q.processAllAvailable()
+      val got = spark.table("g_focal").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3)))
+      assert(got.length == sp.nCells.toInt, "every cell exactly once")
+      val want = graft.queries.Spatial.focalHalo(spark, sp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toMap
+      got.foreach { case (id, v) =>
+        assert(want(id) == v, s"stencil mismatch at cell $id")
+      }
+    } finally q.stop()
+  }
+
+  test("streaming focal stencil: a never-completing neighborhood is " +
+    "evicted at the horizon WITHOUT emitting a partial window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val sp = graft.world.World.tiny
+    val tiles = graft.world.World.tilesDF(spark, sp).collect()
+      .map(r => FTile(r.getInt(7), r.getAs[Array[Byte]](1), r.getString(4),
+        ts(1)))
+    val in = MemoryStream[FTile]
+    val q = graft.streaming.StreamFocal.focalByTile(in.toDF(), sp,
+      watermark = "0 seconds", horizonMs = 60000L)
+      .writeStream.format("memory").queryName("g_focal_evict")
+      .outputMode("append").start()
+    try {
+      // tile 0 alone: its own destination needs 3 more neighbors
+      in.addData(tiles.find(_.tile_id == 0).get)
+      q.processAllAvailable()
+      // far-future re-send advances the watermark way past the horizon
+      // (duplicate contributions are ignored, the EVENT time counts);
+      // one more trigger lets the due timeouts fire
+      in.addData(tiles.find(_.tile_id == 0).get.copy(ts = ts(600)))
+      q.processAllAvailable()
+      in.addData(tiles.find(_.tile_id == 0).get.copy(ts = ts(601)))
+      q.processAllAvailable()
+      assert(spark.table("g_focal_evict").isEmpty,
+        "no partial stencil may ever be emitted")
     } finally q.stop()
   }
 
