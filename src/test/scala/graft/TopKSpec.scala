@@ -68,6 +68,26 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(xs.max))
   }
 
+  test("pack bounds guard: an id outside [0, 2^32) fails the job " +
+    "loudly instead of silently corrupting the ordering") {
+    import spark.implicits._
+    val bad = Seq((5000000000L, 10L)).toDF("doc_id", "n_chars")
+      .select(graft.engine.TopK
+        .packDescSmallerId(col("n_chars"), col("doc_id")).as("pk"))
+    val e = intercept[Exception](bad.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("TopK pack bounds")),
+      s"expected the guard's message, got: $e")
+    // and in-range values pass the same projection untouched
+    val ok = Seq((7L, 10L)).toDF("doc_id", "n_chars")
+      .select(graft.engine.TopK
+        .packDescSmallerId(col("n_chars"), col("doc_id")).as("pk"))
+      .head().getLong(0)
+    assert(ok == (10L << 32) + (0xFFFFFFFFL - 7L))
+  }
+
   test("q95 plan: ObjectHashAggregate partial below ONE exchange; no " +
     "Window/Sort of the full input") {
     val df = graft.SparkEntry.queries("q95_domain_cap")(spark, dataDir)
