@@ -62,7 +62,8 @@ object TextOps {
     Q("q91_cm_sketch", q91, Some(q91Sql)),
     Q("q95_domain_cap", q95, Some(q95Sql)),
     Q("q96_seq_packing", q96, Some(q96Sql)),
-    Q("q97_token_budget", q97, Some(q97Sql))
+    Q("q97_token_budget", q97, Some(q97Sql)),
+    Q("q100_rep_filter", q100, Some(q100Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1912,6 +1913,90 @@ object TextOps {
        |  CAST(CASE WHEN cum <= $TokenBudget THEN 1 ELSE 0 END AS INT)
        |    AS kept
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // --- q100: INTRA-DOCUMENT REPETITION FILTER (Gopher-style) ------------
+  // The quality rule MinHash-style cross-doc dedup cannot express: a
+  // document that repeats ITSELF (boilerplate, scraper loops, template
+  // spam) is low-quality even when globally unique. Signals follow
+  // Rae et al. 2021 (arXiv:2112.11446 §A1.1): fraction of the token
+  // stream covered by the single most frequent 2-gram, and fraction of
+  // duplicate 3-grams. One pass per row via the codegen RepStats
+  // expression — per-doc work is linear in tokens and NO shuffle exists
+  // anywhere (each document judges itself), so the operator is
+  // embarrassingly scan-parallel at 100 TB. All outputs are exact
+  // integers; the keep-flag thresholds (top2/n2 <= 1/5, dup3/n3 <= 1/10)
+  // are integer cross-multiplications, so the oracle compare is
+  // bit-exact with zero float surface. The oracle recomputes each
+  // gram's count by the O(tokens^2) list_filter scan — affordable at
+  // sf0.01, and exactly the formulation the one-pass hash map replaces.
+  // Probe docs appended to the corpus so BOTH failure modes actually
+  // fire under the driver compare (the sf corpus itself has no
+  // repetition — without these the keep-flag would be vacuously
+  // all-1): 9001 tops the 2-gram rule (one pair = ~half the stream),
+  // 9002 passes the 2-gram rule (12/71 < 1/5) but fails on duplicate
+  // 3-grams (a 6-token cycle: ~91% of its 3-grams are repeats), 9003
+  // is clean. Built from the same repeat() formula on both engines.
+  private val repProbes = Seq(
+    (9001L, ("buy now " * 50), "repeat('buy now ', 50)"),
+    (9002L, ("lorem ipsum dolor sit amet consectetur " * 12),
+      "repeat('lorem ipsum dolor sit amet consectetur ', 12)"),
+    // 12 distinct tokens: the clean probe must clear n2 >= 5 — the
+    // top-2-gram rule (top2*5 <= n2 with top2 >= 1) rejects any doc
+    // shorter than 6 tokens, which is Gopher's min-length gate folded
+    // into the same integer inequality.
+    (9003L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu",
+      "'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu'"))
+
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.sql.GraftFunctions.rep_stats(col("text"))
+    val probes = repProbes.map { case (id, txt, _) =>
+      struct(lit(id).as("doc_id"), lit(txt).as("text"))
+    }
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .unionByName(s.range(1).select(
+        explode(array(probes: _*)).as("p")).select("p.doc_id", "p.text"))
+    docs
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n2"),
+        col("st").getItem(1).as("top2"),
+        col("st").getItem(2).as("dup2"),
+        col("st").getItem(3).as("n3"),
+        col("st").getItem(4).as("top3"),
+        col("st").getItem(5).as("dup3"))
+      .withColumn("rep_ok",
+        (col("top2") * 5 <= col("n2") && col("dup3") * 10 <= col("n3"))
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val q100Sql =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT CAST(v.id AS BIGINT), v.text FROM (VALUES
+      |    ${repProbes.map { case (id, _, sql) => s"($id, $sql)" }
+        .mkString(",\n    ")}) v(id, text)),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM docs),
+      |g AS (SELECT doc_id,
+      |    list_transform(range(1, len(toks)),
+      |      i -> toks[i] || chr(31) || toks[i+1]) AS g2,
+      |    list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) AS g3
+      |  FROM d),
+      |st AS (SELECT doc_id,
+      |    CAST(len(g2) AS INT) AS n2,
+      |    CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+      |      u -> len(list_filter(g2, x -> x = u)))), 0) AS INT) AS top2,
+      |    CAST(len(g2) - len(list_distinct(g2)) AS INT) AS dup2,
+      |    CAST(len(g3) AS INT) AS n3,
+      |    CAST(COALESCE(list_max(list_transform(list_distinct(g3),
+      |      u -> len(list_filter(g3, x -> x = u)))), 0) AS INT) AS top3,
+      |    CAST(len(g3) - len(list_distinct(g3)) AS INT) AS dup3
+      |  FROM g)
+      |SELECT doc_id, n2, top2, dup2, n3, top3, dup3,
+      |  CAST(CASE WHEN top2 * 5 <= n2 AND dup3 * 10 <= n3
+      |    THEN 1 ELSE 0 END AS INT) AS rep_ok
+      |FROM st ORDER BY doc_id""".stripMargin
 
   /** Driver-side count-min estimate of `key`'s frequency from q91's
     * register rows: min over sketch rows of the addressed register.

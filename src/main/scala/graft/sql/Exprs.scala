@@ -1193,6 +1193,71 @@ object SimHash16 {
   }
 }
 
+/** Intra-document repetition statistics in ONE pass over the token
+  * stream: array [n2, top2, dup2, n3, top3, dup3] where n_k = number of
+  * k-grams of consecutive space-split tokens, top_k = occurrence count
+  * of the most frequent k-gram, dup_k = n_k - (distinct k-grams).
+  * These are the Gopher-family repetition signals (Rae et al. 2021
+  * arXiv:2112.11446 §A1.1: "fraction of ... most common n-gram" /
+  * "fraction of duplicate n-grams"), re-expressed over exact token
+  * counts so every output is an integer and the DuckDB oracle compare
+  * is bit-exact — thresholding (e.g. top2/n2 <= 0.2) is then integer
+  * cross-multiplication downstream, never a float divide.
+  *
+  * Per-row linear: one hash-map per (row, k) over that row's grams —
+  * the naive SQL formulation (count each distinct gram by filtering
+  * the gram list) is O(tokens^2) per row, which is exactly what the
+  * oracle does at sf0.01 and what this expression avoids at scale.
+  * Token semantics match split(text, ' ') with limit -1 (consecutive /
+  * trailing spaces yield empty tokens). Gram key = tokens joined by
+  * U+001F (unit separator); injective on any corpus whose tokens don't
+  * contain control characters. */
+case class RepStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    RepStats.eval(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RepStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.eval($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepStats {
+  def eval(t: UTF8String): ArrayData = {
+    val toks = t.toString.split(" ", -1)
+    val n = toks.length
+    val out = new Array[Int](6)
+    var k = 2
+    while (k <= 3) {
+      val nk = math.max(n - k + 1, 0)
+      val m = new java.util.HashMap[String, Integer](math.max(nk * 2, 4))
+      var top = 0
+      var i = 0
+      while (i < nk) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append('\u001f').append(toks(i + j)); j += 1 }
+        val c = m.merge(sb.toString, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        if (c.intValue > top) top = c.intValue
+        i += 1
+      }
+      val base = (k - 2) * 3
+      out(base) = nk
+      out(base + 1) = top
+      out(base + 2) = nk - m.size
+      k += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Dot product of two array<double> columns, summed left-to-right in
   * element order (bit-identical to `aggregate(zip_with(a,b,_*_),0.0,_+_)`
   * and to DuckDB's `list_dot_product`, which both fold sequentially).
@@ -1294,6 +1359,11 @@ object GraftFunctions {
   /** Sequential-order dot product of two array<double> columns. */
   def dot_f64(a: Column, b: Column): Column =
     column(DotF64(expression(a), expression(b)))
+
+  /** One-pass repetition stats [n2,top2,dup2,n3,top3,dup3] over the
+    * space-split token stream (Gopher-style repetition filters). */
+  def rep_stats(text: Column): Column =
+    column(RepStats(expression(text)))
 
   /** Integer stats of window `win` of an s16le audio payload:
     * struct(sum_sq, peak, zero_cross). */

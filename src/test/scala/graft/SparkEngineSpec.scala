@@ -1077,4 +1077,34 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"sketch must reduce per-partition before the exchange:\n$plan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("RepStats (q100 repetition stats) equals a brute-force gram count " +
+    "on adversarial token streams") {
+    def brute(text: String): Seq[Int] = {
+      val toks = text.split(" ", -1).toSeq
+      Seq(2, 3).flatMap { k =>
+        val grams = toks.sliding(k).filter(_.size == k).map(_.mkString("\u001f")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        Seq(grams.size,
+          if (counts.isEmpty) 0 else counts.values.max,
+          grams.size - counts.size)
+      }
+    }
+    val cases = Seq(
+      "", " ", "one", "a b", "a b a b a b",          // sub-gram edges
+      "x  y", "trail ",                              // empty tokens kept
+      "a a a a a a a a",                             // one token repeated
+      "spam ham spam ham eggs spam ham",             // interleaved
+      "été été tête")       // non-ASCII tokens
+    import spark.implicits._
+    val got = cases.toDF("text")
+      .select(graft.sql.GraftFunctions.rep_stats($"text").as("st"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    cases.zip(got).foreach { case (text, s) =>
+      assert(s == brute(text), s"RepStats mismatch on '$text'")
+    }
+    // "a b a b a b": 2-grams = ab,ba,ab,ba,ab -> n2=5 top2=3 dup2=3;
+    // 3-grams = aba,bab,aba,bab -> n3=4 top3=2 dup3=2
+    assert(got(cases.indexOf("a b a b a b")) == Seq(5, 3, 3, 4, 2, 2))
+  }
 }
