@@ -63,7 +63,9 @@ object TextOps {
     Q("q95_domain_cap", q95, Some(q95Sql)),
     Q("q96_seq_packing", q96, Some(q96Sql)),
     Q("q97_token_budget", q97, Some(q97Sql)),
-    Q("q100_rep_filter", q100, Some(q100Sql))
+    Q("q100_rep_filter", q100, Some(q100Sql)),
+    Q("q101_strat_split", q101, Some(q101Sql)),
+    Q("q103_class_balance", q103, Some(q103Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1997,6 +1999,103 @@ object TextOps {
       |  CAST(CASE WHEN top2 * 5 <= n2 AND dup3 * 10 <= n3
       |    THEN 1 ELSE 0 END AS INT) AS rep_ok
       |FROM st ORDER BY doc_id""".stripMargin
+
+  // --- q101: EXACT STRATIFIED TRAIN/VAL/TEST SPLIT + SHARD IDS ----------
+  // Training-set assembly needs a split that is (a) deterministic (the
+  // same corpus always splits the same way — reproducible runs), and
+  // (b) EXACTLY stratified: per language the train/val/test counts are
+  // within 1 of the 8/1/1 proportions, not merely in expectation as a
+  // plain hash-mod split gives. Exactness needs a per-language rank —
+  // and `row_number() OVER (PARTITION BY lang ...)` puts each language
+  // on ONE reducer (5 languages = 5 tasks for the whole corpus). The
+  // engine op is GroupRank: StableRowId's two-phase construction
+  // generalized to grouped ranks, so every language's rank is computed
+  // with full-width parallelism. Rank order is a SQL-exact LCG of
+  // doc_id (not doc_id itself — ingestion order usually correlates
+  // with source/time, which would leak ordering bias into the split).
+  // Shards: train rows additionally get a 16-way shard id for
+  // downstream parallel readers.
+  private val SplitA = 1103515245L
+  private val SplitB = 12345L
+  private val SplitP = 2147483647L
+
+  private def splitHash: Column =
+    (col("doc_id") * lit(SplitA) + lit(SplitB)) % lit(SplitP)
+
+  private def rankedByLang(s: SparkSession, dir: String): DataFrame =
+    graft.engine.GroupRank.assign(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .withColumn("h", splitHash),
+      "lang", Seq("h", "doc_id"), "rk")
+
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val slot = (col("rk") - 1) % 10
+    rankedByLang(s, dir)
+      .select(col("doc_id"), col("lang"), col("h"), col("rk"),
+        when(slot < 8, "train").when(slot === 8, "val")
+          .otherwise("test").as("split"),
+        when(slot < 8, ((col("rk") - 1) % 16).cast("int"))
+          .otherwise(lit(-1)).as("shard"))
+      .orderBy("doc_id")
+  }
+
+  private val q101Sql =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    (doc_id * $SplitA + $SplitB) % $SplitP AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM d)
+       |SELECT doc_id, lang, CAST(h AS BIGINT) AS h, CAST(rk AS BIGINT) AS rk,
+       |  CASE WHEN (rk - 1) % 10 < 8 THEN 'train'
+       |    WHEN (rk - 1) % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(CASE WHEN (rk - 1) % 10 < 8 THEN (rk - 1) % 16
+       |    ELSE -1 END AS INT) AS shard
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // --- q103: EXACT CLASS-BALANCED OVERSAMPLING ---------------------------
+  // Minority-class upweighting by replication: every language is
+  // brought to EXACTLY the majority language's count (not approximately
+  // — each doc gets floor(target/cnt) copies and the first target%cnt
+  // docs in deterministic rank order get one more, so per-language
+  // totals are all equal to target by construction). The per-language
+  // counts frame is tiny (one row per language) and broadcast; the
+  // replication itself is explode(sequence(1, reps)) — a narrow,
+  // shuffle-free generator, so the operator adds ZERO exchanges beyond
+  // GroupRank's own. Rows carry (doc_id, copy) so downstream shuffles
+  // (e.g. q96 sequence packing) can treat copies as distinct documents.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+    val target = counts.agg(max("cnt").as("target"))
+    rankedByLang(s, dir)
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .withColumn("reps",
+        expr("target div cnt") +
+          when(col("rk") <= col("target") % col("cnt"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("reps"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  private val q103Sql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+       |m AS (SELECT MAX(cnt) AS target FROM c),
+       |d AS (SELECT doc_id, lang,
+       |    (doc_id * $SplitA + $SplitB) % $SplitP AS h
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+       |  FROM d),
+       |rep AS (SELECT doc_id, r.lang,
+       |    (target // cnt) + CASE WHEN rk <= target % cnt THEN 1 ELSE 0 END
+       |      AS reps
+       |  FROM r JOIN c ON r.lang = c.lang CROSS JOIN m)
+       |SELECT doc_id, lang,
+       |  CAST(unnest(generate_series(1, CAST(reps AS BIGINT))) AS BIGINT)
+       |    AS copy
+       |FROM rep ORDER BY doc_id, copy""".stripMargin
 
   /** Driver-side count-min estimate of `key`'s frequency from q91's
     * register rows: min over sketch rows of the addressed register.

@@ -1107,4 +1107,38 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 3-grams = aba,bab,aba,bab -> n3=4 top3=2 dup3=2
     assert(got(cases.indexOf("a b a b a b")) == Seq(5, 3, 3, 4, 2, 2))
   }
+
+  test("GroupRank (q101/q103 engine op) equals the naive one-reducer " +
+    "window and spreads every group over many partitions") {
+    import spark.implicits._
+    // Skewed groups: 'a' holds 80% of rows — exactly the case where
+    // row_number() OVER (PARTITION BY grp) collapses to one hot task.
+    val n = 2000
+    val df = spark.range(n).select(
+      when(col("id") % 10 < 8, "a").when(col("id") % 10 === 8, "b")
+        .otherwise("c").as("grp"),
+      // unique-per-group, deliberately not in id order
+      ((col("id") * 733) % n).as("k"),
+      col("id"))
+    val got = graft.engine.GroupRank.assign(df, "grp", Seq("k", "id"), "rk")
+    val naive = df.withColumn("rk2", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("k", "id")).cast("long"))
+    assert(got.join(naive, Seq("grp", "k", "id"))
+      .filter(col("rk") =!= col("rk2")).count() == 0L)
+    assert(got.count() == n.toLong)
+    // The parallelism claim: the per-group rank is computed from
+    // within-RANGE-partition row numbers, so the dominant group must
+    // span >1 range partition (the naive window puts it on 1 task).
+    // AQE off: on this tiny frame it coalesces the post-shuffle side
+    // to one partition and would mask the layout under test.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val spread = df.repartitionByRange(col("grp"), col("k"), col("id"))
+        .filter($"grp" === "a")
+        .select(spark_partition_id()).distinct().count()
+      assert(spread > 1, s"group 'a' landed on $spread range partition(s)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
