@@ -59,6 +59,7 @@ object Relational {
     Q("q60_sessionize", q60, Some(q60Sql)),
     Q("q64_json_extract", q64, Some(q64Sql)),
     Q("q80_interval_join", q80, Some(q80Sql)),
+    Q("q102_bbox_join", q102, Some(q102Sql)),
     Q("q86_bloom_pruned_join", q86, Some(q86Sql)),
     Q("q88_exact_quantiles", q88, Some(q88Sql)),
     Q("q92_bucketed_join", q92, Some(q92Sql))
@@ -230,6 +231,72 @@ object Relational {
        |FROM bands b JOIN lineitem l
        |  ON l.l_extendedprice BETWEEN b.lo AND b.lo + $BandWidth
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q102: 2-D BBOX INTERSECTION JOIN — q80's 1-D banded rewrite
+  // lifted to rectangles via grid binning + reference-point dedup
+  // (engine/BboxJoin). Two synthetic rectangle layers derived from part
+  // and customer keys by pure integer formulas (replicated verbatim in
+  // the oracle); footprint 4096x4096, box edge 1..65, cell 128 — so a
+  // box spans at most 2 cells per axis: replication factor <= 4,
+  // stated and bounded. The naive plan is a BroadcastNestedLoopJoin
+  // over the 4-way BETWEEN conjunction (3M candidate pairs here, n*m
+  // always); BboxJoin's shape is one hash exchange per side on the
+  // (cx,cy) cell key and zero dedup shuffles — the reference-point
+  // filter emits each intersecting pair exactly once. Oracle: the
+  // brute cross join with the raw predicate, affordable at sf0.01.
+  // Outputs are integer ids + closed-interval overlap area (exact). ----
+  private val BoxSpan = 4000L  // xmin/ymin range (+65 max edge < 4096)
+  private val BoxCell = 128L
+  private val BoxAx = 2654435761L // Knuth multiplicative hashes: the
+  private val BoxAy = 1013904223L // two axes decorrelated from the key
+  private val BoxW = 64L
+
+  /** Deterministic rectangle layer from an integer key column. */
+  private def boxLayer(df: DataFrame, key: String, id: String): DataFrame =
+    df.select(col(key).cast("long").as(id))
+      .withColumn("xmin", (col(id) * BoxAx) % BoxSpan)
+      .withColumn("ymin", (col(id) * BoxAy) % BoxSpan)
+      .withColumn("xmax", col("xmin") + lit(1L) + (col(id) * 97L) % BoxW)
+      .withColumn("ymax", col("ymin") + lit(1L) + (col(id) * 53L) % BoxW)
+
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.engine.BboxJoin.join(
+        boxLayer(t(s, dir, "part"), "p_partkey", "a_id"),
+        "a_id",
+        boxLayer(t(s, dir, "customer"), "c_custkey", "b_id"),
+        "b_id", BoxCell)
+      .select(col("a_id"), col("b_id"),
+        ((least(col("a_xmax"), col("b_xmax")) -
+          greatest(col("a_xmin"), col("b_xmin")) + lit(1L)) *
+         (least(col("a_ymax"), col("b_ymax")) -
+          greatest(col("a_ymin"), col("b_ymin")) + lit(1L))).as("ix_area"))
+      .orderBy("a_id", "b_id")
+
+  private val q102Sql =
+    s"""WITH a AS (SELECT CAST(p_partkey AS BIGINT) AS a_id,
+       |    (p_partkey * $BoxAx) % $BoxSpan AS xmin,
+       |    (p_partkey * $BoxAy) % $BoxSpan AS ymin,
+       |    (p_partkey * $BoxAx) % $BoxSpan
+       |      + 1 + (p_partkey * 97) % $BoxW AS xmax,
+       |    (p_partkey * $BoxAy) % $BoxSpan
+       |      + 1 + (p_partkey * 53) % $BoxW AS ymax
+       |  FROM part),
+       |b AS (SELECT CAST(c_custkey AS BIGINT) AS b_id,
+       |    (c_custkey * $BoxAx) % $BoxSpan AS xmin,
+       |    (c_custkey * $BoxAy) % $BoxSpan AS ymin,
+       |    (c_custkey * $BoxAx) % $BoxSpan
+       |      + 1 + (c_custkey * 97) % $BoxW AS xmax,
+       |    (c_custkey * $BoxAy) % $BoxSpan
+       |      + 1 + (c_custkey * 53) % $BoxW AS ymax
+       |  FROM customer)
+       |SELECT a_id, b_id,
+       |  CAST((LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin) + 1)
+       |     * (LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin) + 1)
+       |    AS BIGINT) AS ix_area
+       |FROM a, b
+       |WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
+       |  AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+       |ORDER BY a_id, b_id""".stripMargin
 
   // --- q64: JSON property extraction over the events.props column —
   // both Spark JSON APIs exercised: path-based get_json_object AND the

@@ -1141,4 +1141,35 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spread > 1, s"group 'a' landed on $spread range partition(s)")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("BboxJoin (q102 engine op) equals brute force, emits each pair " +
+    "exactly once, and plans an equi join — not a nested loop") {
+    import spark.implicits._
+    // Deliberately cell-straddling geometry: cell=16, boxes up to 40
+    // wide (span 3+ cells per axis — the multi-cell dedup case the
+    // reference-point filter exists for), plus exact-touch edges.
+    val cell = 16L
+    def mk(n: Int, salt: Long) = (1 to n).map { i =>
+      val k = i * 7919L + salt
+      val xmin = (k * 131) % 200; val ymin = (k * 197) % 200
+      (i.toLong, xmin, ymin, xmin + 1 + (k * 13) % 40, ymin + 1 + (k * 11) % 40)
+    }
+    val la = mk(120, 3) ++ Seq((900L, 50L, 50L, 66L, 66L)) // touch probe
+    val lb = mk(90, 57) ++ Seq((901L, 66L, 66L, 80L, 80L)) // touches 900
+    val a = la.toDF("a_id", "xmin", "ymin", "xmax", "ymax")
+    val b = lb.toDF("b_id", "xmin", "ymin", "xmax", "ymax")
+    val got = graft.engine.BboxJoin.join(a, "a_id", b, "b_id", cell)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val brute = for {
+      (ai, ax0, ay0, ax1, ay1) <- la
+      (bi, bx0, by0, bx1, by1) <- lb
+      if ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+    } yield (ai, bi)
+    assert(got.sorted == brute.sorted.toSeq) // == also fails on dup emits
+    assert(got.contains((900L, 901L)), "closed-interval touch must join")
+    val plan = graft.engine.BboxJoin.join(a, "a_id", b, "b_id", cell)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"degenerated to a BNLJ:\n$plan")
+    assert(!plan.contains("Cartesian"), s"degenerated to a cross:\n$plan")
+  }
 }
