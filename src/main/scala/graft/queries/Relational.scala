@@ -62,6 +62,7 @@ object Relational {
     Q("q102_bbox_join", q102, Some(q102Sql)),
     Q("q86_bloom_pruned_join", q86, Some(q86Sql)),
     Q("q88_exact_quantiles", q88, Some(q88Sql)),
+    Q("q105_robust_scale", q105, Some(q105Sql)),
     Q("q92_bucketed_join", q92, Some(q92Sql))
   )
 
@@ -146,6 +147,58 @@ object Relational {
       |SELECT ks.label, ks.k, s.v AS value
       |FROM ks JOIN s ON s.rn = ks.k
       |ORDER BY ks.k, ks.label""".stripMargin
+
+  // --- q105: ROBUST WINSORIZED SCALING — the RobustScaler
+  // preprocessing op every feature pipeline runs before training:
+  // clip a feature at its true p01/p99 (winsorize) and center/scale by
+  // median and the p99−p01 spread. The fit is engine/Quantile's exact
+  // distributed selection (bin counts shuffle, never values — q88's
+  // machinery reused as a FIT step); the fitted cuts come back as
+  // three driver doubles and enter the transform as plan literals, so
+  // the per-row clip+scale is one codegen projection with ZERO
+  // joins/shuffles — the fit-then-transform shape (CART q29, IVF q52)
+  // applied to normalization. Positional rank semantics make the cuts
+  // actual column elements, so the oracle's row_number() fit is
+  // bit-identical and the double arithmetic (same values, same op
+  // order) compares exact. -------------------------------------------------
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val cuts = graft.engine.Quantile.quantilesAt(
+      t(s, dir, "lineitem"), "l_extendedprice",
+      Seq(("p01", 0.01), ("p50", 0.5), ("p99", 0.99)),
+      bins = 64, collectCap = 100)
+      .map { case (l, _, v) => l -> v }.toMap
+    val lo = cuts("p01")
+    val mid = cuts("p50")
+    val hi = cuts("p99")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+      .withColumn("v_clip", least(greatest(col("v"), lit(lo)), lit(hi)))
+      .withColumn("v_scaled", (col("v_clip") - lit(mid)) / lit(hi - lo))
+      .withColumn("clipped",
+        (col("v") < lo || col("v") > hi).cast("int"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val q105Sql =
+    """WITH s AS (SELECT l_extendedprice AS v,
+      |    row_number() OVER (ORDER BY l_extendedprice) AS rn
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT COUNT(*) AS n FROM s),
+      |q AS (SELECT
+      |  (SELECT v FROM s, n
+      |     WHERE rn = GREATEST(1, CAST(FLOOR(0.01 * n) AS BIGINT))) AS lo,
+      |  (SELECT v FROM s, n
+      |     WHERE rn = GREATEST(1, CAST(FLOOR(0.5 * n) AS BIGINT))) AS mid,
+      |  (SELECT v FROM s, n
+      |     WHERE rn = GREATEST(1, CAST(FLOOR(0.99 * n) AS BIGINT))) AS hi)
+      |SELECT l_orderkey, l_linenumber, l_extendedprice AS v,
+      |  LEAST(GREATEST(l_extendedprice, lo), hi) AS v_clip,
+      |  (LEAST(GREATEST(l_extendedprice, lo), hi) - mid) / (hi - lo)
+      |    AS v_scaled,
+      |  CAST(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+      |    THEN 1 ELSE 0 END AS INT) AS clipped
+      |FROM lineitem, q ORDER BY 1, 2""".stripMargin
 
   // --- q86: BLOOM-PRUNED equi join (engine/Bloom) — the explicit
   // semi-join prune for the shape where the dim's key set fits in a

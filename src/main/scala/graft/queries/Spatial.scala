@@ -57,7 +57,8 @@ object Spatial {
     Q("q87_zorder_layout", q87, Some(q87Sql)),
     Q("q93_focal_halo", q93, Some(q93Sql)),
     Q("q98_sobel_gradient", q98, Some(q98Sql)),
-    Q("q99_majority_filter", q99, Some(q99Sql))
+    Q("q99_majority_filter", q99, Some(q99Sql)),
+    Q("q104_tile_sharpness", q104, Some(q104Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1784,5 +1785,56 @@ object Spatial {
        |SELECT cell_id, CAST(511 - best % 512 AS BIGINT) AS mode_lvl,
        |  CAST(best // 512 AS INT) AS mode_cnt
        |FROM sc ORDER BY 1""".stripMargin
+  }
+
+  // ---- q104: PER-TILE SHARPNESS (variance of Laplacian) — the blur
+  // gate of an image training pipeline: a defocused/blurred image has a
+  // low-variance Laplacian response, so per-image var(L) thresholding
+  // is the standard quality filter before training. Fourth rider on the
+  // haloPatches exchange, but with a different output granularity: the
+  // LapStats expression FUSES the 5-point stencil with the per-tile
+  // reduction, so each tile emits one 24-byte struct(n, lsum, lsumsq)
+  // instead of T^2 per-pixel rows — per-image scores stay O(images),
+  // not O(pixels), which is the only shape that survives 10^12 images.
+  // The exposed score is the exact integer variance NUMERATOR
+  // n·lsumsq − lsum² (variance = num/n²; kept integral so the DuckDB
+  // compare is bit-exact — band values are 0..255 ints, L ∈ [−1020,
+  // 1020], num < 2^38). Interior-of-world pixels only (q98's gradient
+  // edge rule), so edge tiles have n < T². ---------------------------------
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    lapHalo(s, spec)
+
+  private[graft] def lapHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp)
+      .select(col("dest_tile").as("tile_id"),
+        lap_stats(col("pv.pos"), col("pv.v"), sp.tile).as("st"))
+      .filter(col("st.n") > 0) // padding-only tiles have no interior pixel
+      .select(col("tile_id"), col("st.n").as("n_int"),
+        col("st.lsum").as("lap_sum"), col("st.lsumsq").as("lap_sumsq"),
+        (col("st.n") * col("st.lsumsq") -
+          col("st.lsum") * col("st.lsum")).as("sharp_num"))
+      .orderBy("tile_id")
+
+  /** Oracle: the Laplacian from the band formula over interior cells,
+    * grouped to tiles — same exact-integer outputs. */
+  private def q104Sql: String = {
+    def v(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val lap = s"(4 * ${v(0, 0)} - ${v(-1, 0)} - ${v(1, 0)}" +
+      s" - ${v(0, -1)} - ${v(0, 1)})"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells
+       |  WHERE (cell_id - 1) % $C BETWEEN 1 AND ${C - 2}
+       |    AND FLOOR((cell_id - 1) / $C) BETWEEN 1 AND ${spec.rows - 2}),
+       |l AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    CAST($lap AS BIGINT) AS lap FROM pts)
+       |SELECT tile_id, CAST(COUNT(*) AS INT) AS n_int,
+       |  CAST(SUM(lap) AS BIGINT) AS lap_sum,
+       |  CAST(SUM(lap * lap) AS BIGINT) AS lap_sumsq,
+       |  CAST(COUNT(*) * SUM(lap * lap) - SUM(lap) * SUM(lap) AS BIGINT)
+       |    AS sharp_num
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

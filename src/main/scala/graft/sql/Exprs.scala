@@ -872,6 +872,82 @@ object Mode3x3 {
   }
 }
 
+/** Per-tile Laplacian sharpness statistics over a halo-padded (pos,
+  * value) patch — the blur gate of an image training pipeline (a
+  * blurry image has a low-variance Laplacian response; the classic
+  * variance-of-Laplacian focus measure) expressed as ONE fused
+  * stencil + reduction: the 5-point Laplacian L = 4·c − n − s − e − w
+  * is computed per core pixel and reduced to struct(n, lsum, lsumsq)
+  * inside the expression, so a per-image score never materializes
+  * tile·tile per-pixel rows — output is one 24-byte struct per tile
+  * regardless of tile size, which is the shape that survives 10^12
+  * images. Interior-of-world pixels only (the q98 gradient edge rule:
+  * a one-sided Laplacian is a different operator); absent samples
+  * (world edge, edge-tile padding) drop the pixel. Band values are
+  * 0..255 integers carried as double, so L ∈ [−1020, 1020] and
+  * lsumsq ≤ tile²·1020² — exact in a long; callers derive the exact
+  * variance NUMERATOR n·lsumsq − lsum² (still integer, so the DuckDB
+  * oracle compare is bit-exact) and divide by n² only for display.
+  * Same patch contract as [[Focal3x3]]. */
+case class LapStats(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("lsum", LongType, nullable = false),
+    StructField("lsumsq", LongType, nullable = false)))
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    LapStats.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = LapStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LapStats {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): InternalRow = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val np = pixs.numElements()
+    var i = 0
+    while (i < np) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    var n = 0
+    var lsum = 0L
+    var lsumsq = 0L
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val cc = grid((r + 1) * p + (c + 1))
+        val nn = grid(r * p + (c + 1))
+        val ss = grid((r + 2) * p + (c + 1))
+        val ww = grid((r + 1) * p + c)
+        val ee = grid((r + 1) * p + (c + 2))
+        if ((cc | nn | ss | ww | ee) >= 0) {
+          val l = 4 * cc - nn - ss - ww - ee
+          n += 1
+          lsum += l
+          lsumsq += l * l
+        }
+        c += 1
+      }
+      r += 1
+    }
+    InternalRow(n, lsum, lsumsq)
+  }
+}
+
 /** One-pass integer stats of window `win` (winSize samples) of an
   * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
   * outputs so the DuckDB oracle compare is bit-exact (no libm). The
@@ -1473,6 +1549,11 @@ object GraftFunctions {
     * (mode_level << 4) | count, ties to the smaller level. */
   def mode3x3(pixs: Column, vs: Column, tile: Int, div: Int): Column =
     column(Mode3x3(expression(pixs), expression(vs), tile, div))
+
+  /** Fused Laplacian stencil + per-tile reduction over a halo-padded
+    * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */
+  def lap_stats(pixs: Column, vs: Column, tile: Int): Column =
+    column(LapStats(expression(pixs), expression(vs), tile))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

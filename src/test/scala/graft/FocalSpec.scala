@@ -113,6 +113,34 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tied > 0, "fixture has no modal ties — tie-break untested")
   }
 
+  test("padded grid: per-tile Laplacian sharpness equals the brute " +
+    "stencil reduction; padding-only pixels and world edges excluded") {
+    val got = graft.queries.Spatial.lapHalo(spark, padded).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def v(r: Long, c: Long) = World.band(r * padded.cols + c + 1, 1).toLong
+    val tilesX = (padded.cols + padded.tile - 1) / padded.tile
+    val want = (1L to padded.nCells).flatMap { id =>
+      val r0 = (id - 1) / padded.cols
+      val c0 = (id - 1) % padded.cols
+      if (r0 >= 1 && r0 < padded.rows - 1 && c0 >= 1 && c0 < padded.cols - 1) {
+        val lap = 4 * v(r0, c0) - v(r0 - 1, c0) - v(r0 + 1, c0) -
+          v(r0, c0 - 1) - v(r0, c0 + 1)
+        Some((r0 / padded.tile * tilesX + c0 / padded.tile) -> lap)
+      } else None
+    }.groupBy(_._1).map { case (t, ls) =>
+      val laps = ls.map(_._2)
+      val n = laps.size.toLong
+      val s1 = laps.sum
+      val s2 = laps.map(l => l * l).sum
+      t.toLong -> ((laps.size, s1, s2, n * s2 - s1 * s1))
+    }
+    assert(got == want)
+    // partial edge tiles must really have fewer interior pixels
+    assert(got.values.map(_._1).toSet.size > 1,
+      "fixture has uniform tile interiors — edge handling untested")
+  }
+
   test("plan: one dest-tile aggregation shuffle + the presentation " +
     "sort — no per-pixel join, no extra exchange") {
     val df = graft.queries.Spatial.focalHalo(spark, World.tiny)

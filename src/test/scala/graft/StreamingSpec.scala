@@ -543,4 +543,70 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(graft.queries.TextOps.cmEstimate(w0, 13L) >= 1L)
     } finally q.stop()
   }
+
+  // ---- durable checkpoint restart (the north rule's "resumable from
+  // checkpoint" applied to the STREAMING surface): stop the query
+  // entirely, start a NEW query from the same checkpointLocation, and
+  // prove the state store came back — not just the offsets. The memory
+  // sink refuses append-mode recovery, so these use the fault-tolerant
+  // file sink (exactly the production shape: file/table sink +
+  // checkpoint dir). -------------------------------------------------------
+
+  test("checkpoint restart: exact-dedup state survives a full query " +
+    "stop/start — a duplicate of a PRE-restart doc is still dropped " +
+    "by the restarted query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = graft.util.TempDirs.create("g_ckpt_exact_").toString
+    val out = graft.util.TempDirs.create("g_out_exact_").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamDedup.exactDedup(in.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(Doc(1, "alpha beta gamma", ts(0)), Doc(2, "delta", ts(1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // doc 3 duplicates doc 1 from BEFORE the restart; doc 4 is fresh
+    in.addData(Doc(3, "alpha beta gamma", ts(2)), Doc(4, "epsilon", ts(3)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L),
+      s"dedup state store not restored across restart: got $got")
+  }
+
+  test("checkpoint restart: the CUSTOM per-bucket GroupState (near-dup " +
+    "keeper signatures) is restored from the state store — a " +
+    "cross-restart dup points at the pre-restart keeper") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog"
+    val ckpt = graft.util.TempDirs.create("g_ckpt_near_").toString
+    val out = graft.util.TempDirs.create("g_out_near_").toString
+    val in = MemoryStream[Doc]
+    def start() = StreamDedup.nearDupVerdicts(in.toDF())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      in.addData(Doc(40, text, ts(0)),
+        Doc(41, "spark vectors stream through watermarked windows", ts(1)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    in.addData(Doc(42, text, ts(2)),
+      Doc(43, "wholly novel words and tokens", ts(3)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select("doc_id", "dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(40L) == -1L && got(41L) == -1L && got(43L) == -1L)
+    assert(got(42L) == 40L,
+      "the restarted query must match against the PRE-restart keeper " +
+        s"signature state, got dup_of=${got(42L)}")
+  }
 }
