@@ -65,7 +65,8 @@ object TextOps {
     Q("q97_token_budget", q97, Some(q97Sql)),
     Q("q100_rep_filter", q100, Some(q100Sql)),
     Q("q101_strat_split", q101, Some(q101Sql)),
-    Q("q103_class_balance", q103, Some(q103Sql))
+    Q("q103_class_balance", q103, Some(q103Sql)),
+    Q("q106_inverted_topk", q106, Some(q106Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1800,6 +1801,83 @@ object TextOps {
        |      ORDER BY n_chars DESC, doc_id) AS rn
        |  FROM documents)
        |WHERE rn <= $DomainCapK ORDER BY doc_id""".stripMargin
+
+  // --- q106: INVERTED-INDEX RETRIEVAL (sparse top-k) — the lexical
+  // complement of the dense ANN family (q47-q55/q89): given a small
+  // set of token queries, retrieve each query's top-k documents by
+  // DISTINCT-token overlap, ties to the smaller doc_id. This is the
+  // BM25-retrieval shape with the integer-exact scoring core (overlap
+  // count); idf/length weighting is a per-row rational factor on the
+  // same plan and would add libm to the oracle surface, so the
+  // registry pins the integer core.
+  //
+  // Scale shape: per-document token DEDUP is array_distinct INSIDE the
+  // row (no shuffle — a distinct over the exploded postings would
+  // shuffle |corpus tokens| rows); the query-term frame is a handful
+  // of rows and BROADCASTS into the exploded scan, so the only
+  // data-sized exchange is the groupBy (query, doc) count whose
+  // partial aggregation collapses each task to <= |queries|·|its docs|
+  // rows. The per-query top-k is engine/TopK again — scores heap-
+  // reduce BEFORE their (tiny) exchange, so one query matching 10^9
+  // docs costs O(k) shuffle bytes per task, never a global sort. -----------
+  private val RetrK = 5
+  // Query mix chosen against the corpus' df profile: q0/q3 are dense
+  // terms (df ~380/500 — nearly every doc matches all terms, so the
+  // ENTIRE top-k is score-tied and the smaller-doc_id rule is what the
+  // hash compare pins); q1 carries 'dup' (df=25, the one rare token)
+  // so its ranking genuinely discriminates; q2 carries an
+  // out-of-vocabulary term, pinning that absent postings cost nothing
+  // and cap the score below |terms|.
+  private val RetrQueries = Seq(
+    0 -> "spark join window agg batch",
+    1 -> "dup key vector stream",
+    2 -> "customer order line quantum",
+    3 -> "slow fast filter data column")
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.TopK
+    val qRows = RetrQueries.map { case (id, tx) =>
+      struct(lit(id).as("query_id"), lit(tx).as("qtext"))
+    }
+    val qTok = s.range(1)
+      .select(explode(array(qRows: _*)).as("q"))
+      .select(col("q.query_id"),
+        explode(array_distinct(split(col("q.qtext"), " "))).as("tok"))
+    val dTok = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val topk = udaf(new TopK.Agg(RetrK))
+    dTok.join(broadcast(qTok), "tok")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("score"))
+      .select(col("query_id"),
+        TopK.packDescSmallerId(col("score"), col("doc_id")).as("pk"))
+      .groupBy("query_id")
+      .agg(topk(col("pk")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("rk0", "pk")))
+      .select(col("query_id"), (col("rk0") + 1).cast("int").as("rk"),
+        TopK.unpackId(col("pk")).as("doc_id"),
+        TopK.unpackScore(col("pk")).as("score"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val q106Sql =
+    s"""WITH q(query_id, qtext) AS (VALUES
+       |    ${RetrQueries.map { case (i, tx) => s"($i, '$tx')" }
+        .mkString(",\n    ")}),
+       |qt AS (SELECT query_id,
+       |    unnest(list_distinct(string_split(qtext, ' '))) AS tok FROM q),
+       |dt AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |sc AS (SELECT query_id, doc_id, COUNT(*) AS score
+       |  FROM qt JOIN dt USING (tok) GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rk FROM sc)
+       |SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS INT) AS rk,
+       |  CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rk <= $RetrK ORDER BY query_id, rk""".stripMargin
 
   // --- q96: SEQUENCE PACKING (concat-and-chunk) — the layout step
   // between a cleaned corpus and a training run: documents are
