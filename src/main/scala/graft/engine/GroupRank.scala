@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
   * hash exchange on (pid, grp) redistributes at full width — (pid,
   * grp) cardinality = partitions x groups, never a single hot reducer.
   *
-  * The range-partitioned frame is materialized ONCE before both reads
-  * (same reasoning as StableRowId: RangePartitioner samples bounds
-  * with an RDD-id-derived seed, so re-evaluation could repartition
-  * differently than the offsets describe).
+  * The range-partitioned frame is materialized ONCE before both reads:
+  * RangePartitioner samples bounds with an RDD-id-derived seed, so
+  * re-evaluation could repartition differently than the offsets
+  * describe.
   *
   * `keys` must be unique within each group (ties straddling a range
-  * boundary would rank non-deterministically — same contract as
-  * StableRowId's unique key). */
+  * boundary would rank non-deterministically). This is THE two-phase
+  * rank core: [[StableRowId]] (the global rank) delegates here with a
+  * constant group. */
 object GroupRank {
 
   /** @param grp  group column name (rank restarts at 1 per group)

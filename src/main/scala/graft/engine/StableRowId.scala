@@ -1,7 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed stable contiguous row ids (SURVEY.md §2.3 P10, the
@@ -13,31 +12,23 @@ import org.apache.spark.sql.functions._
   * parallelism. The classic two-phase zipWithIndex, kept in the
   * DataFrame API.
   *
-  * The range-partitioned frame is materialized ONCE before both reads:
-  * RangePartitioner samples its bounds with a seed derived from the
-  * RDD id, so two separate evaluations could pick different bounds and
-  * the offsets would describe a different layout than the joined rows.
+  * The global rank is the one-group case of the per-group rank, so
+  * this delegates to [[GroupRank]] over a constant group column —
+  * ONE shared two-phase core, so the subtle invariants (materialize
+  * the range-partitioned frame ONCE because RangePartitioner's bounds
+  * seed derives from the RDD id; unique-key contract) live in exactly
+  * one place.
   */
 object StableRowId {
+
+  private val GrpCol = "__srid_grp"
 
   /** @param key unique ordering column; ids are 1-based LONGS in key
     *            order (an int id would silently wrap past 2^31 rows —
     *            this utility exists precisely for frames that big) */
   def assign(df: DataFrame, key: String, out: String): DataFrame = {
-    val s = df.sparkSession
-    val parts = Checkpoint.truncate(s,
-      df.repartitionByRange(col(key)).withColumn("__pid", spark_partition_id()))
-    // one row per partition — the prefix-sum window is over ~hundreds of
-    // rows, not the data
-    val offs = parts.groupBy("__pid").count()
-      .withColumn("__off", coalesce(
-        sum("count").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__off")
-    parts.join(broadcast(offs), Seq("__pid"))
-      .withColumn(out,
-        (col("__off") + row_number().over(
-          Window.partitionBy("__pid").orderBy(col(key)))).cast("long"))
-      .drop("__pid", "__off")
+    require(!df.columns.contains(GrpCol), s"column $GrpCol is reserved")
+    GroupRank.assign(df.withColumn(GrpCol, lit(0)), GrpCol, Seq(key), out)
+      .drop(GrpCol)
   }
 }
