@@ -63,8 +63,108 @@ object Relational {
     Q("q86_bloom_pruned_join", q86, Some(q86Sql)),
     Q("q88_exact_quantiles", q88, Some(q88Sql)),
     Q("q105_robust_scale", q105, Some(q105Sql)),
-    Q("q92_bucketed_join", q92, Some(q92Sql))
+    Q("q92_bucketed_join", q92, Some(q92Sql)),
+    Q("q107_rollup_report", q107, Some(q107Sql)),
+    Q("q108_snapshot_diff", q108, Some(q108Sql))
   )
+
+  // --- q108: SNAPSHOT DIFF (incremental-ingest CDC) — what changed
+  // between two corpus snapshots: added / removed / changed /
+  // unchanged per doc, in ONE full-outer join (the join family's last
+  // uncovered member — left/inner/semi/anti are q03/q04/q17). The
+  // content compare rides an 8-byte xxhash64 fingerprint computed
+  // inside each side's scan projection, so the join carries (id, fp),
+  // never two copies of the document text — at 10^12 docs the diff
+  // shuffles ~16 bytes/row instead of the corpus, the same
+  // fingerprint-not-payload rule as the q70 span keys; the 2^-64
+  // collision odds mean a changed doc could in principle read
+  // unchanged (n^2/2^65 over the corpus — the stated bound), which the
+  // oracle (comparing text directly) would catch at fixture scale.
+  // Snapshots derive deterministically from one table: old = id%5!=0,
+  // new = id%5!=1, and new EDITS docs with id%7==2 — all four statuses
+  // occur and the driver hash pins each doc's classification. --------------
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), xxhash64(col("text")).as("old_fp"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 1)
+      .select(col("doc_id"), xxhash64(
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_fp"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
+  private val q108Sql =
+    """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |n AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 2 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 <> 1)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text <> n.text THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY 1""".stripMargin
+
+  // --- q107: HIERARCHICAL ROLLUP REPORT — the OLAP subtotal surface
+  // (region -> nation -> grand total in ONE pass) via Spark's native
+  // rollup(), which Catalyst plans as one Expand (L+1 level replicas)
+  // feeding ONE aggregation: partial aggregation collapses every
+  // replica to its level's groups per task before the single exchange,
+  // so the subtotal levels cost one shuffle TOTAL, not one job per
+  // level (what a naive UNION ALL of L+1 GROUP BYs pays — L+1 scans
+  // and L+1 shuffles). At 100 TB the Expand factor matters only when
+  // the finest level's cardinality is huge; with dimension-like keys
+  // (here 5 regions x 25 nations) the replicated rows die in the
+  // map-side hash, and the rule of thumb the comment pins: rollup for
+  // dimension hierarchies, re-aggregate from the finest level when the
+  // leaf cardinality is itself at data scale. Aggregates are count +
+  // BIGINT sum + min/max — order-independent, so the oracle compare is
+  // exact (a double SUM would hash-differ by reduction order). Levels
+  // are disambiguated by explicit grouping() flags, not by the NULL
+  // the Expand injects (dimension names could themselves be NULL). ---------
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      // grouping() is only resolvable INSIDE the rollup's agg clause
+      .agg(grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        count(lit(1)).as("n_orders"),
+        sum("o_custkey").as("sum_ckey"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("g_region"), col("g_nation"),
+        col("n_orders"), col("sum_ckey").cast("long").as("sum_ckey"),
+        col("min_price"), col("max_price"))
+      .orderBy("g_region", "g_nation", "region", "nation")
+
+  private val q107Sql =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |  COALESCE(n_name, 'ALL') AS nation,
+      |  CAST(GROUPING(r_name) AS INT) AS g_region,
+      |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_region, g_nation, region, nation""".stripMargin
 
   // --- q92: BUCKETED CO-LOCATED JOIN (engine/Layout.writeBucketed) —
   // the third table-layout lever beside z-order (q87) and the bloom
@@ -170,6 +270,12 @@ object Relational {
     val lo = cuts("p01")
     val mid = cuts("p50")
     val hi = cuts("p99")
+    // degenerate fit (constant column, or one value covering >=98% of
+    // rows) would silently scale every row to Infinity/NaN — fail the
+    // fit loudly instead, like Quantile/TopK guard their contracts
+    require(hi > lo,
+      s"robust-scale fit degenerate: p99 ($hi) <= p01 ($lo) — the " +
+        "feature has (near-)zero spread and cannot be scaled")
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("v"))
