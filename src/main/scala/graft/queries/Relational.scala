@@ -65,8 +65,52 @@ object Relational {
     Q("q105_robust_scale", q105, Some(q105Sql)),
     Q("q92_bucketed_join", q92, Some(q92Sql)),
     Q("q107_rollup_report", q107, Some(q107Sql)),
-    Q("q108_snapshot_diff", q108, Some(q108Sql))
+    Q("q108_snapshot_diff", q108, Some(q108Sql)),
+    Q("q109_group_quantiles", q109, Some(q109Sql))
   )
+
+  // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
+  // generalized to groups (engine/Quantile.groupedQuantilesAt): every
+  // group's live ranges ride the SAME rid when-chain, so all groups
+  // refine together in one job per pass — never a job per group, and
+  // never the `PARTITION BY flag ORDER BY v` window that sorts each
+  // group's full row set on one reducer (the oracle's formulation,
+  // fine for DuckDB at sf0.01, a hot-key sort at 10^12 rows). The
+  // small bins/collectCap force real refinement passes at this scale;
+  // positional rank semantics keep the compare bit-exact. Group
+  // cardinality contract: dimension-like only (state is O(groups x
+  // ranks)) — the engine guards it at MaxGroups and points
+  // key-cardinality callers at sketches. ------------------------------------
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.engine.Quantile.groupedQuantilesAt(
+        t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+        Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9), ("p99", 0.99)),
+        bins = 64, collectCap = 100)
+      .map { case (g, l, k, v) => (g.asInstanceOf[String], l, k, v) }
+      .toDF("flag", "label", "k", "value")
+      .orderBy("flag", "k", "label")
+  }
+
+  private val q109Sql =
+    """WITH s AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice) AS rn
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |n AS (SELECT flag, COUNT(*) AS n FROM s GROUP BY 1),
+      |ks AS (
+      |  SELECT flag, 'p25' AS label,
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.25 * n) AS BIGINT)) AS k
+      |  FROM n
+      |  UNION ALL SELECT flag, 'p50',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.5 * n) AS BIGINT)) FROM n
+      |  UNION ALL SELECT flag, 'p90',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.9 * n) AS BIGINT)) FROM n
+      |  UNION ALL SELECT flag, 'p99',
+      |    GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(0.99 * n) AS BIGINT)) FROM n)
+      |SELECT ks.flag, ks.label, ks.k, s.v AS value
+      |FROM ks JOIN s ON s.flag = ks.flag AND s.rn = ks.k
+      |ORDER BY ks.flag, ks.k, ks.label""".stripMargin
 
   // --- q108: SNAPSHOT DIFF (incremental-ingest CDC) — what changed
   // between two corpus snapshots: added / removed / changed /

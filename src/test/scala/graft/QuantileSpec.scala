@@ -109,6 +109,46 @@ class QuantileSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("max", 1000L, sorted(999))), s"got $got")
   }
 
+  test("grouped: every group's quantiles match its own in-memory sort, " +
+    "groups with overlapping value ranges stay distinct, and answers " +
+    "are parameter-invariant") {
+    import spark.implicits._
+    // 3 skewed groups over one overlapping value range: sizes 5000 /
+    // 400 / 7 — the small group's ranks resolve in early passes while
+    // the big one keeps refining, exercising mixed-lifetime state
+    val rows = (0 until 5407).map { i =>
+      val g = if (i < 5000) "A" else if (i < 5400) "B" else "C"
+      val h = graft.world.World.h(i.toLong * 131 + 3)
+      (g, (h % 90000).toDouble / 7.0 - 6000.0)
+    }
+    val fractions = Seq(("p10", 0.1), ("p50", 0.5), ("p99", 0.99))
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      fractions.map { case (l, q) =>
+        val k = math.max(1L, math.floor(q * sorted.size).toLong)
+        (g, l) -> ((k, sorted((k - 1).toInt)))
+      }
+    }
+    Seq((16, 10), (4096, 1 << 20)).foreach { case (b, cap) =>
+      val got = Quantile.groupedQuantilesAt(
+          rows.toDF("g", "v").repartition(9), "g", "v", fractions,
+          bins = b, collectCap = cap)
+        .map { case (g, l, k, v) => (g, l) -> ((k, v)) }.toMap
+      assert(got == want, s"at ($b, $cap)")
+    }
+  }
+
+  test("grouped: the dimension-cardinality guard rejects key-like " +
+    "group columns loudly") {
+    import spark.implicits._
+    val df = (0 until Quantile.MaxGroups + 1)
+      .map(i => (i.toString, i.toDouble)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quantile.groupedQuantilesAt(df, "g", "v", Seq(("p50", 0.5)))
+    }
+    assert(e.getMessage.contains("sketch"))
+  }
+
   test("answers are invariant to bins/collectCap and partitioning") {
     import spark.implicits._
     val vals = mkValues(5000)
