@@ -58,7 +58,8 @@ object Spatial {
     Q("q93_focal_halo", q93, Some(q93Sql)),
     Q("q98_sobel_gradient", q98, Some(q98Sql)),
     Q("q99_majority_filter", q99, Some(q99Sql)),
-    Q("q104_tile_sharpness", q104, Some(q104Sql))
+    Q("q104_tile_sharpness", q104, Some(q104Sql)),
+    Q("q111_hist_equalize", q111, Some(q111Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1837,4 +1838,40 @@ object Spatial {
        |    AS sharp_num
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---- q111: PER-TILE HISTOGRAM EQUALIZATION — the contrast
+  // normalization an image training pipeline applies before feature
+  // extraction: every pixel remaps to e = floor(255·cdf(v)/n) driven by
+  // the tile's OWN band-1 distribution, so tiles never exchange data
+  // and the op is one codegen'd expression over the tile scan (zero
+  // shuffle before the presentation sort, O(images) output rows — the
+  // q104 granularity). histogram + CDF + remap are fused inside
+  // HistEqStats; the exposed (n, esum, ewsum = Σ(pos+1)·e) integers pin
+  // every remapped value AND its payload position under the driver's
+  // permutation-invariant hash (q73 pattern). Oracle: DuckDB's
+  // RANGE-frame window count IS cdf(v) (ties included), over the same
+  // band formula. ----------------------------------------------------------
+  private def q111(s: SparkSession, dir: String): DataFrame =
+    World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        hist_eq_stats(col("bytes"), col("fmt"), spec.pixPerTile, 1).as("st"))
+      .select(col("tile_id"), col("st.n").as("n_px"),
+        col("st.esum").as("eq_sum"), col("st.ewsum").as("eq_wsum"))
+      .orderBy("tile_id")
+
+  private def q111Sql: String =
+    s"""$cellsCte,
+       |v AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    CAST(${bandSql("cell_id", 1)} AS INT) AS v,
+       |    (CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) % $T) * $T
+       |      + ((cell_id - 1) % $C) % $T AS p
+       |  FROM cells),
+       |e AS (SELECT tile_id, p,
+       |    (255 * COUNT(*) OVER (PARTITION BY tile_id ORDER BY v))
+       |      // COUNT(*) OVER (PARTITION BY tile_id) AS e
+       |  FROM v)
+       |SELECT tile_id, CAST(COUNT(*) AS INT) AS n_px,
+       |  CAST(SUM(e) AS BIGINT) AS eq_sum,
+       |  CAST(SUM((p + 1) * e) AS BIGINT) AS eq_wsum
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 }

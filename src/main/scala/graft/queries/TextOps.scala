@@ -66,7 +66,8 @@ object TextOps {
     Q("q100_rep_filter", q100, Some(q100Sql)),
     Q("q101_strat_split", q101, Some(q101Sql)),
     Q("q103_class_balance", q103, Some(q103Sql)),
-    Q("q106_inverted_topk", q106, Some(q106Sql))
+    Q("q106_inverted_topk", q106, Some(q106Sql)),
+    Q("q110_qsketch", q110, Some(q110Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1633,6 +1634,76 @@ object TextOps {
        |    AS INT) AS caption_conflict
        |FROM cl JOIN caps c USING (image_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --- q110: LOG-LINEAR QUANTILE SKETCH (HDR-histogram family) — the
+  // MERGEABLE per-group quantile summary for KEY-cardinality groups,
+  // the case engine/Quantile's MaxGroups guard explicitly points here
+  // (q109 handles dimension-like groups exactly; a per-domain length
+  // distribution over 10^8 crawl hosts cannot hold per-group driver
+  // state). Bucket = (bit length of the value, next 3 bits after the
+  // leading 1): exponent + 3-bit mantissa, so every bucket spans a
+  // <= 2^-3 relative range — the estimator's error bound is 12.5% BY
+  // CONSTRUCTION, independent of the data. Register = groupBy(group,
+  // bucket) COUNT: partial aggregation IS the sketch merge (the
+  // q84/q91 design rule), disjoint corpora union by adding registers,
+  // and the shuffle carries <= 512 register rows per (task, group),
+  // never values. Bit arithmetic stays libm-free on both engines
+  // (Spark bin()/conv(), DuckDB printf('%b') + digit math), so the
+  // oracle compares every register bit-for-bit; the float estimator
+  // (`qsketchEstimate`) is a driver-side fold, golden-tested against
+  // exact per-group quantiles within the bucket bound. -------------------
+  /** Log-linear sketch bucket of a positive integral column: 8 × bit
+    * length + the 3 bits after the leading 1. Shared by batch q110 and
+    * the streaming twin (`StreamDedup.qsketchByWindow`) so both
+    * surfaces address identical registers. bin()/conv() keep the bit
+    * arithmetic libm-free (no log2), hence oracle-bit-exact. */
+  private[graft] def qsketchBucket(v: Column): Column = {
+    val b = bin(v)
+    (length(b) * 8 +
+      conv(substring(rpad(b, 4, "0"), 2, 3), 2, 10).cast("int"))
+      .cast("int")
+  }
+
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0) // bin() of 0 has no leading 1
+      .select(col("source"), qsketchBucket(col("n_chars")).as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("source", "bucket")
+
+  private val q110Sql =
+    """WITH d AS (SELECT source, printf('%b', n_chars) AS b
+      |  FROM documents WHERE n_chars > 0),
+      |k AS (SELECT source,
+      |    CAST(length(b) * 8
+      |      + 4 * CAST(substr(rpad(b, 4, '0'), 2, 1) AS INT)
+      |      + 2 * CAST(substr(rpad(b, 4, '0'), 3, 1) AS INT)
+      |      + CAST(substr(rpad(b, 4, '0'), 4, 1) AS INT) AS INT) AS bucket
+      |  FROM d)
+      |SELECT source, bucket, COUNT(*) AS n
+      |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Driver-side quantile estimate from q110's register rows (one
+    * group): walk buckets ascending to the one holding rank
+    * ceil(q * n) and return its LOWER edge 2^(e-1) · (1 + m/8) — a
+    * value every member of the bucket is within a factor of 2^-3
+    * above, so the relative error is <= 12.5% by construction. Lives
+    * here so tests and users share one estimator (the cmEstimate /
+    * hllEstimate pattern). */
+  def qsketchEstimate(registers: Seq[(Int, Long)], q: Double): Double = {
+    require(registers.nonEmpty && q >= 0.0 && q <= 1.0)
+    val total = registers.map(_._2).sum
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    val sorted = registers.sortBy(_._1)
+    val (bucket, _) = sorted.find { case (_, n) =>
+      cum += n; cum >= target
+    }.get
+    val e = bucket / 8
+    val m = bucket % 8
+    math.pow(2.0, e - 1) * (1.0 + m / 8.0)
   }
 
   // --- q84: HLL DISTINCT-COUNT SKETCH — approximate distinct

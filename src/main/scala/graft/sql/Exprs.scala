@@ -948,6 +948,83 @@ object LapStats {
   }
 }
 
+/** Per-tile HISTOGRAM EQUALIZATION stats: decode band `band` of the
+  * payload, remap every valid pixel v to its equalized level
+  * e = floor(255 · cdf(v) / n) (cdf = count of valid pixels ≤ v, n =
+  * valid-pixel count — the textbook contrast remap, driven entirely by
+  * the tile's OWN value distribution, so tiles are embarrassingly
+  * parallel), and emit struct(n, esum, ewsum = Σ(p+1)·e) in ONE
+  * codegen'd pass: histogram, CDF prefix-sum and remap all live inside
+  * the expression — per-image contrast normalization costs zero shuffle
+  * and O(images) output rows (the q104 LapStats shape). ewsum is the
+  * position-weighted term that pins per-pixel remapped values and their
+  * payload order under the permutation-invariant hash compare (q73
+  * pattern). NaN padding pixels of partial edge tiles are skipped and
+  * carry no position weight. All outputs are integers, so the DuckDB
+  * oracle (a per-tile RANGE-frame window count) compares bit-exact.
+  * Band values must be integral in [0, 255] — anything else fails
+  * loudly rather than silently mis-binning.
+  * Children: (bytes, fmt); nPixels/band are plan-time constants. */
+case class HistEqStats(left: Expression, right: Expression,
+    nPixels: Int, band: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("esum", LongType, nullable = false),
+    StructField("ewsum", LongType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    HistEqStats.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, band)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = HistEqStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $band);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HistEqStats {
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int,
+      band: Int): InternalRow = {
+    val px = Codec.decodeBand(fmt.toString, bytes, nPixels, band)
+    val cdf = new Array[Int](256) // histogram, prefix-summed in place
+    var n = 0
+    var i = 0
+    while (i < px.length) {
+      val f = px(i)
+      if (!java.lang.Float.isNaN(f)) {
+        val v = f.toInt
+        require(v >= 0 && v <= 255 && v.toFloat == f,
+          s"hist_eq_stats: band value $f at pixel $i is not an integer in [0, 255]")
+        cdf(v) += 1
+        n += 1
+      }
+      i += 1
+    }
+    var b = 1
+    while (b < 256) { cdf(b) += cdf(b - 1); b += 1 }
+    var esum = 0L
+    var ewsum = 0L
+    i = 0
+    while (i < px.length) {
+      val f = px(i)
+      if (!java.lang.Float.isNaN(f)) {
+        val e = 255L * cdf(f.toInt) / n
+        esum += e
+        ewsum += (i + 1) * e
+      }
+      i += 1
+    }
+    InternalRow(n, esum, ewsum)
+  }
+}
+
 /** One-pass integer stats of window `win` (winSize samples) of an
   * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
   * outputs so the DuckDB oracle compare is bit-exact (no libm). The
@@ -1395,6 +1472,12 @@ object GraftFunctions {
       w: Int, h: Int): Column =
     column(FramePhash(expression(bytes), expression(fmt), nPixels, frame,
       w, h))
+
+  /** One-pass per-tile histogram-equalization stats of band `band`:
+    * struct(n, esum, ewsum) — all-integer, order-pinned. */
+  def hist_eq_stats(bytes: Column, fmt: Column, nPixels: Int,
+      band: Int): Column =
+    column(HistEqStats(expression(bytes), expression(fmt), nPixels, band))
 
   /** Morton z-value of (x, y) — the z-order layout curve key. */
   def z_interleave(x: Column, y: Column): Column =

@@ -444,4 +444,27 @@ object StreamDedup {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_start"), col("r"), col("c"), col("cnt"))
   }
+
+  /** Streaming LOG-LINEAR QUANTILE SKETCH registers per event-time
+    * window — the incremental shape of batch q110: each arriving value
+    * lands in its (bit-length, 3-mantissa-bit) bucket (the SAME
+    * `TextOps.qsketchBucket` addressing, so streaming and batch
+    * registers are interchangeable and ADD), and a watermarked
+    * groupBy(window, group, bucket) count IS the sketch — state is
+    * bounded at ≤512 registers per open (window, group) regardless of
+    * how many values arrive, the property that lets a latency/size
+    * monitor track per-group p99 over unbounded streams. Consumers
+    * fold a window's registers with `TextOps.qsketchEstimate`; the
+    * 12.5% relative bound is constructive, so it holds per window too. */
+  def qsketchByWindow(events: DataFrame, valCol: String, groupCol: String,
+      windowLen: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col(valCol) > 0) // bin() of 0 has no leading 1
+      .groupBy(window(col("ts"), windowLen).as("w"), col(groupCol),
+        graft.queries.TextOps.qsketchBucket(col(valCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col(groupCol),
+        col("bucket"), col("n"))
 }

@@ -1078,6 +1078,80 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q110 log-linear quantile sketch: estimate within the 12.5% " +
+    "constructive bound at every quantile, registers add across disjoint " +
+    "corpora and survive repartitioning, partial agg below the exchange") {
+    import spark.implicits._
+    import graft.world.World.h
+    // three groups with very different dynamic ranges: uniform-ish small,
+    // heavy-tailed (squared hash), and a wide log-range — n_chars spans
+    // 1 .. ~10^6 so buckets across ~20 exponents get exercised
+    val n = 6000
+    val docs = (0 until n).map { i =>
+      val g = (h(i.toLong * 7 + 5) % 3).toInt
+      val u = h(i.toLong * 13 + 1) % 1000 + 1
+      val v = g match {
+        case 0 => u                       // ~uniform on [1, 1000]
+        case 1 => u * u                   // heavy tail to 10^6
+        case _ => 1L << (u % 20)          // exact powers of two (bucket edges)
+      }
+      (i.toLong, s"g$g", v)
+    }.toDF("doc_id", "source", "n_chars")
+    val dir = graft.util.TempDirs.create("qsketch_docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = graft.SparkEntry.queries("q110_qsketch")
+    val regRows = q(spark, dir.toString).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val regs = regRows.groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    assert(regs.keySet == Set("g0", "g1", "g2"))
+    // register mass equals group row count
+    val exactByGroup = docs.collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    regs.foreach { case (g, rs) =>
+      assert(rs.map(_._2).sum == exactByGroup(g).size)
+    }
+    // the bound the comment promises: estimate is the bucket LOWER edge,
+    // so est <= exact rank value and (exact - est) / est <= 1/8, at any
+    // quantile, for any data — by construction, not by luck
+    for {
+      (g, sorted) <- exactByGroup
+      qq <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    } {
+      val exact = sorted(
+        (math.max(1L, math.ceil(qq * sorted.size).toLong) - 1).toInt).toDouble
+      val est = graft.queries.TextOps.qsketchEstimate(regs(g), qq)
+      assert(est <= exact + 1e-9 && exact - est <= est / 8 + 1e-9,
+        s"group $g q=$qq: est $est vs exact $exact outside the 2^-3 bound")
+    }
+    // mergeability: registers of two disjoint halves ADD to the full
+    // sketch (the property that lets 1000 executors each sketch their
+    // shard and a coordinator sum the registers)
+    def runOn(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val d = graft.util.TempDirs.create(tag)
+      df.write.mode("overwrite").parquet(s"$d/documents.parquet")
+      q(spark, d.toString).collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    }
+    val loHalf = runOn(docs.filter($"doc_id" % 2 === 0), "qsk_lo")
+    val hiHalf = runOn(docs.filter($"doc_id" % 2 === 1), "qsk_hi")
+    val full = regRows.map(t => ((t._1, t._2), t._3)).toMap
+    val summed = (loHalf.keySet ++ hiHalf.keySet).map(k =>
+      k -> (loHalf.getOrElse(k, 0L) + hiHalf.getOrElse(k, 0L))).toMap
+    assert(summed == full, "disjoint-corpus registers must sum to the full sketch")
+    // partitioning-invariance: same registers under a 7-way input split
+    assert(runOn(docs.repartition(7), "qsk_7") == full)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q(spark, dir.toString).queryExecution.executedPlan.toString
+      val below = plan.split("Exchange hashpartitioning\\(source").last
+      assert(below.contains("partial_count"),
+        s"sketch merge must be the partial count below the exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("RepStats (q100 repetition stats) equals a brute-force gram count " +
     "on adversarial token streams") {
     def brute(text: String): Seq[Int] = {

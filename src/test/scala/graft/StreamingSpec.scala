@@ -20,6 +20,10 @@ case class ClipEv(audio_id: Long, bytes: Array[Byte], ts: Timestamp)
 case class SrcDoc(doc_id: Long, text: String, source: String,
     ts: Timestamp)
 
+/** Streaming sized event (quantile-sketch input): group + a positive
+  * magnitude (doc length, payload bytes, latency micros, ...). */
+case class SizeEv(source: String, n_chars: Long, ts: Timestamp)
+
 /** Streaming video: opaque multi-frame f32 payload + event time. */
 case class VidEv(video_id: Long, bytes: Array[Byte], fmt: String,
     ts: Timestamp)
@@ -541,6 +545,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val w0 = got.collect { case ((0L, r, c), n) => (r, c) -> n }.toMap
       assert(graft.queries.TextOps.cmEstimate(w0, 7L) >= 3L)
       assert(graft.queries.TextOps.cmEstimate(w0, 13L) >= 1L)
+    } finally q.stop()
+  }
+
+  test("streaming quantile-sketch registers match the batch q110 bucket " +
+    "formula per (window, group), accumulate across micro-batches, drop " +
+    "non-positive values, and the 12.5% estimator bound holds per window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SizeEv]
+    val q = StreamDedup.qsketchByWindow(in.toDF(), "n_chars", "source")
+      .writeStream.format("memory").queryName("g_qsk")
+      .outputMode("complete").start()
+    // independent re-derivation of the bucket rule (NOT qsketchBucket —
+    // a second reading of "bit length + next 3 bits" guards the shared
+    // builder itself)
+    def bk(v: Long): Int = {
+      val b = java.lang.Long.toBinaryString(v)
+      b.length * 8 +
+        Integer.parseInt(b.padTo(4, '0').slice(1, 4).mkString, 2)
+    }
+    try {
+      // window 0 (min 0-9) builds across TWO batches; window 1 gets one
+      // group; a zero-magnitude event must vanish (bin(0) has no lead 1)
+      in.addData(SizeEv("a", 1, ts(1)), SizeEv("a", 5, ts(2)),
+        SizeEv("b", 100, ts(3)), SizeEv("a", 0, ts(4)))
+      q.processAllAvailable()
+      in.addData(SizeEv("a", 9, ts(8)), SizeEv("a", 5, ts(9)),
+        SizeEv("b", 1000, ts(12)))
+      q.processAllAvailable()
+      val got = spark.table("g_qsk").collect()
+        .map(r => ((r.getTimestamp(0).getTime - Base) / 60000,
+          r.getString(1), r.getInt(2)) -> r.getLong(3)).toMap
+      val events = Seq(("a", 1L, 0L), ("a", 5L, 0L), ("b", 100L, 0L),
+        ("a", 9L, 0L), ("a", 5L, 0L), ("b", 1000L, 10L))
+      val want = events.groupBy { case (g, v, w) => (w, g, bk(v)) }
+        .map { case (k, vs) => k -> vs.size.toLong }
+      assert(got == want, s"got $got\nwant $want")
+      // per-window estimator: window 0 group a holds {1, 5, 5, 9} — the
+      // median estimate must sit within the constructive 2^-3 bound of
+      // the exact rank-2 value (5)
+      val w0a = got.collect { case ((0L, "a", b), n) => (b, n) }.toSeq
+      val est = graft.queries.TextOps.qsketchEstimate(w0a, 0.5)
+      assert(est <= 5.0 + 1e-9 && 5.0 - est <= est / 8 + 1e-9,
+        s"window-0 median estimate $est outside the bound around 5")
     } finally q.stop()
   }
 

@@ -605,3 +605,42 @@ class CartSpec extends AnyFunSuite {
     assert(imp(0) > 0 && imp(1) == 0.0)
   }
 }
+
+class HistEqSpec extends AnyFunSuite {
+
+  test("HistEqStats: equals brute-force equalization, skips NaN padding " +
+    "without position weight, maps a constant tile to all-255, and fails " +
+    "loudly on non-integral or out-of-range band values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val f32 = UTF8String.fromString("f32")
+    def run(band1: Array[Float]): (Int, Long, Long) = {
+      // band 0 is a decoy (HistEqStats must read band 1 only)
+      val bytes = Codec.encodeF32(Array(Array.fill(band1.length)(999f), band1))
+      val r = graft.sql.HistEqStats.eval(bytes, f32, band1.length, 1)
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    }
+    def brute(band1: Array[Float]): (Int, Long, Long) = {
+      val valid = band1.zipWithIndex.filterNot(_._1.isNaN)
+      val n = valid.length
+      def e(v: Float): Long = 255L * valid.count(_._1 <= v) / n
+      (n, valid.map(p => e(p._1)).sum,
+        valid.map { case (v, i) => (i + 1) * e(v) }.sum)
+    }
+    // mixed values with duplicates, a NaN padding pixel mid-payload
+    // (its position weight must vanish, and later pixels keep THEIR
+    // payload positions), and the 0/255 extremes
+    val mixed = Array(3f, 0f, 255f, 3f, Float.NaN, 17f, 0f, 200f)
+    assert(run(mixed) == brute(mixed))
+    // constant tile: cdf(v) = n for every pixel, so e = 255 everywhere
+    val const = Array.fill(6)(7f)
+    assert(run(const) == (6, 6 * 255L, (1 to 6).map(_ * 255L).sum))
+    // deterministic pseudo-random payload cross-checked against brute
+    val rnd = Array.tabulate(64)(i =>
+      (graft.world.World.h(i.toLong * 31 + 7) % 256).toFloat)
+    assert(run(rnd) == brute(rnd))
+    // contract violations fail loudly, never mis-bin
+    intercept[IllegalArgumentException] { run(Array(1f, 256f)) }
+    intercept[IllegalArgumentException] { run(Array(1f, -2f)) }
+    intercept[IllegalArgumentException] { run(Array(1f, 3.5f)) }
+  }
+}
