@@ -66,7 +66,11 @@ object Relational {
     Q("q92_bucketed_join", q92, Some(q92Sql)),
     Q("q107_rollup_report", q107, Some(q107Sql)),
     Q("q108_snapshot_diff", q108, Some(q108Sql)),
-    Q("q109_group_quantiles", q109, Some(q109Sql))
+    Q("q109_group_quantiles", q109, Some(q109Sql)),
+    Q("q114_gapfill_locf", q114, Some(q114Sql)),
+    Q("q115_pagerank", q115, Some(q115Sql)),
+    Q("q116_weighted_sample", q116, Some(q116Sql)),
+    Q("q117_skyline", q117, Some(q117Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -999,4 +1003,162 @@ object Relational {
       |  SELECT 'without_orders' AS side, c_custkey FROM customer c
       |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q114: TIME-SERIES GAP-FILL + LOCF — the regularization step a
+  // feature pipeline runs before any fixed-step model: bucket events to
+  // hours, build each key's dense hour spine with sequence()/explode
+  // (bounded by the key's own span — never a global calendar cross
+  // join), left-join observations, and carry the last observation
+  // forward with last(ignoreNulls) over a per-key window. The window
+  // partitions by user_id — the natural key, parallel across keys at
+  // any scale; the per-bucket observation is max(value) (order-free, so
+  // the double survives the shuffle bit-exactly). The spine starts at
+  // each key's first observation, so `filled` is never null. ---------------
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 8)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("hb"),
+        col("value"))
+    val obs = ev.groupBy("user_id", "hb").agg(max("value").as("v_obs"))
+    val spans = ev.groupBy("user_id").agg(min("hb").as("h0"), max("hb").as("h1"))
+    val spine = spans.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"))).as("hb"))
+    val w = Window.partitionBy("user_id").orderBy("hb")
+    spine.join(obs, Seq("user_id", "hb"), "left")
+      .select(col("user_id"), col("hb"),
+        last("v_obs", ignoreNulls = true).over(w).as("filled"),
+        col("v_obs").isNull.cast("int").as("is_gap"))
+      .orderBy("user_id", "hb")
+  }
+
+  private val q114Sql =
+    """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hb, value
+      |  FROM events WHERE user_id < 8),
+      |o AS (SELECT user_id, hb, MAX(value) AS v_obs FROM e GROUP BY 1, 2),
+      |sp AS (SELECT user_id, UNNEST(generate_series(MIN(hb), MAX(hb))) AS hb
+      |  FROM e GROUP BY user_id),
+      |j AS (SELECT s.user_id, s.hb, o.v_obs
+      |  FROM sp s LEFT JOIN o ON s.user_id = o.user_id AND s.hb = o.hb)
+      |SELECT user_id, hb,
+      |  LAST_VALUE(v_obs IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hb
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |  CAST(v_obs IS NULL AS INT) AS is_gap
+      |FROM j ORDER BY user_id, hb""".stripMargin
+
+  // --- q115: PAGERANK over a deterministic synthetic graph — the
+  // iterative whole-graph op beyond connected components (q56): k=5
+  // fixed rounds of engine/PageRank's integer fixed-point scheme, so
+  // the distributed sum order can never perturb the result (see the
+  // PageRank scaladoc for why a floating-point formulation cannot be
+  // hash-oracled). The graph itself derives from the Knuth hash — both
+  // engines regenerate edges from the same formula; the oracle unrolls
+  // the 5 rounds as chained CTEs since recursive CTEs cannot aggregate
+  // over their own recursive reference. -------------------------------------
+  private val PrV = 64L
+  private val PrE = 256L
+  private val PrIters = 5
+
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.range(0, PrE).select(
+      ((col("id") * 3 + 1) * knuth % 4294967296L % PrV).as("src"),
+      ((col("id") * 3 + 2) * knuth % 4294967296L % PrV).as("dst"))
+    val edges = raw.filter(col("src") =!= col("dst")).distinct()
+    val nodes = s.range(0, PrV).toDF("node")
+    graft.engine.PageRank.run(edges, nodes, PrIters)
+      .orderBy("node")
+  }
+
+  private val q115Sql: String = {
+    val h1 = s"(((r.range * 3 + 1) * $knuth) % 4294967296)"
+    val h2 = s"(((r.range * 3 + 2) * $knuth) % 4294967296)"
+    val iterCtes = (1 to PrIters).map { i =>
+      val p = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(SUM((p.r * 85) // (g.outdeg * 100)) AS BIGINT) AS cs
+         |  FROM $p p JOIN deg g ON p.node = g.node AND g.outdeg > 0
+         |  JOIN edges e ON e.src = p.node GROUP BY 1),
+         |d$i AS (SELECT CAST((COALESCE(SUM(p.r), 0) * 85) // (100 * $PrV) AS BIGINT) AS share
+         |  FROM $p p JOIN deg g ON p.node = g.node AND g.outdeg = 0),
+         |r$i AS (SELECT n.node, 150000 + COALESCE(c.cs, 0) + d.share AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node CROSS JOIN d$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT $h1 % $PrV AS src, $h2 % $PrV AS dst FROM range($PrE) r),
+       |edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS (SELECT r.range AS node FROM range($PrV) r),
+       |deg AS (SELECT n.node, COALESCE(d.c, 0) AS outdeg FROM nodes n
+       |  LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY 1) d ON n.node = d.src),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS r FROM r$PrIters ORDER BY node""".stripMargin
+  }
+
+  // --- q116: WEIGHTED sampling without replacement (Efraimidis-
+  // Spirakis A-Res): each row draws a deterministic uniform from the
+  // Knuth hash and the k rows maximizing ln(u)/w ARE an exact weighted
+  // sample — expressed as a global top-k, which Spark executes as
+  // TakeOrderedAndProject (per-partition heaps + a k-row driver merge,
+  // never a full sort — the q14 scale shape applied to sampling). The
+  // uniform is (h % 2^20 + 0.5) / 2^20: never 0 or 1, so ln(u) is
+  // finite; the selection key is compared as a raw double in BOTH
+  // engines, with o_orderkey breaking ties, and only the 1e-12-quantized
+  // key is emitted. Complements q13 (uniform hash sample) and q18/q58
+  // (stratified): this is the importance-weighted family. -------------------
+  private val WsK = 100
+
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val h = (col("o_orderkey") * 23L * knuth) % 4294967296L
+    val u = (h % 1048576L + 0.5) / 1048576.0
+    val key = log(u) / col("o_totalprice")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").as("w"),
+        round(key * 1e12).cast("long").as("key_q12"), key.as("__k"))
+      .orderBy(desc("__k"), asc("o_orderkey"))
+      .limit(WsK)
+      .drop("__k")
+  }
+
+  private val q116Sql =
+    s"""WITH k AS (SELECT o_orderkey, o_totalprice AS w,
+       |    ln(((o_orderkey * 23 * $knuth) % 4294967296 % 1048576 + 0.5) / 1048576.0)
+       |      / o_totalprice AS key
+       |  FROM orders)
+       |SELECT o_orderkey, w, CAST(ROUND(key * 1e12) AS BIGINT) AS key_q12
+       |FROM k ORDER BY key DESC, o_orderkey LIMIT $WsK""".stripMargin
+
+  // --- q117: SKYLINE (Pareto frontier) — minimize (price, size) over
+  // the distinct part points. The distributed shape is two-phase, the
+  // GroupRank discipline applied to dominance: fixed-width x-buckets
+  // give (1) a per-bucket running min of y over the (x, y)-ordered
+  // window — parallel across buckets, each bucket one task's worth —
+  // and (2) an EXCLUSIVE prefix min across bucket summaries (a frame
+  // with one row per bucket, windowed globally only because it is
+  // tiny, then broadcast back). A row survives iff y is strictly below
+  // both — exactly the strict-dominance skyline on distinct points
+  // (preceding same-x rows carry strictly smaller y, so `y < runmin`
+  // encodes "no dominator" in one comparison; see the oracle's NOT
+  // EXISTS for the definition being matched). ---------------------------------
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "part")
+      .select(col("p_retailprice").as("x"), col("p_size").cast("long").as("y"))
+      .distinct()
+      .withColumn("b", floor(col("x") / 25.0).cast("long"))
+    val wb = Window.partitionBy("b").orderBy("x", "y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts.withColumn("runmin", min("y").over(wb))
+    val wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val pmins = pts.groupBy("b").agg(min("y").as("bm"))
+      .select(col("b"), min("bm").over(wp).as("pmin"))
+    local.join(broadcast(pmins), Seq("b"))
+      .filter((col("runmin").isNull || col("y") < col("runmin")) &&
+        (col("pmin").isNull || col("y") < col("pmin")))
+      .select("x", "y")
+      .orderBy("x", "y")
+  }
+
+  private val q117Sql =
+    """WITH p AS (SELECT DISTINCT p_retailprice AS x, CAST(p_size AS BIGINT) AS y FROM part)
+      |SELECT x, y FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
+      |ORDER BY x, y""".stripMargin
 }

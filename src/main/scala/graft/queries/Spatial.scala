@@ -59,7 +59,9 @@ object Spatial {
     Q("q98_sobel_gradient", q98, Some(q98Sql)),
     Q("q99_majority_filter", q99, Some(q99Sql)),
     Q("q104_tile_sharpness", q104, Some(q104Sql)),
-    Q("q111_hist_equalize", q111, Some(q111Sql))
+    Q("q111_hist_equalize", q111, Some(q111Sql)),
+    Q("q112_geo_nearest", q112, Some(q112Sql)),
+    Q("q113_polygon_metrics", q113, Some(q113Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1874,4 +1876,124 @@ object Spatial {
        |  CAST(SUM(e) AS BIGINT) AS eq_sum,
        |  CAST(SUM((p + 1) * e) AS BIGINT) AS eq_wsum
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q112: GEODESIC nearest-facility assignment — every cell picks
+  // its great-circle-nearest station (haversine on the sphere, the
+  // metric the planar kNN family q24/q30/q32 deliberately does not
+  // cover). The station list is tiny and fixed, so the argmin is
+  // UNROLLED into one `least(struct(d, sid), ...)` chain — a pure
+  // map-side expression in a single codegen span with ZERO shuffle
+  // before the presentation sort. That is the 100-TB shape: the
+  // cross-join + groupBy(cell) formulation would shuffle K x N rows to
+  // re-assemble what each row already knows. Distances are quantized to
+  // whole meters BEFORE the argmin on BOTH sides so a last-ulp
+  // transcendental divergence between JVM Math and DuckDB libm cannot
+  // flip a comparison (ADVICE r04 #1 pattern); ties at the same meter
+  // break by station id in both engines. ------------------------------------
+  private val Stations = 8
+  private val EarthR = 6371008.8 // IUGG mean radius, meters
+  /** Station k's lat/lng in degrees: the same World.h formula the
+    * oracle SQL recomputes (deterministic IEEE arithmetic on exact
+    * integer hashes — bit-identical in any engine). */
+  private def stationLat(k: Int): Double =
+    (World.h(k.toLong * 19 + 1) % 1600) / 1600.0 * 160.0 - 80.0
+  private def stationLng(k: Int): Double =
+    (World.h(k.toLong * 19 + 2) % 3600) / 3600.0 * 360.0 - 180.0
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val d = math.Pi / 180.0
+    val lat1 = latDegCol * d
+    val lng1 = lngDegCol * d
+    def distQ(k: Int): Column = {
+      val lat2 = stationLat(k) * d
+      val lng2 = stationLng(k) * d
+      val sa = sin((lit(lat2) - lat1) * 0.5)
+      val so = sin((lit(lng2) - lng1) * 0.5)
+      val a = sa * sa + cos(lat1) * math.cos(lat2) * (so * so)
+      round(asin(sqrt(least(a, lit(1.0)))) * (2.0 * EarthR)).cast("long")
+    }
+    val best = least((0 until Stations).map(k =>
+      struct(distQ(k).as("d"), lit(k).as("sid"))): _*)
+    spine(s)
+      .select(cellCol, best.as("b"))
+      .select(cellCol, col("b.sid").as("station_id"),
+        col("b.d").as("dist_m"))
+      .orderBy("cell_id")
+  }
+
+  private def q112Sql: String = {
+    val hs1 = hSql("r.range * 19 + 1")
+    val hs2 = hSql("r.range * 19 + 2")
+    s"""$cellsCte,
+       |st AS (SELECT r.range AS sid,
+       |    ($hs1 % 1600) / 1600.0 * 160.0 - 80.0 AS slat,
+       |    ($hs2 % 3600) / 3600.0 * 360.0 - 180.0 AS slng
+       |  FROM range($Stations) r),
+       |pt AS (SELECT cell_id,
+       |    ((CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) + 1 - 0.5) / ${spec.rows} * 180.0 - 90.0) * (pi() / 180.0) AS lat1,
+       |    (((cell_id - 1) % $C + 1 - 0.5) / $C * 360.0 - 180.0) * (pi() / 180.0) AS lng1
+       |  FROM cells),
+       |sd AS (SELECT p.cell_id, s.sid,
+       |    sin((s.slat * (pi() / 180.0) - p.lat1) * 0.5) AS sa,
+       |    sin((s.slng * (pi() / 180.0) - p.lng1) * 0.5) AS so,
+       |    cos(p.lat1) * cos(s.slat * (pi() / 180.0)) AS cc
+       |  FROM pt p CROSS JOIN st s),
+       |dd AS (SELECT cell_id, sid,
+       |    CAST(ROUND(asin(sqrt(LEAST(sa * sa + cc * (so * so), 1.0)))
+       |      * (2.0 * $EarthR)) AS BIGINT) AS dq
+       |  FROM sd),
+       |rk AS (SELECT cell_id, sid, dq,
+       |    ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY dq, sid) AS rn
+       |  FROM dd)
+       |SELECT cell_id, CAST(sid AS INT) AS station_id, dq AS dist_m
+       |FROM rk WHERE rn = 1 ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q113: VECTOR-LAYER GEOMETRY METRICS — shoelace area, signed
+  // centroid and perimeter per region polygon, computed from the SAME
+  // scanned WKT layer q39 ray-casts (S6 + the vector-analytics half of
+  // G5 the raster path doesn't exercise). The formulation is the
+  // distributed one: the layer explodes to an EDGE frame and every
+  // metric is an edge-local term summed per region — at a 10^8-edge
+  // continental layer this is one partial-aggregated shuffle on
+  // region_id, never a per-polygon driver loop. Exactness: the fixture
+  // coordinates are integers, so the cross products and vertex sums are
+  // exact dyadic doubles (order-free addition); the only inexact term,
+  // the edge length's sqrt, is quantized to micro-units per edge BEFORE
+  // the sum so the reduction stays order-free and libm-divergence-proof
+  // on both sides. Centroid = Sum((xi+xj) cross_i) / (3 As), one exact
+  // division at the end, quantized at 1e-9 deg. ------------------------------
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val polys = graft.sources.Ingest.wktPolygons(s, wktFixture)
+    val edges = polys.toSeq.flatMap { p =>
+      p.edgeList.map { case (x1, y1, x2, y2) => (p.regionId, x1, y1, x2, y2) }
+    }.toDF("region_id", "x1", "y1", "x2", "y2")
+    val cross = col("x1") * col("y2") - col("x2") * col("y1")
+    val dx = col("x2") - col("x1")
+    val dy = col("y2") - col("y1")
+    val lenQ6 = round(sqrt(dx * dx + dy * dy) * 1e6).cast("long")
+    edges
+      .groupBy("region_id")
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(cross).as("a2"),
+        sum(lenQ6).as("perim_q6"),
+        sum((col("x1") + col("x2")) * cross).as("cxn"),
+        sum((col("y1") + col("y2")) * cross).as("cyn"))
+      .select(col("region_id"), col("n_edges"),
+        abs(col("a2") / 2.0).as("area"),
+        col("perim_q6"),
+        round(col("cxn") / (col("a2") * 3.0) * 1e9).cast("long").as("cx_q9"),
+        round(col("cyn") / (col("a2") * 3.0) * 1e9).cast("long").as("cy_q9"))
+      .orderBy("region_id")
+  }
+
+  private def q113Sql: String =
+    s"""WITH edges(region_id, x1, y1, x2, y2) AS (VALUES $edgesValues)
+       |SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |  ABS(SUM(x1 * y2 - x2 * y1) / 2.0) AS area,
+       |  CAST(SUM(CAST(ROUND(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) * 1e6) AS BIGINT)) AS BIGINT) AS perim_q6,
+       |  CAST(ROUND(SUM((x1 + x2) * (x1 * y2 - x2 * y1)) / (SUM(x1 * y2 - x2 * y1) * 3.0) * 1e9) AS BIGINT) AS cx_q9,
+       |  CAST(ROUND(SUM((y1 + y2) * (x1 * y2 - x2 * y1)) / (SUM(x1 * y2 - x2 * y1) * 3.0) * 1e9) AS BIGINT) AS cy_q9
+       |FROM edges GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,259 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.world.World
+
+/** Independent (non-SQL) anchors for the q112-q117 family: each query
+  * is recomputed by a plain-Scala reference on the same deterministic
+  * inputs, so the DuckDB oracle and this spec pin the semantics from
+  * two unrelated directions. PageRank additionally gets the two
+  * properties the driver compare cannot see — partitioning invariance
+  * (the point of the integer fixed-point scheme) and the bounded
+  * floor-leak mass inequality.
+  */
+class GraphGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-graphgeo-test")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val K = World.Knuth
+  private val M = World.M32
+
+  // ---- q115 PageRank ------------------------------------------------------
+
+  /** The q115 synthetic graph, regenerated scalar-side. */
+  private def q115Edges: Seq[(Long, Long)] =
+    (0L until 256L).map { i =>
+      (((i * 3 + 1) * K % M) % 64, ((i * 3 + 2) * K % M) % 64)
+    }.filter { case (s, d) => s != d }.distinct
+
+  /** Plain-Scala replica of the fixed-point scheme (single-threaded,
+    * array-indexed — shares no code with engine/PageRank). */
+  private def q115Ref: Array[Long] = {
+    val edges = q115Edges
+    val outdeg = Array.fill(64)(0L)
+    edges.foreach { case (s, _) => outdeg(s.toInt) += 1 }
+    var r = Array.fill(64)(1000000L)
+    for (_ <- 1 to 5) {
+      val contrib = Array.fill(64)(0L)
+      edges.foreach { case (s, d) =>
+        contrib(d.toInt) += r(s.toInt) * 85 / (outdeg(s.toInt) * 100)
+      }
+      val dang = (0 until 64).filter(outdeg(_) == 0).map(r(_)).sum
+      val share = dang * 85 / (100 * 64)
+      r = Array.tabulate(64)(n => 150000L + contrib(n) + share)
+    }
+    r
+  }
+
+  test("q115 PageRank equals the single-threaded fixed-point replica " +
+    "exactly, and the result is invariant under edge partitioning") {
+    val got = SparkEntry.queries("q115_pagerank")(spark, "unused")
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val ref = q115Ref
+    (0 until 64).foreach { n =>
+      assert(got(n.toLong) == ref(n), s"node $n: ${got(n.toLong)} != ${ref(n)}")
+    }
+    // partitioning invariance: the same graph through 1 vs 7 edge
+    // partitions must produce BIT-identical ranks (the property the
+    // integer scheme buys; a double formulation differs in last ulps)
+    import spark.implicits._
+    val edges = q115Edges.toDF("src", "dst")
+    val nodes = spark.range(0, 64).toDF("node")
+    val r1 = graft.engine.PageRank.run(edges.repartition(1), nodes, 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val r7 = graft.engine.PageRank.run(edges.repartition(7), nodes, 5)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r1 == r7, "ranks differ across partitionings")
+    assert(r1 == got, "registry result differs from direct engine run")
+    // mass inequality: total starts at V*1e6; every iteration loses at
+    // most 1 micro-unit per edge (contribution floor) + 1 per node
+    // (dangling-share floor applied V times) + 15% of nothing (teleport
+    // is exact), and never gains
+    val total = ref.sum
+    val cap = 64L * 1000000L
+    val maxLeak = 5L * (q115Edges.size + 64 + 1)
+    assert(total <= cap, s"mass grew: $total > $cap")
+    assert(total >= cap - maxLeak, s"mass leak beyond bound: ${cap - total}")
+  }
+
+  // ---- q116 weighted sample (A-Res top-k) ---------------------------------
+
+  test("q116 equals the scalar Efraimidis-Spirakis top-100 on a " +
+    "hash-built orders fixture, including order and quantized keys") {
+    import spark.implicits._
+    val n = 3000
+    val orders = (1 to n).map { i =>
+      val okey = i.toLong * 7 + 3 // sparse, distinct, non-contiguous
+      val price = (World.h(okey * 5 + 1) % 90000 + 10000).toDouble / 100.0
+      (okey, price)
+    }
+    val dir = graft.util.TempDirs.create("graft_q116").toString
+    orders.toDF("o_orderkey", "o_totalprice").repartition(5)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val ref = orders.map { case (okey, w) =>
+      val u = ((okey * 23 * K) % M % 1048576L + 0.5) / 1048576.0
+      val key = math.log(u) / w
+      (okey, w, key)
+    }.sortBy { case (okey, _, key) => (-key, okey) }.take(100)
+      .map { case (okey, w, key) => (okey, w, math.round(key * 1e12)) }
+
+    val got = SparkEntry.queries("q116_weighted_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == ref, "A-Res top-100 mismatch")
+    // the sample is genuinely weight-biased: its mean weight must sit
+    // well above the population mean (heavier rows draw larger keys)
+    val meanAll = orders.map(_._2).sum / n
+    val meanSel = got.map(_._2).sum / got.size
+    assert(meanSel > meanAll * 1.2,
+      f"no weight bias: sample mean $meanSel%.1f vs pop $meanAll%.1f")
+  }
+
+  // ---- q117 skyline --------------------------------------------------------
+
+  test("q117 equals the brute-force strict-dominance skyline") {
+    import spark.implicits._
+    val n = 800
+    val parts = (1 to n).map { i =>
+      val price = (World.h(i.toLong * 13 + 5) % 8000).toDouble / 10.0 + 900.0
+      val size = (World.h(i.toLong * 13 + 6) % 50).toInt + 1
+      (i.toLong, price, size)
+    }
+    val dir = graft.util.TempDirs.create("graft_q117").toString
+    parts.toDF("p_partkey", "p_retailprice", "p_size").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    val pts = parts.map(p => (p._2, p._3.toLong)).distinct
+    val ref = pts.filter { case (x, y) =>
+      !pts.exists { case (bx, by) =>
+        bx <= x && by <= y && (bx < x || by < y)
+      }
+    }.sorted
+
+    val got = SparkEntry.queries("q117_skyline")(spark, dir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(got == ref, s"skyline mismatch: got ${got.size}, ref ${ref.size}")
+    // frontier shape: sorted by x ascending, y strictly decreasing
+    got.sliding(2).foreach {
+      case Seq((x1, y1), (x2, y2)) =>
+        assert(x1 < x2 && y1 > y2, "frontier not strictly monotone")
+      case _ => ()
+    }
+  }
+
+  // ---- q114 gap-fill + LOCF ------------------------------------------------
+
+  test("q114 equals a per-key scalar LOCF scan; spine is dense and " +
+    "filled never null") {
+    import spark.implicits._
+    val base = 1700000000L
+    val events = (0 until 400).map { i =>
+      val user = World.h(i.toLong * 3 + 1) % 5 // < 8, all kept
+      // irregular arrivals with multi-hour gaps
+      val ts = base + user * 999983L + (World.h(i.toLong * 9 + 2) % 96) * 3600L +
+        World.h(i.toLong * 9 + 4) % 3600
+      val value = (World.h(i.toLong * 7 + 2) % 1000).toDouble / 10.0
+      (i.toLong, user, new java.sql.Timestamp(ts * 1000L), value)
+    }
+    val dir = graft.util.TempDirs.create("graft_q114").toString
+    events.toDF("event_id", "user_id", "ts", "value").repartition(6)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // scalar LOCF: per user, bucket to hours, max per bucket, dense
+    // spine from first to last bucket, carry forward
+    val ref = events.groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+      val obs = evs.groupBy(e => e._3.getTime / 1000 / 3600)
+        .map { case (hb, es) => hb -> es.map(_._4).max }
+      val h0 = obs.keys.min
+      val h1 = obs.keys.max
+      var lastV = 0.0
+      (h0 to h1).map { hb =>
+        val gap = !obs.contains(hb)
+        if (!gap) lastV = obs(hb)
+        (user, hb, lastV, if (gap) 1 else 0)
+      }
+    }.sortBy(r => (r._1, r._2))
+
+    val got = SparkEntry.queries("q114_gapfill_locf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(got == ref, s"LOCF mismatch: got ${got.size}, ref ${ref.size}")
+    assert(got.forall(_._3 >= 0.0), "filled must never be null/NaN")
+    // spine density: per user, hb values are contiguous
+    got.groupBy(_._1).foreach { case (u, rows) =>
+      val hbs = rows.map(_._2)
+      assert(hbs == (hbs.min to hbs.max), s"user $u spine has holes")
+    }
+  }
+
+  // ---- q112 geodesic nearest -----------------------------------------------
+
+  test("q112 equals the scalar haversine argmin over all cells") {
+    val rows = 64; val cols = 96
+    val earthR = 6371008.8
+    val d = math.Pi / 180.0
+    val st = (0 until 8).map { k =>
+      ((World.h(k.toLong * 19 + 1) % 1600) / 1600.0 * 160.0 - 80.0,
+        (World.h(k.toLong * 19 + 2) % 3600) / 3600.0 * 360.0 - 180.0)
+    }
+    def distQ(lat1d: Double, lng1d: Double, k: Int): Long = {
+      val (lat2d, lng2d) = st(k)
+      val (lat1, lng1, lat2, lng2) = (lat1d * d, lng1d * d, lat2d * d, lng2d * d)
+      val sa = math.sin((lat2 - lat1) * 0.5)
+      val so = math.sin((lng2 - lng1) * 0.5)
+      val a = sa * sa + math.cos(lat1) * math.cos(lat2) * (so * so)
+      math.round(math.asin(math.sqrt(math.min(a, 1.0))) * (2.0 * earthR))
+    }
+    val ref = (1L to rows.toLong * cols).map { id =>
+      val lat = (((id - 1) / cols) + 1 - 0.5) / rows * 180.0 - 90.0
+      val lng = (((id - 1) % cols) + 1 - 0.5) / cols * 360.0 - 180.0
+      val best = (0 until 8).map(k => (distQ(lat, lng, k), k)).min
+      (id, best._2, best._1)
+    }
+    val got = SparkEntry.queries("q112_geo_nearest")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == ref, "geodesic argmin mismatch")
+    // sanity: every station wins somewhere on a global grid... unless
+    // crowded out; assert at least 5 of 8 appear (fixture-checked value)
+    assert(got.map(_._2).distinct.size >= 5, "degenerate assignment")
+  }
+
+  // ---- q113 polygon metrics -------------------------------------------------
+
+  test("q113 equals scalar shoelace area / perimeter / centroid per region") {
+    val polys = World.polygons(World.tiny)
+    val ref = polys.map { p =>
+      val es = p.edgeList
+      var a2 = 0.0; var cxn = 0.0; var cyn = 0.0; var pq6 = 0L
+      es.foreach { case (x1, y1, x2, y2) =>
+        val cr = x1 * y2 - x2 * y1
+        a2 += cr; cxn += (x1 + x2) * cr; cyn += (y1 + y2) * cr
+        pq6 += math.round(math.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) * 1e6)
+      }
+      (p.regionId.toLong, es.size.toLong, math.abs(a2 / 2.0), pq6,
+        math.round(cxn / (a2 * 3.0) * 1e9), math.round(cyn / (a2 * 3.0) * 1e9))
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q113_polygon_metrics")(spark, "unused")
+      .collect().map(r => (r.getInt(0).toLong, r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == ref, "polygon metrics mismatch")
+    // independent cross-check: each centroid lies inside its region's
+    // bbox, and the areas sum to less than the full grid's area
+    polys.zip(got).foreach { case (p, (_, _, _, _, cx9, cy9)) =>
+      val (cx, cy) = (cx9 / 1e9, cy9 / 1e9)
+      assert(cx >= p.minX && cx <= p.maxX && cy >= p.minY && cy <= p.maxY,
+        s"centroid of region ${p.regionId} outside bbox")
+    }
+    assert(got.map(_._3).sum < 64.0 * 96.0, "areas exceed the grid")
+  }
+}
