@@ -70,7 +70,9 @@ object Relational {
     Q("q114_gapfill_locf", q114, Some(q114Sql)),
     Q("q115_pagerank", q115, Some(q115Sql)),
     Q("q116_weighted_sample", q116, Some(q116Sql)),
-    Q("q117_skyline", q117, Some(q117Sql))
+    Q("q117_skyline", q117, Some(q117Sql)),
+    Q("q118_group_trend", q118, Some(q118Sql)),
+    Q("q121_triangle_count", q121, Some(q121Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1161,4 +1163,107 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM p b
       |  WHERE b.x <= a.x AND b.y <= a.y AND (b.x < a.x OR b.y < a.y))
       |ORDER BY x, y""".stripMargin
+
+  // --- q118: GROUPED OLS TREND — per-user least-squares slope and
+  // intercept of value over time, the per-entity trend fit an analytics
+  // pipeline runs at every key in parallel (and the reference's
+  // per-region model-fit loop R:293-342 re-expressed as a closed-form
+  // grouped aggregate). Exactness discipline: y is centified to BIGINT
+  // and x is each key's HOUR OFFSET from its own first observation
+  // (min-join, broadcast — the offsets keep every moment sum within
+  // ~2^41, far from both int64 and double-exact limits), so all five
+  // sufficient statistics (n, Σx, Σy, Σxx, Σxy) are exact integer sums
+  // — order-free under any partitioning. The only floating point is
+  // the final slope/intercept division, written as the IDENTICAL
+  // expression tree in both engines, then quantized. Degenerate keys
+  // (all observations in one hour) are filtered by den > 0 on both
+  // sides. -------------------------------------------------------------------
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("hb"),
+      round(col("value") * 100).cast("long").as("y"))
+    val base = ev.groupBy("user_id").agg(min("hb").as("h0"))
+    val g = ev.join(broadcast(base), Seq("user_id"))
+      .select(col("user_id"), (col("hb") - col("h0")).as("x"), col("y"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / den.cast("double")
+    g.filter(den > 0)
+      .select(col("user_id"), col("n"),
+        round(slope * 1e6).cast("long").as("slope_q6"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double") * 1e4).cast("long").as("icept_q4"))
+      .orderBy("user_id")
+  }
+
+  private val q118Sql =
+    """WITH e AS (SELECT user_id,
+      |    CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hb,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS y FROM events),
+      |b AS (SELECT user_id, MIN(hb) AS h0 FROM e GROUP BY 1),
+      |g AS (SELECT e.user_id, COUNT(*) AS n,
+      |    SUM(e.hb - b.h0) AS sx, SUM(e.y) AS sy,
+      |    SUM((e.hb - b.h0) * (e.hb - b.h0)) AS sxx,
+      |    SUM((e.hb - b.h0) * e.y) AS sxy
+      |  FROM e JOIN b ON e.user_id = b.user_id GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT) AS slope_q6,
+      |  CAST(ROUND((CAST(sy AS DOUBLE)
+      |      - CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) * 1e4) AS BIGINT) AS icept_q4
+      |FROM g WHERE n * sxx - sx * sx > 0 ORDER BY user_id""".stripMargin
+
+  // --- q121: TRIANGLE PARTICIPATION COUNTS — the third graph primitive
+  // beside connected components (q56/q78) and PageRank (q115), via
+  // engine/Triangles' degree-ordered orientation (wedge work bounded by
+  // E^1.5 regardless of skew; see its scaladoc). The graph regenerates
+  // from the NONLINEAR World.h2 hash with decorrelated endpoint streams
+  // (i*7+1 / i*11+2): a single multiplicative hash is affine mod 2^32,
+  // so affine endpoint pairs would lie on torus lines and form ZERO
+  // triangles — the fixture asserts 608 triangles with every vertex
+  // participating. All-integer output; the oracle brute-forces the
+  // canonical three-way join, which is feasible precisely because it
+  // never pays the orientation trick it is checking. -------------------------
+  private val TcV = 48L
+  private val TcE = 512L
+
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import graft.world.World
+    val raw = s.range(0, TcE).select(
+      (World.h2Col(col("id") * 7 + 1) % TcV).as("s"),
+      (World.h2Col(col("id") * 11 + 2) % TcV).as("d"))
+    val edges = raw.filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("u"),
+        greatest(col("s"), col("d")).as("v"))
+      .distinct()
+    val nodes = s.range(0, TcV).toDF("node")
+    graft.engine.Triangles.perNode(edges, nodes).orderBy("node")
+  }
+
+  private val q121Sql: String = {
+    val h2a = Spatial.h2Sql(s"r.range * 7 + 1")
+    val h2b = Spatial.h2Sql(s"r.range * 11 + 2")
+    s"""WITH e0 AS (SELECT $h2a % $TcV AS s, $h2b % $TcV AS d
+       |  FROM range($TcE) r),
+       |edges AS (SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+       |  FROM e0 WHERE s <> d),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+       |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |m AS (SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |cnt AS (SELECT node, COUNT(*) AS tri_cnt FROM m GROUP BY 1)
+       |SELECT n.range AS node,
+       |  CAST(COALESCE(c.tri_cnt, 0) AS BIGINT) AS tri_cnt
+       |FROM range($TcV) n LEFT JOIN cnt c ON n.range = c.node
+       |ORDER BY node""".stripMargin
+  }
 }

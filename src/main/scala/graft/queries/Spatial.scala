@@ -61,7 +61,9 @@ object Spatial {
     Q("q104_tile_sharpness", q104, Some(q104Sql)),
     Q("q111_hist_equalize", q111, Some(q111Sql)),
     Q("q112_geo_nearest", q112, Some(q112Sql)),
-    Q("q113_polygon_metrics", q113, Some(q113Sql))
+    Q("q113_polygon_metrics", q113, Some(q113Sql)),
+    Q("q119_hotspot_clusters", q119, Some(q119Sql)),
+    Q("q120_idw_interpolate", q120, Some(q120Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1900,20 +1902,26 @@ object Spatial {
   private def stationLng(k: Int): Double =
     (World.h(k.toLong * 19 + 2) % 3600) / 3600.0 * 360.0 - 180.0
 
-  private def q112(s: SparkSession, dir: String): DataFrame = {
+  /** Great-circle distance from the cell center to station k, rounded
+    * to whole meters — shared by q112's argmin and q120's IDW. The
+    * haversine is the ONLY libm surface either query carries; the
+    * whole-meter quantization happens before any comparison or further
+    * arithmetic on both engines (ADVICE r04 #1 pattern). */
+  private def stationDistQ(k: Int): Column = {
     val d = math.Pi / 180.0
     val lat1 = latDegCol * d
     val lng1 = lngDegCol * d
-    def distQ(k: Int): Column = {
-      val lat2 = stationLat(k) * d
-      val lng2 = stationLng(k) * d
-      val sa = sin((lit(lat2) - lat1) * 0.5)
-      val so = sin((lit(lng2) - lng1) * 0.5)
-      val a = sa * sa + cos(lat1) * math.cos(lat2) * (so * so)
-      round(asin(sqrt(least(a, lit(1.0)))) * (2.0 * EarthR)).cast("long")
-    }
+    val lat2 = stationLat(k) * d
+    val lng2 = stationLng(k) * d
+    val sa = sin((lit(lat2) - lat1) * 0.5)
+    val so = sin((lit(lng2) - lng1) * 0.5)
+    val a = sa * sa + cos(lat1) * math.cos(lat2) * (so * so)
+    round(asin(sqrt(least(a, lit(1.0)))) * (2.0 * EarthR)).cast("long")
+  }
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
     val best = least((0 until Stations).map(k =>
-      struct(distQ(k).as("d"), lit(k).as("sid"))): _*)
+      struct(stationDistQ(k).as("d"), lit(k).as("sid"))): _*)
     spine(s)
       .select(cellCol, best.as("b"))
       .select(cellCol, col("b.sid").as("station_id"),
@@ -1996,4 +2004,127 @@ object Spatial {
        |  CAST(ROUND(SUM((x1 + x2) * (x1 * y2 - x2 * y1)) / (SUM(x1 * y2 - x2 * y1) * 3.0) * 1e9) AS BIGINT) AS cx_q9,
        |  CAST(ROUND(SUM((y1 + y2) * (x1 * y2 - x2 * y1)) / (SUM(x1 * y2 - x2 * y1) * 3.0) * 1e9) AS BIGINT) AS cy_q9
        |FROM edges GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q119: HOTSPOT CLUSTERS — the raster blob-labeling op the
+  // reference's published map implies but its R pipeline never runs
+  // (contiguous deforestation fronts vs scattered loss): cells with
+  // loss >= 0.5 are "hot", 4-neighbor adjacency among hot cells forms
+  // the cluster graph, and the shared min-label CC engine
+  // (engine/Components — the same machinery behind q56 text and q78
+  // image dedup) labels each connected blob. The 100-TB shape: hotness
+  // is a pushed scan filter (the hot fraction here is ~31%, and only
+  // hot cells enter any shuffle); adjacency is TWO equi self-joins on
+  // derived keys (right neighbor cell+1 with a row-wrap guard, down
+  // neighbor cell+C — never a spatial cross join); the loop iterates
+  // over edge-incident cells only. Output: one row per blob — keeper
+  // id, size, total loss in EXACT integer units (the dyadic loss's
+  // 1/1024 numerator, so the sum is order-free), and the bounding box.
+  // Oracle: recursive-CTE transitive closure, the q78 pattern. ---------------
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val hot = spine(s).filter(lossCol(cellCol) >= 0.5).select(cellCol)
+    val right = hot.as("a").join(hot.as("b"),
+        col("b.cell_id") === col("a.cell_id") + 1 &&
+          (col("a.cell_id") - 1) % C =!= (C - 1))
+      .select(col("a.cell_id").as("ca"), col("b.cell_id").as("cb"))
+    val down = hot.as("a").join(hot.as("b"),
+        col("b.cell_id") === col("a.cell_id") + C)
+      .select(col("a.cell_id").as("ca"), col("b.cell_id").as("cb"))
+    val labels = graft.engine.Components
+      .minLabel(s, right.union(down), "q119_hotspot_clusters")
+      .withColumnRenamed("node_id", "cell_id")
+    hot.join(labels, Seq("cell_id"), "left")
+      .select(coalesce(col("lbl"), col("cell_id")).as("cluster"),
+        (hc(cellCol) % 1024).as("loss_u"),
+        rowCol(cellCol).as("r"), colCol(cellCol).as("c"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_cells"), sum("loss_u").as("loss_units"),
+        min("r").as("r0"), max("r").as("r1"),
+        min("c").as("c0"), max("c").as("c1"))
+      .orderBy("cluster")
+  }
+
+  private def q119Sql: String = {
+    val h = hSql("cell_id")
+    s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
+       |hot AS (SELECT cell_id FROM cells
+       |  WHERE $h % 16 >= 6 AND $h % 1024 >= 512),
+       |e0 AS (
+       |  SELECT a.cell_id AS ca, b.cell_id AS cb FROM hot a
+       |    JOIN hot b ON b.cell_id = a.cell_id + 1
+       |  WHERE (a.cell_id - 1) % $C <> ${C - 1}
+       |  UNION ALL
+       |  SELECT a.cell_id, b.cell_id FROM hot a
+       |    JOIN hot b ON b.cell_id = a.cell_id + $C),
+       |edges AS (SELECT ca, cb FROM e0 UNION ALL SELECT cb, ca FROM e0),
+       |reach(cell_id, lbl) AS (
+       |  SELECT cell_id, cell_id FROM hot
+       |  UNION
+       |  SELECT e.cb, r.lbl FROM edges e JOIN reach r ON e.ca = r.cell_id),
+       |lab AS (SELECT cell_id, MIN(lbl) AS cluster FROM reach GROUP BY 1)
+       |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM($h % 1024) AS BIGINT) AS loss_units,
+       |  MIN(${rowSql("cell_id")}) AS r0, MAX(${rowSql("cell_id")}) AS r1,
+       |  MIN(${colSql("cell_id")}) AS c0, MAX(${colSql("cell_id")}) AS c1
+       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q120: IDW SURFACE INTERPOLATION — estimate a continuous field
+  // at every cell from the 8 fixed stations by inverse-distance-squared
+  // weighting (the deterministic spatial-interpolation baseline; the
+  // kriging a production stack fits reduces to the same weighted-sum
+  // shape at inference). Like q112, the station set is tiny and fixed,
+  // so the whole estimate UNROLLS into one shuffle-free codegen
+  // projection — the cross-join + groupBy(cell) formulation would
+  // shuffle K x N rows to rebuild what each row can compute alone.
+  // Determinism: distances are the shared whole-meter-quantized
+  // haversine (stationDistQ — libm confined to q112's already-proven
+  // surface, floored at 1 m so coincident points cannot divide by
+  // zero); station values are exact integer hashes; every remaining op
+  // is IEEE-exact double arithmetic folded in the SAME left-associated
+  // order in both engines, so the quotient is bit-identical before the
+  // final 1e-6 quantization. ---------------------------------------------------
+  private def stationVal(k: Int): Double =
+    (World.h(k.toLong * 19 + 3) % 1000).toDouble
+
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val terms = (0 until Stations).map { k =>
+      val dd = greatest(stationDistQ(k), lit(1L))
+      val d2 = (dd * dd).cast("double")
+      (lit(stationVal(k)) / d2, lit(1.0) / d2)
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    spine(s)
+      .select(cellCol, round(num / den * 1e6).cast("long").as("idw_q6"))
+      .orderBy("cell_id")
+  }
+
+  private def q120Sql: String = {
+    def dq(k: Int): String = {
+      val slat = s"((${hSql(s"$k * 19 + 1")} % 1600) / 1600.0 * 160.0 - 80.0) * (pi() / 180.0)"
+      val slng = s"((${hSql(s"$k * 19 + 2")} % 3600) / 3600.0 * 360.0 - 180.0) * (pi() / 180.0)"
+      s"""GREATEST(CAST(ROUND(asin(sqrt(LEAST(
+         |      sin(($slat - lat1) * 0.5) * sin(($slat - lat1) * 0.5)
+         |      + cos(lat1) * cos($slat)
+         |        * (sin(($slng - lng1) * 0.5) * sin(($slng - lng1) * 0.5)),
+         |      1.0))) * (2.0 * $EarthR)) AS BIGINT), 1)""".stripMargin
+    }
+    val numSql = (0 until Stations)
+      .map(k => s"((${hSql(s"$k * 19 + 3")} % 1000) / (d$k * d$k))")
+      .reduce((a, b) => s"($a + $b)")
+    val denSql = (0 until Stations)
+      .map(k => s"(1.0 / (d$k * d$k))")
+      .reduce((a, b) => s"($a + $b)")
+    s"""$cellsCte,
+       |pt AS (SELECT cell_id,
+       |    ((CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) + 1 - 0.5) / ${spec.rows} * 180.0 - 90.0) * (pi() / 180.0) AS lat1,
+       |    (((cell_id - 1) % $C + 1 - 0.5) / $C * 360.0 - 180.0) * (pi() / 180.0) AS lng1
+       |  FROM cells),
+       |dd AS (SELECT cell_id,
+       |${(0 until Stations).map(k => s"    ${dq(k)} AS d$k").mkString(",\n")}
+       |  FROM pt)
+       |SELECT cell_id,
+       |  CAST(ROUND($numSql / $denSql * 1e6) AS BIGINT) AS idw_q6
+       |FROM dd ORDER BY cell_id""".stripMargin
+  }
 }

@@ -228,6 +228,162 @@ class GraphGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).distinct.size >= 5, "degenerate assignment")
   }
 
+  // ---- q118 grouped OLS trend -----------------------------------------------
+
+  test("q118 equals the scalar least-squares fit per key, exactly at " +
+    "the quantization") {
+    import spark.implicits._
+    val base = 1700000000L
+    val events = (0 until 600).map { i =>
+      val user = World.h(i.toLong * 3 + 7) % 6
+      val ts = base + (World.h(i.toLong * 9 + 5) % 240) * 3600L +
+        World.h(i.toLong * 9 + 8) % 3600
+      val value = (World.h(i.toLong * 7 + 9) % 40000).toDouble / 100.0
+      (i.toLong, user, new java.sql.Timestamp(ts * 1000L), value)
+    }
+    val dir = graft.util.TempDirs.create("graft_q118").toString
+    events.toDF("event_id", "user_id", "ts", "value").repartition(6)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val ref = events.groupBy(_._2).toSeq.flatMap { case (user, evs) =>
+      val pts = evs.map { e =>
+        (e._3.getTime / 1000 / 3600, math.round(e._4 * 100))
+      }
+      val h0 = pts.map(_._1).min
+      val xs = pts.map { case (hb, y) => (hb - h0, y) }
+      val n = xs.size.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val den = n * sxx - sx * sx
+      if (den <= 0) None
+      else {
+        val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+        Some((user, n, math.round(slope * 1e6),
+          math.round((sy.toDouble - slope * sx.toDouble) / n.toDouble * 1e4)))
+      }
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("q118_group_trend")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == ref, s"OLS mismatch: got ${got.size}, ref ${ref.size}")
+    // the fixture must exercise both trend signs, or the test proves
+    // less than it claims
+    assert(got.exists(_._3 > 0) && got.exists(_._3 < 0),
+      "fixture degenerate: all slopes share a sign")
+  }
+
+  // ---- q119 hotspot clusters -------------------------------------------------
+
+  test("q119 equals a scalar union-find over the hot-cell grid") {
+    val spec = World.tiny
+    val C = spec.cols
+    val nCells = spec.nCells
+    def hv(id: Long): Long = World.h(id)
+    val hot = (1L to nCells.toLong)
+      .filter(id => hv(id) % 16 >= 6 && hv(id) % 1024 >= 512).toSet
+    val parent = scala.collection.mutable.Map(hot.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    hot.foreach { c =>
+      if ((c - 1) % C < C - 1 && hot(c + 1)) union(c, c + 1)
+      if (c + C <= nCells && hot(c + C)) union(c, c + C)
+    }
+    val ref = hot.groupBy(find).map { case (_, cells) =>
+      val lbl = cells.min
+      val rows = cells.map(c => (c - 1) / C + 1)
+      val cols = cells.map(c => (c - 1) % C + 1)
+      (lbl, cells.size.toLong, cells.toSeq.map(c => hv(c) % 1024).sum,
+        rows.min, rows.max, cols.min, cols.max)
+    }.toSeq.sortBy(_._1)
+
+    val got = SparkEntry.queries("q119_hotspot_clusters")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == ref, s"clusters mismatch: got ${got.size}, ref ${ref.size}")
+    assert(got.map(_._2).sum == hot.size, "cluster sizes must cover hot cells")
+    // the fixture exercises real merging, not just singletons
+    assert(got.exists(_._2 >= 8), "no multi-cell blob in the fixture")
+  }
+
+  // ---- q120 IDW interpolation ------------------------------------------------
+
+  test("q120 equals the scalar inverse-distance-squared estimate") {
+    val rows = 64; val cols = 96
+    val earthR = 6371008.8
+    val d = math.Pi / 180.0
+    val st = (0 until 8).map { k =>
+      ((World.h(k.toLong * 19 + 1) % 1600) / 1600.0 * 160.0 - 80.0,
+        (World.h(k.toLong * 19 + 2) % 3600) / 3600.0 * 360.0 - 180.0,
+        (World.h(k.toLong * 19 + 3) % 1000).toDouble)
+    }
+    def distQ(lat1d: Double, lng1d: Double, k: Int): Long = {
+      val (lat2d, lng2d, _) = st(k)
+      val (lat1, lng1, lat2, lng2) = (lat1d * d, lng1d * d, lat2d * d, lng2d * d)
+      val sa = math.sin((lat2 - lat1) * 0.5)
+      val so = math.sin((lng2 - lng1) * 0.5)
+      val a = sa * sa + math.cos(lat1) * math.cos(lat2) * (so * so)
+      math.max(math.round(math.asin(math.sqrt(math.min(a, 1.0))) * (2.0 * earthR)), 1L)
+    }
+    val ref = (1L to rows.toLong * cols).map { id =>
+      val lat = (((id - 1) / cols) + 1 - 0.5) / rows * 180.0 - 90.0
+      val lng = (((id - 1) % cols) + 1 - 0.5) / cols * 360.0 - 180.0
+      var num = 0.0; var den = 0.0
+      (0 until 8).foreach { k =>
+        val dq = distQ(lat, lng, k).toDouble * distQ(lat, lng, k).toDouble
+        num += st(k)._3 / dq; den += 1.0 / dq
+      }
+      (id, math.round(num / den * 1e6))
+    }
+    val got = SparkEntry.queries("q120_idw_interpolate")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref, "IDW mismatch")
+    // the field must actually interpolate: estimates span a real range
+    val vals = got.map(_._2)
+    assert(vals.max - vals.min > 100L * 1000000L,
+      "interpolated field is near-constant — fixture degenerate")
+  }
+
+  // ---- q121 triangle counts --------------------------------------------------
+
+  test("q121 equals the scalar brute-force triangle participation " +
+    "counts, and the fixture is triangle-rich") {
+    val V = 48
+    val edges = (0L until 512L).map { i =>
+      (World.h2(i * 7 + 1) % V, World.h2(i * 11 + 2) % V)
+    }.filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val adj = Array.fill(V)(scala.collection.mutable.Set.empty[Long])
+    edges.foreach { case (a, b) => adj(a.toInt) += b; adj(b.toInt) += a }
+    val pernode = Array.fill(V)(0L)
+    var tris = 0
+    edges.foreach { case (a, b) =>
+      (adj(a.toInt) & adj(b.toInt)).foreach { c =>
+        if (c > b) {
+          tris += 1
+          pernode(a.toInt) += 1; pernode(b.toInt) += 1; pernode(c.toInt) += 1
+        }
+      }
+    }
+    assert(tris == 608, s"fixture drifted: $tris triangles")
+    assert(pernode.forall(_ > 0), "fixture degenerate: a vertex misses all triangles")
+    val got = SparkEntry.queries("q121_triangle_count")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until V).foreach { n =>
+      assert(got(n.toLong) == pernode(n),
+        s"node $n: ${got(n.toLong)} != ${pernode(n)}")
+    }
+    // global invariant: participation sums to 3x the triangle count
+    assert(got.values.sum == 3L * tris, "participation total != 3 * triangles")
+  }
+
   // ---- q113 polygon metrics -------------------------------------------------
 
   test("q113 equals scalar shoelace area / perimeter / centroid per region") {
