@@ -130,9 +130,19 @@ object Checkpoint {
     * cluster a localCheckpoint dies with any executor, killing a long
     * run), else localCheckpoint (single-JVM test/bench mode). Shared by
     * Expand and StableRowId so the reliability policy lives once. */
-  def truncate(s: SparkSession, df: DataFrame): DataFrame =
-    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+  def truncate(s: SparkSession, df: DataFrame): DataFrame = {
+    val ck =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // Re-leaf: checkpoint keeps the child plan's STATS even though it
+    // truncates lineage, so iterative callers would compound the
+    // size-in-bytes estimate multiplicatively per round (BigInt bits
+    // double each self-join round; by ~40 rounds one Catalyst stats
+    // visit takes minutes of driver CPU). freshLeaf rebinds the same
+    // InternalRow RDD under a default-sized leaf — AQE recovers true
+    // sizes at runtime, so no plan-quality loss.
+    org.apache.spark.sql.GraftColumnBridge.freshLeaf(ck)
+  }
 
   /** Content fingerprint helper: SHA-256 (hex, 128 bits kept) over the
     * pieces that define a stage (upstream fingerprints, config values,

@@ -15,4 +15,23 @@ object GraftColumnBridge {
     * alias lets engine expressions declare `inputTypes` (for
     * ImplicitCastInputTypes) from outside the package. */
   type AbstractType = types.AbstractDataType
+
+  /** Rebuild `df` as a FRESH LEAF DataFrame over its own InternalRow
+    * RDD — same rows, zero per-row conversion, but a brand-new
+    * LogicalRDD leaf whose size estimate is the session default rather
+    * than the inherited plan stats. Needed after `Dataset.checkpoint`:
+    * checkpoint truncates lineage for EXECUTION but deliberately
+    * carries the child plan's statistics into the LogicalRDD, so in an
+    * iterative operator the size-in-bytes estimate compounds
+    * multiplicatively round over round (a self-referencing join doubles
+    * its bit-length each round) until Catalyst's BigInt product in
+    * SizeInBytesOnlyStatsPlanVisitor dominates driver time — at ~40
+    * rounds the estimate reaches millions of bits and a single stats
+    * visit takes minutes. AQE re-plans joins from true runtime sizes,
+    * so dropping the compile-time estimate costs nothing here. */
+  def freshLeaf(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
