@@ -63,7 +63,9 @@ object Spatial {
     Q("q112_geo_nearest", q112, Some(q112Sql)),
     Q("q113_polygon_metrics", q113, Some(q113Sql)),
     Q("q119_hotspot_clusters", q119, Some(q119Sql)),
-    Q("q120_idw_interpolate", q120, Some(q120Sql))
+    Q("q120_idw_interpolate", q120, Some(q120Sql)),
+    Q("q122_cost_distance", q122, Some(q122Sql)),
+    Q("q123_line_rasterize", q123, Some(q123Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2127,4 +2129,121 @@ object Spatial {
        |  CAST(ROUND($numSql / $denSql * 1e6) AS BIGINT) AS idw_q6
        |FROM dd ORDER BY cell_id""".stripMargin
   }
+
+  // ---- q122: COST-DISTANCE SURFACE — the weighted travel-cost op a
+  // raster GIS builds from a friction layer (the ArcGIS "Cost Distance"
+  // companion of the Expand step the reference runs at R:445-454):
+  // entering cell c costs w(c) = 1 + h(c*29)%9, ~12 hash-chosen source
+  // cells start at 0, and every cell's distance after k=8 SYNCHRONOUS
+  // min-plus relaxation rounds is emitted (-1 where still unreached —
+  // the fixed round count is the operator contract, so engine and
+  // oracle agree without a convergence race; GraphGeoSpec separately
+  // runs the engine TO convergence against a scalar Dijkstra). Runs on
+  // engine/MinPlus — distances and weights are integers with an integer
+  // INF sentinel, so every round's MIN is order-free under any
+  // partitioning. Grid edges are the q24 offsets pattern: one inline
+  // explode of the <=4 guarded neighbors, never a spatial cross join.
+  // The oracle unrolls the 8 rounds as chained CTEs (the q115 shape). -----
+  private val CdRounds = 8
+  private val CdInf = 1000000000L
+
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val offs = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+    val edges = spine(s).select(cellCol,
+        explode(array(offs.map { case (dx, dy) =>
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))
+        }: _*)).as("o"))
+      .filter((colCol(cellCol) + col("o.dx")).between(1, C) &&
+        (rowCol(cellCol) + col("o.dy")).between(1, spec.rows))
+      .select(cellCol.as("src"),
+        (cellCol + col("o.dx") + col("o.dy") * C).as("dst"))
+      .select(col("src"), col("dst"),
+        (hc(col("dst") * 29) % 9 + 1).as("w"))
+    val dist0 = spine(s).select(cellCol.as("node"),
+      when(hc(cellCol * 31) % 512 === 0, lit(0L))
+        .otherwise(lit(CdInf)).as("d"))
+    graft.engine.MinPlus.relax(s, dist0, edges, CdRounds, CdInf)
+      .select(col("node").as("cell_id"),
+        when(col("d") >= CdInf, lit(-1L)).otherwise(col("d")).as("dist"))
+      .orderBy("cell_id")
+  }
+
+  private def q122Sql: String = {
+    val rounds = (1 to CdRounds).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS (SELECT p.node, LEAST(p.d, COALESCE(m.nd, $CdInf)) AS d
+         |  FROM $p p LEFT JOIN (
+         |    SELECT e.dst AS node, MIN(q.d + e.w) AS nd
+         |    FROM $p q JOIN e ON e.src = q.node GROUP BY 1) m USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$cellsCte,
+       |o(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+       |e AS (SELECT c.cell_id AS src, c.cell_id + o.dx + o.dy * $C AS dst,
+       |    ${hSql(s"(c.cell_id + o.dx + o.dy * $C) * 29")} % 9 + 1 AS w
+       |  FROM cells c CROSS JOIN o
+       |  WHERE ${colSql("c.cell_id")} + o.dx BETWEEN 1 AND $C
+       |    AND ${rowSql("c.cell_id")} + o.dy BETWEEN 1 AND ${spec.rows}),
+       |r0 AS (SELECT cell_id AS node,
+       |    CASE WHEN ${hSql("cell_id * 31")} % 512 = 0
+       |      THEN CAST(0 AS BIGINT) ELSE CAST($CdInf AS BIGINT) END AS d
+       |  FROM cells),
+       |$rounds
+       |SELECT node AS cell_id,
+       |  CASE WHEN d >= $CdInf THEN CAST(-1 AS BIGINT) ELSE d END AS dist
+       |FROM r$CdRounds ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q123: LINE RASTERIZATION — burning a vector SEGMENT layer onto
+  // the grid (the linear-feature half of vector->raster: the reference's
+  // rastOut writes cell VALUES, q28/q73 write tiles, and roads/rivers
+  // arrive as polylines). Each of 96 hash-built segments is slope-
+  // limited (|dy| <= dx) and x-driven; the DDA y-step is CLOSED-FORM —
+  // y = y0 + round(i*dy/dx) with dx a POWER OF TWO, so the division is
+  // an exact dyadic double and the half-away-from-zero round agrees
+  // bit-for-bit in both engines (no iterative Bresenham state, which
+  // would serialize per segment). The distributed shape: segments
+  // explode to their dx+1 cells via sequence() (bounded per segment,
+  // never a grid cross join) and the only exchange is the per-cell
+  // coverage count, partial-aggregated. -----------------------------------
+  private val SegN = 96L
+
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val j = col("id")
+    val segs = s.range(0, SegN).select(
+        when(hc(j * 5 + 1) % 3 === 0, lit(8L))
+          .when(hc(j * 5 + 1) % 3 === 1, lit(16L))
+          .otherwise(lit(32L)).as("dxe"),
+        (hc(j * 5 + 3) % 64 + 1).as("y0"),
+        (hc(j * 5 + 4) % 64 + 1).as("y1"),
+        j)
+      .select(col("dxe"), (hc(j * 5 + 2) % (lit(96L) - col("dxe")) + 1).as("x0"),
+        col("y0"), (col("y1") - col("y0")).as("dy"))
+      .filter(abs(col("dy")) <= col("dxe"))
+    segs.select(col("x0"), col("y0"), col("dy"), col("dxe"),
+        explode(sequence(lit(0L), col("dxe"))).as("i"))
+      .select(
+        ((col("y0") + round(col("i") * col("dy") / col("dxe")).cast("long") - 1)
+          * C + col("x0") + col("i")).as("cell_id"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_segs"))
+      .orderBy("cell_id")
+  }
+
+  private def q123Sql: String =
+    s"""WITH s0 AS (SELECT r.range AS j,
+       |    CASE ${hSql("r.range * 5 + 1")} % 3
+       |      WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS dxe,
+       |    ${hSql("r.range * 5 + 3")} % 64 + 1 AS y0,
+       |    ${hSql("r.range * 5 + 4")} % 64 + 1 AS y1
+       |  FROM range($SegN) r),
+       |s1 AS (SELECT j, dxe, ${hSql("j * 5 + 2")} % (96 - dxe) + 1 AS x0,
+       |    y0, y1 - y0 AS dy
+       |  FROM s0 WHERE ABS(y1 - y0) <= dxe),
+       |st AS (SELECT x0, y0, dy, dxe,
+       |    UNNEST(generate_series(0, dxe)) AS i FROM s1)
+       |SELECT (y0 + CAST(ROUND(i * dy / dxe) AS BIGINT) - 1) * $C + x0 + i
+       |    AS cell_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segs
+       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 }

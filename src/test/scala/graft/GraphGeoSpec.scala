@@ -384,6 +384,147 @@ class GraphGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.sum == 3L * tris, "participation total != 3 * triangles")
   }
 
+  // ---- q122 cost distance / engine.MinPlus ----------------------------------
+
+  /** Scalar Dijkstra (binary-heap-free, fine at this size) over an
+    * integer-weighted digraph — shares no code with engine/MinPlus. */
+  private def dijkstra(n: Int, edges: Seq[(Int, Int, Long)],
+                       sources: Set[Int], inf: Long): Array[Long] = {
+    val adj = Array.fill(n)(List.empty[(Int, Long)])
+    edges.foreach { case (s, d, w) => adj(s) ::= (d, w) }
+    val dist = Array.fill(n)(inf)
+    sources.foreach(dist(_) = 0L)
+    val done = Array.fill(n)(false)
+    var left = n
+    while (left > 0) {
+      var u = -1; var best = Long.MaxValue
+      (0 until n).foreach(v => if (!done(v) && dist(v) < best) { best = dist(v); u = v })
+      if (u < 0) left = 0
+      else {
+        done(u) = true; left -= 1
+        adj(u).foreach { case (v, w) =>
+          if (dist(u) + w < dist(v)) dist(v) = dist(u) + w
+        }
+      }
+    }
+    dist
+  }
+
+  test("engine.MinPlus run to convergence equals scalar Dijkstra, and a " +
+    "fixed round count is partitioning-invariant") {
+    import spark.implicits._
+    val inf = 1000000000L
+    // a 12x16 grid digraph with the q122 weight rule, small enough that
+    // Dijkstra converges instantly and MinPlus' diameter fits 40 rounds
+    val (r, c) = (12, 16)
+    val n = r * c
+    def w(dst: Int): Long = World.h(dst.toLong * 29) % 9 + 1
+    val edges = for {
+      id <- 0 until n
+      (dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+      x = id % c + dx; y = id / c + dy
+      if x >= 0 && x < c && y >= 0 && y < r
+    } yield (id.toLong, (y * c + x).toLong, w(y * c + x))
+    val sources = (0 until n).filter(id => World.h(id.toLong * 31) % 96 == 0).toSet
+    assert(sources.nonEmpty && sources.size < n / 4, "fixture degenerate")
+    val ref = dijkstra(n,
+      edges.map { case (s, d, w) => (s.toInt, d.toInt, w) }, sources, inf)
+
+    val edgesDf = edges.toDF("src", "dst", "w")
+    val dist0 = spark.range(0, n).select(col("id").as("node"),
+      when(col("id").isin(sources.toSeq.map(_.toLong): _*), 0L)
+        .otherwise(inf).as("d"))
+    // r+c rounds bound the hop diameter of a grid; 40 > 12+16
+    val got = graft.engine.MinPlus.relax(spark, dist0, edgesDf, 40, inf)
+    val gotMap = got.collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    (0 until n).foreach { v =>
+      assert(gotMap(v.toLong) == ref(v), s"node $v: ${gotMap(v.toLong)} != ${ref(v)}")
+    }
+    // fixed-round partitioning invariance (the integer-min argument):
+    // 5 rounds, 1 vs 7 edge partitions, bit-identical frames
+    val k1 = graft.engine.MinPlus.relax(spark, dist0, edgesDf.repartition(1), 5, inf)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val k7 = graft.engine.MinPlus.relax(spark, dist0, edgesDf.repartition(7), 5, inf)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(k1 == k7, "fixed-round distances differ across partitionings")
+    // 5 rounds is mid-relaxation on this fixture: some nodes still at inf
+    assert(k1.values.exists(_ == inf), "fixture converged too early to test rounds")
+  }
+
+  test("q122 equals a scalar 8-round synchronous Bellman-Ford on the " +
+    "world grid, with -1 for unreached") {
+    val spec = World.tiny
+    val C = spec.cols
+    val n = spec.nCells.toInt
+    val inf = 1000000000L
+    def wgt(dst: Long): Long = World.h(dst * 29) % 9 + 1
+    var dist = Array.tabulate(n + 1) { id =>
+      if (id == 0) inf
+      else if (World.h(id.toLong * 31) % 512 == 0) 0L else inf
+    }
+    for (_ <- 1 to 8) {
+      val next = dist.clone()
+      var id = 1
+      while (id <= n) {
+        val x = (id - 1) % C + 1; val y = (id - 1) / C + 1
+        Seq((1, 0), (-1, 0), (0, 1), (0, -1)).foreach { case (dx, dy) =>
+          if (x + dx >= 1 && x + dx <= C && y + dy >= 1 && y + dy <= spec.rows) {
+            val dst = id + dx + dy * C
+            val cand = dist(id) + wgt(dst)
+            if (cand < next(dst)) next(dst) = cand
+          }
+        }
+        id += 1
+      }
+      dist = next
+    }
+    val ref = (1 to n).map(id => id.toLong -> (if (dist(id) >= inf) -1L else dist(id))).toMap
+    val got = SparkEntry.queries("q122_cost_distance")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    (1 to n).foreach { id =>
+      assert(got(id.toLong) == ref(id.toLong), s"cell $id: ${got(id.toLong)} != ${ref(id.toLong)}")
+    }
+    // mid-relaxation fixture: reached fronts exist but so do unreached cells
+    assert(got.values.count(_ >= 0) > n / 10 && got.values.exists(_ == -1L),
+      "fixture degenerate: front saturated or empty after 8 rounds")
+  }
+
+  // ---- q123 line rasterization ------------------------------------------------
+
+  test("q123 equals a scalar closed-form DDA burn, and every dyadic " +
+    "y-step is exact") {
+    val C = World.tiny.cols
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    (0L until 96L).foreach { j =>
+      val dxe = (World.h(j * 5 + 1) % 3) match {
+        case 0 => 8L; case 1 => 16L; case 2 => 32L
+      }
+      val y0 = World.h(j * 5 + 3) % 64 + 1
+      val y1 = World.h(j * 5 + 4) % 64 + 1
+      val dy = y1 - y0
+      val x0 = World.h(j * 5 + 2) % (96L - dxe) + 1
+      if (math.abs(dy) <= dxe) {
+        (0L to dxe).foreach { i =>
+          // i*dy/dxe with dxe a power of two is an exact dyadic double,
+          // so HALF_UP rounding is deterministic cross-engine
+          val q = i.toDouble * dy.toDouble / dxe.toDouble
+          assert(q == BigDecimal(i * dy) / BigDecimal(dxe),
+            s"non-exact dyadic step at seg $j i=$i")
+          val y = y0 + BigDecimal(q).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val cell = (y - 1) * C + x0 + i
+          counts(cell) = counts.getOrElse(cell, 0L) + 1
+        }
+      }
+    }
+    val ref = counts.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q123_line_rasterize")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref, s"line burn mismatch: got ${got.size}, ref ${ref.size}")
+    // overlap exists (shared cells) or the coverage count is vacuous
+    assert(got.exists(_._2 >= 2), "fixture degenerate: no overlapping segments")
+  }
+
   // ---- q113 polygon metrics -------------------------------------------------
 
   test("q113 equals scalar shoelace area / perimeter / centroid per region") {
