@@ -72,7 +72,8 @@ object Relational {
     Q("q116_weighted_sample", q116, Some(q116Sql)),
     Q("q117_skyline", q117, Some(q117Sql)),
     Q("q118_group_trend", q118, Some(q118Sql)),
-    Q("q121_triangle_count", q121, Some(q121Sql))
+    Q("q121_triangle_count", q121, Some(q121Sql)),
+    Q("q125_funnel", q125, Some(q125Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1266,4 +1267,60 @@ object Relational {
        |FROM range($TcV) n LEFT JOIN cnt c ON n.range = c.node
        |ORDER BY node""".stripMargin
   }
+
+  // --- q125: FUNNEL ANALYSIS — per user, the strictly-ordered
+  // view -> click -> purchase progression: t1 = first view, t2 = first
+  // click AFTER t1, t3 = first purchase AFTER t2, and the step count
+  // reached. The sequential dependency is resolved by THREE chained
+  // filter-join-aggregate passes — each pass is one partial-aggregated
+  // shuffle on user_id and the step frames only shrink (users who
+  // reached step k), so the plan is three narrow exchanges, never a
+  // per-user sort or a quadratic event self-join. Step comparisons run
+  // on full-precision native timestamps (identical microsecond
+  // semantics in both engines); only the emitted columns floor to epoch
+  // seconds, with -1 for steps not reached. ----------------------------------
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val users = ev.select("user_id").distinct()
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    users.join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).cast("int").as("steps"),
+        coalesce(unix_timestamp(col("t1")), lit(-1L)).as("t1_s"),
+        coalesce(unix_timestamp(col("t2")), lit(-1L)).as("t2_s"),
+        coalesce(unix_timestamp(col("t3")), lit(-1L)).as("t3_s"))
+      .orderBy("user_id")
+  }
+
+  private val q125Sql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps,
+      |  COALESCE(CAST(FLOOR(epoch(t1)) AS BIGINT), -1) AS t1_s,
+      |  COALESCE(CAST(FLOOR(epoch(t2)) AS BIGINT), -1) AS t2_s,
+      |  COALESCE(CAST(FLOOR(epoch(t3)) AS BIGINT), -1) AS t3_s
+      |FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+      |LEFT JOIN s2 ON u.user_id = s2.user_id
+      |LEFT JOIN s3 ON u.user_id = s3.user_id
+      |ORDER BY u.user_id""".stripMargin
 }

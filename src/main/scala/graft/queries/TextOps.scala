@@ -67,7 +67,8 @@ object TextOps {
     Q("q101_strat_split", q101, Some(q101Sql)),
     Q("q103_class_balance", q103, Some(q103Sql)),
     Q("q106_inverted_topk", q106, Some(q106Sql)),
-    Q("q110_qsketch", q110, Some(q110Sql))
+    Q("q110_qsketch", q110, Some(q110Sql)),
+    Q("q124_bm25_topk", q124, Some(q124Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -1948,6 +1949,102 @@ object TextOps {
        |      ORDER BY score DESC, doc_id) AS rk FROM sc)
        |SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS INT) AS rk,
        |  CAST(doc_id AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rk <= $RetrK ORDER BY query_id, rk""".stripMargin
+
+  // --- q124: BM25 RANKED RETRIEVAL — q106's integer-overlap core
+  // upgraded to the full Okapi BM25 weighting (k1=1.2, b=0.75, the
+  // non-negative ln(1 + (N-df+0.5)/(df+0.5)) idf): term frequency,
+  // document-length normalization against the corpus mean, and rarity
+  // weighting — the production lexical ranker beside the dense ANN
+  // family. Exactness discipline for the libm surface q106 declined:
+  // idf's ln is the ONLY transcendental, every per-(doc,term) score is
+  // quantized to 1e-7 units BEFORE the per-(query,doc) sum, so the only
+  // order-sensitive reduction is an exact integer sum (the q113
+  // quantize-then-reduce pattern), and the remaining float ops are
+  // IEEE-exact divisions written as the identical expression tree in
+  // both engines.
+  //
+  // Scale shape: tf is a partial-aggregated groupBy over ONLY the
+  // postings matching the broadcast query-term list; doc lengths ride a
+  // second data-sized partial agg; df and the 2-value corpus stats
+  // frame reduce to a handful of rows and BROADCAST back; the top-k is
+  // engine/TopK's heap (O(k) shuffle bytes per task). Quantized scores
+  // stay < 2^31 by construction: score_t <= ln(1+2N)·(k1+1) ~ 16, times
+  // 1e7, times <=5 query terms. -------------------------------------------
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.TopK
+    val qRows = RetrQueries.map { case (id, tx) =>
+      struct(lit(id).as("query_id"), lit(tx).as("qtext"))
+    }
+    val qTok = s.range(1)
+      .select(explode(array(qRows: _*)).as("q"))
+      .select(col("q.query_id"),
+        explode(array_distinct(split(col("q.qtext"), " "))).as("tok"))
+    val dTok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = dTok.join(broadcast(qTok.select("tok").distinct()), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dlen = dTok.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val num = col("tf").cast("double") * 2.2
+    val den = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("len").cast("double") / avgdl)
+    val topk = udaf(new TopK.Agg(RetrK))
+    tf.join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(df), "tok")
+      .select(col("doc_id"), col("tok"),
+        round(idf * (num / den) * 1e7).cast("long").as("s_q7"))
+      .join(broadcast(qTok), "tok")
+      .groupBy("query_id", "doc_id")
+      .agg(sum("s_q7").as("score_q7"))
+      .select(col("query_id"),
+        TopK.packDescSmallerId(col("score_q7"), col("doc_id")).as("pk"))
+      .groupBy("query_id")
+      .agg(topk(col("pk")).as("tops"))
+      .select(col("query_id"), posexplode(col("tops")).as(Seq("rk0", "pk")))
+      .select(col("query_id"), (col("rk0") + 1).cast("int").as("rk"),
+        TopK.unpackId(col("pk")).as("doc_id"),
+        TopK.unpackScore(col("pk")).as("score_q7"))
+      .orderBy("query_id", "rk")
+  }
+
+  private val q124Sql =
+    s"""WITH q(query_id, qtext) AS (VALUES
+       |    ${RetrQueries.map { case (i, tx) => s"($i, '$tx')" }
+        .mkString(",\n    ")}),
+       |qt AS (SELECT query_id,
+       |    unnest(list_distinct(string_split(qtext, ' '))) AS tok FROM q),
+       |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM dt
+       |  WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS len FROM dt GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_docs, SUM(len) AS sum_len FROM dl),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.tok,
+       |    CAST(ROUND(
+       |      ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+       |        / (CAST(dfq.df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2)
+       |        / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25
+       |          + 0.75 * CAST(dl.len AS DOUBLE)
+       |            / (CAST(st.sum_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))))
+       |      * 1e7) AS BIGINT) AS s_q7
+       |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN st JOIN dfq ON tf.tok = dfq.tok),
+       |agg AS (SELECT qt.query_id, sc.doc_id, SUM(sc.s_q7) AS score_q7
+       |  FROM sc JOIN qt ON sc.tok = qt.tok GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id, score_q7,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_q7 DESC, doc_id) AS rk FROM agg)
+       |SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS INT) AS rk,
+       |  CAST(doc_id AS BIGINT) AS doc_id, CAST(score_q7 AS BIGINT) AS score_q7
        |FROM r WHERE rk <= $RetrK ORDER BY query_id, rk""".stripMargin
 
   // --- q96: SEQUENCE PACKING (concat-and-chunk) — the layout step
