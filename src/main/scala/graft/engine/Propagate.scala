@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two generic propagation kernels over a functional graph / DAG,
+  * completing the iterative family beside [[Expand]] (unweighted
+  * frontier), [[MinPlus]] (weighted shortest path), [[Components]]
+  * (min-label closure) and [[PageRank]] (normalized mass):
+  *
+  *  - [[sumRounds]]: synchronous in-flow accumulation
+  *    `a'(v) = 1 + sum over in-edges (u,v) of a(u)` — after k rounds
+  *    `a(v)` counts the nodes whose directed path to v has length <= k
+  *    (v included). On a DAG of depth <= k this IS the full upstream
+  *    count (raster flow accumulation). Integer sums are order-free
+  *    under any partitioning, so k rounds are bit-reproducible.
+  *
+  *  - [[pointerDouble]]: path doubling `p'(v) = p(p(v))` — after k
+  *    rounds every node points 2^k steps along its pointer chain, so a
+  *    chain of depth D resolves to its terminal (a fixpoint node,
+  *    `p(t) = t`) in ceil(log2 D) rounds instead of D. This is the
+  *    at-scale shape for follow-the-chain queries (watershed basins,
+  *    union-find halving, linked-list ranking): O(log D) shuffles
+  *    total, vs one shuffle per hop for naive iteration.
+  *
+  * Both kernels truncate lineage every other round
+  * ([[Checkpoint.truncate]] — which also re-leafs the frame so
+  * inherited size stats cannot compound across rounds).
+  */
+object Propagate {
+
+  /** @param nodes one row per node: `(node: long)`
+    * @param edges directed edges `(src: long, dst: long)` — at most
+    *              one out-edge per src is NOT required here (in-flows
+    *              sum over all in-edges)
+    * @return `(node, acc)` after `rounds` synchronous accumulations,
+    *         `acc = 1` where nothing flows in */
+  def sumRounds(s: SparkSession, nodes: DataFrame, edges: DataFrame,
+                rounds: Int): DataFrame = {
+    var acc = nodes.select(col("node"), lit(1L).as("acc"))
+    for (r <- 1 to rounds) {
+      val in = acc.join(edges, col("node") === col("src"))
+        .select(col("dst"), col("acc"))
+        .groupBy(col("dst").as("node")).agg(sum("acc").as("inflow"))
+      val next = nodes.select(col("node"))
+        .join(in, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1L) + coalesce(col("inflow"), lit(0L))).as("acc"))
+      acc = if (r % 2 == 0 || r == rounds) Checkpoint.truncate(s, next)
+            else next
+    }
+    acc
+  }
+
+  /** @param ptr0 one row per node: `(node: long, p: long)` with
+    *             terminals self-pointing (`p = node`)
+    * @return `(node, p)` after `rounds` doublings — p is the node
+    *         2^rounds steps down the chain (the terminal, once the
+    *         chain is exhausted) */
+  def pointerDouble(s: SparkSession, ptr0: DataFrame,
+                    rounds: Int): DataFrame = {
+    var ptr = ptr0
+    for (r <- 1 to rounds) {
+      val hop = ptr.select(col("node").as("p"), col("p").as("pp"))
+      val next = ptr.join(hop, Seq("p"))
+        .select(col("node"), col("pp").as("p"))
+      ptr = if (r % 2 == 0 || r == rounds) Checkpoint.truncate(s, next)
+            else next
+    }
+    ptr
+  }
+}

@@ -65,7 +65,10 @@ object Spatial {
     Q("q119_hotspot_clusters", q119, Some(q119Sql)),
     Q("q120_idw_interpolate", q120, Some(q120Sql)),
     Q("q122_cost_distance", q122, Some(q122Sql)),
-    Q("q123_line_rasterize", q123, Some(q123Sql))
+    Q("q123_line_rasterize", q123, Some(q123Sql)),
+    Q("q126_flow_dir", q126, Some(q126Sql)),
+    Q("q127_flow_accum", q127, Some(q127Sql)),
+    Q("q128_watershed", q128, Some(q128Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2246,4 +2249,248 @@ object Spatial {
        |    AS cell_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_segs
        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q126/q127/q128: TERRAIN FLOW — the hydrology trio a raster GIS
+  // runs downstream of the reference's elevation layers (ArcGIS Flow
+  // Direction / Flow Accumulation / Watershed; the reference's ArcGIS
+  // step is the manual stage SURVEY §2 maps to K-ops). One shared
+  // deterministic integer elevation field; all three queries stay
+  // all-integer end to end, so every oracle compare is bit-exact.
+  //
+  // q126 FLOW DIRECTION (D8): each cell points at its steepest strictly-
+  // downhill 8-neighbor, drop weighted 10 orthogonal / 7 diagonal (the
+  // integer stand-in for 1/sqrt(2) distance scaling — stated operator
+  // contract, no float division anywhere), ESRI direction codes, ties at
+  // equal weighted drop break to the SMALLEST code via an identical
+  // when/CASE chain in both engines; no downhill neighbor = sink (0).
+  // Pure map-side arithmetic on the spine: ZERO shuffle, one codegen
+  // projection — the 100-TB shape (neighbor elevations are closed-form
+  // here; with a real DEM the same projection reads the q93 halo patch).
+  //
+  // q127 FLOW ACCUMULATION: upstream-cell count per cell over the D8
+  // drainage DAG (strict descent guarantees acyclicity), as k=8
+  // synchronous rounds of engine/Propagate.sumRounds — a'(v) = 1 +
+  // SUM over in-edges of a(u), counting cells within 8 hops upstream
+  // (the fixed round count is the operator contract; GraphGeoSpec runs
+  // the kernel TO convergence against a scalar exact count). Integer
+  // sums are order-free under any partitioning; the oracle unrolls the
+  // 8 rounds as chained CTEs (the q122 shape).
+  //
+  // q128 WATERSHED LABELING: every cell's terminal sink by POINTER
+  // DOUBLING (engine/Propagate.pointerDouble): p'(v) = p(p(v)) resolves
+  // a depth-D chain in ceil(log2 D) self-join rounds — 5 rounds cover
+  // depth 32, vs 32 one-hop shuffles for naive following; GraphGeoSpec
+  // proves the fixture's true max chain depth fits and the labels equal
+  // scalar follow-to-sink. The oracle mirrors the SAME doubling as 5
+  // chained self-join CTEs, so both engines compute identical
+  // intermediate pointers, converged or not. --------------------------------
+  private val D8 = Seq( // (ESRI code, dx, dy, integer distance weight)
+    (1, 1, 0, 10L), (2, 1, 1, 7L), (4, 0, 1, 10L), (8, -1, 1, 7L),
+    (16, -1, 0, 10L), (32, -1, -1, 7L), (64, 0, -1, 10L), (128, 1, -1, 7L))
+  private val AccRounds = 8
+  private val PtrRounds = 5
+  private val TerrB = 8              // bilinear lattice spacing, cells
+  private val TerrCX = C / TerrB + 1 // corner columns (13 on tiny)
+
+  /** Deterministic BILINEAR value-noise elevation — all-integer
+    * (64 x the interpolated corner value, so no division): a raw
+    * per-cell hash field is useless here (affine World.h makes
+    * elevation ~linear in cell id — every cell drains west — and even
+    * nonlinear iid noise gives ~1-step flow paths), while interpolating
+    * an 8-cell corner lattice yields locally consistent gradients:
+    * depth-30 flow chains, 25 multi-cell basins, all 8 directions
+    * winning somewhere (fixture-checked in GraphGeoSpec). */
+  private def elevCol(id: Column): Column = {
+    val x = (id - 1) % C
+    val y = floor((id - 1) / C).cast("long")
+    val cx = floor(x / TerrB).cast("long")
+    val cy = floor(y / TerrB).cast("long")
+    val fx = x % TerrB
+    val fy = y % TerrB
+    def corner(i: Int, j: Int): Column =
+      World.h2Col(((cy + j) * TerrCX + cx + i) * 53 + 11) % 4000
+    (lit(TerrB) - fx) * (lit(TerrB) - fy) * corner(0, 0) +
+      fx * (lit(TerrB) - fy) * corner(1, 0) +
+      (lit(TerrB) - fx) * fy * corner(0, 1) +
+      fx * fy * corner(1, 1)
+  }
+
+  private def elevSql(id: String): String = {
+    val x = s"((($id) - 1) % $C)"
+    val y = s"((($id) - 1) // $C)"
+    def corner(i: Int, j: Int): String =
+      s"(${h2Sql(s"(($y // $TerrB + $j) * $TerrCX + $x // $TerrB + $i) * 53 + 11")} % 4000)"
+    s"(($TerrB - $x % $TerrB) * ($TerrB - $y % $TerrB) * ${corner(0, 0)} " +
+      s"+ ($x % $TerrB) * ($TerrB - $y % $TerrB) * ${corner(1, 0)} " +
+      s"+ ($TerrB - $x % $TerrB) * ($y % $TerrB) * ${corner(0, 1)} " +
+      s"+ ($x % $TerrB) * ($y % $TerrB) * ${corner(1, 1)})"
+  }
+
+  /** Per-cell D8 candidate frame: weighted drop + destination per
+    * direction (0 / -1 where out-of-grid or not strictly downhill).
+    * Engine side everything stays INLINE — 9 elevation evaluations per
+    * cell is ~a hundred integer ops inside one codegen projection with
+    * ZERO shuffle, the 100-TB shape (the oracle instead stages an `el`
+    * CTE and left-joins it 8 times, which is fine at oracle scale). */
+  private def d8Candidates(s: SparkSession): DataFrame = {
+    val cols = D8.flatMap { case (code, dx, dy, w) =>
+      val inGrid = (colCol(cellCol) + dx).between(1, C) &&
+        (rowCol(cellCol) + dy).between(1, spec.rows)
+      val dst = cellCol + dx + dy * C
+      val drop = elevCol(cellCol) - elevCol(dst)
+      Seq(when(inGrid && drop > 0, drop * w).otherwise(0L).as(s"wd$code"),
+        when(inGrid, dst).otherwise(-1L).as(s"n$code"))
+    }
+    spine(s).select(cellCol +: cols: _*)
+  }
+
+  /** The same candidate frame in DuckDB SQL (appended to cellsCte):
+    * one `el` elevation CTE, then 8 guarded left self-joins — the
+    * out-of-grid guard matters because a horizontally-wrapped neighbor
+    * id still EXISTS in `el` (it is the adjacent row's edge cell). */
+  private def d8CandidatesSql: String = {
+    val joins = D8.map { case (code, dx, dy, _) =>
+      s"LEFT JOIN el e$code ON e$code.cell_id = c.cell_id + ${dx + dy * C}"
+    }.mkString("\n  ")
+    val cols = D8.map { case (code, dx, dy, w) =>
+      val inGrid = s"${colSql("c.cell_id")} + $dx BETWEEN 1 AND $C " +
+        s"AND ${rowSql("c.cell_id")} + $dy BETWEEN 1 AND ${spec.rows}"
+      s"""CASE WHEN $inGrid AND c.elev - e$code.elev > 0
+         |      THEN (c.elev - e$code.elev) * $w ELSE 0 END AS wd$code,
+         |    CASE WHEN $inGrid THEN c.cell_id + ${dx + dy * C} ELSE -1 END
+         |      AS n$code""".stripMargin
+    }.mkString(",\n    ")
+    s"""el AS (SELECT cell_id, ${elevSql("cell_id")} AS elev FROM cells),
+       |d8 AS (SELECT c.cell_id,
+       |    $cols
+       |  FROM el c
+       |  $joins)""".stripMargin
+  }
+
+  /** dir/dst when-chain over a candidate row — checking codes in
+    * ascending order makes equal-weighted-drop ties break to the
+    * smallest code, identically in both engines. */
+  private def d8Pick: (Column, Column, Column) = {
+    val best = greatest(D8.map { case (code, _, _, _) => col(s"wd$code") }: _*)
+    val dir = D8.foldLeft(when(best === 0, 0)) { case (c, (code, _, _, _)) =>
+      c.when(col(s"wd$code") === best, code)
+    }.cast("int")
+    val dst = D8.foldLeft(when(best === 0, -1L)) { case (c, (code, _, _, _)) =>
+      c.when(col(s"wd$code") === best, col(s"n$code"))
+    }
+    (best, dir, dst)
+  }
+
+  private def d8PickSql: (String, String, String) = {
+    val best = "GREATEST(" +
+      D8.map { case (code, _, _, _) => s"wd$code" }.mkString(", ") + ")"
+    def chain(out: Int => String, zero: String): String =
+      "CASE WHEN best = 0 THEN " + zero + " " + D8.map {
+        case (code, _, _, _) => s"WHEN wd$code = best THEN ${out(code)}"
+      }.mkString(" ") + " END"
+    (best, chain(c => c.toString, "0"), chain(c => s"n$c", "-1"))
+  }
+
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val (best, dirC, dstC) = d8Pick
+    d8Candidates(s)
+      .select(cellCol, best.as("wdrop"), dirC.as("dir"), dstC.as("dst"))
+      .select(cellCol, col("dir"), col("dst"), col("wdrop"))
+      .orderBy("cell_id")
+  }
+
+  private def q126Sql: String = {
+    val (best, dirS, dstS) = d8PickSql
+    s"""$cellsCte,
+       |${d8CandidatesSql},
+       |b AS (SELECT cell_id, $best AS best,
+       |    ${D8.map { case (c, _, _, _) => s"wd$c, n$c" }.mkString(", ")}
+       |  FROM d8)
+       |SELECT cell_id, CAST($dirS AS INT) AS dir,
+       |  CAST($dstS AS BIGINT) AS dst, CAST(best AS BIGINT) AS wdrop
+       |FROM b ORDER BY cell_id""".stripMargin
+  }
+
+  /** D8 drainage edges `(src, dst)` — one out-edge per non-sink cell. */
+  private def d8Edges(s: SparkSession): DataFrame = {
+    val (best, _, dstC) = d8Pick
+    d8Candidates(s)
+      .select(cellCol.as("src"), best.as("wdrop"), dstC.as("dst"))
+      .filter(col("wdrop") > 0)
+      .select(col("src"), col("dst"))
+  }
+
+  private def d8EdgesSql: String = {
+    val (best, _, dstS) = d8PickSql
+    s"""b AS (SELECT cell_id, $best AS best,
+       |    ${D8.map { case (c, _, _, _) => s"wd$c, n$c" }.mkString(", ")}
+       |  FROM d8),
+       |e AS (SELECT cell_id AS src, $dstS AS dst FROM b WHERE best > 0)"""
+      .stripMargin
+  }
+
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val nodes = spine(s).select(cellCol.as("node"))
+    // Truncate the derived edge list BEFORE iterating: the D8 pick is a
+    // deep expression tree (8 bilinear-elevation when-chains), and
+    // re-planning it inside every round's join makes Catalyst's
+    // constraint propagation the bottleneck (minutes of driver CPU for
+    // 8 rounds). One eager checkpoint turns the loop's join input into
+    // a leaf — also exactly what a 100-TB run does with a derived edge
+    // list it is about to iterate over.
+    val edges = graft.engine.Checkpoint.truncate(s, d8Edges(s))
+    graft.engine.Propagate.sumRounds(s, nodes, edges, AccRounds)
+      .select(col("node").as("cell_id"), col("acc"))
+      .orderBy("cell_id")
+  }
+
+  private def q127Sql: String = {
+    val rounds = (1 to AccRounds).map { i =>
+      s"""a$i AS (SELECT c.cell_id AS node,
+         |    CAST(1 + COALESCE(m.inflow, 0) AS BIGINT) AS acc
+         |  FROM cells c LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(q.acc) AS inflow
+         |    FROM a${i - 1} q JOIN e ON e.src = q.node GROUP BY 1) m
+         |  ON m.node = c.cell_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$cellsCte,
+       |${d8CandidatesSql},
+       |${d8EdgesSql},
+       |a0 AS (SELECT cell_id AS node, CAST(1 AS BIGINT) AS acc FROM cells),
+       |$rounds
+       |SELECT node AS cell_id, acc FROM a$AccRounds ORDER BY cell_id"""
+      .stripMargin
+  }
+
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val (best, _, dstC) = d8Pick
+    val ptr0 = d8Candidates(s)
+      .select(cellCol.as("node"), best.as("wdrop"), dstC.as("dst"))
+      .select(col("node"),
+        when(col("wdrop") > 0, col("dst")).otherwise(col("node")).as("p"))
+    // Same pre-loop truncation as q127: the doubling self-join would
+    // otherwise re-plan the deep D8 pick tree on BOTH join sides.
+    val p0 = graft.engine.Checkpoint.truncate(s, ptr0)
+    graft.engine.Propagate.pointerDouble(s, p0, PtrRounds)
+      .select(col("node").as("cell_id"), col("p").as("basin"))
+      .orderBy("cell_id")
+  }
+
+  private def q128Sql: String = {
+    val (best, _, dstS) = d8PickSql
+    val rounds = (1 to PtrRounds).map { i =>
+      s"""p$i AS (SELECT a.node, b.p FROM p${i - 1} a
+         |  JOIN p${i - 1} b ON a.p = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$cellsCte,
+       |${d8CandidatesSql},
+       |b AS (SELECT cell_id, $best AS best,
+       |    ${D8.map { case (c, _, _, _) => s"wd$c, n$c" }.mkString(", ")}
+       |  FROM d8),
+       |p0 AS (SELECT cell_id AS node,
+       |    CASE WHEN best > 0 THEN $dstS ELSE cell_id END AS p FROM b),
+       |$rounds
+       |SELECT node AS cell_id, CAST(p AS BIGINT) AS basin
+       |FROM p$PtrRounds ORDER BY cell_id""".stripMargin
+  }
 }
