@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   *  - [[sumRounds]]: synchronous in-flow accumulation
   *    `a'(v) = 1 + sum over in-edges (u,v) of a(u)` — after k rounds
-  *    `a(v)` counts the nodes whose directed path to v has length <= k
-  *    (v included). On a DAG of depth <= k this IS the full upstream
-  *    count (raster flow accumulation). Integer sums are order-free
-  *    under any partitioning, so k rounds are bit-reproducible.
+  *    `a(v)` counts the directed PATHS into v of length <= k (v's empty
+  *    path included). On a FUNCTIONAL graph (<= 1 out-edge per node,
+  *    e.g. D8 drainage) paths and upstream nodes coincide, so on a
+  *    functional DAG of depth <= k this is the full upstream-cell
+  *    count (raster flow accumulation); on a general DAG a node
+  *    reaching v by several routes is counted once per route. Integer
+  *    sums are order-free under any partitioning, so k rounds are
+  *    bit-reproducible.
   *
   *  - [[pointerDouble]]: path doubling `p'(v) = p(p(v))` — after k
   *    rounds every node points 2^k steps along its pointer chain, so a
@@ -30,9 +34,9 @@ import org.apache.spark.sql.functions._
 object Propagate {
 
   /** @param nodes one row per node: `(node: long)`
-    * @param edges directed edges `(src: long, dst: long)` — at most
-    *              one out-edge per src is NOT required here (in-flows
-    *              sum over all in-edges)
+    * @param edges directed edges `(src: long, dst: long)`; in-flows
+    *              sum over all in-edges — callers wanting upstream
+    *              NODE counts need a functional graph (see scaladoc)
     * @return `(node, acc)` after `rounds` synchronous accumulations,
     *         `acc = 1` where nothing flows in */
   def sumRounds(s: SparkSession, nodes: DataFrame, edges: DataFrame,

@@ -2217,10 +2217,11 @@ object Spatial {
         when(hc(j * 5 + 1) % 3 === 0, lit(8L))
           .when(hc(j * 5 + 1) % 3 === 1, lit(16L))
           .otherwise(lit(32L)).as("dxe"),
-        (hc(j * 5 + 3) % 64 + 1).as("y0"),
-        (hc(j * 5 + 4) % 64 + 1).as("y1"),
+        (hc(j * 5 + 3) % spec.rows + 1).as("y0"),
+        (hc(j * 5 + 4) % spec.rows + 1).as("y1"),
         j)
-      .select(col("dxe"), (hc(j * 5 + 2) % (lit(96L) - col("dxe")) + 1).as("x0"),
+      .select(col("dxe"),
+        (hc(j * 5 + 2) % (lit(C.toLong) - col("dxe")) + 1).as("x0"),
         col("y0"), (col("y1") - col("y0")).as("dy"))
       .filter(abs(col("dy")) <= col("dxe"))
     segs.select(col("x0"), col("y0"), col("dy"), col("dxe"),
@@ -2237,10 +2238,10 @@ object Spatial {
     s"""WITH s0 AS (SELECT r.range AS j,
        |    CASE ${hSql("r.range * 5 + 1")} % 3
        |      WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS dxe,
-       |    ${hSql("r.range * 5 + 3")} % 64 + 1 AS y0,
-       |    ${hSql("r.range * 5 + 4")} % 64 + 1 AS y1
+       |    ${hSql("r.range * 5 + 3")} % ${spec.rows} + 1 AS y0,
+       |    ${hSql("r.range * 5 + 4")} % ${spec.rows} + 1 AS y1
        |  FROM range($SegN) r),
-       |s1 AS (SELECT j, dxe, ${hSql("j * 5 + 2")} % (96 - dxe) + 1 AS x0,
+       |s1 AS (SELECT j, dxe, ${hSql("j * 5 + 2")} % ($C - dxe) + 1 AS x0,
        |    y0, y1 - y0 AS dy
        |  FROM s0 WHERE ABS(y1 - y0) <= dxe),
        |st AS (SELECT x0, y0, dy, dxe,

@@ -1906,15 +1906,22 @@ object TextOps {
     2 -> "customer order line quantum",
     3 -> "slow fast filter data column")
 
-  private def q106(s: SparkSession, dir: String): DataFrame = {
-    import graft.engine.TopK
+  /** `(query_id, tok)` frame of the retrieval family's distinct query
+    * terms — shared by q106 (overlap) and q124 (BM25) so the two
+    * rankers can never silently diverge on tokenization. */
+  private def retrQueryTokens(s: SparkSession): DataFrame = {
     val qRows = RetrQueries.map { case (id, tx) =>
       struct(lit(id).as("query_id"), lit(tx).as("qtext"))
     }
-    val qTok = s.range(1)
+    s.range(1)
       .select(explode(array(qRows: _*)).as("q"))
       .select(col("q.query_id"),
         explode(array_distinct(split(col("q.qtext"), " "))).as("tok"))
+  }
+
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import graft.engine.TopK
+    val qTok = retrQueryTokens(s)
     val dTok = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -1973,13 +1980,7 @@ object TextOps {
   // 1e7, times <=5 query terms. -------------------------------------------
   private def q124(s: SparkSession, dir: String): DataFrame = {
     import graft.engine.TopK
-    val qRows = RetrQueries.map { case (id, tx) =>
-      struct(lit(id).as("query_id"), lit(tx).as("qtext"))
-    }
-    val qTok = s.range(1)
-      .select(explode(array(qRows: _*)).as("q"))
-      .select(col("q.query_id"),
-        explode(array_distinct(split(col("q.qtext"), " "))).as("tok"))
+    val qTok = retrQueryTokens(s)
     val dTok = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = dTok.join(broadcast(qTok.select("tok").distinct()), "tok")

@@ -17,21 +17,33 @@ object GraftColumnBridge {
   type AbstractType = types.AbstractDataType
 
   /** Rebuild `df` as a FRESH LEAF DataFrame over its own InternalRow
-    * RDD — same rows, zero per-row conversion, but a brand-new
-    * LogicalRDD leaf whose size estimate is the session default rather
-    * than the inherited plan stats. Needed after `Dataset.checkpoint`:
-    * checkpoint truncates lineage for EXECUTION but deliberately
-    * carries the child plan's statistics into the LogicalRDD, so in an
-    * iterative operator the size-in-bytes estimate compounds
-    * multiplicatively round over round (a self-referencing join doubles
-    * its bit-length each round) until Catalyst's BigInt product in
-    * SizeInBytesOnlyStatsPlanVisitor dominates driver time — at ~40
-    * rounds the estimate reaches millions of bits and a single stats
-    * visit takes minutes. AQE re-plans joins from true runtime sizes,
-    * so dropping the compile-time estimate costs nothing here. */
+    * RDD — same rows, zero per-row conversion, but with the inherited
+    * plan STATISTICS (and origin constraints) reset. Needed after
+    * `Dataset.checkpoint`: checkpoint truncates lineage for EXECUTION
+    * but deliberately carries the child plan's statistics into the
+    * LogicalRDD, so in an iterative operator the size-in-bytes estimate
+    * compounds multiplicatively round over round (a self-referencing
+    * join doubles its bit-length each round) until Catalyst's BigInt
+    * product in SizeInBytesOnlyStatsPlanVisitor dominates driver time —
+    * at ~40 rounds the estimate reaches millions of bits and a single
+    * stats visit takes minutes. AQE re-plans joins from true runtime
+    * sizes, so dropping the compile-time estimate is safe.
+    *
+    * The checkpointed LogicalRDD's captured outputPartitioning and
+    * outputOrdering are PRESERVED (the leaf is `copy`ed, not rebuilt):
+    * Expand and Components pin their loop frames' hash partitioning
+    * through truncate so each iteration shuffles only the small derived
+    * sides — dropping the partitioning would re-exchange the full frame
+    * every round on the AQE-off bench path. */
   def freshLeaf(df: Dataset[Row]): Dataset[Row] = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
-    cdf.sparkSession.internalCreateDataFrame(
-      cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+    val s = cdf.sparkSession
+    cdf.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        classic.Dataset.ofRows(s, lr.copy()(s, None, None))
+      case _ => // non-LogicalRDD input: fall back to a plain re-leaf
+        s.internalCreateDataFrame(
+          cdf.queryExecution.toRdd, df.schema, isStreaming = false)
+    }
   }
 }

@@ -500,10 +500,10 @@ class GraphGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
       val dxe = (World.h(j * 5 + 1) % 3) match {
         case 0 => 8L; case 1 => 16L; case 2 => 32L
       }
-      val y0 = World.h(j * 5 + 3) % 64 + 1
-      val y1 = World.h(j * 5 + 4) % 64 + 1
+      val y0 = World.h(j * 5 + 3) % World.tiny.rows + 1
+      val y1 = World.h(j * 5 + 4) % World.tiny.rows + 1
       val dy = y1 - y0
-      val x0 = World.h(j * 5 + 2) % (96L - dxe) + 1
+      val x0 = World.h(j * 5 + 2) % (World.tiny.cols - dxe) + 1
       if (math.abs(dy) <= dxe) {
         (0L to dxe).foreach { i =>
           // i*dy/dxe with dxe a power of two is an exact dyadic double,

@@ -457,10 +457,14 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       // the exact shape of one Expand iteration: a truncated cur
       // (repartitioned by cell_id) joined with an aggregate derived
-      // from it — both sides must inherit the captured partitioning
-      val cur = spark.range(1, spec.nCells + 1).toDF("cell_id")
-        .withColumn("final_class", (col("cell_id") % 3).cast("long"))
-        .repartition(col("cell_id")).localCheckpoint(true)
+      // from it — both sides must inherit the captured partitioning.
+      // Goes through Checkpoint.truncate (the SHIPPED path, including
+      // its stats re-leaf) — a bare localCheckpoint here would keep
+      // passing even if truncate dropped the captured partitioning.
+      val cur = graft.engine.Checkpoint.truncate(spark,
+        spark.range(1, spec.nCells + 1).toDF("cell_id")
+          .withColumn("final_class", (col("cell_id") % 3).cast("long"))
+          .repartition(col("cell_id")))
       val adopted = cur.filter(col("final_class") === 0)
         .groupBy("cell_id").agg(min("final_class").as("adopted"))
       val plan = cur.join(adopted, Seq("cell_id"), "left")
