@@ -330,6 +330,100 @@ object StreamDedup {
         (col("w.end") - expr(s"INTERVAL '$gap'")).as("t_end"),
         col("n_events"))
 
+  /** One funnel event (streaming twin of the batch q125 input rows). */
+  final case class FunEv(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+
+  /** Funnel progress snapshot: step times as epoch SECONDS (-1 until
+    * reached) — the batch q125 output shape, emitted incrementally. */
+  final case class FunnelRow(user_id: Long, steps: Int,
+      t1_s: Long, t2_s: Long, t3_s: Long)
+
+  /** Per-user state: resolved step times in ms (-1 unset) plus the
+    * buffer of events not yet behind the watermark (tsMs, kind). */
+  final case class FunState(t1: Long, t2: Long, t3: Long,
+      buf: Seq[(Long, Int)])
+
+  /** Incremental funnel (streaming twin of batch q125): per user, the
+    * strictly-ordered view -> click -> purchase progression, exactly
+    * the batch rule (t1 = min view, t2 = min click AFTER t1, t3 = min
+    * purchase AFTER t2).
+    *
+    * Disorder handling: the greedy fold is only exact when events are
+    * folded in EVENT-TIME order, so arrivals are BUFFERED in state
+    * until the watermark passes them, then folded ascending — any
+    * disorder within the watermark horizon is invisible, and rows later
+    * than the watermark are dropped by the engine (the standard
+    * watermark contract, same as sessionize). An event-time timeout set
+    * past the newest buffered event guarantees a user's tail folds even
+    * if the user never appears again.
+    *
+    * State bound: 3 longs per user plus a buffer bounded by the user's
+    * rate x the watermark horizon; step times are SET-ONCE (the fold
+    * consumes events in global event-time order, so no later fold can
+    * see an earlier event), which also makes emitted snapshots
+    * monotone — the max-steps row per user is the final answer. */
+  def funnelByUser(events: DataFrame,
+      watermark: String = "1 hour"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // NO pre-filter on event_type: Catalyst pushes filters below the
+    // EventTimeWatermark node, so dropping non-funnel events here would
+    // also stop them advancing the watermark (a quiet funnel would
+    // never ripen while the stream is busy with other events). Unknown
+    // kinds ride to the fold as no-ops instead.
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[FunEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(foldFunnel)
+  }
+
+  private val FunKinds =
+    Map("view" -> 0, "click" -> 1, "purchase" -> 2).withDefaultValue(-1)
+
+  private def foldFunnel(user: Long, rows: Iterator[FunEv],
+      state: GroupState[FunState]): Iterator[FunnelRow] = {
+    val first = state.getOption.isEmpty
+    val prev = state.getOption.getOrElse(FunState(-1L, -1L, -1L, Nil))
+    val arrived = rows.map(e =>
+      (e.ts.getTime, FunKinds(e.event_type))).toSeq
+    val wm = state.getCurrentWatermarkMs()
+    // non-funnel kinds advanced the watermark upstream; don't buffer them
+    val (ripe, hold) =
+      (prev.buf ++ arrived.filter(_._2 >= 0)).partition(_._1 <= wm)
+    var (t1, t2, t3) = (prev.t1, prev.t2, prev.t3)
+    // ascending event time; order among equal timestamps is immaterial
+    // because every step demands a STRICTLY later timestamp
+    ripe.sortBy(_._1).foreach { case (tsMs, kind) =>
+      if (kind == 0 && t1 < 0) t1 = tsMs
+      else if (kind == 1 && t2 < 0 && t1 >= 0 && tsMs > t1) t2 = tsMs
+      else if (kind == 2 && t3 < 0 && t2 >= 0 && tsMs > t2) t3 = tsMs
+    }
+    val next = FunState(t1, t2, t3, hold)
+    state.update(next)
+    // re-arm at the OLDEST buffered event (+1 ms, all held events are
+    // strictly newer than the watermark so this is always legal): the
+    // buffer folds progressively as the watermark advances, instead of
+    // waiting for the newest event to ripen
+    if (hold.nonEmpty)
+      state.setTimeoutTimestamp(hold.map(_._1).min + 1)
+    val changed = (t1, t2, t3) != ((prev.t1, prev.t2, prev.t3))
+    // emit on progress, plus a steps-0 snapshot the first time a user
+    // shows a REAL funnel event (the batch q125 row exists for step-0
+    // users too; users seen only through non-funnel kinds stay silent);
+    // timeout-only invocations that resolve nothing stay silent
+    if (changed || (first && arrived.exists(_._2 >= 0)))
+      Iterator.single(FunnelRow(user,
+        (if (t3 >= 0) 3 else if (t2 >= 0) 2 else if (t1 >= 0) 1 else 0),
+        if (t1 >= 0) t1 / 1000 else -1L,
+        if (t2 >= 0) t2 / 1000 else -1L,
+        if (t3 >= 0) t3 / 1000 else -1L))
+    else Iterator.empty
+  }
+
   /** Watermarked event-time quality windows (the q42 stats, streaming):
     * per window, document count, mean token count, and the share of
     * quality-passing docs. */

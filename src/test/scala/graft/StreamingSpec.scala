@@ -32,6 +32,9 @@ case class VidEv(video_id: Long, bytes: Array[Byte], fmt: String,
 case class FTile(tile_id: Int, bytes: Array[Byte], fmt: String,
     ts: Timestamp)
 
+/** Streaming funnel event (q125's input shape). */
+case class FunnelEv(user_id: Long, event_type: String, ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -242,6 +245,74 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got == Set((1L, 0L, 20L, 3L), (1L, 60L, 65L, 2L),
         (2L, 5L, 5L, 1L)),
         s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming funnel folds out-of-order events in event-time order " +
+    "and converges to the batch q125 rows, emitting incremental progress") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // u1 completes (purchase@3 is before the click and must NOT count);
+    // u2 clicks without viewing (steps 0); u3's click ties its view's
+    // timestamp (strictly-after rule: steps 1); u4's purchase ties its
+    // click (steps 2)
+    val evs = Seq(
+      FunnelEv(1, "view", ts(0)), FunnelEv(1, "click", ts(5)),
+      FunnelEv(1, "purchase", ts(3)), FunnelEv(1, "purchase", ts(65)),
+      FunnelEv(2, "click", ts(1)), FunnelEv(2, "purchase", ts(2)),
+      FunnelEv(3, "view", ts(10)), FunnelEv(3, "click", ts(10)),
+      FunnelEv(4, "view", ts(8)), FunnelEv(4, "click", ts(12)),
+      FunnelEv(4, "purchase", ts(12)))
+    val in = MemoryStream[FunnelEv]
+    val q = StreamDedup.funnelByUser(in.toDF())
+      .writeStream.format("memory").queryName("g_funnel")
+      .outputMode("update").start()
+    try {
+      // deliberately disordered arrival — but WITHIN the watermark: u1's
+      // click and too-early purchase land a batch before its view (the
+      // qualifying purchase@65 rides the second batch, so the max event
+      // time seen after batch 1 is only ts(10) and nothing is late)
+      in.addData(FunnelEv(1, "click", ts(5)), FunnelEv(1, "purchase", ts(3)),
+        FunnelEv(2, "click", ts(1)), FunnelEv(3, "view", ts(10)),
+        FunnelEv(4, "view", ts(8)))
+      q.processAllAvailable()
+      in.addData(FunnelEv(1, "view", ts(0)), FunnelEv(1, "purchase", ts(65)),
+        FunnelEv(2, "purchase", ts(2)), FunnelEv(3, "click", ts(10)),
+        FunnelEv(4, "click", ts(12)), FunnelEv(4, "purchase", ts(12)))
+      q.processAllAvailable()
+      // watermark dance: noise events (filtered from the funnel but
+      // advancing the source watermark) ripen the buffers in two stages,
+      // timeouts firing on the batch AFTER each advance
+      Seq(70, 71, 130, 131).foreach { m =>
+        in.addData(FunnelEv(99, "noise", ts(m)))
+        q.processAllAvailable()
+      }
+      val snaps = spark.table("g_funnel")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val finals = snaps.groupBy(_._1).map { case (u, rows) =>
+        u -> rows.maxBy(_._2)
+      }
+      // the batch oracle on the identical events
+      val dir = graft.util.TempDirs.create("graft_funnel").toString
+      evs.toDF("user_id", "event_type", "ts").repartition(3)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q125_funnel")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))).toMap
+      assert(finals.keySet == batch.keySet, s"user sets differ: $finals")
+      finals.foreach { case (u, row) =>
+        assert(row == batch(u), s"user $u: stream $row != batch ${batch(u)}")
+      }
+      // incrementality: u1 visibly progressed through a steps-2 snapshot
+      // (view/click folded at the first watermark stage, the qualifying
+      // purchase still buffered) before completing
+      assert(snaps.exists(s => s._1 == 1L && s._2 == 2),
+        s"no intermediate steps-2 snapshot for u1: ${snaps.toSeq}")
+      assert(snaps.exists(s => s._1 == 1L && s._2 == 3), "u1 never completed")
+      // noise user never entered the funnel
+      assert(!snaps.exists(_._1 == 99L), "filtered event type leaked")
     } finally q.stop()
   }
 
