@@ -139,9 +139,26 @@ object Checkpoint {
     // size-in-bytes estimate multiplicatively per round (BigInt bits
     // double each self-join round; by ~40 rounds one Catalyst stats
     // visit takes minutes of driver CPU). freshLeaf rebinds the same
-    // InternalRow RDD under a default-sized leaf — AQE recovers true
-    // sizes at runtime, so no plan-quality loss.
+    // RDD under a default-sized leaf (captured partitioning/ordering
+    // kept) — AQE recovers true sizes at runtime, so no plan-quality
+    // loss for the loop frame itself.
     org.apache.spark.sql.GraftColumnBridge.freshLeaf(ck)
+  }
+
+  /** One-shot lineage truncation for frames that do NOT re-enter the
+    * truncation loop (e.g. a derived edge list materialized once and
+    * then joined in every iteration): keeps the checkpoint's inherited
+    * SIZE STATISTICS (they cannot compound here, and losing them costs
+    * the static planner its broadcast decision on every round's join)
+    * while still dropping the inherited CONSTRAINTS (a checkpoint of a
+    * deep expression tree carries the whole tree as constraints, and
+    * every downstream join re-derives over it — the dominant per-round
+    * driver cost when such a frame is joined inside a loop). */
+  def truncateOnce(s: SparkSession, df: DataFrame): DataFrame = {
+    val ck =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    org.apache.spark.sql.GraftColumnBridge.freshLeafKeepStats(ck)
   }
 
   /** Content fingerprint helper: SHA-256 (hex, 128 bits kept) over the

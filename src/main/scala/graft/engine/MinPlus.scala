@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   * callers keep `inf` far below Long.MaxValue), so k rounds are
   * bit-reproducible in any engine with the same join/group semantics.
   *
-  * Shape per round (the PageRank contract): distances join edges on the
-  * source key, propagate `d + w` to the destination, partial-aggregated
-  * groupBy(dst) MIN, then a left join folds the proposals back into the
-  * running frame. Lineage is truncated every other round
-  * ([[Checkpoint.truncate]]) so k rounds never re-plan a k-deep tree.
+  * Shape per round: distances join edges on the source key (the edge
+  * side broadcasts or co-partitions), propose `d + w` to each
+  * destination, and ONE partial-aggregated MIN over the union of the
+  * running frame and the proposals folds everything — a single
+  * exchange per round, no fold-back join. Lineage is truncated every
+  * other round ([[Checkpoint.truncate]]) so k rounds never re-plan a
+  * k-deep tree.
   */
 object MinPlus {
 
@@ -39,12 +41,15 @@ object MinPlus {
             rounds: Int, inf: Long): DataFrame = {
     var dist = dist0
     for (r <- 1 to rounds) {
+      // d'(v) = min(d(v), proposals) as ONE aggregation over the union
+      // of the running frame and the propagated d+w terms — no
+      // per-round fold-back join, so each round is a single
+      // partial-aggregated exchange (the edge join broadcasts or
+      // co-partitions; it adds no exchange of dist itself)
       val prop = dist.join(edges, col("node") === col("src"))
-        .select(col("dst"), (col("d") + col("w")).as("nd"))
-        .groupBy(col("dst").as("node")).agg(min("nd").as("nd"))
-      val next = dist.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("d"), coalesce(col("nd"), lit(inf))).as("d"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      val next = dist.unionByName(prop)
+        .groupBy("node").agg(min("d").as("d"))
       dist = if (r % 2 == 0 || r == rounds) Checkpoint.truncate(s, next)
              else next
     }

@@ -43,13 +43,16 @@ object Propagate {
                 rounds: Int): DataFrame = {
     var acc = nodes.select(col("node"), lit(1L).as("acc"))
     for (r <- 1 to rounds) {
-      val in = acc.join(edges, col("node") === col("src"))
-        .select(col("dst"), col("acc"))
-        .groupBy(col("dst").as("node")).agg(sum("acc").as("inflow"))
-      val next = nodes.select(col("node"))
-        .join(in, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1L) + coalesce(col("inflow"), lit(0L))).as("acc"))
+      // a'(v) = 1 + sum of in-flows, computed as ONE aggregation over
+      // the union of the per-node base (1) and the propagated terms —
+      // no per-round left join back onto the node spine, so each round
+      // is a single partial-aggregated exchange (the edge join
+      // broadcasts or co-partitions; it adds no exchange of acc itself)
+      val contrib = acc.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("acc"))
+      val next = nodes.select(col("node"), lit(1L).as("acc"))
+        .unionByName(contrib)
+        .groupBy("node").agg(sum("acc").as("acc"))
       acc = if (r % 2 == 0 || r == rounds) Checkpoint.truncate(s, next)
             else next
     }

@@ -2334,15 +2334,23 @@ object Spatial {
     * ZERO shuffle, the 100-TB shape (the oracle instead stages an `el`
     * CTE and left-joins it 8 times, which is fine at oracle scale). */
   private def d8Candidates(s: SparkSession): DataFrame = {
+    // stage the 9 elevation evaluations as columns first (self + 8
+    // neighbors; out-of-grid neighbor elevations are computed but
+    // guarded out below), so the candidate projection references each
+    // ~60-node bilinear tree once instead of embedding it per drop —
+    // smaller codegen source and analysis tree, same runtime work
+    val staged = spine(s).select(cellCol +: elevCol(cellCol).as("ec") +:
+      D8.map { case (code, dx, dy, _) =>
+        elevCol(cellCol + dx + dy * C).as(s"e$code")
+      }: _*)
     val cols = D8.flatMap { case (code, dx, dy, w) =>
       val inGrid = (colCol(cellCol) + dx).between(1, C) &&
         (rowCol(cellCol) + dy).between(1, spec.rows)
-      val dst = cellCol + dx + dy * C
-      val drop = elevCol(cellCol) - elevCol(dst)
+      val drop = col("ec") - col(s"e$code")
       Seq(when(inGrid && drop > 0, drop * w).otherwise(0L).as(s"wd$code"),
-        when(inGrid, dst).otherwise(-1L).as(s"n$code"))
+        when(inGrid, cellCol + dx + dy * C).otherwise(-1L).as(s"n$code"))
     }
-    spine(s).select(cellCol +: cols: _*)
+    staged.select(cellCol +: cols: _*)
   }
 
   /** The same candidate frame in DuckDB SQL (appended to cellsCte):
@@ -2432,14 +2440,16 @@ object Spatial {
 
   private def q127(s: SparkSession, dir: String): DataFrame = {
     val nodes = spine(s).select(cellCol.as("node"))
-    // Truncate the derived edge list BEFORE iterating: the D8 pick is a
-    // deep expression tree (8 bilinear-elevation when-chains), and
-    // re-planning it inside every round's join makes Catalyst's
+    // Truncate the derived edge list ONCE before iterating: the D8
+    // pick is a deep expression tree (8 bilinear-elevation when-chains),
+    // and re-planning it inside every round's join makes Catalyst's
     // constraint propagation the bottleneck (minutes of driver CPU for
-    // 8 rounds). One eager checkpoint turns the loop's join input into
-    // a leaf — also exactly what a 100-TB run does with a derived edge
-    // list it is about to iterate over.
-    val edges = graft.engine.Checkpoint.truncate(s, d8Edges(s))
+    // 8 rounds). truncateOnce KEEPS the inherited stats (this frame
+    // never re-enters the loop, so nothing compounds) so the static
+    // planner still broadcasts the small side of each round's join —
+    // also exactly what a 100-TB run does with a derived edge list it
+    // is about to iterate over.
+    val edges = graft.engine.Checkpoint.truncateOnce(s, d8Edges(s))
     graft.engine.Propagate.sumRounds(s, nodes, edges, AccRounds)
       .select(col("node").as("cell_id"), col("acc"))
       .orderBy("cell_id")
@@ -2469,9 +2479,10 @@ object Spatial {
       .select(cellCol.as("node"), best.as("wdrop"), dstC.as("dst"))
       .select(col("node"),
         when(col("wdrop") > 0, col("dst")).otherwise(col("node")).as("p"))
-    // Same pre-loop truncation as q127: the doubling self-join would
-    // otherwise re-plan the deep D8 pick tree on BOTH join sides.
-    val p0 = graft.engine.Checkpoint.truncate(s, ptr0)
+    // Same one-shot pre-loop truncation as q127: the doubling
+    // self-join would otherwise re-plan the deep D8 pick tree on BOTH
+    // join sides.
+    val p0 = graft.engine.Checkpoint.truncateOnce(s, ptr0)
     graft.engine.Propagate.pointerDouble(s, p0, PtrRounds)
       .select(col("node").as("cell_id"), col("p").as("basin"))
       .orderBy("cell_id")

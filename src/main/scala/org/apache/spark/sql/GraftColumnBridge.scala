@@ -35,12 +35,27 @@ object GraftColumnBridge {
     * through truncate so each iteration shuffles only the small derived
     * sides — dropping the partitioning would re-exchange the full frame
     * every round on the AQE-off bench path. */
-  def freshLeaf(df: Dataset[Row]): Dataset[Row] = {
+  def freshLeaf(df: Dataset[Row]): Dataset[Row] = releaf(df, keepStats = false)
+
+  /** Like [[freshLeaf]] but KEEPING the leaf's size statistics — for
+    * one-shot truncations of frames that never re-enter a truncation
+    * loop (nothing compounds), where the static planner still wants the
+    * true size for its broadcast decision. Origin CONSTRAINTS are
+    * dropped in both variants: a checkpoint of a deep expression tree
+    * (e.g. an 8-way when-chain pick) otherwise carries that whole tree
+    * as an inherited constraint set, and every downstream join re-runs
+    * constraint derivation over it — measured seconds of driver CPU per
+    * iteration when such a frame is joined inside a loop. */
+  def freshLeafKeepStats(df: Dataset[Row]): Dataset[Row] =
+    releaf(df, keepStats = true)
+
+  private def releaf(df: Dataset[Row], keepStats: Boolean): Dataset[Row] = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     val s = cdf.sparkSession
     cdf.queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
-        classic.Dataset.ofRows(s, lr.copy()(s, None, None))
+        val stats = if (keepStats) Some(lr.stats) else None
+        classic.Dataset.ofRows(s, lr.copy()(s, stats, None))
       case _ => // non-LogicalRDD input: fall back to a plain re-leaf
         s.internalCreateDataFrame(
           cdf.queryExecution.toRdd, df.schema, isStreaming = false)
