@@ -68,7 +68,9 @@ object Spatial {
     Q("q123_line_rasterize", q123, Some(q123Sql)),
     Q("q126_flow_dir", q126, Some(q126Sql)),
     Q("q127_flow_accum", q127, Some(q127Sql)),
-    Q("q128_watershed", q128, Some(q128Sql))
+    Q("q128_watershed", q128, Some(q128Sql)),
+    Q("q129_line_simplify", q129, Some(q129Sql)),
+    Q("q130_image_flip", q130, Some(q130Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2504,5 +2506,134 @@ object Spatial {
        |$rounds
        |SELECT node AS cell_id, CAST(p AS BIGINT) AS basin
        |FROM p$PtrRounds ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q129: POLYLINE SIMPLIFICATION (Douglas-Peucker) — the ArcGIS
+  // Simplify Line / ST_Simplify op, the last vector-side G-op beside
+  // PIP (q21/q72), metrics (q113) and rasterization (q123). The engine
+  // shape is engine/Simplify.dpRounds: synchronous SPLIT rounds where
+  // every vertex row carries its enclosing anchor pair, so one round =
+  // ONE partial-aggregated argmax exchange + a broadcast winners join —
+  // a chord tree resolves in split-tree-depth rounds (each round splits
+  // every active segment in parallel), never one round per vertex and
+  // never a vertex-vs-segment range join. All-integer geometry makes
+  // `beyond eps` the exact int64 compare cross^2 > eps2*len^2, so the
+  // oracle (the same DpRounds rounds unrolled as chained CTEs, the q115
+  // shape) agrees bit-for-bit including ties, converged or not.
+  //
+  // Fixture: 12 polylines of 33 vertices — integer value-noise lattice
+  // every 8 steps, linearly interpolated between lattice points, plus
+  // per-vertex jitter in [-2, 2]. The lattice kinks stand far beyond
+  // eps (they split; shallow near-collinear kinks occasionally don't —
+  // both engines agree either way) while the jitter's perpendicular
+  // deviation stays strictly under eps = 5, so interpolated vertices
+  // simplify away and the split tree converges well inside the 6-round
+  // contract (spec-asserted vs scalar DP run to convergence). ------------
+  private val DpLines = 12L
+  private val DpVerts = 33L
+  private val DpEps2 = 25L
+  private val DpRounds = 6
+
+  private[queries] def dpVertsFixture(s: SparkSession): DataFrame = {
+    val id = col("id")
+    val v0 = s.range(0, DpLines * DpVerts).select(
+      floor(id / DpVerts.toDouble).cast("long").as("lid"),
+      (id % DpVerts).as("seq"))
+    val seqC = col("seq")
+    val j = floor(seqC / 8.0).cast("long")
+    val f = seqC % 8
+    def lat(jj: Column): Column =
+      graft.world.World.h2Col(col("lid") * 13 + jj * 53 + 7) % 4000
+    v0.select(col("lid"), seqC, (seqC * 4).as("x"),
+      (lat(j) * (lit(8L) - f) + lat(j + 1) * f +
+        (hc(col("lid") * 31 + seqC) % 5 - 2)).as("y"))
+  }
+
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Simplify.dpRounds(s, dpVertsFixture(s), DpEps2, DpRounds)
+      .filter(col("kept"))
+      .select(col("lid").as("line_id"), col("seq"), col("x"), col("y"))
+      .orderBy("line_id", "seq")
+
+  private def q129Sql: String = {
+    val latS = (jj: String) => s"(${h2Sql(s"lid * 13 + ($jj) * 53 + 7")} % 4000)"
+    val rounds = (1 to DpRounds).map { r =>
+      s"""i$r AS (SELECT lid, lo, hi, seq, x, y,
+         |    (hix - lox) * (y - loy) - (hiy - loy) * (x - lox) AS cr,
+         |    (hix - lox) * (hix - lox) + (hiy - loy) * (hiy - loy) AS l2
+         |  FROM st${r - 1} WHERE NOT kept),
+         |w$r AS (SELECT lid, lo, hi, seq, x, y, cr * cr - $DpEps2 * l2 AS g,
+         |    ROW_NUMBER() OVER (PARTITION BY lid, lo, hi
+         |      ORDER BY cr * cr - $DpEps2 * l2 DESC, seq ASC) AS rn
+         |  FROM i$r),
+         |sp$r AS (SELECT lid, lo, hi, seq AS m, x AS mx, y AS my
+         |  FROM w$r WHERE rn = 1 AND g > 0),
+         |st$r AS (SELECT t.lid, t.seq, t.x, t.y,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq > u.m THEN u.m ELSE t.lo END AS lo,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq > u.m THEN u.mx ELSE t.lox END AS lox,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq > u.m THEN u.my ELSE t.loy END AS loy,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq < u.m THEN u.m ELSE t.hi END AS hi,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq < u.m THEN u.mx ELSE t.hix END AS hix,
+         |    CASE WHEN u.m IS NOT NULL AND t.seq < u.m THEN u.my ELSE t.hiy END AS hiy,
+         |    (t.kept OR COALESCE(t.seq = u.m, FALSE)) AS kept
+         |  FROM st${r - 1} t LEFT JOIN sp$r u
+         |    ON u.lid = t.lid AND u.lo = t.lo AND u.hi = t.hi)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v0 AS (SELECT r.range // $DpVerts AS lid, r.range % $DpVerts AS seq
+       |  FROM range(${DpLines * DpVerts}) r),
+       |v AS (SELECT lid, seq, seq * 4 AS x,
+       |    ${latS("seq // 8")} * (8 - seq % 8)
+       |      + ${latS("seq // 8 + 1")} * (seq % 8)
+       |      + (${hSql("lid * 31 + seq")} % 5 - 2) AS y
+       |  FROM v0),
+       |st0 AS (SELECT v.lid, v.seq, v.x, v.y,
+       |    a.seq AS lo, a.x AS lox, a.y AS loy,
+       |    b.seq AS hi, b.x AS hix, b.y AS hiy,
+       |    (v.seq = a.seq OR v.seq = b.seq) AS kept
+       |  FROM v JOIN v a ON a.lid = v.lid AND a.seq = 0
+       |         JOIN v b ON b.lid = v.lid AND b.seq = ${DpVerts - 1}),
+       |$rounds
+       |SELECT lid AS line_id, seq, x, y FROM st$DpRounds WHERE kept
+       |ORDER BY line_id, seq""".stripMargin
+  }
+
+  // ---- q130: image FLIP/ROTATE augmentation — the index-permutation
+  // half of the multimodal augmentation family beside q74's resize:
+  // horizontal flip / vertical flip / 180-degree rotation of band 0,
+  // re-encoded as a REAL payload (sql/Mirror, one static codegen call,
+  // no arithmetic — every output float is a source float copied
+  // bit-for-bit, so the op is exact for any pixel values). Each tile
+  // gets the mode picked by tile_id % 3 through a codegen when-chain
+  // (mode is a per-row value; the expression is literal-parameterized
+  // like Resize2x). The check decodes the augmented payload per pixel —
+  // the oracle reads the source formula at the permuted index, so any
+  // off-by-one in the permutation, row/col swap, or encode corruption
+  // is a hash-red. ------------------------------------------------------
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val m = col("tile_id") % 3
+    val aug = when(m === 0, mirror(col("bytes"), T, T, 0))
+      .when(m === 1, mirror(col("bytes"), T, T, 1))
+      .otherwise(mirror(col("bytes"), T, T, 2))
+    World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"), aug.as("bytes"))
+      .select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), lit("f32"), spec.pixPerTile, 0))
+          .as(Seq("p", "v")))
+      .select(col("tile_id"), col("p").cast("long").as("p"),
+        col("v").cast("double").as("v"))
+      .orderBy("tile_id", "p")
+  }
+
+  private def q130Sql: String = {
+    val r = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c = s"(((cell_id - 1) % $C) % $T)"
+    s"""$cellsCte
+       |SELECT ${tileSql("cell_id")} AS tile_id,
+       |  CAST(CASE (${tileSql("cell_id")}) % 3
+       |    WHEN 0 THEN $r * $T + ($T - 1 - $c)
+       |    WHEN 1 THEN ($T - 1 - $r) * $T + $c
+       |    ELSE ($T - 1 - $r) * $T + ($T - 1 - $c) END AS BIGINT) AS p,
+       |  ${lossSql("cell_id")} AS v
+       |FROM cells ORDER BY tile_id, p""".stripMargin
   }
 }

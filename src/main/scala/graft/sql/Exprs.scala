@@ -636,6 +636,53 @@ object Resize2x {
   }
 }
 
+/** Index-permutation augmentation of band 0 of an f32 tile payload —
+  * horizontal flip (mode 0), vertical flip (mode 1) or 180-degree
+  * rotation (mode 2 — both flips composed) — re-encoded as a real
+  * payload (the training-data augmentation op beside [[Resize2x]]'s
+  * downscale). A pure permutation: every output pixel is one source
+  * float copied bit-for-bit, so the op is exact for ANY pixel values
+  * (no arithmetic at all) and the per-pixel oracle is just the source
+  * formula read at the permuted index. One static call inside
+  * whole-stage codegen, one float[] per tile. */
+case class Mirror(child: Expression, w: Int, h: Int, mode: Int)
+  extends UnaryExpression {
+
+  require(mode >= 0 && mode <= 2, s"Mirror mode must be 0|1|2, got $mode")
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(bytes: Any): Any =
+    Mirror.eval(bytes.asInstanceOf[Array[Byte]], w, h, mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Mirror.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $w, $h, $mode);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Mirror {
+  def eval(bytes: Array[Byte], w: Int, h: Int, mode: Int): Array[Byte] = {
+    val out = new Array[Float](w * h)
+    var r = 0
+    while (r < h) {
+      val sr = if (mode >= 1) h - 1 - r else r
+      var c = 0
+      while (c < w) {
+        val sc = if (mode == 0 || mode == 2) w - 1 - c else c
+        out(r * w + c) = Codec.floatAt(bytes, sr * w + sc)
+        c += 1
+      }
+      r += 1
+    }
+    Codec.encodeF32(Array(out))
+  }
+}
+
 /** 3x3 focal (stencil) statistics over ONE tile's halo-padded patch —
   * the per-tile compute half of distributed focal map algebra (the
   * raster `focal()` family the reference's toolchain applies around
@@ -1577,6 +1624,10 @@ object GraftFunctions {
   /** 2x box-average downscale of band 0 of an f32 payload. */
   def resize2x(bytes: Column, w: Int, h: Int): Column =
     column(Resize2x(expression(bytes), w, h))
+
+  /** Flip/rotate band 0 of an f32 payload (0=flipH, 1=flipV, 2=rot180). */
+  def mirror(bytes: Column, w: Int, h: Int, mode: Int): Column =
+    column(Mirror(expression(bytes), w, h, mode))
 
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =

@@ -751,6 +751,34 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the resize PROJECT node itself is not codegen'd:\n$plan")
   }
 
+  test("Mirror (q130) is an exact index permutation: both flips and " +
+    "rot180 are involutions, flipV o flipH = rot180, every output " +
+    "float IS the source pixel, and the projection stays in codegen") {
+    import graft.sql.GraftFunctions.mirror
+    val bands = World.tileBands(spec, 5)
+    val bytes = graft.core.Codec.encodeF32(bands)
+    val only0 = graft.core.Codec.encodeF32(Array(bands(0)))
+    val t = spec.tile
+    def f(mode: Int, b: Array[Byte]) = graft.sql.Mirror.eval(b, t, t, mode)
+    assert(f(0, f(0, bytes)).sameElements(only0), "flipH involution")
+    assert(f(1, f(1, bytes)).sameElements(only0), "flipV involution")
+    assert(f(2, f(2, bytes)).sameElements(only0), "rot180 involution")
+    assert(f(1, f(0, bytes)).sameElements(f(2, bytes)),
+      "flipV o flipH = rot180")
+    val hFlip = f(0, bytes)
+    for (r <- 0 until t; c <- 0 until t)
+      assert(graft.core.Codec.floatAt(hFlip, r * t + c) ==
+        bands(0)(r * t + (t - 1 - c)), s"flipH pixel ($r,$c)")
+    val plan = World.tilesDF(spark, spec)
+      .select(col("tile_id"), mirror(col("bytes"), t, t, 0).as("aug"))
+      .filter(col("tile_id") >= 0)
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator
+      .find(_.toLowerCase.contains("mirror")).getOrElse("")
+    assert(line.trim.startsWith("*("),
+      s"the mirror PROJECT node is not codegen'd:\n$plan")
+  }
+
   test("hammingPairs (4x16-bit pigeonhole banding, q77) equals brute " +
     "force at maxDist 3, including a 3-shared-band candidate the exact " +
     "verify must reject and a sign-bit-band match") {
