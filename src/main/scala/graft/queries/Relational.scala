@@ -73,7 +73,8 @@ object Relational {
     Q("q117_skyline", q117, Some(q117Sql)),
     Q("q118_group_trend", q118, Some(q118Sql)),
     Q("q121_triangle_count", q121, Some(q121Sql)),
-    Q("q125_funnel", q125, Some(q125Sql))
+    Q("q125_funnel", q125, Some(q125Sql)),
+    Q("q133_scd2_apply", q133, Some(q133Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -163,6 +164,58 @@ object Relational {
       |       ELSE 'unchanged' END AS status
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY 1""".stripMargin
+
+  // --- q133: SCD2 / CDC APPLY-CHANGES — turn an upsert/delete change
+  // log into slowly-changing-dimension HISTORY rows (the warehouse
+  // "apply changes into" primitive; q108 DETECTS changes between
+  // snapshots, this op MATERIALIZES a change stream into validity
+  // intervals). Each upsert opens an interval at its ts; the NEXT
+  // change of any kind (upsert or delete) closes it; an open interval
+  // carries the 9999999999 sentinel (not NULL — the sentinel keeps
+  // valid_to orderable and the row hashable) and is_current. Deletes
+  // emit no row of their own, so an entity whose last change is a
+  // delete correctly has NO current row. One window over
+  // (entity_id, ts) = ONE exchange on the entity key — the CDC apply
+  // at 10^12 rows is a single sort-within-partition pass, no join
+  // against the current dimension needed because the log itself is
+  // total. Fixture: 100 entities x 40 changes, ~1/8 deletes, ts
+  // strictly increasing per entity by construction. --------------------------
+  private val Scd2Sentinel = 9999999999L
+
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val r = col("id")
+    val log = s.range(0, 4000).select(
+      (r % 100 + 1).as("entity_id"),
+      (floor(r / 100).cast("long") * 100 +
+        graft.world.World.h2Col(r * 7 + 1) % 90).as("ts"),
+      when(graft.world.World.h2Col(r * 11 + 3) % 8 === 0, "D")
+        .otherwise("U").as("op"),
+      (graft.world.World.h2Col(r * 13 + 5) % 1000).as("value"))
+    val w = Window.partitionBy("entity_id").orderBy("ts")
+    log.select(col("entity_id"), col("ts"), col("op"), col("value"),
+        lead("ts", 1).over(w).as("nxt"))
+      .filter(col("op") === "U")
+      .select(col("entity_id"), col("ts").as("valid_from"),
+        coalesce(col("nxt"), lit(Scd2Sentinel)).as("valid_to"),
+        col("value"), col("nxt").isNull.as("is_current"))
+      .orderBy("entity_id", "valid_from")
+  }
+
+  private def q133Sql: String = {
+    val h2 = (k: String) => Spatial.h2Sql(k)
+    s"""WITH log AS (SELECT r.range % 100 + 1 AS entity_id,
+       |    (r.range // 100) * 100 + ${h2("r.range * 7 + 1")} % 90 AS ts,
+       |    CASE WHEN ${h2("r.range * 11 + 3")} % 8 = 0
+       |      THEN 'D' ELSE 'U' END AS op,
+       |    ${h2("r.range * 13 + 5")} % 1000 AS value
+       |  FROM range(4000) r),
+       |x AS (SELECT log.*, LEAD(ts) OVER (
+       |    PARTITION BY entity_id ORDER BY ts) AS nxt FROM log)
+       |SELECT entity_id, ts AS valid_from,
+       |  COALESCE(nxt, $Scd2Sentinel) AS valid_to, value,
+       |  (nxt IS NULL) AS is_current
+       |FROM x WHERE op = 'U' ORDER BY entity_id, valid_from""".stripMargin
+  }
 
   // --- q107: HIERARCHICAL ROLLUP REPORT — the OLAP subtotal surface
   // (region -> nation -> grand total in ONE pass) via Spark's native

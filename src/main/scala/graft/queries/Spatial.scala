@@ -70,7 +70,9 @@ object Spatial {
     Q("q127_flow_accum", q127, Some(q127Sql)),
     Q("q128_watershed", q128, Some(q128Sql)),
     Q("q129_line_simplify", q129, Some(q129Sql)),
-    Q("q130_image_flip", q130, Some(q130Sql))
+    Q("q130_image_flip", q130, Some(q130Sql)),
+    Q("q131_contour", q131, Some(q131Sql)),
+    Q("q132_kmeans", q132, Some(q132Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2635,5 +2637,215 @@ object Spatial {
        |    ELSE ($T - 1 - $r) * $T + ($T - 1 - $c) END AS BIGINT) AS p,
        |  ${lossSql("cell_id")} AS v
        |FROM cells ORDER BY tile_id, p""".stripMargin
+  }
+
+  // ---- q131: CONTOUR EXTRACTION (marching squares) — the raster→vector
+  // inverse of q123's line rasterization, and the isoline op the
+  // reference's toolchain gets from `rasterToContour`-style GIS calls:
+  // trace the elevation surface's level-L isolines as line segments.
+  // Engine shape: ZERO data shuffle — one codegen projection over the
+  // spine evaluates the 4 corner elevations of each 2x2 block (the q126
+  // staging pattern), folds them into the 4-bit marching-squares case
+  // index, and emits 0-2 segments via one inline explode; only the
+  // deterministic output ORDER BY exchanges anything. At 100 TB the op
+  // is embarrassingly parallel in tile space (each block reads its own
+  // corners; tiles would read a 1-cell halo exactly like q93).
+  //
+  // Exactness discipline: corners compare to the level with the strict
+  // integer `elev > L`, the saddle cases (6/9) resolve by the integer
+  // center rule `e00+e10+e01+e11 > 4L`, and segment endpoints are edge
+  // MIDPOINTS in doubled coordinates — all integers, so the oracle (the
+  // same case table in SQL) agrees bit-for-bit including saddles. Both
+  // engines share one case encoding: endpoints T=0 R=1 B=2 L=3, a
+  // segment is the small int A*4+B with the case table's fixed endpoint
+  // order, so the 16-way branch exists ONCE per engine and coordinates
+  // are pure arithmetic off the code. The spec asserts the topological
+  // invariant (every midpoint vertex has degree 2 unless on the grid
+  // boundary — contours are closed loops or boundary-terminated paths)
+  // and that both saddle resolutions occur on the fixture. -----------------
+  private val IsoL = 128000L // mid-range of the bilinear surface [0, 255936]
+  private val IsoAmp = 40000L // per-cell roughness (tuned so saddles occur)
+
+  /** q131's surface: the shared terrain plus a small per-cell roughness
+    * term. The pure bilinear surface is smooth at cell scale — NO 2x2
+    * block ever saddles on it (fixture-measured: cases 6/9/12 simply
+    * never occur at any level), which would leave the marching-squares
+    * disambiguation rule untested. 40000 counts of cell-frequency noise
+    * on a 0..255936 surface produces all four (case, center) saddle
+    * resolutions while keeping the isolines terrain-shaped. */
+  private def isoCol(id: Column): Column =
+    elevCol(id) + World.h2Col(id * 29 + 5) % IsoAmp
+  private def isoSql(id: String): String =
+    s"(${elevSql(id)} + ${h2Sql(s"($id) * 29 + 5")} % $IsoAmp)"
+
+  /** (s1, s2) segment codes of a case index + saddle-center flag. */
+  private def msCase(idx: Column, ctr: Column): (Column, Column) = {
+    val s1 = when(idx === 1, 12).when(idx === 2, 1).when(idx === 3, 13)
+      .when(idx === 4, 14).when(idx === 5, 2)
+      .when(idx === 6, when(ctr, 12).otherwise(1))
+      .when(idx === 7, 6).when(idx === 8, 6)
+      .when(idx === 9, when(ctr, 1).otherwise(12))
+      .when(idx === 10, 2).when(idx === 11, 14).when(idx === 12, 13)
+      .when(idx === 13, 1).when(idx === 14, 12).otherwise(-1)
+    val s2 = when(idx === 6, when(ctr, 6).otherwise(14))
+      .when(idx === 9, when(ctr, 14).otherwise(6)).otherwise(-1)
+    (s1, s2)
+  }
+
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val x = (cellCol - 1) % C
+    val y = floor((cellCol - 1) / C).cast("long")
+    // corner elevations staged once per block (top-left = this cell)
+    val blk = spine(s)
+      .filter(x < C - 1 && y < spec.rows - 1)
+      .select(x.as("bx"), y.as("by"),
+        isoCol(cellCol).as("e00"), isoCol(cellCol + 1).as("e10"),
+        isoCol(cellCol + C).as("e01"), isoCol(cellCol + C + 1).as("e11"))
+    val idx = when(col("e00") > IsoL, 1).otherwise(0) +
+      when(col("e10") > IsoL, 2).otherwise(0) +
+      when(col("e01") > IsoL, 4).otherwise(0) +
+      when(col("e11") > IsoL, 8).otherwise(0)
+    val ctr = col("e00") + col("e10") + col("e01") + col("e11") > 4 * IsoL
+    val (s1, s2) = msCase(idx, ctr)
+    // endpoint coords off the code: x gets +1 on T/B midpoints, +2 on R;
+    // y gets +1 on L/R midpoints, +2 on B
+    def ex(e: Column) = col("bx") * 2 +
+      when(e === 0 || e === 2, 1).when(e === 1, 2).otherwise(0)
+    def ey(e: Column) = col("by") * 2 +
+      when(e === 1 || e === 3, 1).when(e === 2, 2).otherwise(0)
+    val a = floor(col("seg") / 4).cast("int")
+    val b = (col("seg") % 4).cast("int")
+    blk.select(col("bx"), col("by"), explode(array(s1, s2)).as("seg"))
+      .filter(col("seg") >= 0)
+      .select(col("bx"), col("by"),
+        ex(a).as("x1"), ey(a).as("y1"), ex(b).as("x2"), ey(b).as("y2"))
+      .orderBy("by", "bx", "x1", "y1", "x2", "y2")
+  }
+
+  private def q131Sql: String = {
+    val x = "((cell_id - 1) % " + C + ")"
+    val y = s"((cell_id - 1) // $C)"
+    def cs(e: String, v: Int) = s"CASE WHEN $e > $IsoL THEN $v ELSE 0 END"
+    def exS(e: String) = s"(bx * 2 + CASE WHEN $e IN (0, 2) THEN 1 " +
+      s"WHEN $e = 1 THEN 2 ELSE 0 END)"
+    def eyS(e: String) = s"(by * 2 + CASE WHEN $e IN (1, 3) THEN 1 " +
+      s"WHEN $e = 2 THEN 2 ELSE 0 END)"
+    s"""$cellsCte,
+       |blk AS (SELECT $x AS bx, $y AS by,
+       |    ${isoSql("cell_id")} AS e00, ${isoSql("cell_id + 1")} AS e10,
+       |    ${isoSql(s"cell_id + $C")} AS e01,
+       |    ${isoSql(s"cell_id + $C + 1")} AS e11
+       |  FROM cells WHERE $x < ${C - 1} AND $y < ${spec.rows - 1}),
+       |cs AS (SELECT bx, by,
+       |    ${cs("e00", 1)} + ${cs("e10", 2)} + ${cs("e01", 4)}
+       |      + ${cs("e11", 8)} AS idx,
+       |    (e00 + e10 + e01 + e11 > ${4 * IsoL}) AS ctr
+       |  FROM blk),
+       |sg0 AS (SELECT bx, by,
+       |    CASE idx WHEN 1 THEN 12 WHEN 2 THEN 1 WHEN 3 THEN 13
+       |      WHEN 4 THEN 14 WHEN 5 THEN 2
+       |      WHEN 6 THEN (CASE WHEN ctr THEN 12 ELSE 1 END)
+       |      WHEN 7 THEN 6 WHEN 8 THEN 6
+       |      WHEN 9 THEN (CASE WHEN ctr THEN 1 ELSE 12 END)
+       |      WHEN 10 THEN 2 WHEN 11 THEN 14 WHEN 12 THEN 13
+       |      WHEN 13 THEN 1 WHEN 14 THEN 12 ELSE -1 END AS s1,
+       |    CASE idx WHEN 6 THEN (CASE WHEN ctr THEN 6 ELSE 14 END)
+       |      WHEN 9 THEN (CASE WHEN ctr THEN 14 ELSE 6 END)
+       |      ELSE -1 END AS s2
+       |  FROM cs),
+       |sg AS (SELECT bx, by, s1 AS seg FROM sg0 WHERE s1 >= 0
+       |       UNION ALL SELECT bx, by, s2 FROM sg0 WHERE s2 >= 0)
+       |SELECT CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by,
+       |  CAST(${exS("(seg // 4)")} AS BIGINT) AS x1,
+       |  CAST(${eyS("(seg // 4)")} AS BIGINT) AS y1,
+       |  CAST(${exS("(seg % 4)")} AS BIGINT) AS x2,
+       |  CAST(${eyS("(seg % 4)")} AS BIGINT) AS y2
+       |FROM sg ORDER BY by, bx, x1, y1, x2, y2""".stripMargin
+  }
+
+  // ---- q132: DISTRIBUTED K-MEANS (engine/KMeans) — the learned
+  // clustering op data-curation pipelines run over document/embedding
+  // spaces (and the production shape of q52's IVF codebook fit, here as
+  // a first-class operator). Scale shape: centroids live on the driver
+  // (K·d longs), each Lloyd round is ONE pass over the point frame with
+  // the argmin as a codegen when-chain of centroid LITERALS inside the
+  // partial aggregation — K rows cross the wire per round, the points
+  // never shuffle. Exactness: centroids quantize to the integer grid
+  // every update (floor(sum/count), int64 both engines), distances stay
+  // integer, ties break to the lowest centroid id — so the oracle,
+  // which unrolls the SAME fixed rounds as chained CTEs (the q129
+  // pattern: argmin via ROW_NUMBER, re-center via SUM // COUNT, empty
+  // clusters keep their centroid via a COALESCE left join), agrees
+  // bit-for-bit, converged or not. Fixture: 2000 points in 6 separated
+  // blobs (spacing 160, jitter ±40), inits offset (-40,-40) from the
+  // true centers so the rounds genuinely move; KMeansSpec proves the
+  // fit equals a scalar Lloyd replica, recovers the generator's
+  // clusters exactly, and has converged by the contract rounds. ------------
+  private val KmN = 2000L
+  private val KmK = 6
+  private val KmRounds = 4
+  private[queries] val KmInit: Seq[(Int, Long, Long)] =
+    (0 until KmK).map(k => (k, (k % 3) * 160L + 40, (k / 3) * 160L + 40))
+
+  private[queries] def kmPointsFixture(s: SparkSession): DataFrame = {
+    val i = col("id") + 1
+    val g = World.h2Col(i * 3) % KmK
+    s.range(0, KmN).select(i.as("pid"),
+      ((g % 3) * 160 + 80 + World.h2Col(i * 5 + 1) % 81 - 40).as("px"),
+      (floor(g / 3).cast("long") * 160 + 80 +
+        World.h2Col(i * 5 + 2) % 81 - 40).as("py"))
+  }
+
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val pts = kmPointsFixture(s)
+    val cents = graft.engine.KMeans.fit(pts, KmInit, KmRounds)
+    def coord(sel: ((Int, Long, Long)) => Long): Column =
+      cents.tail.foldLeft(
+        when(col("cluster") === cents.head._1, lit(sel(cents.head)))) {
+        case (c, t) => c.when(col("cluster") === t._1, lit(sel(t)))
+      }.cast("long")
+    pts.select(col("pid").as("point_id"),
+        graft.engine.KMeans.assign(cents).as("cluster"))
+      .select(col("point_id"), col("cluster"),
+        coord(_._2).as("cx"), coord(_._3).as("cy"))
+      .orderBy("point_id")
+  }
+
+  private def q132Sql: String = {
+    val rounds = (1 to KmRounds).map { r =>
+      s"""d$r AS (SELECT p.pid, p.px, p.py, c.k,
+         |    (p.px - c.cx) * (p.px - c.cx)
+         |      + (p.py - c.cy) * (p.py - c.cy) AS d2
+         |  FROM pts p CROSS JOIN c${r - 1} c),
+         |a$r AS (SELECT pid, px, py, k FROM (SELECT d$r.*,
+         |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, k) AS rn
+         |  FROM d$r) WHERE rn = 1),
+         |n$r AS (SELECT k, SUM(px) // COUNT(*) AS cx,
+         |    SUM(py) // COUNT(*) AS cy
+         |  FROM a$r GROUP BY k),
+         |c$r AS (SELECT p.k, COALESCE(n.cx, p.cx) AS cx,
+         |    COALESCE(n.cy, p.cy) AS cy
+         |  FROM c${r - 1} p LEFT JOIN n$r n ON n.k = p.k)""".stripMargin
+    }.mkString(",\n")
+    val inits = KmInit.map { case (k, x, y) => s"($k, $x, $y)" }.mkString(", ")
+    s"""WITH pts0 AS (SELECT r.range + 1 AS pid,
+       |    ${h2Sql("(r.range + 1) * 3")} % $KmK AS g FROM range($KmN) r),
+       |pts AS (SELECT pid,
+       |    (g % 3) * 160 + 80 + ${h2Sql("pid * 5 + 1")} % 81 - 40 AS px,
+       |    (g // 3) * 160 + 80 + ${h2Sql("pid * 5 + 2")} % 81 - 40 AS py
+       |  FROM pts0),
+       |c0(k, cx, cy) AS (VALUES $inits),
+       |$rounds,
+       |fd AS (SELECT p.pid, c.k,
+       |    (p.px - c.cx) * (p.px - c.cx)
+       |      + (p.py - c.cy) * (p.py - c.cy) AS d2
+       |  FROM pts p CROSS JOIN c$KmRounds c),
+       |fa AS (SELECT pid, k FROM (SELECT fd.*,
+       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, k) AS rn
+       |  FROM fd) WHERE rn = 1)
+       |SELECT a.pid AS point_id, CAST(a.k AS INT) AS cluster,
+       |  CAST(c.cx AS BIGINT) AS cx, CAST(c.cy AS BIGINT) AS cy
+       |FROM fa a JOIN c$KmRounds c ON c.k = a.k
+       |ORDER BY point_id""".stripMargin
   }
 }

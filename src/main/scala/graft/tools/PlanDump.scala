@@ -39,7 +39,14 @@ object PlanDump {
     "q113_polygon_metrics", "q114_gapfill_locf", "q116_weighted_sample",
     "q117_skyline", "q118_group_trend", "q120_idw_interpolate",
     "q121_triangle_count", "q123_line_rasterize", "q124_bm25_topk",
-    "q125_funnel", "q126_flow_dir")
+    "q125_funnel", "q126_flow_dir", "q130_image_flip", "q131_contour",
+    "q132_kmeans", "q133_scd2_apply")
+  // q132's dumped plan is the FINAL assignment projection — the
+  // audit-worthy shape (argmin as a when-chain of fitted centroid
+  // literals, no join, no extra exchange); the per-round fit jobs run
+  // driver-side like q88/q109's refinement passes and share the same
+  // one-partial-aggregated-exchange shape, documented in KMeans's
+  // header and pinned by KMeansSpec.
   // q122 is omitted like q115/q119: each MinPlus round ends in a
   // Checkpoint.truncate, so the registered plan is a scan of the final
   // checkpointed distances — the per-round shape (edge join, then ONE
@@ -69,6 +76,11 @@ object PlanDump {
   // q119 is omitted for the same reason (the Components min-label loop
   // checkpoints, like q56/q78): the registered plan would show only the
   // final hot-join-labels aggregate over a checkpoint scan.
+  // q129 is omitted for the same reason (Simplify.dpRounds truncates
+  // every other split round): the per-round shape — one
+  // partial-aggregated argmax exchange + a broadcast winners join, the
+  // vertex frame itself never exchanged — is documented in Simplify's
+  // header and pinned by SimplifySpec's convergence-vs-scalar-DP test.
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -684,4 +684,53 @@ class GraphGeoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got.map(_._3).sum < 64.0 * 96.0, "areas exceed the grid")
   }
+
+  // ---- q131 marching-squares contour ----------------------------------------
+
+  test("q131 endpoints equal the scalar crossing-edge set (degree 2 " +
+    "interior / 1 on the domain boundary) and saddles resolve both ways") {
+    val (c, rows) = (96, 64)
+    val (b, cx, level, amp) = (8L, 13L, 128000L, 40000L)
+    // scalar replica of the q131 surface: bilinear terrain + roughness
+    def iso(x: Long, y: Long): Long = {
+      def corner(i: Long, j: Long): Long =
+        World.h2(((y / b + j) * cx + x / b + i) * 53 + 11) % 4000
+      val (fx, fy) = (x % b, y % b)
+      (b - fx) * (b - fy) * corner(0, 0) + fx * (b - fy) * corner(1, 0) +
+        (b - fx) * fy * corner(0, 1) + fx * fy * corner(1, 1) +
+        World.h2((y * c + x + 1) * 29 + 5) % amp
+    }
+    def in(x: Long, y: Long): Boolean = iso(x, y) > level
+    // expected endpoint degrees, computed WITHOUT the case table: a
+    // contour crosses an edge iff its two corners straddle the level;
+    // an interior crossing edge is shared by two blocks (degree 2), a
+    // domain-boundary one by a single block (degree 1)
+    val expect = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (y <- 0L until rows; x <- 0L until (c - 1)
+         if in(x, y) != in(x + 1, y))
+      expect((2 * x + 1, 2 * y)) =
+        if (y == 0 || y == rows - 1) 1 else 2
+    for (y <- 0L until (rows - 1); x <- 0L until c
+         if in(x, y) != in(x, y + 1))
+      expect((2 * x, 2 * y + 1)) =
+        if (x == 0 || x == c - 1) 1 else 2
+    val segs = SparkEntry.queries("q131_contour")(spark, "unused")
+      .collect().map(r => ((r.getLong(2), r.getLong(3)),
+        (r.getLong(4), r.getLong(5))))
+    val got = segs.flatMap { case (p1, p2) => Seq(p1, p2) }
+      .groupBy(identity).map { case (p, v) => p -> v.length }
+    assert(got == expect.toMap, "endpoint degree multiset mismatch")
+    assert(segs.forall { case (p1, p2) => p1 != p2 }, "degenerate segment")
+    // the roughness term exists to exercise the saddle rule: all four
+    // (case 6/9 x center-in/out) resolutions must occur on the fixture
+    val saddles = for {
+      y <- 0L until (rows - 1); x <- 0L until (c - 1)
+      e = Seq(in(x, y), in(x + 1, y), in(x, y + 1), in(x + 1, y + 1))
+      idx = e.zipWithIndex.map { case (v, i) => if (v) 1 << i else 0 }.sum
+      if idx == 6 || idx == 9
+    } yield (idx, iso(x, y) + iso(x + 1, y) + iso(x, y + 1) +
+      iso(x + 1, y + 1) > 4 * level)
+    assert(saddles.toSet.size == 4,
+      s"fixture covers only ${saddles.toSet} saddle resolutions")
+  }
 }

@@ -1278,4 +1278,41 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("NestedLoop"), s"degenerated to a BNLJ:\n$plan")
     assert(!plan.contains("Cartesian"), s"degenerated to a cross:\n$plan")
   }
+
+  test("q133 SCD2 intervals tile per entity (no overlap, closed by the " +
+    "next change), deletes close without reopening, one current row max") {
+    val sentinel = 9999999999L
+    val rows = SparkEntry.queries("q133_scd2_apply")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // scalar replica of the change log, to know where the deletes are
+    val log = (0L until 4000L).map { r =>
+      (r % 100 + 1, (r / 100) * 100 + World.h2(r * 7 + 1) % 90,
+        World.h2(r * 11 + 3) % 8 == 0)
+    }
+    rows.groupBy(_._1).foreach { case (ent, ivs) =>
+      val sorted = ivs.sortBy(_._2)
+      sorted.foreach { case (_, from, to, _, cur) =>
+        assert(from < to, s"empty interval on entity $ent")
+        assert(cur == (to == sentinel), s"is_current drift on $ent")
+      }
+      // intervals never overlap; gaps appear exactly at deletes
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1, _, _), (_, from2, _, _, _)) =>
+          assert(to1 <= from2, s"overlapping intervals on entity $ent")
+        case _ =>
+      }
+      assert(sorted.count(_._5) <= 1, s"multiple current rows on $ent")
+      // an entity whose last change is a delete has NO current row
+      val lastIsDelete = log.filter(_._1 == ent).maxBy(_._2)._3
+      assert(sorted.exists(_._5) == !lastIsDelete,
+        s"current-row rule broken on entity $ent")
+    }
+    // the fixture must exercise the delete-last case somewhere
+    val deleteLast = log.groupBy(_._1).values.count(_.maxBy(_._2)._3)
+    assert(deleteLast > 0, "fixture degenerate: no entity ends deleted")
+    // and every upsert row surfaces exactly once
+    assert(rows.length == log.count(!_._3))
+  }
 }
