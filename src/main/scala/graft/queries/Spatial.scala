@@ -72,7 +72,9 @@ object Spatial {
     Q("q129_line_simplify", q129, Some(q129Sql)),
     Q("q130_image_flip", q130, Some(q130Sql)),
     Q("q131_contour", q131, Some(q131Sql)),
-    Q("q132_kmeans", q132, Some(q132Sql))
+    Q("q132_kmeans", q132, Some(q132Sql)),
+    Q("q134_chi2_rank", q134, Some(q134Sql)),
+    Q("q135_border_detect", q135, Some(q135Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2847,5 +2849,161 @@ object Spatial {
        |  CAST(c.cx AS BIGINT) AS cx, CAST(c.cy AS BIGINT) AS cy
        |FROM fa a JOIN c$KmRounds c ON c.k = a.k
        |ORDER BY point_id""".stripMargin
+  }
+
+  // ---- q134: CHI-SQUARED FEATURE RANKING — the filter-method feature
+  // selection a pipeline runs BEFORE a model fit (the cheap screen over
+  // the reference's 85 predictors; q33's CART importance is the
+  // model-based twin). Per feature: bin the value, contingency-table it
+  // against the training class, chi2 = sum over the DENSE bin x class
+  // grid of (O*T - R*C)^2 / (R*C*T) — including O=0 cells, the textbook
+  // definition. Scale shape: the only data-sized exchange is ONE
+  // partial-aggregated count on (feature, bin, class) — the explode
+  // multiplies rows x F but each task collapses to <= F*bins*classes
+  // rows before the shuffle, and everything downstream (dense grid,
+  // marginals, ranking) runs on that bounded frame, independent of the
+  // input row count. Exactness: every chi2 term is floored to
+  // CENTI-units with int64 `div` ((O*T-R*C)^2*100 div R*C*T, max ~2e12,
+  // no overflow), so the per-feature SUM is an order-free integer sum
+  // and ranks cannot drift cross-engine. Fixture: 10 features over the
+  // training cells — f0 planted STRONG (class-disjoint value bands),
+  // f1 planted WEAK (small per-class shift), f2-f9 pure noise;
+  // Chi2Spec proves the ranking equals a scalar replica and the
+  // planted features surface. ----------------------------------------------
+  private val ChiF = 10
+
+  private def chiFeat(b: Int): Column =
+    if (b == 0) (col("cls") * 36 + hc(cellCol * 17) % 36) % 256
+    else if (b == 1) (col("cls") * 32 + hc(cellCol * 17 + 1) % 224) % 256
+    else hc(cellCol * 17 + b) % 256
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tr = spine(s).select(cellCol, trainCol(cellCol).as("cls"))
+      .filter(col("cls") > 0)
+    val counts = tr
+      .select(col("cls"),
+        posexplode(array((0 until ChiF).map(chiFeat): _*)).as(Seq("f", "v")))
+      .groupBy(col("f"), floor(col("v") / 32).cast("long").as("bin"),
+        col("cls"))
+      .agg(count(lit(1)).as("o"))
+    val grid = counts.select("f", "bin").distinct()
+      .join(counts.select("f", "cls").distinct(), "f")
+    val dense = grid.join(counts, Seq("f", "bin", "cls"), "left")
+      .select(col("f"), col("bin"), col("cls"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val m = dense.select(col("f"), col("o"),
+      sum("o").over(Window.partitionBy("f", "bin")).as("r"),
+      sum("o").over(Window.partitionBy("f", "cls")).as("c"),
+      sum("o").over(Window.partitionBy("f")).as("t"))
+    val chi = m
+      .select(col("f"),
+        ((col("o") * col("t") - col("r") * col("c")) *
+          (col("o") * col("t") - col("r") * col("c")) * 100).as("num"),
+        (col("r") * col("c") * col("t")).as("den"))
+      .select(col("f"), expr("num DIV den").as("term"))
+      .groupBy("f").agg(sum("term").as("chi2c"))
+    chi.select(col("f").cast("int").as("feature"), col("chi2c"),
+        row_number().over(
+          Window.orderBy(col("chi2c").desc, col("f"))).as("rank"))
+      .orderBy("rank")
+  }
+
+  private def q134Sql: String = {
+    val fCase =
+      s"""CASE f.f WHEN 0 THEN (cls * 36 + ${hSql("cell_id * 17")} % 36) % 256
+         |      WHEN 1 THEN (cls * 32 + ${hSql("cell_id * 17 + 1")} % 224) % 256
+         |      ELSE ${hSql("cell_id * 17 + f.f")} % 256 END""".stripMargin
+    s"""$cellsCte,
+       |tr AS (SELECT cell_id, ${trainSql("cell_id")} AS cls FROM cells
+       |  WHERE ${trainSql("cell_id")} > 0),
+       |fv AS (SELECT cls, f.f AS f, $fCase AS v
+       |  FROM tr CROSS JOIN (SELECT r.range AS f FROM range($ChiF) r) f),
+       |cnt AS (SELECT f, v // 32 AS bin, cls, COUNT(*) AS o
+       |  FROM fv GROUP BY 1, 2, 3),
+       |grid AS (SELECT b.f, b.bin, c.cls
+       |  FROM (SELECT DISTINCT f, bin FROM cnt) b
+       |  JOIN (SELECT DISTINCT f, cls FROM cnt) c USING (f)),
+       |dense AS (SELECT g.f, g.bin, g.cls, COALESCE(cnt.o, 0) AS o
+       |  FROM grid g LEFT JOIN cnt USING (f, bin, cls)),
+       |m AS (SELECT f, o,
+       |    SUM(o) OVER (PARTITION BY f, bin) AS r,
+       |    SUM(o) OVER (PARTITION BY f, cls) AS c,
+       |    SUM(o) OVER (PARTITION BY f) AS t
+       |  FROM dense),
+       |chi AS (SELECT f,
+       |    SUM(((o * t - r * c) * (o * t - r * c) * 100) // (r * c * t))
+       |      AS chi2c
+       |  FROM m GROUP BY f)
+       |SELECT CAST(f AS INT) AS feature, CAST(chi2c AS BIGINT) AS chi2c,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY chi2c DESC, f) AS INT) AS rank
+       |FROM chi ORDER BY rank""".stripMargin
+  }
+
+  // ---- q135: LETTERBOX / BORDER DETECTION — the media-curation screen
+  // that measures constant padding margins (encoder letterboxing,
+  // scanner borders) per image so a crop or quality filter can act on
+  // them. Engine: sql/BorderStats, a one-pass per-row codegen
+  // expression over the REAL encoded payload — [top, bottom, left,
+  // right] = runs of self-equal rows/columns from each edge, early
+  // exit, value-agnostic (any pad color). ZERO shuffle beyond the
+  // fixture's own encode aggregation and the output sort. The check is
+  // end-to-end through the byte layout: the fixture ENCODES letterboxed
+  // tiles (planted per-side pads 0-4, interior = nonlinear per-cell
+  // values) via the q73-oracled Rasterize sink, the expression decodes
+  // them, and the oracle re-derives the widths from the cell FORMULAS
+  // by the same constant-line contract (MIN=MAX per row/col group) —
+  // exact because the pixel values are dyadic k/1024 doubles that
+  // survive the f32 round-trip with equality preserved both ways. NOTE
+  // the interior uses nonlinear World.h2, not lossCol: the affine World
+  // hash makes h(id)%16 = id mod 16, which zeroes entire global columns
+  // and would fake borders (measured and documented, not guessed). ---------
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val tid = tileCol(cellCol)
+    val r0 = (rowCol(cellCol) - 1) % T
+    val c0 = (colCol(cellCol) - 1) % T
+    def pad(k: Int): Column = World.h2Col(tid * 43 + k) % 5
+    val v = when(r0 < pad(1) || r0 >= lit(T) - pad(2) ||
+        c0 < pad(3) || c0 >= lit(T) - pad(4), 0.0)
+      .otherwise((World.h2Col(cellCol * 7 + 9) % 1024).cast("double") / 1024.0)
+    graft.engine.Rasterize(spec, spine(s).select(cellCol, v.as("v")), "v")
+      .select(col("tile_id").cast("long").as("tile_id"),
+        border_stats(col("bytes"), T, T).as("b"))
+      .select(col("tile_id"),
+        col("b")(0).as("pad_top"), col("b")(1).as("pad_bottom"),
+        col("b")(2).as("pad_left"), col("b")(3).as("pad_right"))
+      .orderBy("tile_id")
+  }
+
+  private def q135Sql: String = {
+    val r0 = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c0 = s"(((cell_id - 1) % $C) % $T)"
+    val tid = tileSql("cell_id")
+    def pad(k: Int) = s"(${h2Sql(s"$tid * 43 + $k")} % 5)"
+    s"""$cellsCte,
+       |px AS (SELECT $tid AS tile_id, $r0 AS r, $c0 AS c,
+       |    CASE WHEN $r0 < ${pad(1)} OR $r0 >= $T - ${pad(2)}
+       |      OR $c0 < ${pad(3)} OR $c0 >= $T - ${pad(4)} THEN 0.0
+       |      ELSE (${h2Sql("cell_id * 7 + 9")} % 1024) / 1024.0 END AS v
+       |  FROM cells),
+       |rw AS (SELECT tile_id, r, (MIN(v) = MAX(v)) AS cst
+       |  FROM px GROUP BY 1, 2),
+       |cl AS (SELECT tile_id, c, (MIN(v) = MAX(v)) AS cst
+       |  FROM px GROUP BY 1, 2),
+       |tb AS (SELECT tile_id,
+       |    COALESCE(MIN(CASE WHEN NOT cst THEN r END), $T) AS pad_top,
+       |    COALESCE($T - 1 - MAX(CASE WHEN NOT cst THEN r END), $T)
+       |      AS pad_bottom
+       |  FROM rw GROUP BY 1),
+       |lr AS (SELECT tile_id,
+       |    COALESCE(MIN(CASE WHEN NOT cst THEN c END), $T) AS pad_left,
+       |    COALESCE($T - 1 - MAX(CASE WHEN NOT cst THEN c END), $T)
+       |      AS pad_right
+       |  FROM cl GROUP BY 1)
+       |SELECT tb.tile_id,
+       |  CAST(pad_top AS INT) AS pad_top, CAST(pad_bottom AS INT) AS pad_bottom,
+       |  CAST(pad_left AS INT) AS pad_left, CAST(pad_right AS INT) AS pad_right
+       |FROM tb JOIN lr ON lr.tile_id = tb.tile_id
+       |ORDER BY tb.tile_id""".stripMargin
   }
 }

@@ -683,6 +683,59 @@ object Mirror {
   }
 }
 
+/** Letterbox / pillarbox border detection over band 0 of an f32 tile
+  * payload — the media-curation screen that finds constant padding
+  * margins (encoder letterboxing, scanner borders) before a crop or a
+  * quality filter. Returns [top, bottom, left, right]: the number of
+  * consecutive CONSTANT rows from each horizontal edge and constant
+  * columns from each vertical edge (an all-constant tile reads
+  * [h, h, w, w]). The contract is value-agnostic — a border is a run
+  * of self-equal lines, whatever the pad color. Float equality is IEEE
+  * `==`, so a NaN-bearing line is never constant (NaN != NaN) — the
+  * conservative reading for a detector. One pass per edge with early
+  * exit, one static call inside whole-stage codegen. */
+case class BorderStats(child: Expression, w: Int, h: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(bytes: Any): Any =
+    BorderStats.eval(bytes.asInstanceOf[Array[Byte]], w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = BorderStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $w, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BorderStats {
+  def eval(bytes: Array[Byte], w: Int, h: Int): ArrayData = {
+    @inline def px(r: Int, c: Int): Float = Codec.floatAt(bytes, r * w + c)
+    def rowConst(r: Int): Boolean = {
+      val v = px(r, 0)
+      var c = 1
+      while (c < w) { if (px(r, c) != v) return false; c += 1 }
+      true
+    }
+    def colConst(c: Int): Boolean = {
+      val v = px(0, c)
+      var r = 1
+      while (r < h) { if (px(r, c) != v) return false; r += 1 }
+      true
+    }
+    val out = new Array[Int](4)
+    while (out(0) < h && rowConst(out(0))) out(0) += 1
+    while (out(1) < h && rowConst(h - 1 - out(1))) out(1) += 1
+    while (out(2) < w && colConst(out(2))) out(2) += 1
+    while (out(3) < w && colConst(w - 1 - out(3))) out(3) += 1
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** 3x3 focal (stencil) statistics over ONE tile's halo-padded patch —
   * the per-tile compute half of distributed focal map algebra (the
   * raster `focal()` family the reference's toolchain applies around
@@ -1628,6 +1681,10 @@ object GraftFunctions {
   /** Flip/rotate band 0 of an f32 payload (0=flipH, 1=flipV, 2=rot180). */
   def mirror(bytes: Column, w: Int, h: Int, mode: Int): Column =
     column(Mirror(expression(bytes), w, h, mode))
+
+  /** [top, bottom, left, right] constant-border widths of band 0. */
+  def border_stats(bytes: Column, w: Int, h: Int): Column =
+    column(BorderStats(expression(bytes), w, h))
 
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =

@@ -779,6 +779,46 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the mirror PROJECT node is not codegen'd:\n$plan")
   }
 
+  test("q135 border widths equal the planted letterbox pads on every " +
+    "tile; BorderStats handles all-constant and NaN payloads; codegen") {
+    import graft.sql.GraftFunctions.border_stats
+    // scalar planted pads (the fixture formula)
+    def pads(tid: Long): (Int, Int, Int, Int) = {
+      def p(k: Int) = (World.h2(tid * 43 + k) % 5).toInt
+      (p(1), p(2), p(3), p(4))
+    }
+    val got = SparkEntry.queries("q135_border_detect")(spark, "unused")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.length == 24)
+    got.foreach { case (tid, m) =>
+      assert(m == pads(tid), s"tile $tid measured $m planted ${pads(tid)}")
+    }
+    // fixture nondegeneracy: every pad width 0-4 occurs somewhere
+    val widths = got.flatMap { case (_, (a, b, c, d)) => Seq(a, b, c, d) }
+    assert(widths.distinct.sorted.toSeq == (0 to 4), "pads not exercised")
+    // contract edges: an all-constant tile reads [h,h,w,w]; a NaN line
+    // is never constant (NaN != NaN), the conservative detector reading
+    val t = spec.tile
+    val const = graft.core.Codec.encodeF32(
+      Array(Array.fill(t * t)(3.5f)))
+    assert(graft.sql.BorderStats.eval(const, t, t).toIntArray.toSeq ==
+      Seq(t, t, t, t))
+    val withNaN = Array.fill(t * t)(0.0f)
+    withNaN(5) = Float.NaN
+    assert(graft.sql.BorderStats.eval(
+      graft.core.Codec.encodeF32(Array(withNaN)), t, t).toIntArray.toSeq ==
+      Seq(0, t - 1, 5, t - 6), "NaN row/col must read non-constant")
+    val plan = World.tilesDF(spark, spec)
+      .select(col("tile_id"), border_stats(col("bytes"), t, t).as("b"))
+      .filter(col("tile_id") >= 0)
+      .queryExecution.executedPlan.toString
+    val line = plan.linesIterator
+      .find(_.toLowerCase.contains("borderstats")).getOrElse("")
+    assert(line.trim.startsWith("*("),
+      s"the border-stats PROJECT node is not codegen'd:\n$plan")
+  }
+
   test("hammingPairs (4x16-bit pigeonhole banding, q77) equals brute " +
     "force at maxDist 3, including a 3-shared-band candidate the exact " +
     "verify must reject and a sign-bit-band match") {
@@ -1277,6 +1317,45 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"degenerated to a BNLJ:\n$plan")
     assert(!plan.contains("Cartesian"), s"degenerated to a cross:\n$plan")
+  }
+
+  test("q134 chi2 ranking equals the scalar dense-grid replica and the " +
+    "planted features outrank the noise") {
+    def h(k: Long): Long = World.h(k)
+    // training cells + the 10 q134 features, scalar-side
+    val cells = (1L to 6144L).filter(id => h(id * 13) % 64 < 4)
+      .map(id => id -> (h(id * 13 + 1) % 7 + 1))
+    def fv(id: Long, cls: Long, b: Int): Long =
+      if (b == 0) (cls * 36 + h(id * 17) % 36) % 256
+      else if (b == 1) (cls * 32 + h(id * 17 + 1) % 224) % 256
+      else h(id * 17 + b) % 256
+    val chi2 = (0 until 10).map { b =>
+      val obs = cells.groupBy { case (id, cls) => (fv(id, cls, b) / 32, cls) }
+        .view.mapValues(_.size.toLong).toMap
+      // toSeq before the comprehension: a for over Sets yields a Set,
+      // which would collapse equal chi2 terms before the sum
+      val bins = obs.keySet.map(_._1).toSeq
+      val clss = obs.keySet.map(_._2).toSeq
+      val t = cells.size.toLong
+      val terms = for (bin <- bins; cls <- clss) yield {
+        val o = obs.getOrElse((bin, cls), 0L)
+        val r = clss.toSeq.map(c => obs.getOrElse((bin, c), 0L)).sum
+        val c = bins.toSeq.map(x => obs.getOrElse((x, cls), 0L)).sum
+        (o * t - r * c) * (o * t - r * c) * 100 / (r * c * t)
+      }
+      b -> terms.sum
+    }
+    val ranked = chi2.sortBy { case (f, x) => (-x, f) }
+      .zipWithIndex.map { case ((f, x), i) => (f, x, i + 1) }
+    val got = SparkEntry.queries("q134_chi2_rank")(spark, "unused")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == ranked, "chi2 ranking mismatch vs scalar replica")
+    // planted structure: strong signal first, and both planted features
+    // strictly above every pure-noise feature
+    assert(got.head._1 == 0, "strong planted feature not ranked first")
+    val noiseMax = chi2.filter(_._1 >= 2).map(_._2).max
+    assert(chi2(0)._2 > noiseMax && chi2(1)._2 > noiseMax,
+      "planted features do not outrank the noise")
   }
 
   test("q133 SCD2 intervals tile per entity (no overlap, closed by the " +
