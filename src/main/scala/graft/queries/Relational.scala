@@ -74,7 +74,10 @@ object Relational {
     Q("q118_group_trend", q118, Some(q118Sql)),
     Q("q121_triangle_count", q121, Some(q121Sql)),
     Q("q125_funnel", q125, Some(q125Sql)),
-    Q("q133_scd2_apply", q133, Some(q133Sql))
+    Q("q133_scd2_apply", q133, Some(q133Sql)),
+    Q("q136_cube_report", q136, Some(q136Sql)),
+    Q("q137_transitions", q137, Some(q137Sql)),
+    Q("q138_retention", q138, Some(q138Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1376,4 +1379,102 @@ object Relational {
       |LEFT JOIN s2 ON u.user_id = s2.user_id
       |LEFT JOIN s3 ON u.user_id = s3.user_id
       |ORDER BY u.user_id""".stripMargin
+
+  // --- q136: CUBE / GROUPING SETS — the full-lattice companion of
+  // q107's rollup (region->nation is a HIERARCHY, so rollup; market
+  // segment x order year are INDEPENDENT dimensions, so every subtotal
+  // combination is wanted). Same engine economics as q107: Catalyst
+  // plans cube() as ONE Expand (2^L level replicas) into ONE partial
+  // aggregation — the four grouping sets cost one shuffle total, and
+  // with dimension-like keys the replicas collapse in the map-side hash
+  // before the exchange. grouping() flags disambiguate levels (a NULL
+  // dimension value could be data); aggregates are count + BIGINT sum,
+  // order-free, exact. -------------------------------------------------------
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      // the year is materialized as a plain column BEFORE the cube:
+      // grouping() resolves grouping COLUMNS only — an aliased
+      // expression inside cube() is invisible to it (analyzer rejects
+      // both the alias and the re-stated expression)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .cube(col("c_mktsegment"), col("o_year"))
+      .agg(grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("o_year")).cast("int").as("g_year"),
+        count(lit(1)).as("n_orders"),
+        sum("o_orderkey").as("sum_okey"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_year"), lit(-1)).cast("int").as("o_year"),
+        col("g_seg"), col("g_year"), col("n_orders"), col("sum_okey"))
+      .orderBy("g_seg", "g_year", "segment", "o_year")
+
+  private val q136Sql =
+    """SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+      |  CAST(COALESCE(EXTRACT(year FROM o_orderdate), -1) AS INT) AS o_year,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+      |  CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INT) AS g_year,
+      |  COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, EXTRACT(year FROM o_orderdate))
+      |ORDER BY g_seg, g_year, segment, o_year""".stripMargin
+
+  // --- q137: EVENT TRANSITION COUNTS — the first-order Markov view of
+  // the event stream (what follows what, per user, in event time): the
+  // behavioral-analytics primitive behind next-action prediction and
+  // funnel discovery (q125 checks ONE ordered pattern; this counts ALL
+  // adjacent pairs). One window over (user_id, ts, event_id) = ONE
+  // exchange on the user key, then a partial-aggregated count on the
+  // (src, dst) pair — the transition matrix is |types|^2 rows no matter
+  // the input size. event_id breaks any equal-ts tie identically in
+  // both engines. ------------------------------------------------------------
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .select(col("src"), lead("src", 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+  }
+
+  private val q137Sql =
+    """WITH x AS (SELECT event_type AS src, LEAD(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events)
+      |SELECT src, dst, COUNT(*) AS n FROM x WHERE dst IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q138: RETENTION COHORTS — the classic cohort x week-offset
+  // activity matrix: users grouped by first-seen week, counted distinct
+  // in each later week. Weeks are integer epoch // 604800 on both
+  // sides (DATE_TRUNC-style calendar weeks differ cross-engine on week
+  // start; the epoch bucket is the pinned contract). Two exchanges:
+  // the per-user MIN(ts) aggregation, and the (cohort, offset)
+  // count-distinct — both partial-aggregated; the join of first-week
+  // back onto events broadcasts the per-user frame (users << events).
+  // Counts are exact integers. The deterministic thinning filter exists
+  // because the raw synthetic stream has every user active every week
+  // (a constant cohort matrix proves nothing); thinned, the fixture
+  // yields 4 cohorts with decaying per-offset retention. ---------------------
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val wk = (c: Column) => floor(unix_timestamp(c) / 604800).cast("long")
+    val ev = t(s, dir, "events")
+      .filter((col("event_id") * 13 + col("user_id") * 7) % 19 === 0)
+      .select(col("user_id"), wk(col("ts")).as("w"))
+    val first = ev.groupBy("user_id").agg(min("w").as("w0"))
+    ev.join(broadcast(first), "user_id")
+      .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  private val q138Sql =
+    """WITH ev AS (SELECT user_id,
+      |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS w FROM events
+      |  WHERE (event_id * 13 + user_id * 7) % 19 = 0),
+      |f AS (SELECT user_id, MIN(w) AS w0 FROM ev GROUP BY 1)
+      |SELECT f.w0 AS cohort_week, ev.w - f.w0 AS "offset",
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN f ON ev.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
