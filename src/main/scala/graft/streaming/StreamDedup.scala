@@ -424,6 +424,66 @@ object StreamDedup {
     else Iterator.empty
   }
 
+  /** One CDC change (streaming twin of the batch q133 input rows). */
+  final case class CdcEv(entity_id: Long, ts: java.sql.Timestamp,
+      op: String, value: Long)
+
+  /** A CLOSED SCD2 history row: [valid_from, valid_to) epoch seconds. */
+  final case class Scd2Row(entity_id: Long, valid_from: Long,
+      valid_to: Long, value: Long)
+
+  /** Per-entity state: the currently-open interval (fromMs = -1 when
+    * none) plus the buffer of changes not yet behind the watermark
+    * (tsMs, isUpsert, value). */
+  final case class Scd2State(fromMs: Long, value: Long,
+      buf: Seq[(Long, Boolean, Long)])
+
+  /** Incremental SCD2 apply (streaming twin of batch q133): a CDC
+    * stream of upserts/deletes folds into dimension HISTORY rows —
+    * each upsert opens an interval, the next change of any kind closes
+    * it, and the CLOSED row is emitted append-only. The open interval
+    * is unemittable in a stream (its valid_to would need retraction),
+    * so it lives in state until a later change closes it — batch
+    * q133's is_current rows are exactly the ones a stream never emits.
+    *
+    * Disorder handling is the funnel discipline: changes BUFFER in
+    * state until the watermark passes them, then fold in ascending
+    * event-time order, so the emitted history is insensitive to any
+    * arrival disorder within the horizon, and the event-time timeout
+    * re-arms at the oldest buffered change so buffers fold
+    * progressively as the watermark advances. State per entity: one
+    * open interval + a disorder-bounded buffer. */
+  def scd2ByEntity(changes: DataFrame,
+      watermark: String = "1 hour"): Dataset[Scd2Row] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    changes
+      .withWatermark("ts", watermark)
+      .select(col("entity_id"), col("ts"), col("op"), col("value"))
+      .as[CdcEv]
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(foldScd2)
+  }
+
+  private def foldScd2(entity: Long, rows: Iterator[CdcEv],
+      state: GroupState[Scd2State]): Iterator[Scd2Row] = {
+    val prev = state.getOption.getOrElse(Scd2State(-1L, 0L, Nil))
+    val arrived = rows.map(e => (e.ts.getTime, e.op == "U", e.value)).toSeq
+    val wm = state.getCurrentWatermarkMs()
+    val (ripe, hold) = (prev.buf ++ arrived).partition(_._1 <= wm)
+    var from = prev.fromMs
+    var value = prev.value
+    val out = Seq.newBuilder[Scd2Row]
+    ripe.sortBy(_._1).foreach { case (tsMs, isU, v) =>
+      if (from >= 0) out += Scd2Row(entity, from / 1000, tsMs / 1000, value)
+      if (isU) { from = tsMs; value = v } else { from = -1L; value = 0L }
+    }
+    state.update(Scd2State(from, value, hold))
+    if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min + 1)
+    out.result().iterator
+  }
+
   /** Watermarked event-time quality windows (the q42 stats, streaming):
     * per window, document count, mean token count, and the share of
     * quality-passing docs. */

@@ -728,4 +728,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the restarted query must match against the PRE-restart keeper " +
         s"signature state, got dup_of=${got(42L)}")
   }
+
+  test("streaming SCD2 apply folds a disordered CDC stream into exactly " +
+    "the batch rule's CLOSED intervals; deletes close without reopening") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamDedup.CdcEv]
+    def ev(e: Long, min: Int, op: String, v: Long) =
+      StreamDedup.CdcEv(e, ts(min), op, v)
+    val q = StreamDedup.scd2ByEntity(in.toDF())
+      .writeStream.format("memory").queryName("g_scd2")
+      .outputMode("append").start()
+    try {
+      // deliberately disordered within the 1h horizon: e1's second
+      // upsert and delete arrive a batch before its FIRST upsert
+      in.addData(ev(1, 5, "U", 11), ev(1, 9, "D", 0),
+        ev(2, 4, "D", 0), ev(3, 1, "D", 0))
+      q.processAllAvailable()
+      in.addData(ev(1, 0, "U", 10), ev(1, 12, "U", 13),
+        ev(2, 2, "U", 20), ev(3, 3, "U", 30))
+      q.processAllAvailable()
+      // watermark dance (the funnel discipline): deletes on an idle
+      // entity push the watermark without opening anything
+      Seq(70, 71).foreach { m =>
+        in.addData(ev(99, m, "D", 0)); q.processAllAvailable()
+      }
+      def rows() = spark.table("g_scd2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val sec = (m: Int) => (Base + m * 60000L) / 1000
+      // stage 1 (wm = 10 min): everything at/below 10 min has folded —
+      // e1's two closed intervals and e2's delete-closed one; e1's
+      // upsert@12 is still buffered, e3's lone upsert stays open forever
+      val closed = Set(
+        (1L, sec(0), sec(5), 10L), (1L, sec(5), sec(9), 11L),
+        (2L, sec(2), sec(4), 20L))
+      assert(rows() == closed, s"stage-1 closed set: ${rows()}")
+      Seq(130, 131).foreach { m =>
+        in.addData(ev(99, m, "D", 0)); q.processAllAvailable()
+      }
+      // e1's upsert@12 folded (wm = 71 min) but only OPENED an interval
+      // — append mode must never emit an open row
+      assert(rows() == closed,
+        s"open intervals must not be emitted: ${rows()}")
+    } finally q.stop()
+  }
 }
