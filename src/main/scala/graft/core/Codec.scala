@@ -165,7 +165,15 @@ object Codec {
   /** Decode dispatch on the table's `fmt` column. */
   def decodeBand(fmt: String, bytes: Array[Byte], nPixels: Int, band: Int): Array[Float] =
     fmt match {
-      case "f32" => decodeF32Band(bytes, nPixels, band)
+      case "f32" =>
+        // nPixels = -1: derive the length from the payload (single-band
+        // only — nPixels is the band stride, so multi-band payloads
+        // need it explicit). The variable-size decode path for ops
+        // whose output dims are data-dependent (q139 autocrop).
+        require(nPixels >= 0 || band == 0,
+          "derived-length decode is single-band; pass nPixels for bands")
+        decodeF32Band(bytes, if (nPixels < 0) bytes.length / 4 else nPixels,
+          band)
       case "png16" =>
         require(band == 0, "png16 payloads are single-band")
         decodePng16(bytes)

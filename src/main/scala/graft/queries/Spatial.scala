@@ -74,7 +74,8 @@ object Spatial {
     Q("q131_contour", q131, Some(q131Sql)),
     Q("q132_kmeans", q132, Some(q132Sql)),
     Q("q134_chi2_rank", q134, Some(q134Sql)),
-    Q("q135_border_detect", q135, Some(q135Sql))
+    Q("q135_border_detect", q135, Some(q135Sql)),
+    Q("q139_autocrop", q139, Some(q139Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -2958,7 +2959,10 @@ object Spatial {
   // the interior uses nonlinear World.h2, not lossCol: the affine World
   // hash makes h(id)%16 = id mod 16, which zeroes entire global columns
   // and would fake borders (measured and documented, not guessed). ---------
-  private def q135(s: SparkSession, dir: String): DataFrame = {
+  /** The letterboxed fixture tiles shared by q135 (detect) and q139
+    * (crop): planted per-side pads 0-4, nonlinear-h2 interior, encoded
+    * through the q73-oracled Rasterize sink. */
+  private def letterboxTiles(s: SparkSession): DataFrame = {
     val tid = tileCol(cellCol)
     val r0 = (rowCol(cellCol) - 1) % T
     val c0 = (colCol(cellCol) - 1) % T
@@ -2967,13 +2971,16 @@ object Spatial {
         c0 < pad(3) || c0 >= lit(T) - pad(4), 0.0)
       .otherwise((World.h2Col(cellCol * 7 + 9) % 1024).cast("double") / 1024.0)
     graft.engine.Rasterize(spec, spine(s).select(cellCol, v.as("v")), "v")
+  }
+
+  private def q135(s: SparkSession, dir: String): DataFrame =
+    letterboxTiles(s)
       .select(col("tile_id").cast("long").as("tile_id"),
         border_stats(col("bytes"), T, T).as("b"))
       .select(col("tile_id"),
         col("b")(0).as("pad_top"), col("b")(1).as("pad_bottom"),
         col("b")(2).as("pad_left"), col("b")(3).as("pad_right"))
       .orderBy("tile_id")
-  }
 
   private def q135Sql: String = {
     val r0 = s"((${rowSql("cell_id")} - 1) % $T)"
@@ -3005,5 +3012,45 @@ object Spatial {
        |  CAST(pad_left AS INT) AS pad_left, CAST(pad_right AS INT) AS pad_right
        |FROM tb JOIN lr ON lr.tile_id = tb.tile_id
        |ORDER BY tb.tile_id""".stripMargin
+  }
+
+  // ---- q139: AUTOCROP — act on q135's detection (the flag/rewrite
+  // pairing q70/q71 gave spans, applied to images): sql/AutoCrop strips
+  // the detected constant border from band 0 and re-encodes the REAL
+  // cropped payload — variable dims per image, decoded back via the
+  // derived-length decode (nPixels = -1) so the check reads every
+  // post-crop pixel. Crop bounds come from the SAME constant-line
+  // detector as q135 (the two expressions share BorderStats.eval), so
+  // the oracle can re-derive them from the planted-pad formulas —
+  // q135's green row is the proof the detector equals the formulas on
+  // this fixture — and emit the interior cells re-indexed to post-crop
+  // row-major positions. Any off-by-one in crop bounds, re-indexing, or
+  // the re-encode is a hash-red at some (tile, p). -------------------------
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    letterboxTiles(s)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        auto_crop(col("bytes"), T, T).as("cb"))
+      .select(col("tile_id"),
+        posexplode(decode_band(col("cb"), lit("f32"), -1, 0))
+          .as(Seq("p", "v")))
+      .select(col("tile_id"), col("p").cast("long").as("p"),
+        col("v").cast("double").as("v"))
+      .orderBy("tile_id", "p")
+
+  private def q139Sql: String = {
+    val r0 = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c0 = s"(((cell_id - 1) % $C) % $T)"
+    val tid = tileSql("cell_id")
+    def pad(k: Int) = s"(${h2Sql(s"$tid * 43 + $k")} % 5)"
+    s"""$cellsCte,
+       |px AS (SELECT $tid AS tile_id, $r0 AS r, $c0 AS c,
+       |    ${pad(1)} AS pt, ${pad(2)} AS pb, ${pad(3)} AS pl, ${pad(4)} AS pr,
+       |    (${h2Sql("cell_id * 7 + 9")} % 1024) / 1024.0 AS v
+       |  FROM cells)
+       |SELECT tile_id,
+       |  CAST((r - pt) * ($T - pl - pr) + (c - pl) AS BIGINT) AS p, v
+       |FROM px
+       |WHERE r >= pt AND r < $T - pb AND c >= pl AND c < $T - pr
+       |ORDER BY tile_id, p""".stripMargin
   }
 }

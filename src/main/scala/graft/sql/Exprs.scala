@@ -736,6 +736,53 @@ object BorderStats {
   }
 }
 
+/** Act on [[BorderStats]]'s detection: strip the constant border lines
+  * from band 0 and re-encode the REAL cropped payload (the q70-flag /
+  * q71-scrub pairing applied to images: q135 measures, this rewrites).
+  * Crop bounds come from the same constant-line contract — the two
+  * expressions share one detector — so crop(x) always equals "remove
+  * exactly what BorderStats reported". An all-border image crops to the
+  * EMPTY payload (zero bytes; the derived-length decode then yields
+  * zero pixels), the honest reading of "nothing to keep". One static
+  * call inside whole-stage codegen, one float[] per image. */
+case class AutoCrop(child: Expression, w: Int, h: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(bytes: Any): Any =
+    AutoCrop.eval(bytes.asInstanceOf[Array[Byte]], w, h)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = AutoCrop.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, bytes =>
+      s"${ev.value} = $cls.eval($bytes, $w, $h);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AutoCrop {
+  def eval(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val b = BorderStats.eval(bytes, w, h).toIntArray
+    val nw = w - b(2) - b(3)
+    val nh = h - b(0) - b(1)
+    if (nw <= 0 || nh <= 0) return Array.emptyByteArray
+    val out = new Array[Float](nw * nh)
+    var r = 0
+    while (r < nh) {
+      var c = 0
+      while (c < nw) {
+        out(r * nw + c) = Codec.floatAt(bytes, (b(0) + r) * w + b(2) + c)
+        c += 1
+      }
+      r += 1
+    }
+    Codec.encodeF32(Array(out))
+  }
+}
+
 /** 3x3 focal (stencil) statistics over ONE tile's halo-padded patch —
   * the per-tile compute half of distributed focal map algebra (the
   * raster `focal()` family the reference's toolchain applies around
@@ -1685,6 +1732,10 @@ object GraftFunctions {
   /** [top, bottom, left, right] constant-border widths of band 0. */
   def border_stats(bytes: Column, w: Int, h: Int): Column =
     column(BorderStats(expression(bytes), w, h))
+
+  /** Strip the detected constant border from band 0; real payload out. */
+  def auto_crop(bytes: Column, w: Int, h: Int): Column =
+    column(AutoCrop(expression(bytes), w, h))
 
   /** H3-lite id at `res` of a grid cell id (grid spans the Goode extent). */
   def grid_h3(cellId: Column, rows: Int, cols: Int, res: Int): Column =

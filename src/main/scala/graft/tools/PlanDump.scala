@@ -42,7 +42,7 @@ object PlanDump {
     "q125_funnel", "q126_flow_dir", "q130_image_flip", "q131_contour",
     "q132_kmeans", "q133_scd2_apply", "q134_chi2_rank",
     "q135_border_detect", "q136_cube_report", "q137_transitions",
-    "q138_retention")
+    "q138_retention", "q139_autocrop")
   // q132's dumped plan is the FINAL assignment projection — the
   // audit-worthy shape (argmin as a when-chain of fitted centroid
   // literals, no join, no extra exchange); the per-round fit jobs run

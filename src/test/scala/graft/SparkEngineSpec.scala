@@ -819,6 +819,32 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the border-stats PROJECT node is not codegen'd:\n$plan")
   }
 
+  test("AutoCrop (q139) removes exactly what BorderStats reports, " +
+    "all-border images crop to the empty payload, and the derived-length " +
+    "decode reads it back") {
+    val t = spec.tile
+    // a hand-built 4x4 letterbox inside a t x t frame: pads (1,2,3,0)
+    val px = Array.tabulate(t * t) { i =>
+      val (r, c) = (i / t, i % t)
+      if (r < 1 || r >= t - 2 || c < 3) 7.5f
+      else (r * t + c).toFloat / 64f
+    }
+    val bytes = graft.core.Codec.encodeF32(Array(px))
+    val cropped = graft.sql.AutoCrop.eval(bytes, t, t)
+    val nw = t - 3
+    val nh = t - 3
+    val back = graft.core.Codec.decodeBand("f32", cropped, -1, 0)
+    assert(back.length == nw * nh, "derived-length decode dims")
+    for (r <- 0 until nh; c <- 0 until nw)
+      assert(back(r * nw + c) == px((r + 1) * t + c + 3),
+        s"cropped pixel ($r,$c)")
+    // all-border: the empty payload, which decodes to zero pixels
+    val const = graft.core.Codec.encodeF32(Array(Array.fill(t * t)(1.0f)))
+    assert(graft.sql.AutoCrop.eval(const, t, t).isEmpty)
+    assert(graft.core.Codec.decodeBand("f32",
+      Array.emptyByteArray, -1, 0).isEmpty)
+  }
+
   test("hammingPairs (4x16-bit pigeonhole banding, q77) equals brute " +
     "force at maxDist 3, including a 3-shared-band candidate the exact " +
     "verify must reject and a sign-bit-band match") {
