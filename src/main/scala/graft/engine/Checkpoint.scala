@@ -130,10 +130,7 @@ object Checkpoint {
     * cluster a localCheckpoint dies with any executor, killing a long
     * run), else localCheckpoint (single-JVM test/bench mode). Shared by
     * Expand and StableRowId so the reliability policy lives once. */
-  def truncate(s: SparkSession, df: DataFrame): DataFrame = {
-    val ck =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+  def truncate(s: SparkSession, df: DataFrame): DataFrame =
     // Re-leaf: checkpoint keeps the child plan's STATS even though it
     // truncates lineage, so iterative callers would compound the
     // size-in-bytes estimate multiplicatively per round (BigInt bits
@@ -142,8 +139,13 @@ object Checkpoint {
     // RDD under a default-sized leaf (captured partitioning/ordering
     // kept) — AQE recovers true sizes at runtime, so no plan-quality
     // loss for the loop frame itself.
-    org.apache.spark.sql.GraftColumnBridge.freshLeaf(ck)
-  }
+    org.apache.spark.sql.GraftColumnBridge.freshLeaf(reliableCk(s, df))
+
+  /** The reliability policy, once: reliable checkpoint when a dir is
+    * configured, else localCheckpoint (single-JVM test/bench mode). */
+  private def reliableCk(s: SparkSession, df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** One-shot lineage truncation for frames that do NOT re-enter the
     * truncation loop (e.g. a derived edge list materialized once and
@@ -154,12 +156,9 @@ object Checkpoint {
     * deep expression tree carries the whole tree as constraints, and
     * every downstream join re-derives over it — the dominant per-round
     * driver cost when such a frame is joined inside a loop). */
-  def truncateOnce(s: SparkSession, df: DataFrame): DataFrame = {
-    val ck =
-      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    org.apache.spark.sql.GraftColumnBridge.freshLeafKeepStats(ck)
-  }
+  def truncateOnce(s: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumnBridge.freshLeafKeepStats(
+      reliableCk(s, df))
 
   /** Content fingerprint helper: SHA-256 (hex, 128 bits kept) over the
     * pieces that define a stage (upstream fingerprints, config values,

@@ -40,13 +40,20 @@ object MinPlus {
   def relax(s: SparkSession, dist0: DataFrame, edges: DataFrame,
             rounds: Int, inf: Long): DataFrame = {
     var dist = dist0
+    // no per-round fold-back join means edges whose dst is outside
+    // dist0's node set would grow the frame (and relax paths through
+    // nodes the caller excluded) — restrict once, up front; truncated
+    // so the semi-join is planned once, not inside every round
+    val es = Checkpoint.truncateOnce(s,
+      edges.join(dist0.select(col("node").as("dst")),
+        Seq("dst"), "left_semi"))
     for (r <- 1 to rounds) {
       // d'(v) = min(d(v), proposals) as ONE aggregation over the union
       // of the running frame and the propagated d+w terms — no
       // per-round fold-back join, so each round is a single
       // partial-aggregated exchange (the edge join broadcasts or
       // co-partitions; it adds no exchange of dist itself)
-      val prop = dist.join(edges, col("node") === col("src"))
+      val prop = dist.join(es, col("node") === col("src"))
         .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       val next = dist.unionByName(prop)
         .groupBy("node").agg(min("d").as("d"))

@@ -42,13 +42,20 @@ object Propagate {
   def sumRounds(s: SparkSession, nodes: DataFrame, edges: DataFrame,
                 rounds: Int): DataFrame = {
     var acc = nodes.select(col("node"), lit(1L).as("acc"))
+    // the union-fold below has no per-round join back onto the node
+    // spine, so edges pointing OUTSIDE the node set would leak rows
+    // (without the +1 base) into the output — restrict once, up front;
+    // the one-shot truncation keeps the restricted list a LEAF so the
+    // semi-join is planned once, not inside every round's lineage
+    val es = Checkpoint.truncateOnce(s,
+      edges.join(nodes, edges("dst") === nodes("node"), "left_semi"))
     for (r <- 1 to rounds) {
       // a'(v) = 1 + sum of in-flows, computed as ONE aggregation over
       // the union of the per-node base (1) and the propagated terms —
       // no per-round left join back onto the node spine, so each round
       // is a single partial-aggregated exchange (the edge join
       // broadcasts or co-partitions; it adds no exchange of acc itself)
-      val contrib = acc.join(edges, col("node") === col("src"))
+      val contrib = acc.join(es, col("node") === col("src"))
         .select(col("dst").as("node"), col("acc"))
       val next = nodes.select(col("node"), lit(1L).as("acc"))
         .unionByName(contrib)

@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   * `cross((hi-lo), (p-lo))^2 > eps2 * |hi-lo|^2` — both sides int64,
   * no sqrt, no division, so ties and near-threshold vertices cannot
   * drift between engines (the q112/q120 whole-unit discipline).
+  * COINCIDENT anchors (closed rings) degenerate that compare to 0 > 0
+  * for every vertex; there the deviation falls back to the squared
+  * point distance to the anchor (`|p-lo|^2 > eps2`), the textbook DP
+  * rule, still integer-exact.
   */
 object Simplify {
 
@@ -49,16 +53,17 @@ object Simplify {
     *         layer */
   def dpRounds(s: SparkSession, verts: DataFrame, eps2: Long,
                rounds: Int): DataFrame = {
-    // per-line extremes + their coordinates: the initial anchor pair.
-    // `bounds` is one row per LINE — broadcast-sized by construction.
-    val bounds = verts.groupBy("lid")
-      .agg(min("seq").as("lo"), max("seq").as("hi"))
-    val loC = verts.select(col("lid"), col("seq").as("lo"),
-      col("x").as("lox"), col("y").as("loy"))
-    val hiC = verts.select(col("lid"), col("seq").as("hi"),
-      col("x").as("hix"), col("y").as("hiy"))
-    val anchors = bounds.join(loC, Seq("lid", "lo"))
-      .join(hiC, Seq("lid", "hi"))
+    // per-line extremes + their coordinates in ONE aggregation: seq is
+    // unique within a line, so min/max over struct(seq, x, y) orders by
+    // seq and carries the anchor coordinates along — no self-joins.
+    // `anchors` is one row per LINE — broadcast-sized by construction.
+    val anchors = verts.groupBy("lid")
+      .agg(min(struct(col("seq"), col("x"), col("y"))).as("l"),
+        max(struct(col("seq"), col("x"), col("y"))).as("h"))
+      .select(col("lid"), col("l.seq").as("lo"),
+        col("l.x").as("lox"), col("l.y").as("loy"),
+        col("h.seq").as("hi"),
+        col("h.x").as("hix"), col("h.y").as("hiy"))
 
     var st = verts.join(broadcast(anchors), Seq("lid"))
       .select(col("lid"), col("seq"), col("x"), col("y"),
@@ -70,11 +75,20 @@ object Simplify {
       val dx = col("hix") - col("lox")
       val dy = col("hiy") - col("loy")
       val cross = dx * (col("y") - col("loy")) - dy * (col("x") - col("lox"))
+      val len2 = dx * dx + dy * dy
       // g > 0 iff the vertex lies beyond eps of its anchor chord; len^2
       // is constant within a segment, so ordering by g equals ordering
       // by cross^2 and the threshold rides INSIDE the argmax struct —
-      // no second aggregate for the per-segment length
-      val g = cross * cross - lit(eps2) * (dx * dx + dy * dy)
+      // no second aggregate for the per-segment length. COINCIDENT
+      // anchors (a closed ring's endpoints) have len^2 = 0 and cross=0
+      // for every vertex, which would freeze the ring at its two
+      // coincident endpoints — textbook DP falls back to the squared
+      // POINT distance there (same integer-exact discipline, already in
+      // the eps^2 scale rather than eps^2*len^2)
+      val dpx = col("x") - col("lox")
+      val dpy = col("y") - col("loy")
+      val g = when(len2 === 0, dpx * dpx + dpy * dpy - eps2)
+        .otherwise(cross * cross - lit(eps2) * len2)
       val win = st.filter(!col("kept"))
         .select(col("lid"), col("lo"), col("hi"),
           struct(g.as("g"), (-col("seq")).as("ns"),

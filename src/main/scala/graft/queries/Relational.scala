@@ -194,7 +194,12 @@ object Relational {
       when(graft.world.World.h2Col(r * 11 + 3) % 8 === 0, "D")
         .otherwise("U").as("op"),
       (graft.world.World.h2Col(r * 13 + 5) % 1000).as("value"))
-    val w = Window.partitionBy("entity_id").orderBy("ts")
+    // ts alone is a total order on THIS fixture (strictly increasing
+    // per entity), but the op is a general CDC primitive: (op, value)
+    // tie-breaks pin duplicate-timestamp logs to one deterministic
+    // history — deletes fold before upserts, upserts by ascending
+    // value — the same order the streaming twin (scd2ByEntity) sorts by
+    val w = Window.partitionBy("entity_id").orderBy("ts", "op", "value")
     log.select(col("entity_id"), col("ts"), col("op"), col("value"),
         lead("ts", 1).over(w).as("nxt"))
       .filter(col("op") === "U")
@@ -213,7 +218,7 @@ object Relational {
        |    ${h2("r.range * 13 + 5")} % 1000 AS value
        |  FROM range(4000) r),
        |x AS (SELECT log.*, LEAD(ts) OVER (
-       |    PARTITION BY entity_id ORDER BY ts) AS nxt FROM log)
+       |    PARTITION BY entity_id ORDER BY ts, op, value) AS nxt FROM log)
        |SELECT entity_id, ts AS valid_from,
        |  COALESCE(nxt, $Scd2Sentinel) AS valid_to, value,
        |  (nxt IS NULL) AS is_current

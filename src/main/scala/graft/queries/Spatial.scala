@@ -2564,12 +2564,17 @@ object Spatial {
     val latS = (jj: String) => s"(${h2Sql(s"lid * 13 + ($jj) * 53 + 7")} % 4000)"
     val rounds = (1 to DpRounds).map { r =>
       s"""i$r AS (SELECT lid, lo, hi, seq, x, y,
-         |    (hix - lox) * (y - loy) - (hiy - loy) * (x - lox) AS cr,
-         |    (hix - lox) * (hix - lox) + (hiy - loy) * (hiy - loy) AS l2
+         |    CASE WHEN (hix - lox) * (hix - lox)
+         |        + (hiy - loy) * (hiy - loy) = 0
+         |      THEN (x - lox) * (x - lox) + (y - loy) * (y - loy) - $DpEps2
+         |      ELSE ((hix - lox) * (y - loy) - (hiy - loy) * (x - lox))
+         |        * ((hix - lox) * (y - loy) - (hiy - loy) * (x - lox))
+         |        - $DpEps2 * ((hix - lox) * (hix - lox)
+         |          + (hiy - loy) * (hiy - loy)) END AS g
          |  FROM st${r - 1} WHERE NOT kept),
-         |w$r AS (SELECT lid, lo, hi, seq, x, y, cr * cr - $DpEps2 * l2 AS g,
+         |w$r AS (SELECT lid, lo, hi, seq, x, y, g,
          |    ROW_NUMBER() OVER (PARTITION BY lid, lo, hi
-         |      ORDER BY cr * cr - $DpEps2 * l2 DESC, seq ASC) AS rn
+         |      ORDER BY g DESC, seq ASC) AS rn
          |  FROM i$r),
          |sp$r AS (SELECT lid, lo, hi, seq AS m, x AS mx, y AS my
          |  FROM w$r WHERE rn = 1 AND g > 0),

@@ -475,12 +475,23 @@ object StreamDedup {
     var from = prev.fromMs
     var value = prev.value
     val out = Seq.newBuilder[Scd2Row]
-    ripe.sortBy(_._1).foreach { case (tsMs, isU, v) =>
-      if (from >= 0) out += Scd2Row(entity, from / 1000, tsMs / 1000, value)
-      if (isU) { from = tsMs; value = v } else { from = -1L; value = 0L }
+    // equal-ts ties fold deletes first, then upserts by ascending value
+    // — the SAME total order batch q133's window pins (ORDER BY ts, op,
+    // value), so the emitted history is arrival-order-independent even
+    // on a log with duplicate timestamps
+    ripe.sortBy { case (tsMs, isU, v) => (tsMs, isU, v) }.foreach {
+      case (tsMs, isU, v) =>
+        if (from >= 0) out += Scd2Row(entity, from / 1000, tsMs / 1000, value)
+        if (isU) { from = tsMs; value = v } else { from = -1L; value = 0L }
     }
-    state.update(Scd2State(from, value, hold))
-    if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min + 1)
+    // a fully-folded, fully-closed entity holds nothing: drop the state
+    // entry entirely instead of checkpointing a zombie forever (the
+    // remove() discipline of the bucket folds above)
+    if (from < 0 && hold.isEmpty) state.remove()
+    else {
+      state.update(Scd2State(from, value, hold))
+      if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min + 1)
+    }
     out.result().iterator
   }
 

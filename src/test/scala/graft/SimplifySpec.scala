@@ -83,6 +83,25 @@ class SimplifySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(keptOf(6, 1) === at6, "partitioning invariance")
   }
 
+  test("closed rings (coincident anchors) split by the point-distance " +
+    "fallback instead of freezing at the two coincident endpoints") {
+    import spark.implicits._
+    // a 40x40 square ring: first and last vertex coincide, so the
+    // anchor chord has len^2 = 0 and the perpendicular rule is useless;
+    // the fallback must keep the corners (far beyond eps = 5)
+    val ring = Seq(
+      (0L, 0L, 0L, 0L), (0L, 1L, 40L, 0L), (0L, 2L, 40L, 40L),
+      (0L, 3L, 0L, 40L), (0L, 4L, 0L, 0L))
+    val got = graft.engine.Simplify
+      .dpRounds(spark, ring.toDF("lid", "seq", "x", "y"), Eps2, 4)
+      .filter(col("kept")).select("seq")
+      .collect().map(_.getLong(0)).toSet
+    // all three interior corners stand >eps from every anchor chord the
+    // recursion produces, so the whole square survives
+    assert(got == Set(0L, 1L, 2L, 3L, 4L),
+      s"ring collapsed to $got — coincident-anchor fallback broken")
+  }
+
   test("the fixture exercises both rules: jitter simplifies away, " +
     "kinks survive, and kept counts vary across lines") {
     val ref = (0 until Lines).map(l => scalarDp(verts(l)).size)
