@@ -75,7 +75,10 @@ object Spatial {
     Q("q132_kmeans", q132, Some(q132Sql)),
     Q("q134_chi2_rank", q134, Some(q134Sql)),
     Q("q135_border_detect", q135, Some(q135Sql)),
-    Q("q139_autocrop", q139, Some(q139Sql))
+    Q("q139_autocrop", q139, Some(q139Sql)),
+    Q("q140_patch_clump", q140, Some(q140Sql)),
+    Q("q141_hillshade", q141, Some(q141Sql)),
+    Q("q142_morph_open", q142, Some(q142Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -3057,5 +3060,197 @@ object Spatial {
        |FROM px
        |WHERE r >= pt AND r < $T - pb AND c >= pl AND c < $T - pr
        |ORDER BY tile_id, p""".stripMargin
+  }
+
+  // ---- q140: PATCH CLUMP — connected components of 4-adjacent
+  // same-class cells over a 3-class raster (the landscape-fragmentation
+  // segmentation run downstream of a classified map: per-patch size
+  // rows ARE the patch-size distribution). Engine side is the
+  // hierarchical two-level clump (engine/Clump: per-tile union-find
+  // inside one tile aggregation, then min-label propagation over the
+  // perimeter-sized boundary-fragment graph — a raster's every cell has
+  // same-class neighbors, so the flat Components loop would iterate the
+  // full corpus; the two-level split is what survives 100 TB). The
+  // class field is the q131 iso surface (terrain + cell-frequency
+  // roughness) thresholded at its midpoint — hash-derived PER-CELL
+  // bits are useless here: every World.h/h2 low-bit stream of a
+  // sequential id is an affine walk mod 2^32, which degenerates to
+  // stripes; thresholding smooth-plus-noise instead yields exactly the
+  // mosaic a real classified map has (49 noise-flipped singletons, 53
+  // single-tile patches, 14 border-crossers, 9 patches chaining across
+  // 3+ tiles, largest patch 1621 cells — so local labeling, the
+  // cross-tile merge, multi-round propagation, and the coalesce
+  // re-attach are ALL exercised; ClumpSpec asserts each). The oracle
+  // recomputes the SAME labels flat: a recursive min-label CTE over the
+  // raw cell adjacency graph — the two-level and flat results are
+  // provably identical (both label a patch with its min cell id). ---------
+  private val PatchThr = IsoL + IsoAmp / 2 // 148000: ~49/43 class split
+  private def patchClsCol(id: Column): Column =
+    when(isoCol(id) > PatchThr, 1).otherwise(0).cast("int")
+  private def patchClsSql(id: String): String =
+    s"(CASE WHEN ${isoSql(id)} > $PatchThr THEN 1 ELSE 0 END)"
+
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val cells = spine(s).select(cellCol, patchClsCol(cellCol).as("cls"))
+    graft.engine.Clump.label(s, spec, cells, "q140_patch_clump")
+      .groupBy("patch").agg(count(lit(1)).as("n_cells"))
+      // a patch's class is its min cell's class — recomputable from the
+      // patch id here because the class field is closed-form (with a
+      // data-borne class the re-attach join would carry it instead)
+      .select(col("patch"), patchClsCol(col("patch")).as("cls"),
+        col("n_cells"))
+      .orderBy("patch")
+  }
+
+  private def q140Sql: String =
+    s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
+       |cl AS (SELECT cell_id, ${patchClsSql("cell_id")} AS cls FROM cells),
+       |e0 AS (
+       |  SELECT a.cell_id AS a, b.cell_id AS b FROM cl a JOIN cl b
+       |    ON b.cell_id = a.cell_id + 1
+       |    AND a.cell_id % $C <> 0 AND a.cls = b.cls
+       |  UNION ALL
+       |  SELECT a.cell_id, b.cell_id FROM cl a JOIN cl b
+       |    ON b.cell_id = a.cell_id + $C AND a.cls = b.cls),
+       |edges AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+       |reach(cell_id, lbl) AS (
+       |  SELECT cell_id, cell_id FROM cells
+       |  UNION
+       |  SELECT e.b, r.lbl FROM edges e JOIN reach r ON e.a = r.cell_id),
+       |lab AS (SELECT cell_id, MIN(lbl) AS patch FROM reach GROUP BY 1)
+       |SELECT patch, CAST(${patchClsSql("patch")} AS INT) AS cls,
+       |  COUNT(*) AS n_cells
+       |FROM lab GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---- q141: HILLSHADE — the standard 315-azimuth/45-altitude
+  // illumination of the shared terrain DEM (ArcGIS Hillshade, the
+  // visualization stage of the reference's elevation layers; rows
+  // increase SOUTHWARD here, so q is the north-to-south gradient — the
+  // stated operator convention). Central-difference gradients, one
+  // codegen projection over the spine, ZERO data shuffle (the q126
+  // shape; with a real DEM the projection reads the q93 halo patch).
+  //
+  // Exactness discipline — this is the corpus's one FLOAT-transcendental
+  // oracle, and it is bit-exact BY IEEE SEMANTICS, not by luck:
+  // elevations are integers, so p = (eE−eW)/2^14 and q = (eS−eN)/2^14
+  // are EXACT dyadic doubles (18 significant bits); 0.5·p − 0.5·q is
+  // exact, p·p and q·q are exact (36 bits), 1.0 + p² + q² is exact
+  // (value range 2^8..2^-28 fits 53 bits); the ONLY rounded ops are
+  // + cosZ, sqrt, the divide, and ×255.0 — each correctly rounded per
+  // IEEE-754 in both the JVM and DuckDB, in identical expression order,
+  // so the doubles match bit for bit. At azimuth 315°/altitude 45° the
+  // light vector is (−1/2, 1/2, √2/2): the first two components are
+  // exact dyadics, only cosZ is an irrational literal (both engines
+  // parse decimal literals correctly rounded). ------------------------------
+  private val CosZ45 = "0.7071067811865476"
+
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val x = (cellCol - 1) % C
+    val y = floor((cellCol - 1) / C).cast("long")
+    val staged = spine(s)
+      .filter(x >= 1 && x <= C - 2 && y >= 1 && y <= spec.rows - 2)
+      .select(cellCol,
+        ((elevCol(cellCol + 1) - elevCol(cellCol - 1)).cast("double") /
+          16384.0).as("p"),
+        ((elevCol(cellCol + C) - elevCol(cellCol - C)).cast("double") /
+          16384.0).as("q"))
+    val num = lit(0.5) * col("p") - lit(0.5) * col("q") +
+      lit(CosZ45.toDouble)
+    val hs = lit(255.0) * greatest(
+      num / sqrt(lit(1.0) + col("p") * col("p") + col("q") * col("q")),
+      lit(0.0))
+    staged.select(cellCol, hs.as("hillshade")).orderBy("cell_id")
+  }
+
+  private def q141Sql: String = {
+    val x = s"((cell_id - 1) % $C)"
+    val y = s"((cell_id - 1) // $C)"
+    s"""$cellsCte,
+       |g AS (SELECT cell_id,
+       |    CAST(${elevSql("cell_id + 1")} - ${elevSql("cell_id - 1")}
+       |      AS DOUBLE) / 16384.0 AS p,
+       |    CAST(${elevSql(s"cell_id + $C")} - ${elevSql(s"cell_id - $C")}
+       |      AS DOUBLE) / 16384.0 AS q
+       |  FROM cells
+       |  WHERE $x BETWEEN 1 AND ${C - 2} AND $y BETWEEN 1 AND ${spec.rows - 2})
+       |SELECT cell_id, 255.0 * GREATEST(
+       |    (0.5 * p - 0.5 * q + $CosZ45) / SQRT(1.0 + p * p + q * q), 0.0)
+       |  AS hillshade
+       |FROM g ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q142: MORPHOLOGICAL OPENING — erode-then-dilate of the q140
+  // class mask with the 4-neighbor cross (ArcGIS Boundary Clean /
+  // despeckle family: the pass a classifier's output takes BEFORE patch
+  // metrics, removing the noise-flipped singletons the q140 fixture is
+  // full of while leaving patch bodies intact — opening(m) ⊆ m is the
+  // defining property and ClumpSpec asserts it cell by cell). Erosion
+  // treats out-of-grid as 0 (border cells erode away — the standard
+  // shrink rule); dilation ORs only in-grid neighbors.
+  //
+  // Scale shape: the q126 staging pattern taken one ring further — the
+  // mask at the 13-cell diamond is staged ONCE per row (13 inline iso
+  // evaluations), erosion at self+4 neighbors reads those columns,
+  // opening reads the 5 erosions: three stacked projections, ONE
+  // codegen span, ZERO shuffle. With a data-borne mask the same three
+  // projections read a radius-2 q93 halo patch instead. The oracle
+  // can't stage columns across rows, so it mirrors the d8 shape: one
+  // mask CTE, 4 guarded left self-joins for erosion, 4 more for
+  // dilation — join-heavy but oracle-scale-only. --------------------------
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val x = (cellCol - 1) % C
+    val y = floor((cellCol - 1) / C).cast("long")
+    // the 13-cell diamond of mask values (radius-2 cross + diagonals)
+    val diamond = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (2, 0),
+      (-2, 0), (0, 2), (0, -2), (1, 1), (1, -1), (-1, 1), (-1, -1))
+    def mc(dx: Int, dy: Int) = col(s"m_${dx + 2}_${dy + 2}")
+    val staged = spine(s).select(cellCol +: x.as("x") +: y.as("y") +:
+      diamond.map { case (dx, dy) =>
+        patchClsCol(cellCol + dx + dy * C).as(s"m_${dx + 2}_${dy + 2}")
+      }: _*)
+    // erosion at offset (ox,oy): interior there, and its 5-cell cross
+    // is all 1 (out-of-grid reads of the staged columns are row-wrapped
+    // garbage, but the interior guard zeroes them before they matter)
+    def er(ox: Int, oy: Int): Column =
+      when(col("x") + ox >= 1 && col("x") + ox <= C - 2 &&
+        col("y") + oy >= 1 && col("y") + oy <= spec.rows - 2 &&
+        mc(ox, oy) === 1 && mc(ox + 1, oy) === 1 && mc(ox - 1, oy) === 1 &&
+        mc(ox, oy + 1) === 1 && mc(ox, oy - 1) === 1, 1).otherwise(0)
+    val eroded = staged.select(cellCol, col("x"), col("y"),
+      mc(0, 0).as("m"), er(0, 0).as("e_c"), er(1, 0).as("e_e"),
+      er(-1, 0).as("e_w"), er(0, 1).as("e_s"), er(0, -1).as("e_n"))
+    eroded.select(cellCol, col("m").cast("int").as("m"),
+        col("e_c").cast("int").as("er"),
+        greatest(col("e_c"), col("e_e"), col("e_w"), col("e_s"),
+          col("e_n")).cast("int").as("opened"))
+      .orderBy("cell_id")
+  }
+
+  private def q142Sql: String = {
+    val x = s"((c.cell_id - 1) % $C)"
+    val y = s"((c.cell_id - 1) // $C)"
+    def erJoin(a: String) = Seq(1 -> "e", -1 -> "w", C -> "s", -C -> "n")
+      .map { case (d, t) =>
+        s"LEFT JOIN $a $t ON $t.cell_id = c.cell_id + ${d.toString}" }
+      .mkString("\n  ")
+    s"""$cellsCte,
+       |m AS (SELECT cell_id, ${patchClsSql("cell_id")} AS m FROM cells),
+       |er AS (SELECT c.cell_id,
+       |    CASE WHEN $x BETWEEN 1 AND ${C - 2}
+       |      AND $y BETWEEN 1 AND ${spec.rows - 2}
+       |      AND c.m = 1 AND e.m = 1 AND w.m = 1 AND s.m = 1 AND n.m = 1
+       |      THEN 1 ELSE 0 END AS er
+       |  FROM m c
+       |  ${erJoin("m")}),
+       |op AS (SELECT c.cell_id,
+       |    GREATEST(c.er, COALESCE(e.er, 0), COALESCE(w.er, 0),
+       |      COALESCE(s.er, 0), COALESCE(n.er, 0)) AS opened
+       |  FROM er c
+       |  ${erJoin("er")})
+       |SELECT m.cell_id, CAST(m.m AS INT) AS m, CAST(er.er AS INT) AS er,
+       |  CAST(op.opened AS INT) AS opened
+       |FROM m JOIN er ON er.cell_id = m.cell_id
+       |  JOIN op ON op.cell_id = m.cell_id
+       |ORDER BY m.cell_id""".stripMargin
   }
 }

@@ -68,7 +68,8 @@ object TextOps {
     Q("q103_class_balance", q103, Some(q103Sql)),
     Q("q106_inverted_topk", q106, Some(q106Sql)),
     Q("q110_qsketch", q110, Some(q110Sql)),
-    Q("q124_bm25_topk", q124, Some(q124Sql))
+    Q("q124_bm25_topk", q124, Some(q124Sql)),
+    Q("q143_alpha_mix", q143, Some(q143Sql))
   )
 
   // --- q63: AS-OF JOIN — an operator Spark lacks natively, composed
@@ -2396,4 +2397,60 @@ object TextOps {
        |FROM spine s LEFT JOIN regs USING (lang, bucket)
        |ORDER BY 1, 2""".stripMargin
   }
+
+  // --- q143: ALPHA-TEMPERATURE DOMAIN MIX — the sub-linear domain
+  // reweighting every multilingual/multi-source pretraining mix runs
+  // (alpha-sampling: domain weight ∝ n^alpha with alpha < 1, so giant
+  // domains are down-sampled and tiny ones kept whole). alpha = 1/2
+  // with INTEGER weights w = floor(sqrt(n)) — the stated operator
+  // contract, chosen so the whole threshold pipeline is integer-exact:
+  // a doc of domain d (n docs, weight w, total weight W over all
+  // domains, budget B) is kept iff
+  //     hash20(doc_id) * W * n  <  2^20 * B * w
+  // which is exactly hash20 < 2^20·B·w/(W·n) in exact rationals —
+  // cross-multiplied, so there is NO division, NO float threshold, and
+  // the min(1,·) cap is automatic (if the rational exceeds 1 every
+  // hash20 passes). The fixture's own `source` column is uniform by
+  // construction (useless for a reweighting op), so the domain is the
+  // synthetic crawl-host field dom = floor(sqrt(doc_id)) — domain d
+  // has ~2d+1 docs, a linear size skew: small domains saturate the
+  // cap and are kept whole, large ones genuinely sample.
+  //
+  // Scale shape: ONE partial-aggregated exchange for the per-domain
+  // counts (a tiny frame), the per-domain threshold columns broadcast
+  // back into the corpus scan, and the inclusion test is a map-side
+  // integer filter — no corpus-sized shuffle anywhere, which is the
+  // 100-TB mixing pass. -----------------------------------------------------
+  private val MixBudget = 300L
+
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val dom = floor(sqrt(col("doc_id").cast("double"))).cast("long")
+    val docs = t(s, dir, "documents").select(col("doc_id"), dom.as("dom"))
+    val counts = docs.groupBy("dom").agg(count(lit(1)).as("n"))
+      .select(col("dom"), col("n"),
+        floor(sqrt(col("n").cast("double"))).cast("long").as("w"))
+    val wtot = counts.agg(sum("w").as("wt"))
+    val h20 = pmod(pmod(col("doc_id") * graft.world.World.Knuth,
+      lit(4294967296L)), lit(1048576L))
+    docs.join(broadcast(counts), Seq("dom"))
+      .crossJoin(broadcast(wtot))
+      .filter(h20 * col("wt") * col("n") <
+        lit(1048576L) * MixBudget * col("w"))
+      .select(col("doc_id"), col("dom"))
+      .orderBy("doc_id")
+  }
+
+  private def q143Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE))) AS BIGINT) AS dom
+       |  FROM documents),
+       |c AS (SELECT dom, COUNT(*) AS n,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+       |  FROM d GROUP BY 1),
+       |wt AS (SELECT SUM(w) AS wt FROM c)
+       |SELECT d.doc_id, d.dom
+       |FROM d JOIN c USING (dom), wt
+       |WHERE ((doc_id * 2654435761) % 4294967296) % 1048576 * wt.wt * c.n
+       |  < 1048576 * $MixBudget * c.w
+       |ORDER BY doc_id""".stripMargin
 }

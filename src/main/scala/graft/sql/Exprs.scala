@@ -1019,6 +1019,94 @@ object Mode3x3 {
   }
 }
 
+/** Per-tile LOCAL connected-component labeling (the first level of the
+  * hierarchical raster clump, engine/Clump): given one tile's sorted
+  * in-tile pixel indices and their integer class values, label each
+  * pixel with the smallest in-tile pixel index reachable through
+  * 4-adjacent SAME-CLASS pixels of the SAME tile — a scalar union-find
+  * over at most tile² entries, one expression call per TILE (not per
+  * pixel), so the imperative kernel is amortized over every pixel the
+  * tile carries. Output packs (pix << 20) | localRootPix into a long
+  * per input pixel (input order preserved); callers convert pix and
+  * root to global cell ids with plain column arithmetic, keeping the
+  * unpack inside whole-stage codegen. Sparse tiles are fine (absent
+  * pixels simply never union); requires tile² < 2^20 (tiles up to
+  * 1024x1024). The cross-TILE merge is level two's job: only fragments
+  * touching a tile border can join a neighboring tile's fragment, which
+  * is what makes the clump's global phase perimeter-sized. */
+case class ClumpLocal(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+  require(tile.toLong * tile < (1L << 20),
+    s"ClumpLocal supports tiles up to 1024x1024, got $tile")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, clss: Any): Any =
+    ClumpLocal.eval(pixs.asInstanceOf[ArrayData],
+      clss.asInstanceOf[ArrayData], tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ClumpLocal.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, clss) =>
+      s"${ev.value} = $cls.eval($pixs, $clss, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ClumpLocal {
+  def eval(pixs: ArrayData, clss: ArrayData, tile: Int): ArrayData = {
+    val nCells = tile * tile
+    val cls = Array.fill[Int](nCells)(-1) // -1 = absent
+    val parent = new Array[Int](nCells)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      val p = pixs.getInt(i)
+      cls(p) = clss.getInt(i)
+      parent(p) = p
+      i += 1
+    }
+    // find with path compression; union keeps the SMALLER pixel index
+    // as the root, so every root IS its fragment's minimum pixel
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    var p = 0
+    while (p < nCells) {
+      if (cls(p) >= 0) {
+        if (p % tile != 0 && cls(p - 1) == cls(p)) { // left neighbor
+          val ra = find(p); val rb = find(p - 1)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        if (p >= tile && cls(p - tile) == cls(p)) { // up neighbor
+          val ra = find(p); val rb = find(p - tile)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      }
+      p += 1
+    }
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      val px = pixs.getInt(i)
+      out(i) = (px.toLong << 20) | find(px).toLong
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Per-tile Laplacian sharpness statistics over a halo-padded (pos,
   * value) patch — the blur gate of an image training pipeline (a
   * blurry image has a low-variance Laplacian response; the classic
@@ -1796,6 +1884,12 @@ object GraftFunctions {
     * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */
   def lap_stats(pixs: Column, vs: Column, tile: Int): Column =
     column(LapStats(expression(pixs), expression(vs), tile))
+
+  /** Per-tile local clump labels over sorted (pix, cls) arrays: one
+    * packed (pix << 20 | localRootPix) long per pixel (engine/Clump
+    * level one — union-find over same-class 4-neighbors of ONE tile). */
+  def clump_local(pixs: Column, clss: Column, tile: Int): Column =
+    column(ClumpLocal(expression(pixs), expression(clss), tile))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

@@ -42,7 +42,15 @@ object PlanDump {
     "q125_funnel", "q126_flow_dir", "q130_image_flip", "q131_contour",
     "q132_kmeans", "q133_scd2_apply", "q134_chi2_rank",
     "q135_border_detect", "q136_cube_report", "q137_transitions",
-    "q138_retention", "q139_autocrop")
+    "q138_retention", "q139_autocrop", "q141_hillshade",
+    "q142_morph_open", "q143_alpha_mix")
+  // q140 is omitted like q119/q56 (its Components loop truncates, so
+  // the registered plan is a post-checkpoint join + aggregate); the
+  // audit-worthy level-1 shape — ONE tile-keyed Exchange, the per-tile
+  // union-find inside the aggregation's output projection, perimeter-
+  // filtered boundary frames — is documented in engine/Clump's header
+  // and pinned by ClumpSpec's flat-flood-fill equality. q141 IS dumped:
+  // its zero-shuffle stencil projection is the audit-worthy shape.
   // q132's dumped plan is the FINAL assignment projection — the
   // audit-worthy shape (argmin as a when-chain of fitted centroid
   // literals, no join, no extra exchange); the per-round fit jobs run

@@ -109,6 +109,34 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$src ranks not dense")
     }
   }
+
+  test("q143 alpha mix equals the scalar integer replica; the smallest " +
+    "domain saturates its cap, the largest genuinely samples") {
+    val ids = spark.read.parquet(s"$dataDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    def dom(id: Long): Long = math.floor(math.sqrt(id.toDouble)).toLong
+    val byDom = ids.groupBy(dom)
+    val w = byDom.view
+      .mapValues(v => math.floor(math.sqrt(v.length.toDouble)).toLong).toMap
+    val wt = w.values.sum
+    def h20(id: Long): Long =
+      ((id * graft.world.World.Knuth) % 4294967296L) % 1048576L
+    val expected = ids.toSeq.filter { id =>
+      val d = dom(id)
+      h20(id) * wt * byDom(d).length < 1048576L * 300L * w(d)
+    }.map(id => (id, dom(id)))
+    val got = SparkEntry.queries("q143_alpha_mix")(spark, dataDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    val sizes = byDom.view.mapValues(_.length).toMap
+    val kept = got.groupBy(_._2).view.mapValues(_.size).toMap
+    val smallest = sizes.minBy { case (d, n) => (n, d) }._1
+    assert(kept.getOrElse(smallest, 0) == sizes(smallest),
+      "smallest domain should be kept whole (saturated cap)")
+    val largest = sizes.maxBy { case (d, n) => (n, -d) }._1
+    assert(kept.getOrElse(largest, 0) < sizes(largest),
+      "largest domain should be down-sampled")
+  }
 }
 
 object TopKSpec {
