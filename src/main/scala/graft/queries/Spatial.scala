@@ -78,7 +78,9 @@ object Spatial {
     Q("q139_autocrop", q139, Some(q139Sql)),
     Q("q140_patch_clump", q140, Some(q140Sql)),
     Q("q141_hillshade", q141, Some(q141Sql)),
-    Q("q142_morph_open", q142, Some(q142Sql))
+    Q("q142_morph_open", q142, Some(q142Sql)),
+    Q("q144_upsample2x", q144, Some(q144Sql)),
+    Q("q145_glcm_texture", q145, Some(q145Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -3252,5 +3254,103 @@ object Spatial {
        |FROM m JOIN er ON er.cell_id = m.cell_id
        |  JOIN op ON op.cell_id = m.cell_id
        |ORDER BY m.cell_id""".stripMargin
+  }
+
+  // ---- q144: BILINEAR 2x UPSAMPLE — the gather complement of q74's
+  // box-average downscale (together they are an image pipeline's
+  // rescale pair; this is also the raster-warp kernel at the simplest
+  // affine). dst pixel (r,c) samples the source at (r/2, c/2) with
+  // half-pixel bilinear weights, edge-clamped; the weights are exactly
+  // {1, 1/2, 1/4} and band values are dyadic k/1024, so every output is
+  // exact in f32 and the per-pixel oracle compares bit-for-bit. A REAL
+  // payload flows out (Upsample2x re-encodes f32 bytes; the q74-verdict
+  // lesson applied from the start: doGenCode, not a transform lambda) —
+  // the decode round-trip in the query proves the bytes, like q73/q74.
+  // Per-tile gather reads only that tile's payload: embarrassingly
+  // parallel, zero shuffle before the presentation sort. -------------------
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val n4 = 4 * T * T
+    World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        upsample2x(col("bytes"), T, T).as("bytes"))
+      .select(col("tile_id"),
+        posexplode(decode_band(col("bytes"), lit("f32"), n4, 0))
+          .as(Seq("p2", "v")))
+      .select(col("tile_id"), col("p2").cast("long").as("p2"),
+        col("v").cast("double").as("v"))
+      .orderBy("tile_id", "p2")
+  }
+
+  private def q144Sql: String = {
+    val T2 = 2 * T
+    // src band-0 value at in-tile (y, x) of tile `tile`: the loss
+    // formula at the global cell id (q74's source surface)
+    def l(y: String, x: String) =
+      lossSql(s"((tile // $TX) * $T + ($y)) * $C + (tile % $TX) * $T + ($x) + 1")
+    s"""WITH t AS (SELECT range AS tile FROM range(${spec.nTiles})),
+       |p AS (SELECT range AS p2 FROM range(${T2 * T2})),
+       |d AS (SELECT tile, p2, p2 // $T2 AS r, p2 % $T2 AS c FROM t, p),
+       |g AS (SELECT tile, p2, r // 2 AS y0, c // 2 AS x0,
+       |    LEAST(r // 2 + 1, ${T - 1}) AS yc,
+       |    LEAST(c // 2 + 1, ${T - 1}) AS xc, r % 2 AS fy, c % 2 AS fx
+       |  FROM d)
+       |SELECT tile AS tile_id, p2,
+       |  CASE
+       |    WHEN fy = 0 AND fx = 0 THEN ${l("y0", "x0")}
+       |    WHEN fy = 0 THEN (${l("y0", "x0")} + ${l("y0", "xc")}) / 2
+       |    WHEN fx = 0 THEN (${l("y0", "x0")} + ${l("yc", "x0")}) / 2
+       |    ELSE (${l("y0", "x0")} + ${l("y0", "xc")} + ${l("yc", "x0")}
+       |      + ${l("yc", "xc")}) / 4
+       |  END AS v
+       |FROM g ORDER BY tile_id, p2""".stripMargin
+  }
+
+  // ---- q145: GLCM TEXTURE — per-tile gray-level co-occurrence features
+  // (Haralick contrast and energy over the horizontal-neighbor pair
+  // histogram), the classic texture descriptor an image
+  // quality/stratification pipeline computes per patch. The gray field
+  // is the q131 iso surface quantized to 10 levels by a 2^15 shift —
+  // the affine band hash is useless here (its value mod 256 is a
+  // fixed-increment cycle, so every tile's pair histogram is a phase
+  // shift of the same cycle and the features collapse to constants;
+  // FocalSpec asserts cross-tile variation), while the terrain surface
+  // gives each tile genuinely different texture. All-integer: contrast
+  // = sum n_ij (i-j)^2 and energy = sum n_ij^2 — bit-exact oracle.
+  //
+  // Scale shape: the q36 two-level pyramid — level one groups by
+  // (tile, la, lb), a fine-grained key whose partial aggregation
+  // collapses each task to <= 64 rows per tile BEFORE the exchange;
+  // level two reduces 64 histogram rows to one feature row per tile.
+  // Both engine levels shuffle only histogram-sized frames (never
+  // pixels); the pair frame itself is map-side (neighbor level is
+  // closed-form here; with payload tiles the same projection reads the
+  // q93 halo patch, horizontal pairs never crossing the tile). --------------
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val x = (cellCol - 1) % C
+    val lvl = shiftright(isoCol(cellCol), 15)
+    val lvlR = shiftright(isoCol(cellCol + 1), 15)
+    spine(s)
+      .filter(x % T < T - 1) // horizontal pair stays inside the tile
+      .select(tileCol(cellCol).as("tile_id"), lvl.as("la"), lvlR.as("lb"))
+      .groupBy("tile_id", "la", "lb").agg(count(lit(1)).as("n"))
+      .groupBy("tile_id")
+      .agg(sum(col("n") * (col("la") - col("lb")) * (col("la") - col("lb")))
+          .as("contrast"),
+        sum(col("n") * col("n")).as("energy"))
+      .orderBy("tile_id")
+  }
+
+  private def q145Sql: String = {
+    def lvl(id: String) = s"(${isoSql(id)} // 32768)"
+    s"""$cellsCte,
+       |pairs AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    ${lvl("cell_id")} AS la, ${lvl("cell_id + 1")} AS lb
+       |  FROM cells WHERE ((cell_id - 1) % $C) % $T < ${T - 1}),
+       |hist AS (SELECT tile_id, la, lb, COUNT(*) AS n
+       |  FROM pairs GROUP BY 1, 2, 3)
+       |SELECT tile_id,
+       |  CAST(SUM(n * (la - lb) * (la - lb)) AS BIGINT) AS contrast,
+       |  CAST(SUM(n * n) AS BIGINT) AS energy
+       |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

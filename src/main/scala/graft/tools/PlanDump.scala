@@ -43,7 +43,8 @@ object PlanDump {
     "q132_kmeans", "q133_scd2_apply", "q134_chi2_rank",
     "q135_border_detect", "q136_cube_report", "q137_transitions",
     "q138_retention", "q139_autocrop", "q141_hillshade",
-    "q142_morph_open", "q143_alpha_mix")
+    "q142_morph_open", "q143_alpha_mix", "q144_upsample2x",
+    "q145_glcm_texture")
   // q140 is omitted like q119/q56 (its Components loop truncates, so
   // the registered plan is a post-checkpoint join + aggregate); the
   // audit-worthy level-1 shape — ONE tile-keyed Exchange, the per-tile

@@ -154,4 +154,42 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toLowerCase.contains("focal3x3"), s"no Focal3x3 in:\n$plan")
     assert(!plan.contains("Join"), "the stencil must not plan a join")
   }
+
+  test("q145 GLCM texture equals the brute co-occurrence features and " +
+    "the fixture has non-trivial texture variation across tiles") {
+    val sp = World.tiny
+    // iso surface (terrain + roughness) >> 15, scalar-side
+    def lvl(id: Long): Long = {
+      val B = 8; val cxN = sp.cols / B + 1
+      def corner(cx: Long, cy: Long): Long =
+        World.h2((cy * cxN + cx) * 53 + 11) % 4000
+      val x = (id - 1) % sp.cols; val y = (id - 1) / sp.cols
+      val (cx, fx) = (x / B, x % B); val (cy, fy) = (y / B, y % B)
+      val elev = (B - fx) * (B - fy) * corner(cx, cy) +
+        fx * (B - fy) * corner(cx + 1, cy) +
+        (B - fx) * fy * corner(cx, cy + 1) + fx * fy * corner(cx + 1, cy + 1)
+      (elev + World.h2(id * 29 + 5) % 40000) >> 15
+    }
+    val pairs = (1L to sp.nCells).filter { id =>
+      ((id - 1) % sp.cols) % sp.tile < sp.tile - 1
+    }.map { id =>
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      val tile = (r0 / sp.tile) * sp.tilesX + c0 / sp.tile
+      (tile, lvl(id), lvl(id + 1))
+    }
+    val expected = pairs.groupBy(_._1).toSeq.map { case (t, ps) =>
+      val hist = ps.groupBy(p => (p._2, p._3)).view.mapValues(_.size.toLong)
+      val contrast = hist.map { case ((a, b), n) => n * (a - b) * (a - b) }.sum
+      val energy = hist.map { case (_, n) => n * n }.sum
+      (t, contrast, energy)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q145_glcm_texture")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // a hash field is near-white-noise: energy must sit near the random
+    // baseline (pairs²/64) and contrast must differ across tiles —
+    // degenerate all-equal features would mean the levels collapsed
+    assert(got.map(_._2).distinct.size > 1, "contrast constant across tiles")
+    assert(got.map(_._3).distinct.size > 1, "energy constant across tiles")
+  }
 }

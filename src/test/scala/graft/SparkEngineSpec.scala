@@ -725,6 +725,34 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Upsample2x (q144): hand-computed bilinear values on a 2x2 " +
+    "payload, edge rows/cols clamped, and down-up round-trip fixes " +
+    "every even-even pixel") {
+    // 2x2 source [a b; c d] -> 4x4: interior mids average 2/4 sources,
+    // the last row/col clamp (no phantom zero ring)
+    val a = 0.25f; val b = 0.5f; val c = 0.75f; val d = 1.0f
+    val src = Codec.encodeF32(Array(Array(a, b, c, d)))
+    val up = graft.sql.Upsample2x.eval(src, 2, 2)
+    val got = (0 until 16).map(p => Codec.floatAt(up, p))
+    def avg2(u: Float, v: Float) = ((u.toDouble + v) / 2).toFloat
+    def avg4(u: Float, v: Float, x: Float, y: Float) =
+      ((u.toDouble + v + x + y) / 4).toFloat
+    val expected = Seq(
+      a, avg2(a, b), b, avg2(b, b),
+      avg2(a, c), avg4(a, b, c, d), avg2(b, d), avg4(b, b, d, d),
+      c, avg2(c, d), d, avg2(d, d),
+      avg2(c, c), avg4(c, d, c, d), avg2(d, d), avg4(d, d, d, d))
+    assert(got == expected)
+    // round-trip: every dst (2r, 2c) is an exact source copy, so
+    // Resize2x(Upsample2x(x)) == x would hold only for box-avg of equal
+    // quads; the exact invariant is the even-even gather
+    (0 until 4).foreach { p =>
+      val r = p / 2; val cc = p % 2
+      assert(Codec.floatAt(up, (2 * r) * 4 + 2 * cc) ==
+        Codec.floatAt(src, p))
+    }
+  }
+
   test("Resize2x is bit-identical to the expression-composition resize " +
     "(decode -> transform-lambda box avg -> TileEncode) AND its " +
     "projection stays inside whole-stage codegen (the composed form's " +
