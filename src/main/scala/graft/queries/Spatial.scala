@@ -80,7 +80,9 @@ object Spatial {
     Q("q141_hillshade", q141, Some(q141Sql)),
     Q("q142_morph_open", q142, Some(q142Sql)),
     Q("q144_upsample2x", q144, Some(q144Sql)),
-    Q("q145_glcm_texture", q145, Some(q145Sql))
+    Q("q145_glcm_texture", q145, Some(q145Sql)),
+    Q("q146_geohash", q146, Some(q146Sql)),
+    Q("q147_integral_image", q147, Some(q147Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -3352,5 +3354,110 @@ object Spatial {
        |  CAST(SUM(n * (la - lb) * (la - lb)) AS BIGINT) AS contrast,
        |  CAST(SUM(n * n) AS BIGINT) AS energy
        |FROM hist GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---- q146: GEOHASH — the remaining classic spatial index family
+  // beside H3-lite (q20/q27), S2 (q67-q69) and the Z-order layout key
+  // (q87): base-32 geohash-8 of each cell centroid (equirectangular
+  // lat/lng, the q67 mapping) plus its 4-char prefix — the
+  // prefix-partition key geo pipelines bucket by. INTEGER throughout:
+  // the 20-bit lat/lng bisection fractions are closed-form integer
+  // floor-divisions of the cell's row/col (no float ever — latb =
+  // (2r+1)·2^13 exactly, lngb = (2c+1)·2^19 // 96), the 40-bit code is
+  // one codegen ZInterleave (lng at odd bits = geohash's
+  // longitude-first MSB order), and the 8 characters are substr picks
+  // off the base-32 alphabet. The oracle interleaves with a flat
+  // 40-term shift/mask expression instead — independent arithmetic for
+  // the same bits — and ClumpSpec anchors both against a textbook
+  // BISECTION geohash (a third, loop-based algorithm). Per-row
+  // projection, zero shuffle. -----------------------------------------------
+  private val GhAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val row0 = floor((cellCol - 1) / C).cast("long")
+    val col0 = (cellCol - 1) % C
+    // 20-bit bisection fractions: floor(frac * 2^20) with
+    // frac_lat = (row0 + 0.5) / rows, frac_lng = (col0 + 0.5) / cols
+    val latb = (row0 * 2 + 1) * (1048576L / (2 * spec.rows))
+    // (2c+1)·2^19 ≈ 1e8 is exact in double and its /96 quotient's
+    // fractional part is 0 or k/3 — never within an ulp of an integer
+    // boundary — so floor of the correctly-rounded division equals the
+    // integer floor-division the oracle uses
+    val lngb = floor(((col0 * 2 + 1) * lit(524288L)).cast("double") / C)
+      .cast("long")
+    val z = z_interleave(latb, lngb) // lat even bits, lng odd
+    val gh8 = concat((0 until 8).map { k =>
+      lit(GhAlphabet).substr(
+        (shiftright(z, 35 - 5 * k).bitwiseAND(lit(31L)) + 1).cast("int"),
+        lit(1))
+    }: _*)
+    spine(s).select(cellCol, gh8.as("gh8"))
+      .select(cellCol, col("gh8"), substring(col("gh8"), 1, 4).as("gh4"))
+      .orderBy("cell_id")
+  }
+
+  private def q146Sql: String = {
+    val latb = s"(((cell_id - 1) // $C * 2 + 1) * ${1048576L / (2 * spec.rows)})"
+    val lngb = s"((((cell_id - 1) % $C) * 2 + 1) * 524288 // $C)"
+    val z = (0 until 20).map { i =>
+      s"(((latb >> $i) & 1) << ${2 * i}) + (((lngb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    val chars = (0 until 8).map { k =>
+      s"substr('$GhAlphabet', CAST(((z >> ${35 - 5 * k}) & 31) + 1 AS INT), 1)"
+    }.mkString(" || ")
+    s"""$cellsCte,
+       |b AS (SELECT cell_id, $latb AS latb, $lngb AS lngb FROM cells),
+       |g AS (SELECT cell_id, $z AS z FROM b),
+       |h AS (SELECT cell_id, $chars AS gh8 FROM g)
+       |SELECT cell_id, gh8, substr(gh8, 1, 4) AS gh4
+       |FROM h ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q147: INTEGRAL IMAGE — per-tile summed-area table of band 0
+  // (the box-filter primitive: any axis-aligned box sum over the tile
+  // becomes 4 SAT lookups; the building block under blur, local mean
+  // normalization, Haar-like features). Engine: ONE tile-keyed
+  // aggregation (the Rasterize shape), then the Sat expression's 2-D
+  // recurrence once per tile and a codegen unpack back to per-pixel
+  // rows — the only Exchange is the groupBy, identical to the q93
+  // family's economics. The oracle computes the SAME table by a
+  // DIFFERENT algorithm: two chained window cumsums (row-wise, then
+  // column-wise over the row sums) — recurrence vs prefix-sum
+  // decomposition cross-check, all integer (band 0..255, SAT ≤
+  // tile²·255), bit-exact. -------------------------------------------------
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val row0 = floor((cellCol - 1) / C).cast("long")
+    val col0 = (cellCol - 1) % C
+    val pix = ((row0 % T) * T + col0 % T).cast("int")
+    def cellOf(tile: Column, p: Column): Column =
+      ((floor(tile / TX).cast("long") * T + floor(p / T)) * C +
+        (tile % TX).cast("long") * T + p % T + 1).cast("long")
+    spine(s)
+      .select(tileCol(cellCol).cast("int").as("tile_id"), pix.as("pix"),
+        bandCol(cellCol, 0).as("v"))
+      .groupBy("tile_id")
+      .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
+      .select(col("tile_id"),
+        posexplode(graft.sql.GraftFunctions
+          .sat(col("pv.pix"), col("pv.v"), T)).as(Seq("p", "s")))
+      .select(cellOf(col("tile_id"), col("p")).as("cell_id"),
+        col("s").as("sat"))
+      .orderBy("cell_id")
+  }
+
+  private def q147Sql: String = {
+    val r = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c = s"(((cell_id - 1) % $C) % $T)"
+    s"""$cellsCte,
+       |px AS (SELECT cell_id, ${tileSql("cell_id")} AS tile_id,
+       |    $r AS r, $c AS c, CAST(${bandSql("cell_id", 0)} AS BIGINT) AS v
+       |  FROM cells),
+       |rowcum AS (SELECT cell_id, tile_id, r, c,
+       |    SUM(v) OVER (PARTITION BY tile_id, r ORDER BY c) AS rs
+       |  FROM px)
+       |SELECT cell_id,
+       |  CAST(SUM(rs) OVER (PARTITION BY tile_id, c ORDER BY r) AS BIGINT)
+       |    AS sat
+       |FROM rowcum ORDER BY cell_id""".stripMargin
   }
 }

@@ -1081,6 +1081,62 @@ object Mode3x3 {
   }
 }
 
+/** Per-tile SUMMED-AREA TABLE (integral image): given one tile's
+  * (pos, value) pairs — same input contract as the tile aggregations,
+  * no halo — return tile² longs where out[r·t+c] = Σ v over all pixels
+  * (r'≤r, c'≤c), the box-filter primitive (any axis-aligned box sum
+  * becomes 4 SAT lookups). Absent pixels contribute 0 (padding of
+  * partial edge tiles). One expression call per tile; the 2-D
+  * recurrence sat = v + left + up − upleft runs in one scan. Values
+  * are 0..255 ints carried as double, so SAT ≤ tile²·255 — exact in a
+  * long at any real tile size, and the DuckDB oracle recomputes the
+  * same table by a DIFFERENT algorithm (two chained window cumsums). */
+case class Sat(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Sat.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData], tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Sat.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sat {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val v = new Array[Long](tile * tile)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      v(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val p = r * tile + c
+        out(p) = v(p) +
+          (if (c > 0) out(p - 1) else 0L) +
+          (if (r > 0) out(p - tile) else 0L) -
+          (if (r > 0 && c > 0) out(p - tile - 1) else 0L)
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Per-tile LOCAL connected-component labeling (the first level of the
   * hierarchical raster clump, engine/Clump): given one tile's sorted
   * in-tile pixel indices and their integer class values, label each
@@ -1956,6 +2012,11 @@ object GraftFunctions {
     * level one — union-find over same-class 4-neighbors of ONE tile). */
   def clump_local(pixs: Column, clss: Column, tile: Int): Column =
     column(ClumpLocal(expression(pixs), expression(clss), tile))
+
+  /** Per-tile summed-area table over (pos, value) arrays: tile² longs,
+    * out[r·t+c] = box sum from the tile origin (absent pixels = 0). */
+  def sat(pixs: Column, vs: Column, tile: Int): Column =
+    column(Sat(expression(pixs), expression(vs), tile))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

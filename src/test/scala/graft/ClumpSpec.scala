@@ -155,6 +155,50 @@ class ClumpSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixture degenerate: opening destroyed the patch bodies")
   }
 
+  test("q146 geohash equals a textbook bisection encoder on every cell") {
+    // third algorithm (loop-based float bisection) vs the engine's
+    // integer floor-div + ZInterleave and the oracle's 40-term
+    // shift/mask — all three must agree. Ties at dyadic bisection
+    // boundaries go to the upper half in both formulations (>= mid
+    // <=> floor(frac * 2^20) has the bit set), and the centroid
+    // doubles are exact where it matters (dyadic lat everywhere; lng
+    // exact precisely at the dyadic boundary cells).
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def bisect(lat: Double, lng: Double): String = {
+      var latLo = -90.0; var latHi = 90.0
+      var lngLo = -180.0; var lngHi = 180.0
+      val sb = new StringBuilder
+      var bit = 0; var ch = 0; var isLng = true
+      while (sb.length < 8) {
+        if (isLng) {
+          val mid = (lngLo + lngHi) / 2
+          if (lng >= mid) { ch = ch * 2 + 1; lngLo = mid }
+          else { ch = ch * 2; lngHi = mid }
+        } else {
+          val mid = (latLo + latHi) / 2
+          if (lat >= mid) { ch = ch * 2 + 1; latLo = mid }
+          else { ch = ch * 2; latHi = mid }
+        }
+        isLng = !isLng
+        bit += 1
+        if (bit == 5) { sb += alphabet(ch); bit = 0; ch = 0 }
+      }
+      sb.toString
+    }
+    val expected = (1L to N.toLong).map { id =>
+      val lat = ((id - 1) / C + 0.5) / R * 180.0 - 90.0
+      val lng = ((id - 1) % C + 0.5) / C * 360.0 - 180.0
+      (id, bisect(lat, lng))
+    }
+    val got = SparkEntry.queries("q146_geohash")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == expected)
+    assert(got.forall { case (_, g8, g4) => g8.startsWith(g4) })
+    // the prefix genuinely partitions (more than one bucket, and
+    // spatial locality: same-row neighbors usually share gh4)
+    assert(got.map(_._3).distinct.length > 4)
+  }
+
   test("q141 hillshade equals the scalar replica bit-for-bit") {
     val B = 8; val cxN = C / B + 1
     def corner(cx: Long, cy: Long): Long =

@@ -192,4 +192,39 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).distinct.size > 1, "contrast constant across tiles")
     assert(got.map(_._3).distinct.size > 1, "energy constant across tiles")
   }
+
+  test("q147 integral image equals the brute per-pixel box sum and the " +
+    "4-lookup box identity recovers arbitrary box sums") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7) % 256
+    def cellAt(tile: Int, r: Int, c: Int): Long = {
+      val row = (tile / sp.tilesX) * sp.tile + r
+      val col = (tile % sp.tilesX) * sp.tile + c
+      row.toLong * sp.cols + col + 1
+    }
+    val got = SparkEntry.queries("q147_integral_image")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == sp.nCells)
+    // brute: every pixel's SAT is the double-loop sum from the origin
+    val tiles = 0 until sp.nTiles
+    tiles.foreach { t =>
+      for (r <- 0 until sp.tile; c <- 0 until sp.tile) {
+        val brute = (for (i <- 0 to r; j <- 0 to c)
+          yield v(cellAt(t, i, j))).sum
+        assert(got(cellAt(t, r, c)) == brute,
+          s"SAT mismatch at tile $t ($r,$c)")
+      }
+    }
+    // the point of a SAT: box sum = D - B - C + A with 4 lookups
+    def sat(t: Int, r: Int, c: Int): Long =
+      if (r < 0 || c < 0) 0L else got(cellAt(t, r, c))
+    val boxes = Seq((0, 3, 3, 9, 9), (5, 0, 0, 15, 15), (11, 7, 2, 12, 14))
+    boxes.foreach { case (t, r1, c1, r2, c2) =>
+      val viaSat = sat(t, r2, c2) - sat(t, r1 - 1, c2) -
+        sat(t, r2, c1 - 1) + sat(t, r1 - 1, c1 - 1)
+      val brute = (for (i <- r1 to r2; j <- c1 to c2)
+        yield v(cellAt(t, i, j))).sum
+      assert(viaSat == brute, s"box identity failed on $t")
+    }
+  }
 }
