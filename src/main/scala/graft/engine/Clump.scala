@@ -49,20 +49,17 @@ object Clump {
   def label(s: SparkSession, spec: WorldSpec, cells: DataFrame,
       name: String): DataFrame = {
     val T = spec.tile
-    val TX = spec.tilesX
     val C = spec.cols
     val id = col("cell_id")
     val row0 = floor((id - 1) / C).cast("long")
     val col0 = (id - 1) % C
-    val tileId = (floor(row0 / T) * TX + floor(col0 / T)).cast("int")
-    val pix = ((row0 % T) * T + col0 % T).cast("int")
+    val (tileId, pix) = Rasterize.derive(spec)
 
     // ---- level 1: per-tile local labels (one Exchange on tile_id; the
     // union-find runs once per TILE inside the aggregation's output
     // projection, then a codegen'd unpack derives global cell ids)
     def cellOf(tile: Column, p: Column): Column =
-      ((floor(tile / TX).cast("long") * T + floor(p / T)) * C +
-        (tile % TX).cast("long") * T + p % T + 1).cast("long")
+      Rasterize.cellOf(spec, tile, p)
     val packed = cells
       .select(tileId.as("tile_id"), pix.as("pix"), col("cls"))
       .groupBy("tile_id")

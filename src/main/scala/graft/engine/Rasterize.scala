@@ -20,8 +20,10 @@ import graft.world.WorldSpec
   */
 object Rasterize {
 
-  /** cell_id -> (tile_id, in-tile pixel index) columns. */
-  private def derive(spec: WorldSpec): (Column, Column) = {
+  /** cell_id -> (tile_id, in-tile pixel index) columns — THE grid
+    * layout arithmetic, shared by every tile-keyed aggregation
+    * (rasterize sinks, engine/Clump level one, q147's SAT). */
+  private[graft] def derive(spec: WorldSpec): (Column, Column) = {
     val C = spec.cols
     val T = spec.tile
     val TX = spec.tilesX
@@ -30,6 +32,17 @@ object Rasterize {
     val col0 = (id - 1) % C
     ((floor(row0 / T) * TX + floor(col0 / T)).cast("int"),
       ((row0 % T) * T + col0 % T).cast("int"))
+  }
+
+  /** Inverse of [[derive]]: the global cell id of in-tile pixel `pix`
+    * of tile `tile`. */
+  private[graft] def cellOf(spec: WorldSpec, tile: Column,
+      pix: Column): Column = {
+    val C = spec.cols
+    val T = spec.tile
+    val TX = spec.tilesX
+    ((floor(tile / TX).cast("long") * T + floor(pix / T)) * C +
+      (tile % TX).cast("long") * T + pix % T + 1).cast("long")
   }
 
   /** Sparse (pix, value) pairs of one tile -> encoded payload; missing

@@ -3372,13 +3372,23 @@ object Spatial {
   // BISECTION geohash (a third, loop-based algorithm). Per-row
   // projection, zero shuffle. -----------------------------------------------
   private val GhAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+  /** Latitude bisection step: floor(2^20 / (2·rows)) — EXACT only when
+    * 2·rows divides 2^20 (rows a power of two ≤ 2^19; true for tiny's
+    * 64 and bench's 1024). Guarded loudly: on any other spec the
+    * truncated constant would silently stop being a geohash while the
+    * oracle (same constant) still matched. */
+  private lazy val GhLatStep = {
+    require((1L << 20) % (2L * spec.rows) == 0,
+      s"q146 geohash needs 2*rows to divide 2^20, got rows=${spec.rows}")
+    1048576L / (2 * spec.rows)
+  }
 
   private def q146(s: SparkSession, dir: String): DataFrame = {
     val row0 = floor((cellCol - 1) / C).cast("long")
     val col0 = (cellCol - 1) % C
     // 20-bit bisection fractions: floor(frac * 2^20) with
     // frac_lat = (row0 + 0.5) / rows, frac_lng = (col0 + 0.5) / cols
-    val latb = (row0 * 2 + 1) * (1048576L / (2 * spec.rows))
+    val latb = (row0 * 2 + 1) * GhLatStep
     // (2c+1)·2^19 ≈ 1e8 is exact in double and its /96 quotient's
     // fractional part is 0 or k/3 — never within an ulp of an integer
     // boundary — so floor of the correctly-rounded division equals the
@@ -3397,7 +3407,7 @@ object Spatial {
   }
 
   private def q146Sql: String = {
-    val latb = s"(((cell_id - 1) // $C * 2 + 1) * ${1048576L / (2 * spec.rows)})"
+    val latb = s"(((cell_id - 1) // $C * 2 + 1) * $GhLatStep)"
     val lngb = s"((((cell_id - 1) % $C) * 2 + 1) * 524288 // $C)"
     val z = (0 until 20).map { i =>
       s"(((latb >> $i) & 1) << ${2 * i}) + (((lngb >> $i) & 1) << ${2 * i + 1})"
@@ -3426,21 +3436,17 @@ object Spatial {
   // decomposition cross-check, all integer (band 0..255, SAT ≤
   // tile²·255), bit-exact. -------------------------------------------------
   private def q147(s: SparkSession, dir: String): DataFrame = {
-    val row0 = floor((cellCol - 1) / C).cast("long")
-    val col0 = (cellCol - 1) % C
-    val pix = ((row0 % T) * T + col0 % T).cast("int")
-    def cellOf(tile: Column, p: Column): Column =
-      ((floor(tile / TX).cast("long") * T + floor(p / T)) * C +
-        (tile % TX).cast("long") * T + p % T + 1).cast("long")
+    val (tileId, pix) = graft.engine.Rasterize.derive(spec)
     spine(s)
-      .select(tileCol(cellCol).cast("int").as("tile_id"), pix.as("pix"),
+      .select(tileId.as("tile_id"), pix.as("pix"),
         bandCol(cellCol, 0).as("v"))
       .groupBy("tile_id")
       .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
       .select(col("tile_id"),
         posexplode(graft.sql.GraftFunctions
           .sat(col("pv.pix"), col("pv.v"), T)).as(Seq("p", "s")))
-      .select(cellOf(col("tile_id"), col("p")).as("cell_id"),
+      .select(graft.engine.Rasterize.cellOf(spec, col("tile_id"), col("p"))
+          .as("cell_id"),
         col("s").as("sat"))
       .orderBy("cell_id")
   }

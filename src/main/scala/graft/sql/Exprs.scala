@@ -1148,13 +1148,14 @@ object Sat {
   * per input pixel (input order preserved); callers convert pix and
   * root to global cell ids with plain column arithmetic, keeping the
   * unpack inside whole-stage codegen. Sparse tiles are fine (absent
-  * pixels simply never union); requires tile² < 2^20 (tiles up to
-  * 1024x1024). The cross-TILE merge is level two's job: only fragments
+  * pixels simply never union); requires tile² <= 2^20 (tiles up to
+  * 1024x1024 — pix and root each fit 20 bits). The cross-TILE merge is
+  * level two's job: only fragments
   * touching a tile border can join a neighboring tile's fragment, which
   * is what makes the clump's global phase perimeter-sized. */
 case class ClumpLocal(left: Expression, right: Expression, tile: Int)
   extends BinaryExpression {
-  require(tile.toLong * tile < (1L << 20),
+  require(tile.toLong * tile <= (1L << 20),
     s"ClumpLocal supports tiles up to 1024x1024, got $tile")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1177,12 +1178,17 @@ case class ClumpLocal(left: Expression, right: Expression, tile: Int)
 object ClumpLocal {
   def eval(pixs: ArrayData, clss: ArrayData, tile: Int): ArrayData = {
     val nCells = tile * tile
-    val cls = Array.fill[Int](nCells)(-1) // -1 = absent
+    // explicit presence flags, NOT a class sentinel: class values are
+    // caller-defined integers, so any in-band "absent" marker (e.g. -1)
+    // could collide with a real class and silently split its fragments
+    val present = new Array[Boolean](nCells)
+    val cls = new Array[Int](nCells)
     val parent = new Array[Int](nCells)
     val n = pixs.numElements()
     var i = 0
     while (i < n) {
       val p = pixs.getInt(i)
+      present(p) = true
       cls(p) = clss.getInt(i)
       parent(p) = p
       i += 1
@@ -1198,14 +1204,16 @@ object ClumpLocal {
     }
     var p = 0
     while (p < nCells) {
-      if (cls(p) >= 0) {
-        if (p % tile != 0 && cls(p - 1) == cls(p)) { // left neighbor
+      if (present(p)) {
+        if (p % tile != 0 && present(p - 1) &&
+            cls(p - 1) == cls(p)) { // left neighbor
           val ra = find(p); val rb = find(p - 1)
           if (ra != rb) {
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
           }
         }
-        if (p >= tile && cls(p - tile) == cls(p)) { // up neighbor
+        if (p >= tile && present(p - tile) &&
+            cls(p - tile) == cls(p)) { // up neighbor
           val ra = find(p); val rb = find(p - tile)
           if (ra != rb) {
             if (ra < rb) parent(rb) = ra else parent(ra) = rb
