@@ -82,7 +82,9 @@ object Spatial {
     Q("q144_upsample2x", q144, Some(q144Sql)),
     Q("q145_glcm_texture", q145, Some(q145Sql)),
     Q("q146_geohash", q146, Some(q146Sql)),
-    Q("q147_integral_image", q147, Some(q147Sql))
+    Q("q147_integral_image", q147, Some(q147Sql)),
+    Q("q148_box_nms", q148, Some(q148Sql)),
+    Q("q149_geojson_pip", q149, Some(q149Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -3466,4 +3468,126 @@ object Spatial {
        |    AS sat
        |FROM rowcum ORDER BY cell_id""".stripMargin
   }
+
+  // ---- q148: GREEDY BOX NMS — non-max suppression over per-image box
+  // proposals (the object-detection postprocess a multimodal training
+  // pipeline runs before cropping regions): rank boxes by score, keep a
+  // box iff its IoU with every higher-ranked KEPT box is under 0.3.
+  // IoU never touches a float: the test is the cross-multiplied integer
+  // inequality 10·inter >= 3·union on half-open integer boxes.
+  //
+  // Scale shape: NMS is inherently sequential PER IMAGE but
+  // embarrassingly parallel ACROSS images — exactly the ClumpLocal
+  // economics: one tile-keyed aggregation, one GreedyNms expression
+  // call per image over its (rank-sorted in the agg) proposal list, a
+  // codegen unzip back to rows. Proposal counts are hundreds per image,
+  // never corpus-sized, so the O(kept·n) loop is a constant per image.
+  // The oracle unrolls the SAME greedy over the fixture's fixed 6 boxes
+  // as a cascade of chained CTEs (k2 sees k1, k3 sees k1/k2, ...) — a
+  // different formulation of the same recurrence, bit-exact. The
+  // fixture yields 13 suppressions across 9 of the 24 images
+  // (spec-asserted), with rank ties broken by box index in both
+  // engines. ------------------------------------------------------------------
+  private val NmsBoxes = 6
+
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val t = floor(col("id") / NmsBoxes).cast("long")
+    val b = col("id") % NmsBoxes
+    def f(o: Int) = World.h2Col(t * 101 + b * 7 + o)
+    val boxes = s.range(0, spec.nTiles.toLong * NmsBoxes).select(
+      t.as("tile_id"), b.as("b"),
+      (f(1) % 48).as("x1"), (f(2) % 48).as("y1"),
+      (f(3) % 12 + 4).as("w"), (f(4) % 12 + 4).as("h"),
+      (f(5) % 1000).as("score"))
+    val packed = col("x1") * 16777216L + col("y1") * 65536L +
+      col("w") * 256L + col("h")
+    boxes
+      .select(col("tile_id"), struct((lit(999) - col("score")).as("inv"),
+        col("b"), packed.as("pk"), col("score")).as("bx"))
+      .groupBy("tile_id")
+      .agg(sort_array(collect_list(col("bx"))).as("sa")) // score desc, b asc
+      .select(col("tile_id"), col("sa"),
+        greedy_nms(col("sa.pk"), 3, 10).as("k"))
+      .select(col("tile_id"), explode(arrays_zip(col("sa"), col("k"))).as("z"))
+      .select(col("tile_id"), col("z.sa.b").cast("int").as("b"),
+        col("z.sa.score").as("score"), col("z.k").cast("int").as("kept"))
+      .orderBy("tile_id", "b")
+  }
+
+  private def q148Sql: String = {
+    val n = NmsBoxes
+    def f(o: Int) = h2Sql(s"t.range * 101 + b.range * 7 + $o")
+    // per-rank pivot columns: coords, area, identity
+    val pivot = (1 to n).flatMap { k =>
+      Seq(s"MAX(CASE WHEN rn = $k THEN x1 END) AS x1_$k",
+        s"MAX(CASE WHEN rn = $k THEN y1 END) AS y1_$k",
+        s"MAX(CASE WHEN rn = $k THEN x1 + w END) AS x2_$k",
+        s"MAX(CASE WHEN rn = $k THEN y1 + h END) AS y2_$k",
+        s"MAX(CASE WHEN rn = $k THEN w * h END) AS ar_$k",
+        s"MAX(CASE WHEN rn = $k THEN b END) AS b_$k",
+        s"MAX(CASE WHEN rn = $k THEN score END) AS score_$k")
+    }.mkString(",\n    ")
+    def inter(i: Int, j: Int) =
+      s"(GREATEST(0, LEAST(x2_$i, x2_$j) - GREATEST(x1_$i, x1_$j)) * " +
+        s"GREATEST(0, LEAST(y2_$i, y2_$j) - GREATEST(y1_$i, y1_$j)))"
+    def sup(i: Int, j: Int) =
+      s"(10 * ${inter(i, j)} >= 3 * (ar_$i + ar_$j - ${inter(i, j)}))"
+    val cascade = (2 to n).map { i =>
+      val cond = (1 until i).map(j => s"(NOT k$j OR NOT ${sup(i, j)})")
+        .mkString(" AND ")
+      s"k$i AS (SELECT *, ($cond) AS k$i FROM k${i - 1})"
+    }.mkString(",\n")
+    val unpivot = (1 to n).map { k =>
+      s"SELECT tile_id, CAST(b_$k AS INT) AS b, score_$k AS score, " +
+        s"CAST(k$k AS INT) AS kept FROM k$n"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b0 AS (SELECT t.range AS tile_id, b.range AS b,
+       |    ${f(1)} % 48 AS x1, ${f(2)} % 48 AS y1,
+       |    ${f(3)} % 12 + 4 AS w, ${f(4)} % 12 + 4 AS h,
+       |    ${f(5)} % 1000 AS score
+       |  FROM range(${spec.nTiles}) t, range($n) b),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id
+       |    ORDER BY score DESC, b) AS rn FROM b0),
+       |w AS (SELECT tile_id,
+       |    $pivot
+       |  FROM r GROUP BY 1),
+       |k1 AS (SELECT *, TRUE AS k1 FROM w),
+       |$cascade
+       |$unpivot
+       |ORDER BY tile_id, b""".stripMargin
+  }
+
+  // ---- q149: GEOJSON POLYGON SCAN — the q65 fixture (lake + two-island
+  // archipelago + overlapping rectangle) carried through the THIRD
+  // vector boundary format (sources/GeoJson: RFC 7946 FeatureCollection,
+  // recursive-descent parser, closed rings, region_id property). Rows
+  // must equal q65's exactly — if the parser mangled a ring, dropped
+  // the closing-vertex rule, or lost a hole, the PIP counts change and
+  // the driver goes red; the oracle is the SAME edge-list CTE as q65's
+  // because the layer SEMANTICS are identical and only the transport
+  // differs (that is the point of a source-format test). ------------------
+  private lazy val geojsonFixture: String = {
+    val dir = graft.util.TempDirs.create("graft_geojson_q149")
+    java.nio.file.Files.writeString(dir.resolve("regions.geojson"),
+      graft.sources.GeoJson.encode(holedPolys))
+    s"$dir/regions.geojson"
+  }
+
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val polys = graft.sources.Ingest.geojsonPolygons(s, geojsonFixture)
+    spine(s)
+      .select(cellCol,
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
+
+  private def q149Sql =
+    s"""$cellsCte,
+       |${pipCteFor(edgesValuesOf(holedPolys))}
+       |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
+       |  MAX(cell_id) AS max_cell
+       |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -60,6 +60,18 @@ object Ingest {
       .sortBy(_.regionId)
   }
 
+  /** GeoJSON FeatureCollection boundary layer (the third vector format
+    * beside WKT and .shp — see [[GeoJson]] for the supported subset).
+    * Same economics as the others: a boundary layer is KB-scale next to
+    * the raster, so it collects to the driver and broadcasts into the
+    * PIP expression. */
+  def geojsonPolygons(spark: SparkSession, path: String): Array[Polygon] = {
+    import spark.implicits._
+    val text = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]].head()
+    GeoJson.decode(new String(text, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private[graft] def parseWktLine(line: String): Polygon = {
     val comma = line.indexOf(',')
     require(comma > 0,

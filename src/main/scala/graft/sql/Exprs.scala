@@ -1081,6 +1081,75 @@ object Mode3x3 {
   }
 }
 
+/** Greedy NON-MAX SUPPRESSION over one image's candidate boxes — the
+  * standard object-detection postprocess (keep a box iff its IoU with
+  * every higher-ranked KEPT box is below the threshold), the per-image
+  * sequential step a multimodal pipeline runs after box proposal.
+  * Input: the image's boxes ALREADY in rank order (the caller sorts by
+  * score desc + tie-break inside its tile aggregation), each packed
+  * x1<<24 | y1<<16 | w<<8 | h (half-open boxes, coords < 256). Output:
+  * one 0/1 long per box, input order preserved. The IoU test is the
+  * cross-multiplied integer inequality thrDen·inter < thrNum·union —
+  * no float ever, so the DuckDB oracle (the same greedy unrolled as a
+  * chained-CTE CASE cascade) is bit-exact. One call per IMAGE: the
+  * O(kept·n) loop is amortized like ClumpLocal's union-find, and n is
+  * proposal-count-sized (hundreds), never corpus-sized. */
+case class GreedyNms(child: Expression, thrNum: Int, thrDen: Int)
+  extends UnaryExpression {
+  require(thrNum > 0 && thrDen > 0, "NMS threshold must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(boxes: Any): Any =
+    GreedyNms.eval(boxes.asInstanceOf[ArrayData], thrNum, thrDen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GreedyNms.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, boxes =>
+      s"${ev.value} = $cls.eval($boxes, $thrNum, $thrDen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GreedyNms {
+  def eval(boxes: ArrayData, thrNum: Int, thrDen: Int): ArrayData = {
+    val n = boxes.numElements()
+    val x1 = new Array[Long](n); val y1 = new Array[Long](n)
+    val x2 = new Array[Long](n); val y2 = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val p = boxes.getLong(i)
+      x1(i) = (p >> 24) & 0xFF
+      y1(i) = (p >> 16) & 0xFF
+      x2(i) = x1(i) + ((p >> 8) & 0xFF)
+      y2(i) = y1(i) + (p & 0xFF)
+      i += 1
+    }
+    val kept = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var ok = true
+      var j = 0
+      while (ok && j < i) {
+        if (kept(j) == 1L) {
+          val iw = math.min(x2(i), x2(j)) - math.max(x1(i), x1(j))
+          val ih = math.min(y2(i), y2(j)) - math.max(y1(i), y1(j))
+          val inter = math.max(0L, iw) * math.max(0L, ih)
+          val union = (x2(i) - x1(i)) * (y2(i) - y1(i)) +
+            (x2(j) - x1(j)) * (y2(j) - y1(j)) - inter
+          if (thrDen.toLong * inter >= thrNum.toLong * union) ok = false
+        }
+        j += 1
+      }
+      kept(i) = if (ok) 1L else 0L
+      i += 1
+    }
+    ArrayData.toArrayData(kept)
+  }
+}
+
 /** Per-tile SUMMED-AREA TABLE (integral image): given one tile's
   * (pos, value) pairs — same input contract as the tile aggregations,
   * no halo — return tile² longs where out[r·t+c] = Σ v over all pixels
@@ -2025,6 +2094,11 @@ object GraftFunctions {
     * out[r·t+c] = box sum from the tile origin (absent pixels = 0). */
   def sat(pixs: Column, vs: Column, tile: Int): Column =
     column(Sat(expression(pixs), expression(vs), tile))
+
+  /** Greedy NMS over rank-ordered packed boxes (x1<<24|y1<<16|w<<8|h):
+    * 0/1 kept flag per box, IoU >= thrNum/thrDen suppresses. */
+  def greedy_nms(boxes: Column, thrNum: Int, thrDen: Int): Column =
+    column(GreedyNms(expression(boxes), thrNum, thrDen))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

@@ -44,7 +44,8 @@ object PlanDump {
     "q135_border_detect", "q136_cube_report", "q137_transitions",
     "q138_retention", "q139_autocrop", "q141_hillshade",
     "q142_morph_open", "q143_alpha_mix", "q144_upsample2x",
-    "q145_glcm_texture", "q146_geohash", "q147_integral_image")
+    "q145_glcm_texture", "q146_geohash", "q147_integral_image",
+    "q148_box_nms", "q149_geojson_pip")
   // q140 is omitted like q119/q56 (its Components loop truncates, so
   // the registered plan is a post-checkpoint join + aggregate); the
   // audit-worthy level-1 shape — ONE tile-keyed Exchange, the per-tile

@@ -422,4 +422,61 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kml3.sliding("<innerBoundaryIs>".length)
       .count(_ == "<innerBoundaryIs>") == 1)
   }
+
+  test("S6: GeoJSON encode -> decode round-trips a holed + multi-ring " +
+    "layer exactly (ids, coords, ringStarts)") {
+    import graft.sources.GeoJson
+    val layer = Array(
+      graft.core.Polygon(2,
+        Array[Double](5, 40, 40, 5, 15, 25, 25, 15),
+        Array[Double](5, 5, 40, 40, 15, 15, 25, 25), Array(0, 4)),
+      graft.core.Polygon(7, Array[Double](50, 60, 55),
+        Array[Double](10, 10, 20)))
+    val back = GeoJson.decode(GeoJson.encode(layer))
+    assert(back.length == 2)
+    layer.zip(back).foreach { case (a, b) =>
+      assert(a.regionId == b.regionId)
+      assert(a.xs.toSeq == b.xs.toSeq && a.ys.toSeq == b.ys.toSeq)
+      assert(a.ringStarts.toSeq == b.ringStarts.toSeq)
+    }
+  }
+
+  test("S6: GeoJSON hand-written document — MultiPolygon flattening, " +
+    "whitespace, negative + exponent numbers, property escapes") {
+    val doc =
+      """{ "type" : "FeatureCollection",
+        |  "features": [
+        |    { "type": "Feature",
+        |      "properties": { "name": "a\"b", "region_id": 4 },
+        |      "geometry": { "type": "MultiPolygon", "coordinates": [
+        |        [ [ [ -1.0, 0.0 ], [ 3e0, 0 ], [ 3, 4.5 ], [ -1.0, 0.0 ] ] ],
+        |        [ [ [ 10, 10 ], [ 20, 10 ], [ 20, 20 ], [ 10, 20 ],
+        |            [ 10, 10 ] ] ]
+        |      ] } } ] }""".stripMargin
+    val got = graft.sources.GeoJson.decode(doc)
+    assert(got.length == 1 && got(0).regionId == 4)
+    assert(got(0).nRings == 2)
+    assert(got(0).xs.toSeq == Seq(-1.0, 3.0, 3.0, 10.0, 20.0, 20.0, 10.0))
+    assert(got(0).ys.toSeq == Seq(0.0, 0.0, 4.5, 10.0, 10.0, 20.0, 20.0))
+    assert(got(0).ringStarts.toSeq == Seq(0, 3))
+  }
+
+  test("S6: GeoJSON loud failures — unclosed ring, unsupported geometry, " +
+    "empty layer encode") {
+    import graft.sources.GeoJson
+    val unclosed =
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{"region_id":1},"geometry":{"type":"Polygon",
+        |"coordinates":[[[0,0],[1,0],[1,1],[0,1]]]}}]}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](GeoJson.decode(unclosed))
+    assert(e1.getMessage.contains("not closed"))
+    val point =
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{"region_id":1},"geometry":{"type":"Point",
+        |"coordinates":[0,0]}}]}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](GeoJson.decode(point))
+    assert(e2.getMessage.contains("unsupported geometry"))
+    val e3 = intercept[IllegalArgumentException](GeoJson.encode(Array.empty))
+    assert(e3.getMessage.contains("empty layer"))
+  }
 }

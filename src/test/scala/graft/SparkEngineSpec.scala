@@ -753,6 +753,49 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("GreedyNms (q148): a suppressed box does NOT suppress its own " +
+    "overlaps (the chain case), and q148 equals the scalar greedy") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def pack(x1: Long, y1: Long, w: Long, h: Long): Long =
+      (x1 << 24) | (y1 << 16) | (w << 8) | h
+    // rank order A, B, C: B overlaps A heavily (suppressed); C overlaps
+    // B heavily but A barely — C must SURVIVE because B is dead. A
+    // rank-unaware "suppress if any higher-ranked box overlaps" would
+    // kill C: this is the defining property of greedy NMS.
+    val chain = ArrayData.toArrayData(Array(
+      pack(0, 0, 10, 10), pack(4, 0, 10, 10), pack(9, 0, 10, 10)))
+    val kept = graft.sql.GreedyNms.eval(chain, 3, 10)
+    assert((0 until 3).map(kept.getLong) == Seq(1L, 0L, 1L))
+    // scalar replica of the whole q148 fixture
+    def h2(k: Long): Long = World.h2(k)
+    val expected = (0L until spec.nTiles.toLong).flatMap { t =>
+      val boxes = (0L until 6L).map { b =>
+        (h2(t * 101 + b * 7 + 5) % 1000, b,
+          h2(t * 101 + b * 7 + 1) % 48, h2(t * 101 + b * 7 + 2) % 48,
+          h2(t * 101 + b * 7 + 3) % 12 + 4, h2(t * 101 + b * 7 + 4) % 12 + 4)
+      }.sortBy { case (s, b, _, _, _, _) => (-s, b) }
+      val kept = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      val out = boxes.map { case (s, b, x1, y1, w, h) =>
+        val ok = kept.forall { case (ax1, ay1, ax2, ay2) =>
+          val iw = math.min(x1 + w, ax2) - math.max(x1, ax1)
+          val ih = math.min(y1 + h, ay2) - math.max(y1, ay1)
+          val inter = math.max(0L, iw) * math.max(0L, ih)
+          10 * inter < 3 * (w * h + (ax2 - ax1) * (ay2 - ay1) - inter)
+        }
+        if (ok) kept += ((x1, y1, x1 + w, y1 + h))
+        (t, b, s, if (ok) 1 else 0)
+      }
+      out
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q148_box_nms")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(got == expected)
+    // the fixture genuinely suppresses (13 boxes across 9 images)
+    assert(got.count(_._4 == 0) == 13)
+    assert(got.filter(_._4 == 0).map(_._1).distinct.size == 9)
+  }
+
   test("Resize2x is bit-identical to the expression-composition resize " +
     "(decode -> transform-lambda box avg -> TileEncode) AND its " +
     "projection stays inside whole-stage codegen (the composed form's " +
