@@ -77,7 +77,8 @@ object Relational {
     Q("q133_scd2_apply", q133, Some(q133Sql)),
     Q("q136_cube_report", q136, Some(q136Sql)),
     Q("q137_transitions", q137, Some(q137Sql)),
-    Q("q138_retention", q138, Some(q138Sql))
+    Q("q138_retention", q138, Some(q138Sql)),
+    Q("q155_mann_kendall", q155, Some(q155Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1482,4 +1483,89 @@ object Relational {
       |  COUNT(DISTINCT ev.user_id) AS n_users
       |FROM ev JOIN f ON ev.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --- q155: MANN-KENDALL TREND + SEN'S SLOPE per user — the standard
+  // nonparametric trend test for environmental time series (is this
+  // pixel/station's series rising?): S = Σ_{i<j} sgn(vⱼ−vᵢ) over the
+  // time-ordered series, the tie-corrected variance numerator
+  // var18 = n(n−1)(2n+5) − Σₖ tₖ(tₖ−1)(2tₖ+5) kept as its EXACT integer
+  // (the /18 and the z-score are the caller's one-liner), and Sen's
+  // slope = the median pairwise slope (vⱼ−vᵢ)/Δt. Pair order is pinned
+  // by (ts, event_id); the lower median is selected by rank so both
+  // engines pick the same element — slopes are identical IEEE divides
+  // of identical doubles, never accumulated. Scale shape: the pair
+  // frame is a self-join on user_id — O(nᵤ²) per user BY DESIGN (the MK
+  // statistic is pairwise; nᵤ here ≤ 86, and real deployments window
+  // the series before testing). One SMJ on user_id, the median via one
+  // per-user window over the pair frame, the tie term from a (user,
+  // value) group — all partial-aggregated. --------------------------------
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    // ts arrives TIMESTAMP_NTZ from the driver's parquet; the cast
+    // reads it in the session tz (Verify pins UTC), matching DuckDB's
+    // naive-as-UTC epoch_us — and is a no-op on LTZ fixtures.
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"),
+      col("event_id").as("eid"), col("value").as("v"))
+    val b = ev.select(col("user_id").as("uid2"), col("tus").as("t2"),
+      col("eid").as("e2"), col("v").as("v2"))
+    val pairs = ev.join(b, col("user_id") === col("uid2") &&
+        (col("tus") < col("t2") ||
+          (col("tus") === col("t2") && col("eid") < col("e2"))))
+      .select(col("user_id"),
+        when(col("v2") > col("v"), 1L).when(col("v2") < col("v"), -1L)
+          .otherwise(0L).as("sgn"),
+        when(col("t2") > col("tus"), (col("v2") - col("v")) /
+          ((col("t2") - col("tus")).cast("double") / lit(1000000.0)))
+          .as("slope"),
+        col("eid"), col("e2"))
+    val sStat = pairs.groupBy("user_id").agg(sum("sgn").as("s_stat"))
+    val sl = pairs.filter(col("slope").isNotNull)
+    val w = Window.partitionBy("user_id").orderBy("slope", "eid", "e2")
+    val sen = sl
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === // lower median: rn = (m+1) div 2
+        floor((col("m") + lit(1)) / lit(2)).cast("int"))
+      .select(col("user_id"), col("slope").as("sen_slope"))
+    val ties = ev.groupBy("user_id", "v").agg(count(lit(1)).as("t"))
+      .groupBy("user_id")
+      .agg(sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"))
+      .select(col("user_id"), col("n"),
+        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
+          .as("var18"))
+    ties.join(sStat, "user_id").join(sen, "user_id")
+      .select(col("user_id"), col("n"), col("s_stat"), col("var18"),
+        col("sen_slope"))
+      .orderBy("user_id")
+  }
+
+  private val q155Sql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id AS eid,
+      |    value AS v FROM events),
+      |pairs AS (SELECT a.user_id, CASE WHEN b.v > a.v THEN 1
+      |    WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn,
+      |    CASE WHEN b.tus > a.tus THEN (b.v - a.v) /
+      |      (CAST(b.tus - a.tus AS DOUBLE) / 1000000.0) END AS slope,
+      |    a.eid AS e1, b.eid AS e2
+      |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+      |    AND (a.tus < b.tus OR (a.tus = b.tus AND a.eid < b.eid))),
+      |s AS (SELECT user_id, SUM(sgn) AS s_stat FROM pairs GROUP BY 1),
+      |sl AS (SELECT user_id, slope, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY slope, e1, e2) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS m
+      |  FROM pairs WHERE slope IS NOT NULL),
+      |sen AS (SELECT user_id, slope AS sen_slope FROM sl
+      |  WHERE rn = (m + 1) // 2),
+      |tg AS (SELECT user_id, v, COUNT(*) AS t FROM ev GROUP BY 1, 2),
+      |ties AS (SELECT user_id, SUM(t) AS n,
+      |    SUM(t) * (SUM(t) - 1) * (SUM(t) * 2 + 5)
+      |      - SUM(t * (t - 1) * (t * 2 + 5)) AS var18
+      |  FROM tg GROUP BY 1)
+      |SELECT ties.user_id, CAST(n AS BIGINT) AS n,
+      |  CAST(s_stat AS BIGINT) AS s_stat, CAST(var18 AS BIGINT) AS var18,
+      |  sen_slope
+      |FROM ties JOIN s ON ties.user_id = s.user_id
+      |  JOIN sen ON ties.user_id = sen.user_id
+      |ORDER BY 1""".stripMargin
 }

@@ -84,7 +84,13 @@ object Spatial {
     Q("q146_geohash", q146, Some(q146Sql)),
     Q("q147_integral_image", q147, Some(q147Sql)),
     Q("q148_box_nms", q148, Some(q148Sql)),
-    Q("q149_geojson_pip", q149, Some(q149Sql))
+    Q("q149_geojson_pip", q149, Some(q149Sql)),
+    Q("q150_moran_i", q150, Some(q150Sql)),
+    Q("q151_template_match", q151, Some(q151Sql)),
+    Q("q152_local_moran", q152, Some(q152Sql)),
+    Q("q153_otsu_threshold", q153, Some(q153Sql)),
+    Q("q154_semivariogram", q154, Some(q154Sql)),
+    Q("q156_harris_corners", q156, Some(q156Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1614,10 +1620,22 @@ object Spatial {
     * 1-pixel-padded patch needs it, ONE shuffle keyed by destination
     * tile reassembles each (T+2)^2 patch as sorted (pos, v) arrays.
     * The per-stencil compute is a codegen expression over the patch. */
-  private[graft] def haloPatches(s: SparkSession, sp: WorldSpec): DataFrame = {
+  private[graft] def haloPatches(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp, 1)
+
+  /** Pad-generalized halo assembly: each pixel fans out to the <= 8
+    * neighbor tiles whose `pad`-pixel-padded (T+2·pad)² patch needs it
+    * (a pixel within `pad` of a border feeds that side's neighbor), ONE
+    * shuffle keyed by destination tile. pad must stay <= T/2 so corner
+    * pixels reach only the 8 adjacent tiles. Shuffle volume is
+    * pixels × ~(1 + 2·pad/T)² — the halo fraction still vanishes as T
+    * grows, whatever the stencil radius. */
+  private[graft] def haloPatches(s: SparkSession, sp: WorldSpec,
+      pad: Int): DataFrame = {
+    require(pad >= 1 && 2 * pad <= sp.tile, s"pad $pad vs tile ${sp.tile}")
     val T2 = sp.tile
     val TX2 = sp.tilesX
-    val P = T2 + 2
+    val P = T2 + 2 * pad
     val offs = for { dy <- -1 to 1; dx <- -1 to 1 }
       yield struct(lit(dy).as("dty"), lit(dx).as("dtx"))
     val px = World.tilesDF(s, sp)
@@ -1633,12 +1651,13 @@ object Spatial {
         explode(array(offs: _*)).as("o"))
       .select(col("tile_id"), col("v"), col("rr"), col("cc"),
         col("o.dty").as("dty"), col("o.dtx").as("dtx"))
-      // a pixel feeds a neighbor tile's patch only from the matching border
+      // a pixel feeds a neighbor tile's patch only from the matching
+      // pad-wide border band
       .filter(
-        (col("dty") === 0 || (col("dty") === -1 && col("rr") === 0) ||
-          (col("dty") === 1 && col("rr") === T2 - 1)) &&
-        (col("dtx") === 0 || (col("dtx") === -1 && col("cc") === 0) ||
-          (col("dtx") === 1 && col("cc") === T2 - 1)))
+        (col("dty") === 0 || (col("dty") === -1 && col("rr") < pad) ||
+          (col("dty") === 1 && col("rr") >= T2 - pad)) &&
+        (col("dtx") === 0 || (col("dtx") === -1 && col("cc") < pad) ||
+          (col("dtx") === 1 && col("cc") >= T2 - pad)))
       .select(col("v"),
         ((col("tile_id") / TX2).cast("int") + col("dty")).as("ty2"),
         ((col("tile_id") % TX2).cast("int") + col("dtx")).as("tx2"),
@@ -1646,8 +1665,8 @@ object Spatial {
       .filter(col("ty2") >= 0 && col("ty2") < sp.tilesY &&
         col("tx2") >= 0 && col("tx2") < TX2)
       .select((col("ty2") * TX2 + col("tx2")).cast("long").as("dest_tile"),
-        ((col("rr") - col("dty") * T2 + 1) * P +
-          col("cc") - col("dtx") * T2 + 1).cast("int").as("pos"),
+        ((col("rr") - col("dty") * T2 + pad) * P +
+          col("cc") - col("dtx") * T2 + pad).cast("int").as("pos"),
         col("v"))
     fanned
       .groupBy("dest_tile")
@@ -3590,4 +3609,448 @@ object Spatial {
        |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
        |  MAX(cell_id) AS max_cell
        |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q150: GLOBAL MORAN'S I — the classic spatial-autocorrelation
+  // statistic (the first question an analyst asks of a loss/driver map:
+  // is the pattern clustered or random?) over band 1 with queen
+  // contiguity, i.e. exactly the 8-neighbor weights the q93 stencil
+  // already materializes. Fourth rider on the haloPatches exchange:
+  //   I = n/S0 · Σᵢ(vᵢ−m)(Sᵢ−nᵢm) / Σᵢ(vᵢ−m)²
+  // needs only per-cell (v, neighbor-sum Sᵢ, neighbor-count nᵢ) — the
+  // focal pass — and the cross terms EXPAND INTO 7 GLOBAL INTEGER
+  // MOMENTS (n, Σv, Σv², ΣS, ΣvS, Σn, Σvn), so the whole statistic is
+  // two Exchanges total (the halo scatter + a scalar aggregate) and
+  // never materializes a deviation column or a second pass for the
+  // mean. The center value v is re-derived from the id by the same
+  // decode formula (one codegen hash, no data motion; Focal3x3's packed
+  // word carries sum+count but not the center alone). Everything stays
+  // BIGINT until the final division: the output pins the exact
+  // n²-scaled numerator and denominator (≤ ~2e17, inside BIGINT; DuckDB
+  // sums in HUGEINT and casts back) so the driver compare is integer-
+  // exact, with the double ratio beside them computed by the identical
+  // (a·b)/(c·d) IEEE sequence in both engines. On hash-random band
+  // values I ≈ −1/(n−1): the magnitude is not interesting, the pinned
+  // arithmetic is. ---------------------------------------------------------
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val focal = haloPatches(s, spec)
+      .select(col("dest_tile"),
+        posexplode(focal3x3(col("pv.pos"), col("pv.v"), T)).as(Seq("p", "f")))
+      .filter(col("f") >= 0)
+      .select(patchCellId(spec).as("cell_id"),
+        shiftright(col("f"), 5).as("fsum"),
+        (shiftright(col("f"), 1).bitwiseAND(lit(15L)) - 1).as("nn"))
+      .select(col("nn"),
+        bandCol(col("cell_id"), 1).cast("long").as("v"),
+        col("fsum"))
+      .select(col("v"), col("nn"), (col("fsum") - col("v")).as("sn"))
+    focal
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"), sum("sn").as("ssn"),
+        sum(col("v") * col("sn")).as("svsn"), sum("nn").as("s0"),
+        sum(col("v") * col("nn")).as("svnn"))
+      .select(col("n"), col("s0"),
+        (col("n") * col("n") * col("svsn")
+          - col("n") * col("sv") * col("ssn")
+          - col("n") * col("sv") * col("svnn")
+          + col("sv") * col("sv") * col("s0")).as("num_scaled"),
+        (col("n") * col("n") * col("svv")
+          - col("n") * col("sv") * col("sv")).as("den_scaled"))
+      .select(col("n"), col("s0"), col("num_scaled"), col("den_scaled"),
+        (col("n").cast("double") * col("num_scaled").cast("double") /
+          (col("s0").cast("double") * col("den_scaled").cast("double")))
+          .as("moran_i"))
+  }
+
+  /** Oracle: the focal terms straight from the band formula (q93's
+    * in-grid guards), then the same 7-moment expansion. DuckDB's
+    * BIGINT sums widen to HUGEINT, so the scaled products are exact
+    * there too; both sides cast to BIGINT/DOUBLE at the very end. */
+  private def q150Sql: String = {
+    def valid(dy: Int, dx: Int) =
+      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
+        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
+    def bandTerm(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val nbrs = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield (dy, dx)).filterNot(p => p._1 == 0 && p._2 == 0)
+    val sn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val nn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val num = "n*n*svsn - n*sv*ssn - n*sv*svnn + sv*sv*s0"
+    val den = "n*n*svv - n*sv*sv"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |f AS (SELECT ${bandTerm(0, 0)} AS v, $sn AS sn,
+       |    CAST($nn AS BIGINT) AS nn FROM pts),
+       |mom AS (SELECT COUNT(*) AS n, SUM(v) AS sv, SUM(v*v) AS svv,
+       |    SUM(sn) AS ssn, SUM(v*sn) AS svsn, SUM(nn) AS s0,
+       |    SUM(v*nn) AS svnn FROM f)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(s0 AS BIGINT) AS s0,
+       |  CAST($num AS BIGINT) AS num_scaled,
+       |  CAST($den AS BIGINT) AS den_scaled,
+       |  (CAST(n AS DOUBLE) * CAST($num AS DOUBLE)) /
+       |  (CAST(s0 AS DOUBLE) * CAST($den AS DOUBLE)) AS moran_i
+       |FROM mom""".stripMargin
+  }
+
+  // ---- q151: TEMPLATE MATCHING — the cross-correlation primitive under
+  // registration, chip search, and cloud-mask alignment: slide a fixed
+  // 4×4 zero-mean template over every tile of band 0 and report the
+  // best-scoring position per tile (first-max on ties, W1's rule). The
+  // template is integer (16·t − Σt keeps zero-mean WITHOUT a float
+  // mean), so scores are exact BIGINTs.
+  //
+  // Scale shape: NOT the patch-assembly route — correlation is a
+  // SCATTER: each pixel contributes to the ≤16 positions whose window
+  // covers it, so explode(16 kernel offsets) → groupBy (tile, pos)
+  // partial-aggregates map-side and the only Exchange carries ~169
+  // score rows per tile, independent of template size beyond the
+  // fan-out factor. A second tiny agg takes the per-tile argmax via one
+  // lexicographic struct max (score, −pos). The oracle regenerates the
+  // template from the same hash chain (no shared literal) and takes the
+  // argmax by a window rank — different algorithm, same integers. ----------
+  private val TmplN = 4
+  private val TmplS = T - TmplN + 1 // 13 valid positions per axis
+  private val tmplVals: Seq[Long] =
+    (0 until TmplN * TmplN).map(k => World.h2(k * 29 + 11) % 16)
+
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val tsum = tmplVals.sum
+    val ws = tmplVals.map(t => 16 * t - tsum)
+    val k = col("k")
+    val px = spine(s).select(
+      tileCol(cellCol).as("tile_id"),
+      (floor((cellCol - 1) / C) % T).cast("int").as("rr"),
+      ((cellCol - 1) % C % T).cast("int").as("cc"),
+      bandCol(cellCol, 0).cast("long").as("v"))
+    px
+      .select(col("tile_id"), col("rr"), col("cc"), col("v"),
+        explode(array((0 until TmplN * TmplN).map(i => lit(i)): _*)).as("k"))
+      .select(col("tile_id"),
+        (col("rr") - floor(k / TmplN).cast("int")).as("pr"),
+        (col("cc") - k % TmplN).as("pc"),
+        (element_at(array(ws.map(lit): _*), k + 1) * col("v")).as("c"))
+      .filter(col("pr") >= 0 && col("pr") < TmplS &&
+        col("pc") >= 0 && col("pc") < TmplS)
+      .groupBy(col("tile_id"),
+        (col("pr") * TmplS + col("pc")).as("pos"))
+      .agg(sum("c").as("score"))
+      .groupBy("tile_id")
+      .agg(max(struct(col("score"), (-col("pos")).as("npos"))).as("b"))
+      .select(col("tile_id"), col("b.score").as("best_score"),
+        floor((-col("b.npos")) / TmplS).cast("long").as("best_y"),
+        (-col("b.npos") % TmplS).cast("long").as("best_x"))
+      .orderBy("tile_id")
+  }
+
+  private def q151Sql: String = {
+    val n2 = TmplN * TmplN
+    s"""$cellsCte,
+       |tmpl AS (SELECT k.range AS k,
+       |    ${h2Sql("k.range * 29 + 11")} % 16 AS t FROM range($n2) k),
+       |tw AS (SELECT k // $TmplN AS di, k % $TmplN AS dj,
+       |    16 * t - (SELECT SUM(t) FROM tmpl) AS w FROM tmpl),
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    ((cell_id - 1) // $C) % $T AS rr,
+       |    ((cell_id - 1) % $C) % $T AS cc,
+       |    CAST(${bandSql("cell_id", 0)} AS BIGINT) AS v FROM cells),
+       |sc AS (SELECT tile_id, (rr - di) * $TmplS + (cc - dj) AS pos,
+       |    SUM(w * v) AS score
+       |  FROM px, tw
+       |  WHERE rr - di BETWEEN 0 AND ${TmplS - 1}
+       |    AND cc - dj BETWEEN 0 AND ${TmplS - 1}
+       |  GROUP BY 1, 2),
+       |r AS (SELECT tile_id, score, pos, ROW_NUMBER() OVER (
+       |    PARTITION BY tile_id ORDER BY score DESC, pos) AS rn FROM sc)
+       |SELECT tile_id, CAST(score AS BIGINT) AS best_score,
+       |  CAST(pos // $TmplS AS BIGINT) AS best_y,
+       |  CAST(pos % $TmplS AS BIGINT) AS best_x
+       |FROM r WHERE rn = 1 ORDER BY tile_id""".stripMargin
+  }
+
+  // ---- q152: LOCAL MORAN (LISA) — q150's global statistic broken out
+  // per cell, the map an analyst actually draws: which cells sit in
+  // high-high / low-low clusters vs high-low outliers (Anselin's LISA
+  // quadrants). Same queen weights, same halo exchange; the per-cell
+  // statistic lᵢ ∝ (vᵢ−m)·Σⱼwᵢⱼ(vⱼ−m) is pinned EXACTLY by scaling both
+  // deviation factors by n: f1 = n·vᵢ−Σv, f2 = n·Sᵢ−nᵢ·Σv (≤ ~1.6e6 and
+  // ~1.3e7 here; f1·f2 ≤ 2e13, inside BIGINT). The global (n, Σv) is a
+  // zero-shuffle scalar aggregate over the spine, broadcast into the
+  // focal frame — at 100 TB that is one scan reduced to 16 bytes, and
+  // the per-cell pass stays the one halo Exchange. Quadrant labels are
+  // sign tests on the exact integers, so the driver compare never
+  // touches a float. --------------------------------------------------------
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val glob = spine(s).agg(
+      count(lit(1)).as("n"),
+      sum(bandCol(cellCol, 1).cast("long")).as("sv"))
+    val focal = haloPatches(s, spec)
+      .select(col("dest_tile"),
+        posexplode(focal3x3(col("pv.pos"), col("pv.v"), T)).as(Seq("p", "f")))
+      .filter(col("f") >= 0)
+      .select(patchCellId(spec).as("cell_id"),
+        shiftright(col("f"), 5).as("fsum"),
+        (shiftright(col("f"), 1).bitwiseAND(lit(15L)) - 1).as("nn"))
+      .select(col("cell_id"),
+        bandCol(col("cell_id"), 1).cast("long").as("v"),
+        (col("fsum") - bandCol(col("cell_id"), 1).cast("long")).as("sn"),
+        col("nn"))
+    focal.crossJoin(broadcast(glob))
+      .select(col("cell_id"),
+        (col("n") * col("v") - col("sv")).as("f1"),
+        (col("n") * col("sn") - col("nn") * col("sv")).as("f2"))
+      .select(col("cell_id"),
+        (col("f1") * col("f2")).as("local_scaled"),
+        when(col("f1") > 0 && col("f2") > 0, "HH")
+          .when(col("f1") < 0 && col("f2") < 0, "LL")
+          .when(col("f1") > 0 && col("f2") < 0, "HL")
+          .when(col("f1") < 0 && col("f2") > 0, "LH")
+          .otherwise("NS").as("quad"))
+      .orderBy("cell_id")
+  }
+
+  /** Oracle: q150's focal CTE kept per-cell, the scalar moments joined
+    * back, the same sign CASE. DuckDB's HUGEINT sums cast back to
+    * BIGINT at the end. */
+  private def q152Sql: String = {
+    def valid(dy: Int, dx: Int) =
+      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
+        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
+    def bandTerm(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val nbrs = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield (dy, dx)).filterNot(p => p._1 == 0 && p._2 == 0)
+    val sn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val nn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${valid(dy, dx)} THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |f AS (SELECT cell_id, ${bandTerm(0, 0)} AS v, $sn AS sn,
+       |    CAST($nn AS BIGINT) AS nn FROM pts),
+       |g AS (SELECT COUNT(*) AS n, SUM(v) AS sv FROM f),
+       |d AS (SELECT cell_id, n * v - sv AS f1, n * sn - nn * sv AS f2
+       |  FROM f, g)
+       |SELECT cell_id, CAST(f1 * f2 AS BIGINT) AS local_scaled,
+       |  CASE WHEN f1 > 0 AND f2 > 0 THEN 'HH'
+       |       WHEN f1 < 0 AND f2 < 0 THEN 'LL'
+       |       WHEN f1 > 0 AND f2 < 0 THEN 'HL'
+       |       WHEN f1 < 0 AND f2 > 0 THEN 'LH'
+       |       ELSE 'NS' END AS quad
+       |FROM d ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q153: OTSU THRESHOLD per tile — the standard automatic
+  // binarization (cloud/water/shadow masking on decoded imagery):
+  // the level t maximizing between-class variance of the tile's
+  // histogram. Per tile with totals (n, S) and cumulatives (c(t),
+  // s(t)), σ²_B(t) ∝ a²/(c·(n−c)) with a = S·c − n·s — all integers
+  // (a ≤ 1.7e7, a² ≤ 2.8e14 here), so both engines compute the score by
+  // the identical CAST(a·a)/CAST(c·(n−c)) IEEE divide and the argmax
+  // (ties → SMALLER level, W1's first-max rule) is deterministic; the
+  // winner's exact a² and c·(n−c) are pinned beside it. Only levels
+  // PRESENT in the tile appear as candidates — σ²_B is constant across
+  // a gap and first-max picks the gap's lower edge, so the restriction
+  // is exact, not an approximation. Scale shape: decode → groupBy
+  // (tile, level) partial-aggregates map-side to ≤256 rows per tile,
+  // the cumulative window repartitions by tile only (~256 rows each),
+  // and the argmax is one struct max — nothing downstream of the
+  // histogram is proportional to pixels. ------------------------------------
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        posexplode(decode_band(col("bytes"), col("fmt"), spec.pixPerTile, 1))
+          .as(Seq("p", "v")))
+      .filter(!isnan(col("v")))
+      .select(col("tile_id"), col("v").cast("long").as("lvl"))
+    val w = Window.partitionBy("tile_id").orderBy("lvl")
+    val wAll = Window.partitionBy("tile_id")
+    px.groupBy("tile_id", "lvl").agg(count(lit(1)).as("cnt"))
+      .withColumn("c", sum("cnt").over(w))
+      .withColumn("s", sum(col("lvl") * col("cnt")).over(w))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("tot", sum(col("lvl") * col("cnt")).over(wAll))
+      .filter(col("c") < col("n")) // both classes non-empty
+      .select(col("tile_id"), col("lvl"),
+        ((col("tot") * col("c") - col("n") * col("s")) *
+          (col("tot") * col("c") - col("n") * col("s"))).as("num"),
+        (col("c") * (col("n") - col("c"))).as("den"))
+      .select(col("tile_id"), col("lvl"), col("num"), col("den"),
+        (col("num").cast("double") / col("den").cast("double")).as("score"))
+      .groupBy("tile_id")
+      .agg(max(struct(col("score"), (-col("lvl")).as("nl"),
+        col("num"), col("den"))).as("b"))
+      .select(col("tile_id"), (-col("b.nl")).as("otsu_t"),
+        col("b.num").as("num_scaled"), col("b.den").as("den_scaled"),
+        col("b.score").as("score"))
+      .orderBy("tile_id")
+  }
+
+  /** Oracle: the same histogram/cumulative/score pipeline in window
+    * SQL, argmax by a window rank — different argmax algorithm, same
+    * integers and the same IEEE divide. */
+  private def q153Sql: String =
+    s"""$cellsCte,
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    CAST(${bandSql("cell_id", 1)} AS BIGINT) AS lvl FROM cells),
+       |hist AS (SELECT tile_id, lvl, COUNT(*) AS cnt FROM px GROUP BY 1, 2),
+       |cum AS (SELECT tile_id, lvl,
+       |    SUM(cnt) OVER (PARTITION BY tile_id ORDER BY lvl) AS c,
+       |    SUM(lvl * cnt) OVER (PARTITION BY tile_id ORDER BY lvl) AS s,
+       |    SUM(cnt) OVER (PARTITION BY tile_id) AS n,
+       |    SUM(lvl * cnt) OVER (PARTITION BY tile_id) AS tot
+       |  FROM hist),
+       |sc AS (SELECT tile_id, lvl,
+       |    (tot * c - n * s) * (tot * c - n * s) AS num, c * (n - c) AS den,
+       |    CAST((tot * c - n * s) * (tot * c - n * s) AS DOUBLE) /
+       |      CAST(c * (n - c) AS DOUBLE) AS score
+       |  FROM cum WHERE c < n),
+       |r AS (SELECT tile_id, lvl, num, den, score, ROW_NUMBER() OVER (
+       |    PARTITION BY tile_id ORDER BY score DESC, lvl) AS rn FROM sc)
+       |SELECT tile_id, CAST(lvl AS BIGINT) AS otsu_t,
+       |  CAST(num AS BIGINT) AS num_scaled, CAST(den AS BIGINT) AS den_scaled,
+       |  score
+       |FROM r WHERE rn = 1 ORDER BY tile_id""".stripMargin
+
+  // ---- q154: DIRECTIONAL SEMIVARIOGRAM — the geostatistics primitive
+  // under kriging and spatial-scale diagnosis: γ(h) = Σ(vᵢ−vⱼ)²/(2N(h))
+  // over cell pairs at lag h along each grid axis, h = 1..4. Scale
+  // shape: one Exchange per axis — repartition by row (resp. column)
+  // and take the four lags with `lead` over the ordered line, so every
+  // pair is formed exactly once inside a partition and the aggregate is
+  // map-side partial. On a real raster the line count (millions of
+  // rows/columns) dwarfs the executor count, so the window partitioning
+  // is not a skew risk; no stage materializes the O(n·h) pair frame
+  // beyond the projection feeding the aggregate. Numerator stays BIGINT
+  // (Σd² ≤ n·255² ≈ 4e8 here); γ is the one IEEE divide at the end. ---------
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val H = 4
+    val px = spine(s).select(
+      floor((cellCol - 1) / C).as("r0"), ((cellCol - 1) % C).as("c0"),
+      bandCol(cellCol, 1).cast("long").as("v"))
+    def lags(w: WindowSpec, axis: String): DataFrame =
+      px.select(col("v") +:
+          (1 to H).map(h => lead("v", h).over(w).as(s"v$h")): _*)
+        .select(explode(array((1 to H).map { h =>
+          struct(lit(axis).as("axis"), lit(h.toLong).as("h"),
+            when(col(s"v$h").isNotNull,
+              (col("v") - col(s"v$h")) * (col("v") - col(s"v$h")))
+              .as("d2"))
+        }: _*)).as("e"))
+        .select(col("e.axis").as("axis"), col("e.h").as("h"),
+          col("e.d2").as("d2"))
+        .filter(col("d2").isNotNull)
+    lags(Window.partitionBy("r0").orderBy("c0"), "x")
+      .unionAll(lags(Window.partitionBy("c0").orderBy("r0"), "y"))
+      .groupBy("axis", "h")
+      .agg(count(lit(1)).as("npairs"), sum("d2").as("sse"))
+      .withColumn("gamma",
+        col("sse").cast("double") / (lit(2.0) * col("npairs").cast("double")))
+      .orderBy("axis", "h")
+  }
+
+  /** Oracle: pairs formed closed-form from the band formula (neighbor
+    * id = cell_id + h along x, + h·C along y), guarded in-grid — a
+    * different pairing algorithm than the engine's windowed lead, same
+    * exact integers. */
+  private def q154Sql: String =
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0,
+       |    CAST(${bandSql("cell_id", 1)} AS BIGINT) AS v FROM cells),
+       |lagset AS (SELECT h.range + 1 AS h FROM range(4) h),
+       |pairs AS (
+       |  SELECT 'x' AS axis, l.h AS h,
+       |    (p.v - CAST(${bandSql("p.cell_id + l.h", 1)} AS BIGINT)) AS d
+       |  FROM pts p, lagset l WHERE p.c0 + l.h < $C
+       |  UNION ALL
+       |  SELECT 'y', l.h,
+       |    (p.v - CAST(${bandSql(s"p.cell_id + l.h * $C", 1)} AS BIGINT))
+       |  FROM pts p, lagset l WHERE p.r0 + l.h < ${spec.rows})
+       |SELECT axis, CAST(h AS BIGINT) AS h,
+       |  CAST(COUNT(*) AS BIGINT) AS npairs,
+       |  CAST(SUM(d * d) AS BIGINT) AS sse,
+       |  CAST(SUM(d * d) AS DOUBLE) / (2.0 * CAST(COUNT(*) AS DOUBLE))
+       |    AS gamma
+       |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q156: HARRIS CORNERS — the interest-point detector under chip
+  // registration and keypoint extraction: Sobel gradients, the 3x3
+  // structure tensor (Sxx, Syy, Sxy), response R = det − 0.05·tr²,
+  // best response per tile (ties → first position, W1). Two stencil
+  // radii compose into a 5x5 support, so this is the first PAD-2 rider
+  // on the generalized halo exchange: still ONE shuffle keyed by
+  // destination tile, volume pixels × ~(1+4/T)², and the whole
+  // gradient→tensor→response chain runs inside one codegen expression
+  // (Harris5x5) over the assembled patch — gradients at tile borders
+  // use the halo, never a second exchange. R is kept as the EXACT
+  // scaled integer R20 = 20·det − tr² (k = 0.05), |R20| ≤ ~2.1e15, so
+  // the argmax and the driver compare never touch a float. Pixels
+  // whose 5x5 world support is incomplete are excluded (the standard
+  // interior rule, q98's edge discipline squared). --------------------------
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    harrisHalo(s, spec)
+
+  private[graft] def harrisHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp, 2)
+      .select(col("dest_tile"),
+        posexplode(harris5x5(col("pv.pos"), col("pv.v"), sp.tile))
+          .as(Seq("p", "r20")))
+      .filter(col("r20") =!= Long.MinValue) // incomplete 5x5 support
+      .groupBy(col("dest_tile").as("tile_id"))
+      .agg(max(struct(col("r20"), (-col("p")).as("np"))).as("b"))
+      .select(col("tile_id"), col("b.r20").as("best_r20"),
+        floor((-col("b.np")) / sp.tile).cast("long").as("best_y"),
+        (-col("b.np") % sp.tile).cast("long").as("best_x"))
+      .orderBy("tile_id")
+
+  /** Oracle: gradients per cell straight from the band formula on the
+    * pad-1 interior, the tensor via a 3x3 range self-join (m = 9 keeps
+    * exactly the cells with full 5x5 world support), argmax by window
+    * rank — different assembly than the engine's patch walk, same
+    * exact integers. */
+  private def q156Sql: String = {
+    def v(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
+    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |grad AS (SELECT r0, c0, $gx AS gx, $gy AS gy FROM pts
+       |  WHERE r0 BETWEEN 1 AND ${spec.rows - 2}
+       |    AND c0 BETWEEN 1 AND ${C - 2}),
+       |win AS (SELECT p.r0 AS r0, p.c0 AS c0,
+       |    SUM(g.gx * g.gx) AS sxx, SUM(g.gy * g.gy) AS syy,
+       |    SUM(g.gx * g.gy) AS sxy, COUNT(*) AS m
+       |  FROM grad p JOIN grad g
+       |    ON g.r0 BETWEEN p.r0 - 1 AND p.r0 + 1
+       |    AND g.c0 BETWEEN p.c0 - 1 AND p.c0 + 1
+       |  GROUP BY 1, 2),
+       |har AS (SELECT r0, c0,
+       |    20 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy) AS r20
+       |  FROM win WHERE m = 9),
+       |pos AS (SELECT CAST(FLOOR(r0 / $T) * $TX + FLOOR(c0 / $T) AS BIGINT)
+       |    AS tile_id, (r0 % $T) * $T + (c0 % $T) AS p, r20 FROM har),
+       |r AS (SELECT tile_id, r20, p, ROW_NUMBER() OVER (
+       |    PARTITION BY tile_id ORDER BY r20 DESC, p) AS rn FROM pos)
+       |SELECT tile_id, CAST(r20 AS BIGINT) AS best_r20,
+       |  CAST(p // $T AS BIGINT) AS best_y, CAST(p % $T AS BIGINT) AS best_x
+       |FROM r WHERE rn = 1 ORDER BY tile_id""".stripMargin
+  }
 }

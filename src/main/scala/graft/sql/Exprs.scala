@@ -999,6 +999,114 @@ object Sobel3x3 {
   }
 }
 
+/** Harris corner response over a tile's pad-2 halo patch (P = tile+4):
+  * Sobel gradients on the pad-1 interior, then the unweighted 3x3
+  * structure tensor (Sxx, Syy, Sxy) per core pixel and the scaled
+  * integer response R20 = 20·(Sxx·Syy − Sxy²) − (Sxx+Syy)², i.e. the
+  * standard R = det − k·tr² at k = 0.05 scaled by 20 so it stays an
+  * exact BIGINT (|R20| ≤ ~2.1e15 for 0..255 bands). One long per core
+  * pixel in row-major order; Long.MinValue marks a pixel whose 5x5
+  * world support is incomplete (world edges, edge-tile padding) —
+  * callers filter those. Same patch contract as [[Focal3x3]] but with
+  * pad 2. */
+case class Harris5x5(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Harris5x5.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Harris5x5.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Harris5x5 {
+  val Absent: Long = Long.MinValue
+
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 4
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    // Sobel gradients on the pad-1 interior of the patch: gradient grid
+    // g is (tile+2)^2, g(gr,gc) sits at patch (gr+1, gc+1); valid only
+    // when its full 3x3 patch window is present.
+    val gp = tile + 2
+    val gx = new Array[Long](gp * gp)
+    val gy = new Array[Long](gp * gp)
+    val gok = new Array[Boolean](gp * gp)
+    var gr = 0
+    while (gr < gp) {
+      var gc = 0
+      while (gc < gp) {
+        val nw = grid(gr * p + gc)
+        val nn = grid(gr * p + gc + 1)
+        val ne = grid(gr * p + gc + 2)
+        val ww = grid((gr + 1) * p + gc)
+        val cc = grid((gr + 1) * p + gc + 1)
+        val ee = grid((gr + 1) * p + gc + 2)
+        val sw = grid((gr + 2) * p + gc)
+        val ss = grid((gr + 2) * p + gc + 1)
+        val se = grid((gr + 2) * p + gc + 2)
+        val k = gr * gp + gc
+        if ((nw | nn | ne | ww | cc | ee | sw | ss | se) >= 0) {
+          gok(k) = true
+          gx(k) = (ne + 2 * ee + se) - (nw + 2 * ww + sw)
+          gy(k) = (sw + 2 * ss + se) - (nw + 2 * nn + ne)
+        }
+        gc += 1
+      }
+      gr += 1
+    }
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        // core (r,c) = gradient grid (r+1, c+1); window over dy,dx in
+        // [-1,1] stays inside the gradient grid by construction
+        var sxx = 0L; var syy = 0L; var sxy = 0L
+        var ok = true
+        var dy = -1
+        while (dy <= 1 && ok) {
+          val base = (r + 1 + dy) * gp + (c + 1)
+          var dx = -1
+          while (dx <= 1 && ok) {
+            val k = base + dx
+            if (!gok(k)) ok = false
+            else {
+              sxx += gx(k) * gx(k)
+              syy += gy(k) * gy(k)
+              sxy += gx(k) * gy(k)
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(r * tile + c) =
+          if (!ok) Absent
+          else 20L * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** 3x3 majority (modal) filter over a tile's halo-padded patch, on
   * values quantized to `div`-wide levels: array of tile*tile packed
   * longs, (mode_level << 4) | count, or -1 where the core pixel is
@@ -2078,6 +2186,12 @@ object GraftFunctions {
     * (mode_level << 4) | count, ties to the smaller level. */
   def mode3x3(pixs: Column, vs: Column, tile: Int, div: Int): Column =
     column(Mode3x3(expression(pixs), expression(vs), tile, div))
+
+  /** Harris corner response over a PAD-2 halo patch: one exact scaled
+    * long R20 per core pixel, Long.MinValue where the 5x5 world
+    * support is incomplete. */
+  def harris5x5(pixs: Column, vs: Column, tile: Int): Column =
+    column(Harris5x5(expression(pixs), expression(vs), tile))
 
   /** Fused Laplacian stencil + per-tile reduction over a halo-padded
     * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */

@@ -227,4 +227,220 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(viaSat == brute, s"box identity failed on $t")
     }
   }
+
+  test("q150 Moran's I equals the textbook double-loop over explicit " +
+    "queen weights (not the moment expansion)") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val n = sp.nCells
+    val vals = (1L to n).map(v)
+    val m = vals.sum.toDouble / n
+    // direct Σᵢⱼ wᵢⱼ(vᵢ−m)(vⱼ−m) with wᵢⱼ = 1 iff queen-adjacent
+    var num = 0.0; var s0 = 0L
+    for (id <- 1L to n) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      for (dy <- -1 to 1; dx <- -1 to 1
+           if !(dy == 0 && dx == 0)
+           if r0 + dy >= 0 && r0 + dy < sp.rows
+           if c0 + dx >= 0 && c0 + dx < sp.cols) {
+        val j = (r0 + dy) * sp.cols + (c0 + dx) + 1
+        num += (v(id) - m) * (v(j) - m)
+        s0 += 1
+      }
+    }
+    val den = vals.map(x => (x - m) * (x - m)).sum
+    val expected = n / s0.toDouble * num / den
+    val row = SparkEntry.queries("q150_moran_i")(spark, "unused")
+      .collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("s0") == s0)
+    // the moment expansion must agree with the direct form to float
+    // noise only (exactness vs DuckDB is the driver oracle's job)
+    assert(math.abs(row.getAs[Double]("moran_i") - expected) < 1e-9,
+      s"moran ${row.getAs[Double]("moran_i")} vs direct $expected")
+    // and the scaled integers must be EXACTLY the BigInt expansion
+    val sv = BigInt(vals.sum)
+    val bigNum = (1L to n).map { id =>
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      var sn = BigInt(0); var nn = BigInt(0)
+      for (dy <- -1 to 1; dx <- -1 to 1
+           if !(dy == 0 && dx == 0)
+           if r0 + dy >= 0 && r0 + dy < sp.rows
+           if c0 + dx >= 0 && c0 + dx < sp.cols) {
+        sn += v((r0 + dy) * sp.cols + (c0 + dx) + 1); nn += 1
+      }
+      (BigInt(n) * v(id) - sv) * (BigInt(n) * sn - nn * sv)
+    }.sum
+    assert(BigInt(row.getAs[Long]("num_scaled")) == bigNum)
+  }
+
+  test("q151 template match equals the scalar slide over one tile and " +
+    "breaks score ties by first position") {
+    val sp = World.tiny
+    val ts = (0 until 16).map(k => World.h2(k * 29 + 11) % 16)
+    val ws = ts.map(t => 16 * t - ts.sum)
+    def v(id: Long): Long = World.h(id * 7) % 256
+    def cellAt(t: Int, r: Int, c: Int): Long = {
+      val row = (t / sp.tilesX) * sp.tile + r
+      val col = (t % sp.tilesX) * sp.tile + c
+      row.toLong * sp.cols + col + 1
+    }
+    val got = SparkEntry.queries("q151_template_match")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == sp.nTiles)
+    (0 until sp.nTiles).foreach { t =>
+      var best = Long.MinValue; var by = -1; var bx = -1
+      for (pr <- 0 to sp.tile - 4; pc <- 0 to sp.tile - 4) {
+        val sc = (for (k <- 0 until 16) yield
+          ws(k) * v(cellAt(t, pr + k / 4, pc + k % 4))).sum
+        if (sc > best) { best = sc; by = pr; bx = pc } // strict >: first max
+      }
+      assert(got(t) == ((best, by.toLong, bx.toLong)), s"tile $t")
+    }
+  }
+
+  test("q152 local Moran matches the per-cell textbook LISA (signs and " +
+    "exact scaled integers) for every cell") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val n = sp.nCells
+    val sv = (1L to n).map(v).sum
+    val got = SparkEntry.queries("q152_local_moran")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got.size == n)
+    for (id <- 1L to n) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      var sn = 0L; var nn = 0L
+      for (dy <- -1 to 1; dx <- -1 to 1
+           if !(dy == 0 && dx == 0)
+           if r0 + dy >= 0 && r0 + dy < sp.rows
+           if c0 + dx >= 0 && c0 + dx < sp.cols) {
+        sn += v((r0 + dy) * sp.cols + (c0 + dx) + 1); nn += 1
+      }
+      val f1 = BigInt(n) * v(id) - sv
+      val f2 = BigInt(n) * sn - BigInt(nn) * sv
+      val quad =
+        if (f1 > 0 && f2 > 0) "HH" else if (f1 < 0 && f2 < 0) "LL"
+        else if (f1 > 0 && f2 < 0) "HL" else if (f1 < 0 && f2 > 0) "LH"
+        else "NS"
+      assert(got(id) == (((f1 * f2).toLong, quad)), s"cell $id")
+    }
+  }
+
+  test("q153 Otsu equals the per-tile scalar scan over all 256 levels " +
+    "(present-level restriction is exact) and ties go to the smaller t") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val got = SparkEntry.queries("q153_otsu_threshold")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == sp.nTiles)
+    (0 until sp.nTiles).foreach { t =>
+      val vals = (0 until sp.pixPerTile).map(p => v(sp.cellId(t, p)))
+      val n = vals.size.toLong
+      val tot = vals.sum
+      // scan EVERY level 0..254 (not just present ones): the constant-
+      // across-gaps argument must hold against the full-domain argmax
+      var bestScore = -1.0; var bestT = -1L
+      var bestNum = 0L; var bestDen = 0L
+      for (t0 <- 0L to 254L) {
+        val c = vals.count(_ <= t0).toLong
+        val s0 = vals.filter(_ <= t0).sum
+        if (c > 0 && c < n) {
+          val a = tot * c - n * s0
+          val num = a * a; val den = c * (n - c)
+          val score = num.toDouble / den.toDouble
+          if (score > bestScore) { // strict >: first max = smaller t
+            bestScore = score; bestT = t0; bestNum = num; bestDen = den
+          }
+        }
+      }
+      assert(got(t) == ((bestT, bestNum, bestDen)), s"tile $t")
+    }
+  }
+
+  test("q154 semivariogram equals the direct pair scan per axis and lag") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val got = SparkEntry.queries("q154_semivariogram")(spark, "unused")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == 8)
+    for (h <- 1 to 4) {
+      var nx = 0L; var sx = 0L; var ny = 0L; var sy = 0L
+      for (id <- 1L to sp.nCells) {
+        val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+        if (c0 + h < sp.cols) {
+          val d = v(id) - v(id + h); nx += 1; sx += d * d
+        }
+        if (r0 + h < sp.rows) {
+          val d = v(id) - v(id + h.toLong * sp.cols); ny += 1; sy += d * d
+        }
+      }
+      assert(got(("x", h.toLong)) == ((nx, sx, sx.toDouble / (2.0 * nx.toDouble))))
+      assert(got(("y", h.toLong)) == ((ny, sy, sy.toDouble / (2.0 * ny.toDouble))))
+    }
+  }
+
+  private def bruteHarris(sp: graft.world.WorldSpec)
+      : Map[Long, (Long, Long, Long)] = {
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    def vd(r: Long, c: Long): Long = v(r * sp.cols + c + 1)
+    def grad(r: Long, c: Long): (Long, Long) = {
+      val gx = (vd(r - 1, c + 1) + 2 * vd(r, c + 1) + vd(r + 1, c + 1)) -
+        (vd(r - 1, c - 1) + 2 * vd(r, c - 1) + vd(r + 1, c - 1))
+      val gy = (vd(r + 1, c - 1) + 2 * vd(r + 1, c) + vd(r + 1, c + 1)) -
+        (vd(r - 1, c - 1) + 2 * vd(r - 1, c) + vd(r - 1, c + 1))
+      (gx, gy)
+    }
+    val best = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    for (r0 <- 2L until sp.rows - 2; c0 <- 2L until sp.cols - 2) {
+      var sxx = 0L; var syy = 0L; var sxy = 0L
+      for (dy <- -1 to 1; dx <- -1 to 1) {
+        val (gx, gy) = grad(r0 + dy, c0 + dx)
+        sxx += gx * gx; syy += gy * gy; sxy += gx * gy
+      }
+      val r20 = 20L * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
+      val t = (r0 / sp.tile) * sp.tilesX + c0 / sp.tile
+      val cur = best.get(t)
+      // strict >: first max — within a tile the global row-major scan
+      // IS the tile's row-major position order, the engine's tie rule
+      if (cur.isEmpty || r20 > cur.get._1)
+        best(t) = (r20, r0 % sp.tile, c0 % sp.tile)
+    }
+    best.toMap
+  }
+
+  test("q156 Harris equals the direct 5x5 computation per tile") {
+    val sp = World.tiny
+    val got = SparkEntry.queries("q156_harris_corners")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == bruteHarris(sp))
+    assert(got.size == sp.nTiles) // every tiny tile has interior support
+  }
+
+  test("q156 Harris on a padded non-dyadic grid: edge-sliver tiles with " +
+    "no full 5x5 support are absent, all others match brute force") {
+    val got = graft.queries.Spatial.harrisHalo(spark, padded)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val brute = bruteHarris(padded)
+    assert(got == brute)
+    // the fixture exercises the absent-tile case: the bottom tile row
+    // holds only grid rows 48..49 of 50, both outside the valid band
+    // r0 <= rows-3 = 47, so those tiles must not appear at all
+    val absent = (0 until padded.nTiles).map(_.toLong)
+      .filterNot(brute.contains)
+    assert(absent.nonEmpty, "fixture degenerate: no support-free tile")
+    assert(got.keySet.intersect(absent.toSet).isEmpty)
+  }
 }

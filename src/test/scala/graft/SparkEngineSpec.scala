@@ -1491,4 +1491,52 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and every upsert row surfaces exactly once
     assert(rows.length == log.count(!_._3))
   }
+
+  test("q155 Mann-Kendall: S, tie-corrected var18 and Sen's slope equal " +
+    "the direct pairwise computation, with ties in both value and ts") {
+    import spark.implicits._
+    import graft.world.World.h
+    val baseMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // 5 users x 24 events; TWO events share each second (ts ties -> the
+    // eid tie-break and the dt=0 slope exclusion) and values are
+    // quantized to 8 levels (heavy value ties -> the variance correction)
+    val fixture = (0 until 120).map { i =>
+      val u = (i % 5).toLong
+      val k = i / 5
+      val ts = new java.sql.Timestamp(baseMs + (k / 2).toLong * 1000L)
+      val v = (h(i.toLong * 7 + 1) % 8).toDouble
+      (i.toLong, ts, u, v)
+    }
+    val dir = graft.util.TempDirs.create("mk_events")
+    fixture.toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("q155_mann_kendall")(
+        spark, dir.toString)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == 5)
+    fixture.groupBy(_._3).foreach { case (u, evs) =>
+      val srt = evs.map { case (eid, ts, _, v) =>
+        (ts.getTime * 1000L, eid, v)
+      }.sortBy(e => (e._1, e._2))
+      val n = srt.size.toLong
+      val pairs = for {
+        i <- srt.indices; j <- (i + 1) until srt.size
+      } yield (srt(i), srt(j))
+      val s = pairs.map { case ((_, _, v1), (_, _, v2)) =>
+        if (v2 > v1) 1L else if (v2 < v1) -1L else 0L
+      }.sum
+      val tt = srt.groupBy(_._3).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (t * 2 + 5)).sum
+      val var18 = n * (n - 1) * (n * 2 + 5) - tt
+      val slopes = pairs.collect {
+        case ((t1, e1, v1), (t2, e2, v2)) if t2 > t1 =>
+          ((v2 - v1) / ((t2 - t1).toDouble / 1000000.0), e1, e2)
+      }.sorted
+      val sen = slopes((slopes.size + 1) / 2 - 1)._1 // lower median
+      assert(got(u) == ((n, s, var18, sen)), s"user $u")
+    }
+  }
 }
