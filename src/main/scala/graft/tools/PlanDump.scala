@@ -45,7 +45,9 @@ object PlanDump {
     "q138_retention", "q139_autocrop", "q141_hillshade",
     "q142_morph_open", "q143_alpha_mix", "q144_upsample2x",
     "q145_glcm_texture", "q146_geohash", "q147_integral_image",
-    "q148_box_nms", "q149_geojson_pip")
+    "q148_box_nms", "q149_geojson_pip", "q150_moran_i",
+    "q151_template_match", "q152_local_moran", "q153_otsu_threshold",
+    "q154_semivariogram", "q155_mann_kendall", "q156_harris_corners")
   // q140 is omitted like q119/q56 (its Components loop truncates, so
   // the registered plan is a post-checkpoint join + aggregate); the
   // audit-worthy level-1 shape — ONE tile-keyed Exchange, the per-tile
