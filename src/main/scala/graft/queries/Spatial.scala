@@ -90,7 +90,11 @@ object Spatial {
     Q("q152_local_moran", q152, Some(q152Sql)),
     Q("q153_otsu_threshold", q153, Some(q153Sql)),
     Q("q154_semivariogram", q154, Some(q154Sql)),
-    Q("q156_harris_corners", q156, Some(q156Sql))
+    Q("q156_harris_corners", q156, Some(q156Sql)),
+    Q("q157_geary_c", q157, Some(q157Sql)),
+    Q("q158_gaussian_blur", q158, Some(q158Sql)),
+    Q("q159_box_counting", q159, Some(q159Sql)),
+    Q("q160_edge_density", q160, Some(q160Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4052,5 +4056,207 @@ object Spatial {
        |SELECT tile_id, CAST(r20 AS BIGINT) AS best_r20,
        |  CAST(p // $T AS BIGINT) AS best_y, CAST(p % $T AS BIGINT) AS best_x
        |FROM r WHERE rn = 1 ORDER BY tile_id""".stripMargin
+  }
+
+  // ---- q157: GEARY'S C — the contiguity-based companion to q150's
+  // Moran (sensitive to local differences where Moran is to covariance):
+  // C = (n−1)·Σᵢⱼwᵢⱼ(vᵢ−vⱼ)² / (2·S0·Σᵢ(vᵢ−m)²), queen weights. The
+  // numerator needs each adjacent pair's squared DIFFERENCE, which the
+  // focal sum cannot carry — so the pair frame is built the q154 way,
+  // one `lead` window pass per adjacency direction: rows (x), columns
+  // (y), diagonals (partition r0−c0) and anti-diagonals (partition
+  // r0+c0) — each unordered queen pair formed exactly once, four
+  // line-keyed Exchanges, map-side partial aggregation to a scalar.
+  // The denominator moment n·Σv²−(Σv)² is a zero-shuffle scalar over
+  // the spine. Everything stays BIGINT ((n−1)·ssd ≤ ~1e13); the single
+  // IEEE expression (a·n)/(s0·d) at the end is identical in both
+  // engines. On hash-random values C ≈ 1 (no autocorrelation) — the
+  // pinned arithmetic is the point, as in q150. ----------------------------
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window, WindowSpec}
+    val px = spine(s).select(
+      floor((cellCol - 1) / C).as("r0"), ((cellCol - 1) % C).as("c0"),
+      bandCol(cellCol, 1).cast("long").as("v"))
+    def pass(w: WindowSpec): DataFrame =
+      px.select((col("v") - lead("v", 1).over(w)).as("d"))
+        .filter(col("d").isNotNull)
+        .select((col("d") * col("d")).as("d2"))
+    val pairs = pass(Window.partitionBy("r0").orderBy("c0"))
+      .unionAll(pass(Window.partitionBy("c0").orderBy("r0")))
+      .unionAll(pass(Window.partitionBy(col("r0") - col("c0")).orderBy("r0")))
+      .unionAll(pass(Window.partitionBy(col("r0") + col("c0")).orderBy("r0")))
+      .agg(count(lit(1)).as("npairs"), sum("d2").as("ssd"))
+    val glob = spine(s).agg(count(lit(1)).as("n"),
+      sum(bandCol(cellCol, 1).cast("long")).as("sv"),
+      sum(bandCol(cellCol, 1).cast("long") *
+        bandCol(cellCol, 1).cast("long")).as("svv"))
+    pairs.crossJoin(broadcast(glob))
+      .select(col("n"), (col("npairs") * 2).as("s0"), col("ssd"),
+        (col("n") * col("svv") - col("sv") * col("sv")).as("den_n"))
+      .select(col("n"), col("s0"), col("ssd"), col("den_n"),
+        (((col("n") - 1) * col("ssd")).cast("double") *
+          col("n").cast("double") /
+          (col("s0").cast("double") * col("den_n").cast("double")))
+          .as("geary_c"))
+  }
+
+  /** Oracle: the four unordered adjacency directions formed closed-form
+    * from the band formula (neighbor ids +1, +C, +C+1, +C−1, guarded
+    * in-grid), then the same moment algebra. */
+  private def q157Sql: String = {
+    def vS(id: String) = s"CAST(${bandSql(id, 1)} AS BIGINT)"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0,
+       |    ${vS("cell_id")} AS v FROM cells),
+       |pairs AS (
+       |  SELECT v - ${vS("cell_id + 1")} AS d FROM pts WHERE c0 + 1 < $C
+       |  UNION ALL
+       |  SELECT v - ${vS(s"cell_id + $C")} FROM pts
+       |    WHERE r0 + 1 < ${spec.rows}
+       |  UNION ALL
+       |  SELECT v - ${vS(s"cell_id + $C + 1")} FROM pts
+       |    WHERE r0 + 1 < ${spec.rows} AND c0 + 1 < $C
+       |  UNION ALL
+       |  SELECT v - ${vS(s"cell_id + $C - 1")} FROM pts
+       |    WHERE r0 + 1 < ${spec.rows} AND c0 - 1 >= 0),
+       |pa AS (SELECT COUNT(*) AS npairs, SUM(d * d) AS ssd FROM pairs),
+       |g AS (SELECT COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv FROM pts)
+       |SELECT CAST(n AS BIGINT) AS n, CAST(npairs * 2 AS BIGINT) AS s0,
+       |  CAST(ssd AS BIGINT) AS ssd,
+       |  CAST(n * svv - sv * sv AS BIGINT) AS den_n,
+       |  CAST((n - 1) * ssd AS DOUBLE) * CAST(n AS DOUBLE) /
+       |    (CAST(npairs * 2 AS DOUBLE) * CAST(n * svv - sv * sv AS DOUBLE))
+       |    AS geary_c
+       |FROM pa, g""".stripMargin
+  }
+
+  // ---- q158: 5x5 GAUSSIAN BLUR — the smoothing pass under denoise /
+  // pre-detection pipelines, as the second rider on the PAD-2 halo
+  // exchange: the binomial (1,4,6,4,1)² kernel runs inside one codegen
+  // expression over the assembled patch and the output is a REAL
+  // per-pixel smoothed raster (exact 256-scaled integers, interior
+  // rule), not a statistic — the same one-shuffle shape as q93/q156
+  // regardless of stencil radius. ------------------------------------------
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    gaussHalo(s, spec)
+
+  private[graft] def gaussHalo(s: SparkSession, sp: WorldSpec): DataFrame =
+    haloPatches(s, sp, 2)
+      .select(col("dest_tile"),
+        posexplode(gauss5x5(col("pv.pos"), col("pv.v"), sp.tile))
+          .as(Seq("p", "g")))
+      .filter(col("g") =!= Long.MinValue) // incomplete 5x5 support
+      .select(patchCellId(sp).as("cell_id"), col("g").as("blur_scaled"))
+      .orderBy("cell_id")
+
+  /** Oracle: the 25 weighted band terms written directly, interior
+    * cells only. */
+  private def q158Sql: String = {
+    val k = Array(1, 4, 6, 4, 1)
+    val terms = (for { dy <- -2 to 2; dx <- -2 to 2 } yield
+      s"${k(dy + 2) * k(dx + 2)} * CAST(${bandSql(
+        s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)")
+      .mkString("(", " + ", ")")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells
+       |  WHERE (cell_id - 1) % $C BETWEEN 2 AND ${C - 3}
+       |    AND FLOOR((cell_id - 1) / $C) BETWEEN 2 AND ${spec.rows - 3})
+       |SELECT cell_id, CAST($terms AS BIGINT) AS blur_scaled
+       |FROM pts ORDER BY 1""".stripMargin
+  }
+
+  // ---- q159: BOX-COUNTING OCCUPANCY — the input to the fractal
+  // (box-counting) dimension of the loss pattern, a standard
+  // fragmentation descriptor in the deforestation literature: at each
+  // scale 2^k the number of grid boxes containing ANY lossy cell.
+  // Scale shape: one pass — every cell fans out to its 5 box ids
+  // (constant factor, no data growth with scale count beyond it), the
+  // (k, box) aggregate partial-aggregates map-side to O(boxes) rows,
+  // then a per-k count. The exact integer N(k) ladder is the output;
+  // the log-log slope is the caller's 5-point regression (ln is
+  // libm-dependent, so the engine pins the integers, not the slope). -------
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val scales = (0 to 4).map(k =>
+      struct(lit(k.toLong).as("k"), lit(1L << k).as("bs")))
+    spine(s).select(
+        floor((cellCol - 1) / C).as("r0"), ((cellCol - 1) % C).as("c0"),
+        (lossCol(cellCol) > 0).cast("int").as("occ"))
+      .select(col("r0"), col("c0"), col("occ"),
+        explode(array(scales: _*)).as("s"))
+      .groupBy(col("s.k").as("k"), col("s.bs").as("box"),
+        floor(col("r0") / col("s.bs")).as("br"),
+        floor(col("c0") / col("s.bs")).as("bc"))
+      .agg(max("occ").as("occ"))
+      .filter(col("occ") === 1)
+      .groupBy("k", "box")
+      .agg(count(lit(1)).as("n_boxes"))
+      .orderBy("k")
+  }
+
+  private def q159Sql: String =
+    s"""$cellsCte,
+       |ks AS (SELECT CAST(k.range AS BIGINT) AS k,
+       |    CAST(1 AS BIGINT) << k.range AS bs FROM range(5) k),
+       |occ AS (SELECT CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0,
+       |    CASE WHEN ${lossSql("cell_id")} > 0 THEN 1 ELSE 0 END AS occ
+       |  FROM cells),
+       |bx AS (SELECT k, bs, FLOOR(r0 / bs) AS br, FLOOR(c0 / bs) AS bc,
+       |    MAX(occ) AS occ
+       |  FROM occ, ks GROUP BY 1, 2, 3, 4)
+       |SELECT k, CAST(bs AS BIGINT) AS box,
+       |  CAST(COUNT(*) AS BIGINT) AS n_boxes
+       |FROM bx WHERE occ = 1 GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---- q160: PER-TILE EDGE DENSITY — the fragmentation metric
+  // (landscape-ecology edge density, FRAGSTATS' ED) over the band
+  // binarized at 128: the fraction of 4-adjacent pixel pairs whose
+  // classes differ. Each pair is owned by its left/top pixel's tile,
+  // so cross-tile edges count exactly once and the pad-1 halo supplies
+  // the off-tile neighbor — the whole count is ONE fused stencil +
+  // reduction (EdgeStats, the LapStats shape): O(tiles) output rows,
+  // one halo Exchange, exact integer numerators and denominators with
+  // the single IEEE divide for display. ------------------------------------
+  private[graft] val EdgeThr = 128
+
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    haloPatches(s, spec)
+      .select(col("dest_tile").as("tile_id"),
+        edge_stats(col("pv.pos"), col("pv.v"), T, EdgeThr).as("e"))
+      .select(col("tile_id"), col("e.nx").as("nx"), col("e.ex").as("ex"),
+        col("e.ny").as("ny"), col("e.ey").as("ey"))
+      .withColumn("edge_density",
+        (col("ex") + col("ey")).cast("double") /
+          (col("nx") + col("ny")).cast("double"))
+      .orderBy("tile_id")
+
+  /** Oracle: right/down pair classes straight from the band formula,
+    * pairs grouped by the left/top cell's tile. */
+  private def q160Sql: String = {
+    def cls(id: String) =
+      s"(CASE WHEN ${bandSql(id, 1)} >= $EdgeThr THEN 1 ELSE 0 END)"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |pr AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    CASE WHEN c0 + 1 < $C THEN 1 ELSE 0 END AS vx,
+       |    CASE WHEN c0 + 1 < $C
+       |      AND ${cls("cell_id")} <> ${cls("cell_id + 1")}
+       |      THEN 1 ELSE 0 END AS dx,
+       |    CASE WHEN r0 + 1 < ${spec.rows} THEN 1 ELSE 0 END AS vy,
+       |    CASE WHEN r0 + 1 < ${spec.rows}
+       |      AND ${cls("cell_id")} <> ${cls(s"cell_id + $C")}
+       |      THEN 1 ELSE 0 END AS dy
+       |  FROM pts)
+       |SELECT tile_id, CAST(SUM(vx) AS INT) AS nx, CAST(SUM(dx) AS INT) AS ex,
+       |  CAST(SUM(vy) AS INT) AS ny, CAST(SUM(dy) AS INT) AS ey,
+       |  CAST(SUM(dx) + SUM(dy) AS DOUBLE) / CAST(SUM(vx) + SUM(vy) AS DOUBLE)
+       |    AS edge_density
+       |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

@@ -1107,6 +1107,144 @@ object Harris5x5 {
   }
 }
 
+/** 5x5 Gaussian blur over a tile's PAD-2 halo patch: the separable
+  * binomial kernel (1,4,6,4,1)⊗(1,4,6,4,1) (Σ = 256), output kept as
+  * the EXACT scaled integer Σkᵢⱼ·v ∈ [0, 255·256] so the driver
+  * compare never touches a float (callers divide by 256 for display).
+  * One long per core pixel row-major; Long.MinValue where the 5x5
+  * world support is incomplete (the q98/Harris interior rule). Same
+  * patch contract as [[Harris5x5]]. */
+case class Gauss5x5(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Gauss5x5.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Gauss5x5.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Gauss5x5 {
+  val Absent: Long = Long.MinValue
+  private val K = Array(1L, 4L, 6L, 4L, 1L)
+
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 4
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        // core (r,c) sits at patch (r+2, c+2); window rows r..r+4
+        var acc = 0L
+        var ok = true
+        var dy = 0
+        while (dy < 5 && ok) {
+          val base = (r + dy) * p + c
+          var dx = 0
+          while (dx < 5 && ok) {
+            val w = grid(base + dx)
+            if (w < 0) ok = false else acc += K(dy) * K(dx) * w
+            dx += 1
+          }
+          dy += 1
+        }
+        out(r * tile + c) = if (ok) acc else Absent
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Per-tile EDGE-DENSITY stats (landscape fragmentation): binarize the
+  * band at `thr` (cls = v >= thr) and count the 4-adjacency pairs
+  * whose classes DIFFER, each pair owned by its left/top cell's tile
+  * (core pixel + right neighbor, core pixel + down neighbor — the
+  * neighbor may live in the halo, so cross-tile edges are counted
+  * exactly once). ONE fused stencil + reduction, struct(nx, ex, ny,
+  * ey): valid right/down pair counts and their differing-class counts
+  * — O(tiles) output rows, the LapStats shape. Same patch contract as
+  * [[Focal3x3]] (pad 1). */
+case class EdgeStats(left: Expression, right: Expression, tile: Int,
+    thr: Int) extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nx", IntegerType, nullable = false),
+    StructField("ex", IntegerType, nullable = false),
+    StructField("ny", IntegerType, nullable = false),
+    StructField("ey", IntegerType, nullable = false)))
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    EdgeStats.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile, thr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = EdgeStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile, $thr);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EdgeStats {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int, thr: Int): InternalRow = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val np = pixs.numElements()
+    var i = 0
+    while (i < np) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    var nx = 0; var ex = 0; var ny = 0; var ey = 0
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val cc = grid((r + 1) * p + (c + 1))
+        if (cc >= 0) {
+          val cls = if (cc >= thr) 1 else 0
+          val rr = grid((r + 1) * p + (c + 2)) // right neighbor
+          if (rr >= 0) {
+            nx += 1
+            if ((if (rr >= thr) 1 else 0) != cls) ex += 1
+          }
+          val dd = grid((r + 2) * p + (c + 1)) // down neighbor
+          if (dd >= 0) {
+            ny += 1
+            if ((if (dd >= thr) 1 else 0) != cls) ey += 1
+          }
+        }
+        c += 1
+      }
+      r += 1
+    }
+    InternalRow(nx, ex, ny, ey)
+  }
+}
+
 /** 3x3 majority (modal) filter over a tile's halo-padded patch, on
   * values quantized to `div`-wide levels: array of tile*tile packed
   * longs, (mode_level << 4) | count, or -1 where the core pixel is
@@ -2192,6 +2330,18 @@ object GraftFunctions {
     * support is incomplete. */
   def harris5x5(pixs: Column, vs: Column, tile: Int): Column =
     column(Harris5x5(expression(pixs), expression(vs), tile))
+
+  /** 5x5 binomial Gaussian blur over a PAD-2 halo patch: one exact
+    * 256-scaled long per core pixel, Long.MinValue where the support
+    * is incomplete. */
+  def gauss5x5(pixs: Column, vs: Column, tile: Int): Column =
+    column(Gauss5x5(expression(pixs), expression(vs), tile))
+
+  /** Fused per-tile edge-density stats over a pad-1 halo patch:
+    * struct(nx, ex, ny, ey) of valid/differing right- and down-pair
+    * counts at binarization threshold `thr`. */
+  def edge_stats(pixs: Column, vs: Column, tile: Int, thr: Int): Column =
+    column(EdgeStats(expression(pixs), expression(vs), tile, thr))
 
   /** Fused Laplacian stencil + per-tile reduction over a halo-padded
     * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */

@@ -443,4 +443,106 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(absent.nonEmpty, "fixture degenerate: no support-free tile")
     assert(got.keySet.intersect(absent.toSet).isEmpty)
   }
+
+  test("q157 Geary's C equals the textbook double loop over explicit " +
+    "queen weights (not the four-direction pair decomposition)") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val n = sp.nCells
+    val vals = (1L to n).map(v)
+    val m = vals.sum.toDouble / n
+    var num = 0.0; var s0 = 0L; var ssd = BigInt(0)
+    for (id <- 1L to n) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      for (dy <- -1 to 1; dx <- -1 to 1
+           if !(dy == 0 && dx == 0)
+           if r0 + dy >= 0 && r0 + dy < sp.rows
+           if c0 + dx >= 0 && c0 + dx < sp.cols) {
+        val j = (r0 + dy) * sp.cols + (c0 + dx) + 1
+        val d = (v(id) - v(j)).toDouble
+        num += d * d
+        ssd += BigInt(v(id) - v(j)) * (v(id) - v(j))
+        s0 += 1
+      }
+    }
+    val den = vals.map(x => (x - m) * (x - m)).sum
+    val expected = (n - 1) * num / (2.0 * s0 * den)
+    val row = SparkEntry.queries("q157_geary_c")(spark, "unused")
+      .collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("s0") == s0)
+    // engine's ssd counts each unordered pair ONCE; the double loop
+    // counts ordered pairs (twice)
+    assert(BigInt(row.getAs[Long]("ssd")) * 2 == ssd)
+    assert(math.abs(row.getAs[Double]("geary_c") - expected) < 1e-9,
+      s"geary ${row.getAs[Double]("geary_c")} vs direct $expected")
+  }
+
+  test("q158 Gaussian blur equals the direct 25-term kernel on every " +
+    "interior cell, on the tiny AND the padded non-dyadic grid") {
+    val k = Array(1L, 4L, 6L, 4L, 1L)
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    for (sp <- Seq(World.tiny, padded)) {
+      val got = graft.queries.Spatial.gaussHalo(spark, sp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val interior = for {
+        r0 <- 2L until sp.rows - 2; c0 <- 2L until sp.cols - 2
+      } yield (r0 * sp.cols + c0 + 1) -> (for {
+        dy <- -2 to 2; dx <- -2 to 2
+      } yield k(dy + 2) * k(dx + 2) *
+        v((r0 + dy) * sp.cols + (c0 + dx) + 1)).sum
+      assert(got == interior.toMap, s"grid ${sp.rows}x${sp.cols}")
+    }
+  }
+
+  test("q159 box counting equals the direct per-scale occupied-box scan") {
+    val sp = World.tiny
+    def occ(id: Long): Boolean = {
+      val hv = World.h(id)
+      !(hv % 16 < 6) && hv % 1024 > 0
+    }
+    val got = SparkEntry.queries("q159_box_counting")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size == 5)
+    for (k <- 0 to 4) {
+      val bs = 1L << k
+      val boxes = (1L to sp.nCells).filter(occ).map { id =>
+        (((id - 1) / sp.cols) / bs, ((id - 1) % sp.cols) / bs)
+      }.toSet
+      assert(got(k.toLong) == ((bs, boxes.size.toLong)), s"scale $k")
+    }
+  }
+
+  test("q160 edge density equals the direct pair scan with left/top " +
+    "tile ownership, including cross-tile edges") {
+    val sp = World.tiny
+    def cls(id: Long): Int = if (World.h(id * 7 + 1) % 256 >= 128) 1 else 0
+    val acc = scala.collection.mutable.Map[Long, (Int, Int, Int, Int)]()
+    for (id <- 1L to sp.nCells) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      val t = (r0 / sp.tile) * sp.tilesX + c0 / sp.tile
+      var (nx, ex, ny, ey) = acc.getOrElse(t, (0, 0, 0, 0))
+      if (c0 + 1 < sp.cols) {
+        nx += 1; if (cls(id) != cls(id + 1)) ex += 1
+      }
+      if (r0 + 1 < sp.rows) {
+        ny += 1; if (cls(id) != cls(id + sp.cols)) ey += 1
+      }
+      acc(t) = (nx, ex, ny, ey)
+    }
+    val got = SparkEntry.queries("q160_edge_density")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+      .toMap
+    assert(got.size == sp.nTiles)
+    acc.foreach { case (t, (nx, ex, ny, ey)) =>
+      val d = (ex + ey).toDouble / (nx + ny).toDouble
+      assert(got(t) == ((nx, ex, ny, ey, d)), s"tile $t")
+    }
+    // the binarization must produce a non-trivial edge structure
+    assert(acc.values.exists(v => v._2 + v._4 > 0))
+    assert(acc.values.forall(v => v._2 < v._1 || v._4 < v._3))
+  }
 }
