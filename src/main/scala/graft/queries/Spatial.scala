@@ -94,7 +94,11 @@ object Spatial {
     Q("q157_geary_c", q157, Some(q157Sql)),
     Q("q158_gaussian_blur", q158, Some(q158Sql)),
     Q("q159_box_counting", q159, Some(q159Sql)),
-    Q("q160_edge_density", q160, Some(q160Sql))
+    Q("q160_edge_density", q160, Some(q160Sql)),
+    Q("q161_pixel_trend", q161, Some(q161Sql)),
+    Q("q162_orientation_hist", q162, Some(q162Sql)),
+    Q("q163_median_filter", q163, Some(q163Sql)),
+    Q("q164_hist_match", q164, Some(q164Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4259,4 +4263,200 @@ object Spatial {
        |    AS edge_density
        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---- q161: PER-PIXEL TEMPORAL TREND — the raster-stack regression
+  // every EO time-series product ships (NDVI/loss trend per pixel):
+  // OLS slope of the 5 predictor bands read as a time axis x = 0..4.
+  // With a FIXED design (Σx = 10, Σx² = 30, n = 5) the slope is
+  // slope_num/50 with slope_num = 5·Σxy − 10·Σy — per-pixel closed
+  // form, all integers, ZERO data shuffle (the presentation sort is the
+  // only Exchange): at 100 TB this is the map-only pass that rides
+  // whatever scan produced the pixels. The exact integer numerator is
+  // the compare target; the /50.0 display divide is the same IEEE op in
+  // both engines. ------------------------------------------------------------
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val ys = (1 to 5).map(b => bandCol(cellCol, b).cast("long"))
+    val sy = ys.reduce(_ + _)
+    val sxy = ys.zipWithIndex.map { case (y, i) => y * i }.reduce(_ + _)
+    spine(s).select(cellCol.as("cell_id"), sy.as("sum_y"), sxy.as("sxy"))
+      .select(col("cell_id"), col("sum_y"), col("sxy"),
+        (col("sxy") * 5 - col("sum_y") * 10).as("slope_num"))
+      .withColumn("slope", col("slope_num").cast("double") / lit(50.0))
+      .orderBy("cell_id")
+  }
+
+  private def q161Sql: String = {
+    val ys = (1 to 5).map(b => s"CAST(${bandSql("cell_id", b)} AS BIGINT)")
+    val sy = ys.mkString("(", " + ", ")")
+    val sxy = ys.zipWithIndex.map { case (y, i) => s"$i * $y" }
+      .mkString("(", " + ", ")")
+    s"""$cellsCte,
+       |f AS (SELECT cell_id, $sy AS sum_y, $sxy AS sxy FROM cells)
+       |SELECT cell_id, sum_y, sxy, sxy * 5 - sum_y * 10 AS slope_num,
+       |  CAST(sxy * 5 - sum_y * 10 AS DOUBLE) / 50.0 AS slope
+       |FROM f ORDER BY 1""".stripMargin
+  }
+
+  // ---- q162: GRADIENT-ORIENTATION HISTOGRAM (HOG-lite) — the per-tile
+  // descriptor under texture/feature pipelines: q98's Sobel gradients
+  // binned into 8 sectors (plus bin 0 for flat), with INTEGER sector
+  // tests only — signs and |gx| vs |gy| comparisons — so no atan2 and
+  // no float anywhere; per bin the count and the L1-magnitude sum.
+  // Rider on the same pad-1 halo exchange as q98, then one partial-
+  // aggregated (tile, bin) Exchange carrying ≤ 9 rows per tile. Octant
+  // id = 1 + 4·[gy<0] + 2·[gx<0] + [|gx|>|gy|] — three total
+  // predicates, so every boundary gradient (zero component, exact
+  // diagonal) folds deterministically by the non-strict side, with
+  // bin 0 reserved for flat (gx = gy = 0). -----------------------------------
+  /** Octant id of a gradient: 0 = flat, else 1 + 4·[gy<0] + 2·[gx<0] +
+    * [|gx|>|gy|]. Total predicates — zero components and exact
+    * diagonals fold deterministically by the non-strict sides.
+    * (The affine World hash makes band-1 gradients structurally
+    * correlated, so only four of the eight octants occur in the
+    * synthetic world — FocalSpec drives the other four through this
+    * helper directly on crafted gradients.) */
+  private[graft] def octantBin(gx: Column, gy: Column): Column =
+    when(gx === 0 && gy === 0, 0)
+      .otherwise(lit(1) +
+        when(gy < 0, 4).otherwise(0) +
+        when(gx < 0, 2).otherwise(0) +
+        when(abs(gx) > abs(gy), 1).otherwise(0))
+
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    sobelHalo(s, spec)
+      .select(tileCol(col("cell_id")).as("tile_id"),
+        octantBin(col("gx"), col("gy")).as("bin"),
+        (abs(col("gx")) + abs(col("gy"))).as("w"))
+      .groupBy("tile_id", "bin")
+      .agg(count(lit(1)).as("cnt"), sum("w").as("wsum"))
+      .orderBy("tile_id", "bin")
+  }
+
+  /** Oracle: q98's gradient terms, the same CASE ladder. */
+  private def q162Sql: String = {
+    def v(dy: Int, dx: Int) =
+      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
+    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
+      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells
+       |  WHERE (cell_id - 1) % $C BETWEEN 1 AND ${C - 2}
+       |    AND FLOOR((cell_id - 1) / $C) BETWEEN 1 AND ${spec.rows - 2}),
+       |g AS (SELECT ${tileSql("cell_id")} AS tile_id, $gx AS gx, $gy AS gy
+       |  FROM pts),
+       |b AS (SELECT tile_id,
+       |    CASE WHEN gx = 0 AND gy = 0 THEN 0
+       |         ELSE 1 + (CASE WHEN gy < 0 THEN 4 ELSE 0 END)
+       |            + (CASE WHEN gx < 0 THEN 2 ELSE 0 END)
+       |            + (CASE WHEN ABS(gx) > ABS(gy) THEN 1 ELSE 0 END)
+       |    END AS bin,
+       |    ABS(gx) + ABS(gy) AS w FROM g)
+       |SELECT tile_id, CAST(bin AS INT) AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(w) AS BIGINT) AS wsum
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- q163: 3x3 MEDIAN FILTER — the salt-and-pepper denoiser (the
+  // rank-order cousin of q99's mode): LOWER median of the in-grid
+  // window (deterministic for the even window sizes at world edges),
+  // fourth stencil rider on the pad-1 halo exchange, the ≤9-sample
+  // insertion sort fused inside one codegen expression. ---------------------
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    haloPatches(s, spec)
+      .select(col("dest_tile"),
+        posexplode(median3x3(col("pv.pos"), col("pv.v"), T))
+          .as(Seq("p", "g")))
+      .filter(col("g") >= 0) // edge-tile padding positions
+      .select(patchCellId(spec).as("cell_id"),
+        shiftright(col("g"), 4).as("med"),
+        col("g").bitwiseAND(lit(15L)).cast("int").as("ncnt"))
+      .orderBy("cell_id")
+
+  /** Oracle: the 9 guarded window values unnested per cell, the lower
+    * median selected by window rank — a different selection algorithm
+    * than the engine's insertion sort, same integers. */
+  private def q163Sql: String = {
+    val offs = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dy, dx)
+    val guarded = offs.map { case (dy, dx) =>
+      s"""CASE WHEN r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}
+         | AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C
+         | THEN CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)}
+         |   AS BIGINT) ELSE -1 END""".stripMargin.replaceAll("\n", "")
+    }.mkString("[", ",\n|    ", "]")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |vals AS (SELECT cell_id, UNNEST($guarded) AS v FROM pts),
+       |ok AS (SELECT cell_id, v,
+       |    ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cell_id) AS cnt
+       |  FROM vals WHERE v >= 0)
+       |SELECT cell_id, v AS med, CAST(cnt AS INT) AS ncnt
+       |FROM ok WHERE rn = (cnt + 1) // 2 ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q164: HISTOGRAM MATCHING to the GLOBAL distribution — the
+  // mosaic-normalization pass (each tile remapped through the whole
+  // scene's CDF so seams vanish), the two-level cousin of q111's
+  // per-tile equalization: e(v) = (255·gcdf(v)) div N with gcdf from
+  // the global histogram. Scale shape: the global histogram is one
+  // partial-aggregated Exchange collapsing pixels to ≤256 rows, the
+  // CDF window runs on those 256 rows (single partition BY DESIGN —
+  // the frame is value-domain-sized, never data-sized), and the remap
+  // is a broadcast join back onto the decode, so pixel rows are never
+  // shuffled. Exact integer outputs: per tile n, Σe, and the
+  // position-weighted Σ(p+1)·e that pins every pixel's remapped value
+  // and its in-tile position under the driver's sorted-hash compare
+  // (the q73 trick). The matched level is the SQUARE-LAW skewed
+  // lvl = v² div 256 — the world's raw band is uniform by construction,
+  // so matching it would be the identity map and prove nothing; the
+  // square-law skew (density ~ 1/√lvl) stands in for a real sensor's
+  // radiometric distribution and forces a genuinely non-identity CDF
+  // remap. --------------------------------------------------------------------
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val px = World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        posexplode(decode_band(col("bytes"), col("fmt"), spec.pixPerTile, 1))
+          .as(Seq("p", "v")))
+      .filter(!isnan(col("v")))
+      .select(col("tile_id"), col("p"),
+        expr("CAST(v AS BIGINT) * CAST(v AS BIGINT) DIV 256").as("lvl"))
+    val cdf = px.groupBy("lvl").agg(count(lit(1)).as("cnt"))
+      .withColumn("c", sum("cnt").over(
+        Window.orderBy("lvl").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(col("lvl"), expr("255 * c DIV n").as("e"))
+    px.join(broadcast(cdf), "lvl")
+      .groupBy("tile_id")
+      .agg(count(lit(1)).as("n_px"), sum("e").as("esum"),
+        sum((col("p") + 1) * col("e")).as("ewsum"))
+      .orderBy("tile_id")
+  }
+
+  private def q164Sql: String =
+    s"""$cellsCte,
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    (CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) % $T) * $T
+       |      + ((cell_id - 1) % $C % $T) AS p,
+       |    (CAST(${bandSql("cell_id", 1)} AS BIGINT)
+       |      * CAST(${bandSql("cell_id", 1)} AS BIGINT)) // 256 AS lvl
+       |  FROM cells),
+       |hist AS (SELECT lvl, COUNT(*) AS cnt FROM px GROUP BY 1),
+       |cdf AS (SELECT lvl,
+       |    (255 * SUM(cnt) OVER (ORDER BY lvl)) //
+       |      SUM(cnt) OVER () AS e
+       |  FROM hist)
+       |SELECT tile_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+       |  CAST(SUM(e) AS BIGINT) AS esum,
+       |  CAST(SUM((p + 1) * e) AS BIGINT) AS ewsum
+       |FROM px JOIN cdf USING (lvl)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1245,6 +1245,78 @@ object EdgeStats {
   }
 }
 
+/** 3x3 MEDIAN filter over a tile's halo-padded patch — the classic
+  * salt-and-pepper denoiser: the LOWER median (the (cnt+1)/2-th
+  * smallest, deterministic for even in-grid windows at world edges) of
+  * the in-grid 3x3 window, packed (median << 4) | cnt per core pixel,
+  * -1 where the core pixel is absent (edge-tile padding). The <=9
+  * samples are selected by insertion sort into a stack array — no
+  * allocation per pixel. Same patch contract as [[Focal3x3]]. */
+case class Median3x3(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Median3x3.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Median3x3.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Median3x3 {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 2
+    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+    val np = pixs.numElements()
+    var i = 0
+    while (i < np) {
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      i += 1
+    }
+    val out = new Array[Long](tile * tile)
+    val win = new Array[Long](9)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        if (grid((r + 1) * p + (c + 1)) < 0) out(r * tile + c) = -1L
+        else {
+          var cnt = 0
+          var dy = 0
+          while (dy < 3) {
+            val base = (r + dy) * p + c
+            var dx = 0
+            while (dx < 3) {
+              val w = grid(base + dx)
+              if (w >= 0) { // insertion sort keeps win(0..cnt) ascending
+                var j = cnt
+                while (j > 0 && win(j - 1) > w) { win(j) = win(j - 1); j -= 1 }
+                win(j) = w
+                cnt += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out(r * tile + c) = (win((cnt + 1) / 2 - 1) << 4) | cnt
+        }
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** 3x3 majority (modal) filter over a tile's halo-padded patch, on
   * values quantized to `div`-wide levels: array of tile*tile packed
   * longs, (mode_level << 4) | count, or -1 where the core pixel is
@@ -2342,6 +2414,11 @@ object GraftFunctions {
     * counts at binarization threshold `thr`. */
   def edge_stats(pixs: Column, vs: Column, tile: Int, thr: Int): Column =
     column(EdgeStats(expression(pixs), expression(vs), tile, thr))
+
+  /** 3x3 lower-median filter over a pad-1 halo patch: packed
+    * (median << 4) | cnt, -1 where the core pixel is absent. */
+  def median3x3(pixs: Column, vs: Column, tile: Int): Column =
+    column(Median3x3(expression(pixs), expression(vs), tile))
 
   /** Fused Laplacian stencil + per-tile reduction over a halo-padded
     * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */

@@ -545,4 +545,132 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(acc.values.exists(v => v._2 + v._4 > 0))
     assert(acc.values.forall(v => v._2 < v._1 || v._4 < v._3))
   }
+
+  test("q161 pixel trend equals the direct 5-point OLS per cell") {
+    val sp = World.tiny
+    def band(id: Long, b: Int): Long = World.h(id * 7 + b) % 256
+    val got = SparkEntry.queries("q161_pixel_trend")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toMap
+    assert(got.size == sp.nCells)
+    for (id <- 1L to sp.nCells) {
+      val ys = (1 to 5).map(b => band(id, b))
+      val sy = ys.sum
+      val sxy = ys.zipWithIndex.map { case (y, x) => x * y }.sum
+      val num = 5 * sxy - 10 * sy
+      assert(got(id) == ((sy, sxy, num, num.toDouble / 50.0)), s"cell $id")
+      // cross-check against a textbook least-squares fit on doubles
+      val xm = 2.0; val ym = sy / 5.0
+      val slope = (0 to 4).map(x => (x - xm) * (ys(x) - ym)).sum /
+        (0 to 4).map(x => (x - xm) * (x - xm)).sum
+      assert(math.abs(got(id)._4 - slope) < 1e-9)
+    }
+  }
+
+  test("q162 orientation histogram equals the direct octant binning of " +
+    "the brute Sobel gradients and every non-flat octant appears") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    def vd(r: Long, c: Long): Long = v(r * sp.cols + c + 1)
+    val acc = scala.collection.mutable.Map[(Long, Int), (Long, Long)]()
+    for (r0 <- 1L until sp.rows - 1; c0 <- 1L until sp.cols - 1) {
+      val gx = (vd(r0 - 1, c0 + 1) + 2 * vd(r0, c0 + 1) + vd(r0 + 1, c0 + 1)) -
+        (vd(r0 - 1, c0 - 1) + 2 * vd(r0, c0 - 1) + vd(r0 + 1, c0 - 1))
+      val gy = (vd(r0 + 1, c0 - 1) + 2 * vd(r0 + 1, c0) + vd(r0 + 1, c0 + 1)) -
+        (vd(r0 - 1, c0 - 1) + 2 * vd(r0 - 1, c0) + vd(r0 - 1, c0 + 1))
+      val bin =
+        if (gx == 0 && gy == 0) 0
+        else 1 + (if (gy < 0) 4 else 0) + (if (gx < 0) 2 else 0) +
+          (if (gx.abs > gy.abs) 1 else 0)
+      val t = (r0 / sp.tile) * sp.tilesX + c0 / sp.tile
+      val (c, w) = acc.getOrElse((t, bin), (0L, 0L))
+      acc((t, bin)) = (c + 1, w + gx.abs + gy.abs)
+    }
+    val got = SparkEntry.queries("q162_orientation_hist")(spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == acc.toMap)
+  }
+
+  test("octantBin covers all 9 bins on crafted gradients (the affine " +
+    "world hash only produces 4 octants, so boundaries are driven here)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // (gx, gy, expected): one interior point per octant + every
+    // boundary fold (zero components, exact diagonals)
+    val cases = Seq(
+      (0L, 0L, 0),   // flat
+      (5L, 9L, 1), (9L, 5L, 2),     // gy>=0, gx>=0
+      (-5L, 9L, 3), (-9L, 5L, 4),   // gy>=0, gx<0
+      (5L, -9L, 5), (9L, -5L, 6),   // gy<0, gx>=0
+      (-5L, -9L, 7), (-9L, -5L, 8), // gy<0, gx<0
+      (0L, 9L, 1),   // vertical-up: gx>=0 non-strict, |gx|<=|gy|
+      (9L, 0L, 2),   // horizontal: gy>=0 non-strict, |gx|>|gy|
+      (7L, 7L, 1), (-7L, 7L, 3), (7L, -7L, 5), (-7L, -7L, 7), // diagonals
+      (0L, -9L, 5), (-9L, 0L, 4))
+    val got = cases.map(c => (c._1, c._2)).toDF("gx", "gy")
+      .select(col("gx"), col("gy"),
+        graft.queries.Spatial.octantBin(col("gx"), col("gy")).as("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    cases.foreach { case (gx, gy, exp) =>
+      assert(got((gx, gy)) == exp, s"($gx,$gy)")
+    }
+    assert(cases.map(_._3).toSet == (0 to 8).toSet)
+  }
+
+  test("q163 median filter equals the direct lower-median of every " +
+    "in-grid window, including even-sized edge windows") {
+    val sp = World.tiny
+    def v(id: Long): Long = World.h(id * 7 + 1) % 256
+    val got = SparkEntry.queries("q163_median_filter")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(got.size == sp.nCells)
+    var sawEven = false
+    for (id <- 1L to sp.nCells) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      val win = (for {
+        dy <- -1 to 1; dx <- -1 to 1
+        if r0 + dy >= 0 && r0 + dy < sp.rows
+        if c0 + dx >= 0 && c0 + dx < sp.cols
+      } yield v((r0 + dy) * sp.cols + (c0 + dx) + 1)).sorted
+      if (win.size % 2 == 0) sawEven = true
+      assert(got(id) == ((win((win.size + 1) / 2 - 1), win.size)),
+        s"cell $id")
+    }
+    assert(sawEven, "fixture degenerate: no even-sized edge window")
+  }
+
+  test("q164 histogram matching equals the direct global-CDF remap " +
+    "with exact position-weighted tile sums") {
+    val sp = World.tiny
+    // square-law skewed level: the raw band is uniform (its CDF match
+    // would be the identity), lvl = v^2 div 256 is not
+    def v(id: Long): Long = { val b = World.h(id * 7 + 1) % 256; b * b / 256 }
+    val n = sp.nCells
+    val hist = (1L to n).map(v).groupBy(identity).view.mapValues(_.size)
+    val cdf = (0L to 255L).map { lvl =>
+      lvl -> (0L to lvl).map(l => hist.getOrElse(l, 0).toLong).sum
+    }.toMap
+    def e(lvl: Long): Long = 255 * cdf(lvl) / n
+    val acc = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    for (id <- 1L to n) {
+      val r0 = (id - 1) / sp.cols; val c0 = (id - 1) % sp.cols
+      val t = (r0 / sp.tile) * sp.tilesX + c0 / sp.tile
+      val p = (r0 % sp.tile) * sp.tile + c0 % sp.tile
+      val ev = e(v(id))
+      val (cn, es, ew) = acc.getOrElse(t, (0L, 0L, 0L))
+      acc(t) = (cn + 1, es + ev, ew + (p + 1) * ev)
+    }
+    val got = SparkEntry.queries("q164_hist_match")(spark, "unused")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == acc.toMap)
+    // the remap must actually move values (identity would also "pass")
+    assert((0L to 255L).exists(l => e(l) != l))
+  }
 }
