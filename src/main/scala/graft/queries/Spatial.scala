@@ -98,7 +98,8 @@ object Spatial {
     Q("q161_pixel_trend", q161, Some(q161Sql)),
     Q("q162_orientation_hist", q162, Some(q162Sql)),
     Q("q163_median_filter", q163, Some(q163Sql)),
-    Q("q164_hist_match", q164, Some(q164Sql))
+    Q("q164_hist_match", q164, Some(q164Sql)),
+    Q("q165_viewshed", q165, Some(q165Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4459,4 +4460,83 @@ object Spatial {
        |  CAST(SUM((p + 1) * e) AS BIGINT) AS ewsum
        |FROM px JOIN cdf USING (lvl)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q165: PER-TILE VIEWSHED — the classic terrain visibility
+  // operator (observer at the chip center, band 1 as the DEM): which
+  // pixels' lines of sight clear every intermediate sample. The whole
+  // ray walk + exact angle logic lives in ONE codegen expression over
+  // the tile payload — ZERO shuffle beyond the presentation sort, the
+  // per-tile analog of q126's D8 pick: at 100 TB this is a map-only
+  // pass over tiles (a whole-SCENE viewshed is a different algorithm
+  // class — R2/R3 sweeps with cross-tile ray dependencies — out of
+  // per-tile scope by design, stated here). Rays use the rounded
+  // parametric walk with floor division so DuckDB reproduces the exact
+  // same sample grid; angles compare via sign cases + squared
+  // cross-multiplication (no sqrt, no float). -------------------------------
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    viewshedTiles(s, spec)
+
+  private[graft] def viewshedTiles(s: SparkSession, sp: WorldSpec): DataFrame =
+    World.tilesDF(s, sp)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        posexplode(viewshed(col("bytes"), col("fmt"), sp.pixPerTile, 1,
+          sp.tile)).as(Seq("p", "vis")))
+      .filter(col("vis") >= 0) // padding / NaN-poisoned rays
+      .select(
+        ((floor(col("tile_id") / sp.tilesX) * sp.tile +
+          floor(col("p") / sp.tile)) * sp.cols +
+          (col("tile_id") % sp.tilesX) * sp.tile + col("p") % sp.tile + 1)
+          .cast("long").as("cell_id"),
+        col("vis").cast("int").as("vis"))
+      .orderBy("cell_id")
+
+  /** Oracle: the same rounded ray walk per (cell, k) pair — the
+    * intermediate sample coordinates re-derived by the identical
+    * floor-div formula, elevations from the band formula, the blocked
+    * test aggregated with BOOL_OR; cells at steps <= 1 have no
+    * intermediate samples and are visible by definition. DuckDB's `//`
+    * TRUNCATES toward zero on integers (it is not Math.floorDiv), so
+    * the numerator is shifted by +2·steps² (then −steps outside) to
+    * keep it provably non-negative (min 3·steps), where truncation and
+    * floor agree. */
+  private def q165Sql: String = {
+    val half = T / 2
+    def z(idExpr: String) = s"CAST(${bandSql(idExpr, 1)} AS BIGINT)"
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |geo AS (SELECT cell_id, r0, c0,
+       |    (r0 // $T) * $T + $half AS cy, (c0 // $T) * $T + $half AS cx
+       |  FROM pts),
+       |tgt AS (SELECT cell_id, r0, c0, cy, cx,
+       |    r0 - cy AS dy, c0 - cx AS dx,
+       |    GREATEST(ABS(r0 - cy), ABS(c0 - cx)) AS steps,
+       |    ${z("cell_id")} - ${z(s"cy * $C + cx + 1")} AS dzt,
+       |    (r0 - cy) * (r0 - cy) + (c0 - cx) * (c0 - cx) AS d2t
+       |  FROM geo),
+       |rng AS (SELECT k.range + 1 AS k FROM range(${half - 1}) k),
+       |samp AS (SELECT t.cell_id,
+       |    t.cy + (2 * r.k * t.dy + t.steps + 2 * t.steps * t.steps)
+       |      // (2 * t.steps) - t.steps AS sy,
+       |    t.cx + (2 * r.k * t.dx + t.steps + 2 * t.steps * t.steps)
+       |      // (2 * t.steps) - t.steps AS sx,
+       |    t.cy AS cy, t.cx AS cx, t.dzt AS dzt, t.d2t AS d2t
+       |  FROM tgt t JOIN rng r ON r.k < t.steps),
+       |blk AS (SELECT cell_id, BOOL_OR(NOT (
+       |    CASE WHEN dzs < 0 AND dzt >= 0 THEN TRUE
+       |         WHEN dzs >= 0 AND dzt < 0 THEN FALSE
+       |         WHEN dzs >= 0 THEN dzs * dzs * d2t < dzt * dzt * d2s
+       |         ELSE dzs * dzs * d2t > dzt * dzt * d2s END)) AS blocked
+       |  FROM (SELECT cell_id, dzt, d2t,
+       |      ${z(s"sy * $C + sx + 1")} - ${z(s"cy * $C + cx + 1")} AS dzs,
+       |      (sy - cy) * (sy - cy) + (sx - cx) * (sx - cx) AS d2s
+       |    FROM samp)
+       |  GROUP BY 1)
+       |SELECT p.cell_id,
+       |  CAST(CASE WHEN COALESCE(b.blocked, FALSE) THEN 0 ELSE 1 END AS INT)
+       |    AS vis
+       |FROM pts p LEFT JOIN blk b ON p.cell_id = b.cell_id
+       |ORDER BY 1""".stripMargin
+  }
 }

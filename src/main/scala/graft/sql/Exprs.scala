@@ -1773,6 +1773,103 @@ object HistEqStats {
   }
 }
 
+/** Per-tile VIEWSHED from the tile center over the DEM band: for each
+  * pixel, 1 if the line of sight from the center pixel (T/2, T/2)
+  * clears every intermediate sample, 0 if blocked, -1 unevaluable (the
+  * center or a ray sample is NaN padding on partial edge tiles). Rays
+  * are the deterministic rounded parametric walk: steps =
+  * max(|dy|,|dx|), sample_i = center + floorDiv(2·k·d + steps,
+  * 2·steps) per axis — floor division in BOTH engines, so the oracle
+  * reproduces the exact same grid walk. Visibility compares elevation
+  * angles dz/√d² EXACTLY via sign cases + squared cross-multiplication
+  * (dz² ≤ 65025, d² ≤ 2·(T/2)², products far inside long) — no sqrt,
+  * no float, ever. This is the chip-level (per-tile) viewshed — a
+  * whole-scene viewshed is a different algorithm class (R2/R3 sweeps)
+  * with cross-tile dependencies; per tile the op is embarrassingly
+  * parallel and needs no halo. Output: tile² longs, row-major. */
+case class Viewshed(left: Expression, right: Expression, nPixels: Int,
+    band: Int, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    Viewshed.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, band, tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Viewshed.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $band, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Viewshed {
+  /** is a/sqrt(da2) < b/sqrt(db2)? Exact: sign cases + squared
+    * cross-multiplication (da2, db2 > 0). */
+  private def angLt(a: Long, da2: Long, b: Long, db2: Long): Boolean =
+    if (a < 0 && b >= 0) true
+    else if (a >= 0 && b < 0) false
+    else if (a >= 0) a * a * db2 < b * b * da2
+    else a * a * db2 > b * b * da2
+
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int, band: Int,
+      tile: Int): ArrayData = {
+    val px = Codec.decodeBand(fmt.toString, bytes, nPixels, band)
+    val out = new Array[Long](tile * tile)
+    val cy = tile / 2
+    val cx = tile / 2
+    val zc = px(cy * tile + cx)
+    if (java.lang.Float.isNaN(zc)) {
+      java.util.Arrays.fill(out, -1L)
+      return ArrayData.toArrayData(out)
+    }
+    val z0 = zc.toLong
+    var ty = 0
+    while (ty < tile) {
+      var tx = 0
+      while (tx < tile) {
+        val dy = ty - cy
+        val dx = tx - cx
+        val steps = math.max(math.abs(dy), math.abs(dx))
+        if (steps == 0) out(ty * tile + tx) = 1L // the center sees itself
+        else {
+          val zt = px(ty * tile + tx)
+          if (java.lang.Float.isNaN(zt)) out(ty * tile + tx) = -1L
+          else {
+            val dzt = zt.toLong - z0
+            val d2t = (dy.toLong * dy + dx.toLong * dx)
+            var vis = 1L
+            var k = 1
+            while (k < steps && vis >= 0) {
+              val sy = cy + Math.floorDiv(2 * k * dy + steps, 2 * steps)
+              val sx = cx + Math.floorDiv(2 * k * dx + steps, 2 * steps)
+              val zs = px(sy * tile + sx)
+              if (java.lang.Float.isNaN(zs)) vis = -1L
+              else {
+                val dzs = zs.toLong - z0
+                val ry = (sy - cy).toLong
+                val rx = (sx - cx).toLong
+                if (!angLt(dzs, ry * ry + rx * rx, dzt, d2t)) vis = 0L
+                // keep scanning: a later NaN must still poison to -1
+              }
+              k += 1
+            }
+            out(ty * tile + tx) = vis
+          }
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** One-pass integer stats of window `win` (winSize samples) of an
   * s16le audio payload: struct(sum_sq, peak, zero_cross). All-integer
   * outputs so the DuckDB oracle compare is bit-exact (no libm). The
@@ -2419,6 +2516,13 @@ object GraftFunctions {
     * (median << 4) | cnt, -1 where the core pixel is absent. */
   def median3x3(pixs: Column, vs: Column, tile: Int): Column =
     column(Median3x3(expression(pixs), expression(vs), tile))
+
+  /** Per-tile viewshed from the tile center over the DEM band:
+    * tile² longs (1 visible / 0 blocked / -1 unevaluable), exact
+    * integer angle comparisons, deterministic rounded ray walk. */
+  def viewshed(bytes: Column, fmt: Column, nPixels: Int, band: Int,
+      tile: Int): Column =
+    column(Viewshed(expression(bytes), expression(fmt), nPixels, band, tile))
 
   /** Fused Laplacian stencil + per-tile reduction over a halo-padded
     * patch: struct(n, lsum, lsumsq) of L = 4c−n−s−e−w, interior only. */

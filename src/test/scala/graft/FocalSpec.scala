@@ -673,4 +673,76 @@ class FocalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the remap must actually move values (identity would also "pass")
     assert((0L to 255L).exists(l => e(l) != l))
   }
+
+  /** Brute per-tile viewshed: the same rounded ray walk and exact
+    * angle comparison, written independently; None = unevaluable
+    * (center or a sample off-grid on padded tiles). */
+  private def bruteViewshed(sp: graft.world.WorldSpec)
+      : Map[Long, Int] = {
+    def z(r: Long, c: Long): Option[Long] =
+      if (r < sp.rows && c < sp.cols) Some(World.h((r * sp.cols + c + 1) * 7 + 1) % 256)
+      else None
+    def angLt(a: Long, da2: Long, b: Long, db2: Long): Boolean =
+      if (a < 0 && b >= 0) true
+      else if (a >= 0 && b < 0) false
+      else if (a >= 0) a * a * db2 < b * b * da2
+      else a * a * db2 > b * b * da2
+    val out = scala.collection.mutable.Map[Long, Int]()
+    for (t <- 0 until sp.nTiles) {
+      val cy = (t / sp.tilesX).toLong * sp.tile + sp.tile / 2
+      val cx = (t % sp.tilesX).toLong * sp.tile + sp.tile / 2
+      z(cy, cx).foreach { z0 =>
+        for (pr <- 0 until sp.tile; pc <- 0 until sp.tile) {
+          val ty = (t / sp.tilesX).toLong * sp.tile + pr
+          val tx = (t % sp.tilesX).toLong * sp.tile + pc
+          val dy = ty - cy; val dx = tx - cx
+          val steps = math.max(dy.abs, dx.abs)
+          val id = ty * sp.cols + tx + 1
+          if (steps == 0) out(id) = 1
+          else z(ty, tx).foreach { zt =>
+            val dzt = zt - z0
+            val d2t = dy * dy + dx * dx
+            var vis: Option[Int] = Some(1)
+            for (k <- 1L until steps) {
+              val sy = cy + Math.floorDiv(2 * k * dy + steps, 2 * steps)
+              val sx = cx + Math.floorDiv(2 * k * dx + steps, 2 * steps)
+              z(sy, sx) match {
+                case None => vis = None
+                case Some(zs) if vis.isDefined =>
+                  val d2s = (sy - cy) * (sy - cy) + (sx - cx) * (sx - cx)
+                  if (!angLt(zs - z0, d2s, dzt, d2t)) vis = Some(0)
+                case _ =>
+              }
+            }
+            vis.foreach(v => out(id) = v)
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("q165 viewshed equals the independent brute ray walk on every " +
+    "cell, and the fixture has all three regimes") {
+    val sp = World.tiny
+    val got = SparkEntry.queries("q165_viewshed")(spark, "unused")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = bruteViewshed(sp)
+    assert(got == brute)
+    assert(got.size == sp.nCells)
+    val vis = got.values.count(_ == 1)
+    assert(vis > sp.nTiles, "degenerate: only centers visible")
+    assert(vis < sp.nCells, "degenerate: nothing ever blocked")
+  }
+
+  test("q165 viewshed on the padded grid: absent centers and off-grid " +
+    "targets drop out exactly as the brute walk says (ray samples stay " +
+    "inside the center-target bbox, so valid endpoints never poison)") {
+    val got = graft.queries.Spatial.viewshedTiles(spark, padded)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = bruteViewshed(padded)
+    assert(got == brute)
+    // the padded fixture must exercise the absent-center case
+    assert(brute.size < padded.nCells)
+  }
 }
