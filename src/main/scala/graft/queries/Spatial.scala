@@ -162,6 +162,38 @@ object Spatial {
   private[queries] def tileSql(id: String) =
     s"(CAST(FLOOR(FLOOR((($id) - 1) / $C) / $T) * $TX + FLOOR(((($id) - 1) % $C) / $T) AS BIGINT))"
 
+  // Shared stencil-oracle fragments over a `pts` CTE exposing r0/c0
+  // (q93/q98/q150/q152/q156/q162). One home for the in-grid guard, the
+  // guarded band-1 neighbor term, the queen sum/count pair, and the
+  // Sobel kernels — a row/col convention or kernel-sign fix cannot
+  // drift between the oracles that share them.
+  private def nbrValidSql(dy: Int, dx: Int): String =
+    s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
+      s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
+  private def nbrBandSql(dy: Int, dx: Int): String =
+    s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+  /** (Σ guarded neighbor terms, Σ in-grid flags) over the 8 queen
+    * neighbors — the focal pair q150/q152 both expand. */
+  private def queenSumCntSql: (String, String) = {
+    val nbrs = (for { dy <- -1 to 1; dx <- -1 to 1 }
+      yield (dy, dx)).filterNot(p => p._1 == 0 && p._2 == 0)
+    val sn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${nbrValidSql(dy, dx)} THEN ${nbrBandSql(dy, dx)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val nn = nbrs.map { case (dy, dx) =>
+      s"(CASE WHEN ${nbrValidSql(dy, dx)} THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    (sn, nn)
+  }
+  /** Sobel (gx, gy) over the interior 3x3 window (q98/q156/q162). */
+  private def sobelGxGySql: (String, String) = {
+    val v = (dy: Int, dx: Int) => nbrBandSql(dy, dx)
+    (s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
+       s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))",
+     s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
+       s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))")
+  }
+
   /** Polygon edge list as a SQL VALUES literal (kept in sync with the
     * engine's polygons by construction). */
   private def edgesValues: String = edgesValuesOf(World.polygons(spec))
@@ -1713,11 +1745,8 @@ object Spatial {
     * each guarded by the in-grid test the engine realizes via absent
     * patch positions. */
   private def q93Sql: String = {
-    def valid(dy: Int, dx: Int) =
-      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
-        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
-    def bandTerm(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
+    val valid = (dy: Int, dx: Int) => nbrValidSql(dy, dx)
+    val bandTerm = (dy: Int, dx: Int) => nbrBandSql(dy, dx)
     val all = for { dy <- -1 to 1; dx <- -1 to 1 } yield (dy, dx)
     val fsum = all.map { case (dy, dx) =>
       s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
@@ -1766,12 +1795,7 @@ object Spatial {
   /** Oracle: the kernels written directly over the band formula for
     * the 8 neighbors, interior cells only. */
   private def q98Sql: String = {
-    def v(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
-    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
-    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    val (gx, gy) = sobelGxGySql
     s"""$cellsCte,
        |pts AS (SELECT cell_id,
        |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
@@ -3675,19 +3699,8 @@ object Spatial {
     * BIGINT sums widen to HUGEINT, so the scaled products are exact
     * there too; both sides cast to BIGINT/DOUBLE at the very end. */
   private def q150Sql: String = {
-    def valid(dy: Int, dx: Int) =
-      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
-        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
-    def bandTerm(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
-    val nbrs = (for { dy <- -1 to 1; dx <- -1 to 1 }
-      yield (dy, dx)).filterNot(p => p._1 == 0 && p._2 == 0)
-    val sn = nbrs.map { case (dy, dx) =>
-      s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-    val nn = nbrs.map { case (dy, dx) =>
-      s"(CASE WHEN ${valid(dy, dx)} THEN 1 ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    val (sn, nn) = queenSumCntSql
+    val bandTerm = (dy: Int, dx: Int) => nbrBandSql(dy, dx)
     val num = "n*n*svsn - n*sv*ssn - n*sv*svnn + sv*sv*s0"
     val den = "n*n*svv - n*sv*sv"
     s"""$cellsCte,
@@ -3827,19 +3840,8 @@ object Spatial {
     * back, the same sign CASE. DuckDB's HUGEINT sums cast back to
     * BIGINT at the end. */
   private def q152Sql: String = {
-    def valid(dy: Int, dx: Int) =
-      s"(r0 + ($dy) >= 0 AND r0 + ($dy) < ${spec.rows}" +
-        s" AND c0 + ($dx) >= 0 AND c0 + ($dx) < $C)"
-    def bandTerm(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
-    val nbrs = (for { dy <- -1 to 1; dx <- -1 to 1 }
-      yield (dy, dx)).filterNot(p => p._1 == 0 && p._2 == 0)
-    val sn = nbrs.map { case (dy, dx) =>
-      s"(CASE WHEN ${valid(dy, dx)} THEN ${bandTerm(dy, dx)} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-    val nn = nbrs.map { case (dy, dx) =>
-      s"(CASE WHEN ${valid(dy, dx)} THEN 1 ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    val (sn, nn) = queenSumCntSql
+    val bandTerm = (dy: Int, dx: Int) => nbrBandSql(dy, dx)
     s"""$cellsCte,
        |pts AS (SELECT cell_id,
        |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
@@ -4031,12 +4033,7 @@ object Spatial {
     * rank — different assembly than the engine's patch walk, same
     * exact integers. */
   private def q156Sql: String = {
-    def v(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
-    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
-    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    val (gx, gy) = sobelGxGySql
     s"""$cellsCte,
        |pts AS (SELECT cell_id,
        |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
@@ -4335,12 +4332,7 @@ object Spatial {
 
   /** Oracle: q98's gradient terms, the same CASE ladder. */
   private def q162Sql: String = {
-    def v(dy: Int, dx: Int) =
-      s"CAST(${bandSql(s"(r0 + ($dy)) * $C + c0 + ($dx) + 1", 1)} AS BIGINT)"
-    val gx = s"((${v(-1, 1)} + 2 * ${v(0, 1)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(0, -1)} + ${v(1, -1)}))"
-    val gy = s"((${v(1, -1)} + 2 * ${v(1, 0)} + ${v(1, 1)})" +
-      s" - (${v(-1, -1)} + 2 * ${v(-1, 0)} + ${v(-1, 1)}))"
+    val (gx, gy) = sobelGxGySql
     s"""$cellsCte,
        |pts AS (SELECT cell_id,
        |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,

@@ -886,16 +886,29 @@ case class Focal3x3(left: Expression, right: Expression, tile: Int)
     copy(left = newLeft, right = newRight)
 }
 
-object Focal3x3 {
-  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
-    val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
+/** Shared sparse-patch densifier for the stencil expressions: scatters
+  * the (pos, value) pair arrays of a halo-padded tile patch into a p*p
+  * row-major Long grid, -1 marking absent positions (band values are
+  * small non-negative integers carried as doubles). One definition so
+  * the absent-marker and decode contract have a single home across all
+  * stencils; `div` pre-buckets values during the fill (Mode3x3). */
+private[sql] object PatchGrid {
+  def fill(pixs: ArrayData, vs: ArrayData, p: Int, div: Int = 1): Array[Long] = {
+    val grid = Array.fill[Long](p * p)(-1L)
     val n = pixs.numElements()
     var i = 0
     while (i < n) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
+      grid(pixs.getInt(i)) = vs.getDouble(i).toLong / div
       i += 1
     }
+    grid
+  }
+}
+
+object Focal3x3 {
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 2
+    val grid = PatchGrid.fill(pixs, vs, p)
     val out = new Array[Long](tile * tile)
     var r = 0
     while (r < tile) {
@@ -963,13 +976,7 @@ case class Sobel3x3(left: Expression, right: Expression, tile: Int)
 object Sobel3x3 {
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
     val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val n = pixs.numElements()
-    var i = 0
-    while (i < n) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     val out = new Array[Long](tile * tile)
     var r = 0
     while (r < tile) {
@@ -1034,13 +1041,7 @@ object Harris5x5 {
 
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
     val p = tile + 4
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val n = pixs.numElements()
-    var i = 0
-    while (i < n) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     // Sobel gradients on the pad-1 interior of the patch: gradient grid
     // g is (tile+2)^2, g(gr,gc) sits at patch (gr+1, gc+1); valid only
     // when its full 3x3 patch window is present.
@@ -1140,13 +1141,7 @@ object Gauss5x5 {
 
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
     val p = tile + 4
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val n = pixs.numElements()
-    var i = 0
-    while (i < n) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     val out = new Array[Long](tile * tile)
     var r = 0
     while (r < tile) {
@@ -1211,13 +1206,7 @@ case class EdgeStats(left: Expression, right: Expression, tile: Int,
 object EdgeStats {
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int, thr: Int): InternalRow = {
     val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val np = pixs.numElements()
-    var i = 0
-    while (i < np) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     var nx = 0; var ex = 0; var ny = 0; var ey = 0
     var r = 0
     while (r < tile) {
@@ -1275,13 +1264,7 @@ case class Median3x3(left: Expression, right: Expression, tile: Int)
 object Median3x3 {
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
     val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val np = pixs.numElements()
-    var i = 0
-    while (i < np) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     val out = new Array[Long](tile * tile)
     val win = new Array[Long](9)
     var r = 0
@@ -1348,13 +1331,7 @@ case class Mode3x3(left: Expression, right: Expression, tile: Int, div: Int)
 object Mode3x3 {
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int, div: Int): ArrayData = {
     val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L)
-    val n = pixs.numElements()
-    var i = 0
-    while (i < n) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong / div
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p, div)
     val out = new Array[Long](tile * tile)
     val win = new Array[Long](9)
     var r = 0
@@ -1663,13 +1640,7 @@ case class LapStats(left: Expression, right: Expression, tile: Int)
 object LapStats {
   def eval(pixs: ArrayData, vs: ArrayData, tile: Int): InternalRow = {
     val p = tile + 2
-    val grid = Array.fill[Long](p * p)(-1L) // -1 = absent (values >= 0)
-    val np = pixs.numElements()
-    var i = 0
-    while (i < np) {
-      grid(pixs.getInt(i)) = vs.getDouble(i).toLong
-      i += 1
-    }
+    val grid = PatchGrid.fill(pixs, vs, p)
     var n = 0
     var lsum = 0L
     var lsumsq = 0L
