@@ -99,7 +99,10 @@ object Spatial {
     Q("q162_orientation_hist", q162, Some(q162Sql)),
     Q("q163_median_filter", q163, Some(q163Sql)),
     Q("q164_hist_match", q164, Some(q164Sql)),
-    Q("q165_viewshed", q165, Some(q165Sql))
+    Q("q165_viewshed", q165, Some(q165Sql)),
+    Q("q166_patch_props", q166, Some(q166Sql)),
+    Q("q167_rle_stats", q167, Some(q167Sql)),
+    Q("q168_haar_energy", q168, Some(q168Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -3160,7 +3163,10 @@ object Spatial {
       .orderBy("patch")
   }
 
-  private def q140Sql: String =
+  /** Shared flat-flood-fill label CTE (q140/q166 oracles): recursive
+    * min-label over the raw same-class 4-adjacency graph, ending in
+    * `lab(cell_id, patch)`. */
+  private def clumpLabCte: String =
     s"""WITH RECURSIVE cells AS (SELECT r.range + 1 AS cell_id FROM range($N) r),
        |cl AS (SELECT cell_id, ${patchClsSql("cell_id")} AS cls FROM cells),
        |e0 AS (
@@ -3175,7 +3181,10 @@ object Spatial {
        |  SELECT cell_id, cell_id FROM cells
        |  UNION
        |  SELECT e.b, r.lbl FROM edges e JOIN reach r ON e.a = r.cell_id),
-       |lab AS (SELECT cell_id, MIN(lbl) AS patch FROM reach GROUP BY 1)
+       |lab AS (SELECT cell_id, MIN(lbl) AS patch FROM reach GROUP BY 1)""".stripMargin
+
+  private def q140Sql: String =
+    s"""$clumpLabCte
        |SELECT patch, CAST(${patchClsSql("patch")} AS INT) AS cls,
        |  COUNT(*) AS n_cells
        |FROM lab GROUP BY 1, 2 ORDER BY 1""".stripMargin
@@ -4531,4 +4540,148 @@ object Spatial {
        |FROM pts p LEFT JOIN blk b ON p.cell_id = b.cell_id
        |ORDER BY 1""".stripMargin
   }
+
+  // ---- q166: PATCH REGION PROPERTIES — the object-level geometry step
+  // after clump labeling (GIS "zonal geometry": per-patch area, bbox,
+  // centroid, border contact — the inputs to FRAGSTATS shape indices
+  // and to any "drop patches touching the study-area edge" screen):
+  // q140's hierarchical clump labels re-aggregated per patch with pure
+  // integer geometry (centroid kept as exact coordinate SUMS — the
+  // consumer divides; emitting the float quotient would be the only
+  // non-integer in the row).
+  //
+  // Scale shape: Clump.label's economics unchanged (per-tile
+  // union-find, perimeter-sized merge graph); the props pass adds ONE
+  // patch-keyed Exchange whose width is cells, but every aggregate here
+  // is algebraic (min/max/sum/count), so partial aggregation compacts
+  // each upstream partition to ~its distinct-patch count before the
+  // shuffle — at the production tile size that is the per-tile patch
+  // count, ~1% of cells. The oracle recomputes the same labels flat
+  // (q140's recursive min-label CTE, shared via clumpLabCte) and
+  // aggregates the same integers. ------------------------------------------
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val cells = spine(s).select(cellCol, patchClsCol(cellCol).as("cls"))
+    val r0 = floor((col("cell_id") - 1) / C).cast("long")
+    val c0 = ((col("cell_id") - 1) % C).cast("long")
+    graft.engine.Clump.label(s, spec, cells, "q166_patch_props")
+      .select(col("patch"), r0.as("r0"), c0.as("c0"))
+      .groupBy("patch")
+      .agg(count(lit(1)).as("n_cells"),
+        min("r0").as("min_r"), max("r0").as("max_r"),
+        min("c0").as("min_c"), max("c0").as("max_c"),
+        sum("r0").as("sum_r"), sum("c0").as("sum_c"),
+        max(when(col("r0") === 0 || col("r0") === spec.rows - 1 ||
+          col("c0") === 0 || col("c0") === C - 1, 1).otherwise(0))
+          .cast("int").as("touches_border"))
+      // patch id = the patch's min cell id, so its class is closed-form
+      // recomputable (the q140 rule)
+      .select(col("patch"), patchClsCol(col("patch")).as("cls"),
+        col("n_cells"), col("min_r"), col("max_r"), col("min_c"),
+        col("max_c"), col("sum_r"), col("sum_c"), col("touches_border"))
+      .orderBy("patch")
+  }
+
+  private def q166Sql: String =
+    s"""$clumpLabCte
+       |SELECT l.patch, CAST(${patchClsSql("l.patch")} AS INT) AS cls,
+       |  COUNT(*) AS n_cells,
+       |  MIN((l.cell_id - 1) // $C) AS min_r,
+       |  MAX((l.cell_id - 1) // $C) AS max_r,
+       |  MIN((l.cell_id - 1) % $C) AS min_c,
+       |  MAX((l.cell_id - 1) % $C) AS max_c,
+       |  CAST(SUM((l.cell_id - 1) // $C) AS BIGINT) AS sum_r,
+       |  CAST(SUM((l.cell_id - 1) % $C) AS BIGINT) AS sum_c,
+       |  CAST(MAX(CASE WHEN (l.cell_id - 1) // $C IN (0, ${spec.rows - 1})
+       |    OR (l.cell_id - 1) % $C IN (0, ${C - 1}) THEN 1 ELSE 0 END)
+       |    AS INT) AS touches_border
+       |FROM lab l GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  // ---- q167: PER-TILE RUN-LENGTH STATS — the compression-cost /
+  // fragmentation triple over the classified mosaic (RLE is how
+  // classified rasters are actually stored — GRASS, Arc GRID — and the
+  // run count per row is FRAGSTATS' edge-density numerator in disguise):
+  // horizontal run count, longest run, vertical run count per tile of
+  // the q140 class field. The counting loop is fused in ONE expression
+  // call per tile (RunStats) inside the same sorted-aggregation shape
+  // as ClumpLocal — one Exchange on tile_id, all counting map-side
+  // after it. The class field is data-borne in the real pipeline, so
+  // the exchange is genuine (with a closed-form class this could fold
+  // to zero shuffles, stated for honesty). The oracle recomputes runs
+  // by gaps-and-islands windows — a different algorithm, the same
+  // integers. ----------------------------------------------------------------
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val (tileId, pix) = graft.engine.Rasterize.derive(spec)
+    spine(s).select(cellCol, patchClsCol(cellCol).as("cls"))
+      .select(tileId.as("tile_id"), pix.as("pix"), col("cls"))
+      .groupBy("tile_id")
+      .agg(sort_array(collect_list(struct(col("pix"), col("cls"))))
+        .as("pc"))
+      .select(col("tile_id").cast("long").as("tile_id"),
+        run_stats(col("pc.pix"), col("pc.cls"), T).as("rs"))
+      .select(col("tile_id"), col("rs.n_runs").as("n_runs"),
+        col("rs.max_run").as("max_run"), col("rs.n_vruns").as("n_vruns"))
+      .orderBy("tile_id")
+  }
+
+  private def q167Sql: String =
+    s"""$cellsCte,
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    ((cell_id - 1) // $C) % $T AS rr,
+       |    ((cell_id - 1) % $C) % $T AS cc,
+       |    ${patchClsSql("cell_id")} AS cls FROM cells),
+       |h AS (SELECT tile_id, rr, cls,
+       |    cc - ROW_NUMBER() OVER (PARTITION BY tile_id, rr, cls
+       |      ORDER BY cc) AS isl FROM px),
+       |hr AS (SELECT tile_id, COUNT(*) AS len
+       |  FROM h GROUP BY tile_id, rr, cls, isl),
+       |hs AS (SELECT tile_id, COUNT(*) AS n_runs, MAX(len) AS max_run
+       |  FROM hr GROUP BY 1),
+       |v AS (SELECT tile_id, cc, cls,
+       |    rr - ROW_NUMBER() OVER (PARTITION BY tile_id, cc, cls
+       |      ORDER BY rr) AS isl FROM px),
+       |vs AS (SELECT tile_id, COUNT(*) AS n_vruns FROM (
+       |    SELECT DISTINCT tile_id, cc, cls, isl FROM v) GROUP BY 1)
+       |SELECT hs.tile_id, CAST(n_runs AS INT) AS n_runs,
+       |  CAST(max_run AS INT) AS max_run, CAST(n_vruns AS INT) AS n_vruns
+       |FROM hs JOIN vs ON hs.tile_id = vs.tile_id
+       |ORDER BY 1""".stripMargin
+
+  // ---- q168: HAAR WAVELET ENERGY — the level-1 integer wavelet
+  // decomposition per tile (JPEG2000's opening lifting step; the
+  // LH/HL/HH detail energies are the standard blur/detail/compressibility
+  // screen a media-curation pipeline runs beside q104's sharpness):
+  // unnormalized 2x2 Haar coefficients are exact integers on 0..255
+  // bands, summed per subband in ONE expression fused with the payload
+  // decode — a map-only pass over tiles, zero data shuffle, the q165
+  // scale shape. Blocks touching NaN padding are skipped and counted
+  // out via n_blocks. The oracle rebuilds each block from the band
+  // formula with parity-sign sums and keeps only complete (4-cell)
+  // blocks — the same skip rule. -------------------------------------------
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    World.tilesDF(s, spec)
+      .select(col("tile_id").cast("long").as("tile_id"),
+        haar_stats(col("bytes"), col("fmt"), spec.pixPerTile, 1, T).as("h"))
+      .select(col("tile_id"), col("h.ll_sum").as("ll_sum"),
+        col("h.lh_abs").as("lh_abs"), col("h.hl_abs").as("hl_abs"),
+        col("h.hh_abs").as("hh_abs"), col("h.n_blocks").as("n_blocks"))
+      .orderBy("tile_id")
+
+  private def q168Sql: String =
+    s"""$cellsCte,
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    ((cell_id - 1) // $C) % $T AS rr,
+       |    ((cell_id - 1) % $C) % $T AS cc,
+       |    CAST(${bandSql("cell_id", 1)} AS BIGINT) AS v FROM cells),
+       |b AS (SELECT tile_id, rr // 2 AS br, cc // 2 AS bc,
+       |    SUM(v) AS ll,
+       |    SUM(CASE WHEN rr % 2 = 0 THEN v ELSE -v END) AS lh,
+       |    SUM(CASE WHEN cc % 2 = 0 THEN v ELSE -v END) AS hl,
+       |    SUM(CASE WHEN (rr + cc) % 2 = 0 THEN v ELSE -v END) AS hh
+       |  FROM px GROUP BY 1, 2, 3 HAVING COUNT(*) = 4)
+       |SELECT tile_id, CAST(SUM(ll) AS BIGINT) AS ll_sum,
+       |  CAST(SUM(ABS(lh)) AS BIGINT) AS lh_abs,
+       |  CAST(SUM(ABS(hl)) AS BIGINT) AS hl_abs,
+       |  CAST(SUM(ABS(hh)) AS BIGINT) AS hh_abs,
+       |  CAST(COUNT(*) AS INT) AS n_blocks
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

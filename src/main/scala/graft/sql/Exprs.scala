@@ -1376,6 +1376,167 @@ object Mode3x3 {
   }
 }
 
+/** Per-tile RUN-LENGTH statistics over a classified raster's sorted
+  * (pix, cls) arrays (the ClumpLocal input contract: pix = row-major
+  * in-tile position, cls = caller-defined integer class, any subset of
+  * the tile present). A run is a maximal horizontal stretch of PRESENT
+  * equal-class pixels within one tile row; absent pixels terminate the
+  * current run and contribute nothing. Returns struct(n_runs, max_run,
+  * n_vruns): horizontal run count, longest horizontal run, and the
+  * vertical (column-wise) run count — the compression-cost /
+  * fragmentation triple (RLE rasters, boustrophedon coverage, FRAGSTATS
+  * edge metrics all start here). All integers; one call per tile, so
+  * the counting loop is amortized exactly like ClumpLocal's union-find. */
+case class RunStats(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_runs", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false),
+    StructField("n_vruns", IntegerType, nullable = false)))
+
+  override def nullSafeEval(pixs: Any, clss: Any): Any =
+    RunStats.eval(pixs.asInstanceOf[ArrayData], clss.asInstanceOf[ArrayData],
+      tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = RunStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, clss) =>
+      s"${ev.value} = $cls.eval($pixs, $clss, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RunStats {
+  def eval(pixs: ArrayData, clss: ArrayData, tile: Int): InternalRow = {
+    val nCells = tile * tile
+    // explicit presence flags (the ClumpLocal rule): class values are
+    // caller-defined, so an in-band absent sentinel could collide
+    val present = new Array[Boolean](nCells)
+    val cls = new Array[Int](nCells)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      val p = pixs.getInt(i)
+      present(p) = true
+      cls(p) = clss.getInt(i)
+      i += 1
+    }
+    var nRuns = 0
+    var maxRun = 0
+    var r = 0
+    while (r < tile) {
+      var run = 0
+      var c = 0
+      while (c < tile) {
+        val p = r * tile + c
+        if (!present(p)) {
+          if (run > maxRun) maxRun = run
+          run = 0
+        } else if (run > 0 && cls(p) == cls(p - 1)) run += 1
+        else {
+          if (run > maxRun) maxRun = run
+          run = 1
+          nRuns += 1
+        }
+        c += 1
+      }
+      if (run > maxRun) maxRun = run
+      r += 1
+    }
+    var nVruns = 0
+    var c = 0
+    while (c < tile) {
+      var inRun = false
+      var r2 = 0
+      while (r2 < tile) {
+        val p = r2 * tile + c
+        if (!present(p)) inRun = false
+        else if (!(inRun && cls(p) == cls(p - tile))) {
+          nVruns += 1
+          inRun = true
+        }
+        r2 += 1
+      }
+      c += 1
+    }
+    InternalRow(nRuns, maxRun, nVruns)
+  }
+}
+
+/** Per-tile level-1 integer HAAR transform energy — the wavelet
+  * subband decomposition every compression / detail-analysis pipeline
+  * opens with (JPEG2000's first lifting level, cloud/texture detail
+  * screens): for each 2x2 block (a b / c d) of the decoded band the
+  * four unnormalized Haar coefficients are LL=a+b+c+d, LH=a+b−c−d,
+  * HL=a−b+c−d, HH=a−b−c+d — all exact integers on 0..255 bands, no
+  * float ever. Returns struct(ll_sum, lh_abs, hl_abs, hh_abs,
+  * n_blocks): ΣLL and Σ|·| of each detail subband over the tile's
+  * complete blocks (a block with any NaN sample — edge-tile padding —
+  * is skipped and not counted). One pass over the payload fused with
+  * the decode, zero shuffle beyond the tile scan. */
+case class HaarStats(left: Expression, right: Expression, nPixels: Int,
+    band: Int, tile: Int)
+  extends BinaryExpression {
+  require(tile % 2 == 0, s"HaarStats needs an even tile, got $tile")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("ll_sum", LongType, nullable = false),
+    StructField("lh_abs", LongType, nullable = false),
+    StructField("hl_abs", LongType, nullable = false),
+    StructField("hh_abs", LongType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false)))
+
+  override def nullSafeEval(bytes: Any, fmt: Any): Any =
+    HaarStats.eval(bytes.asInstanceOf[Array[Byte]],
+      fmt.asInstanceOf[UTF8String], nPixels, band, tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = HaarStats.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (bytes, fmt) =>
+      s"${ev.value} = $cls.eval($bytes, $fmt, $nPixels, $band, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HaarStats {
+  def eval(bytes: Array[Byte], fmt: UTF8String, nPixels: Int, band: Int,
+      tile: Int): InternalRow = {
+    val px = Codec.decodeBand(fmt.toString, bytes, nPixels, band)
+    var ll = 0L; var lh = 0L; var hl = 0L; var hh = 0L
+    var nb = 0
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val a = px(r * tile + c)
+        val b = px(r * tile + c + 1)
+        val cc = px((r + 1) * tile + c)
+        val d = px((r + 1) * tile + c + 1)
+        if (!(java.lang.Float.isNaN(a) || java.lang.Float.isNaN(b) ||
+            java.lang.Float.isNaN(cc) || java.lang.Float.isNaN(d))) {
+          val al = a.toLong; val bl = b.toLong
+          val cl = cc.toLong; val dl = d.toLong
+          ll += al + bl + cl + dl
+          lh += math.abs(al + bl - cl - dl)
+          hl += math.abs(al - bl + cl - dl)
+          hh += math.abs(al - bl - cl + dl)
+          nb += 1
+        }
+        c += 2
+      }
+      r += 2
+    }
+    InternalRow(ll, lh, hl, hh, nb)
+  }
+}
+
 /** Greedy NON-MAX SUPPRESSION over one image's candidate boxes — the
   * standard object-detection postprocess (keep a box iff its IoU with
   * every higher-ranked KEPT box is below the threshold), the per-image
@@ -2515,6 +2676,19 @@ object GraftFunctions {
     * 0/1 kept flag per box, IoU >= thrNum/thrDen suppresses. */
   def greedy_nms(boxes: Column, thrNum: Int, thrDen: Int): Column =
     column(GreedyNms(expression(boxes), thrNum, thrDen))
+
+  /** Per-tile run-length stats over sorted (pix, cls) arrays:
+    * struct(n_runs, max_run, n_vruns) of same-class runs, absent
+    * pixels terminating runs (the ClumpLocal input contract). */
+  def run_stats(pixs: Column, clss: Column, tile: Int): Column =
+    column(RunStats(expression(pixs), expression(clss), tile))
+
+  /** Per-tile level-1 integer Haar energy fused with the decode:
+    * struct(ll_sum, lh_abs, hl_abs, hh_abs, n_blocks) over complete
+    * 2x2 blocks of the band (NaN-touching blocks skipped). */
+  def haar_stats(bytes: Column, fmt: Column, nPixels: Int, band: Int,
+      tile: Int): Column =
+    column(HaarStats(expression(bytes), expression(fmt), nPixels, band, tile))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =

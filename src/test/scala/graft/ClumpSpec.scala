@@ -231,4 +231,112 @@ class ClumpSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs.min == 0.0, "fixture degenerate: shadow clamp never fires")
     assert(vs.max > 200.0, "fixture degenerate: no bright slope")
   }
+
+  test("q166 patch props equal the flat flood fill's geometry") {
+    val patch = scalarPatches
+    val expected = (1L to N.toLong).groupBy(id => patch(id.toInt)).toSeq
+      .map { case (p, cells) =>
+        val rs = cells.map(id => (id - 1) / C)
+        val cs = cells.map(id => (id - 1) % C)
+        val tb = cells.exists { id =>
+          val r = (id - 1) / C; val c = (id - 1) % C
+          r == 0 || r == R - 1 || c == 0 || c == C - 1
+        }
+        (p, cls(p), cells.size.toLong, rs.min, rs.max, cs.min, cs.max,
+          rs.sum, cs.sum, if (tb) 1 else 0)
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q166_patch_props")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getInt(9))).toSeq
+    assert(got == expected)
+    // both border-touching and interior patches occur
+    assert(got.exists(_._10 == 1) && got.exists(_._10 == 0),
+      "fixture degenerate: border flag never varies")
+  }
+
+  test("RunStats: absent pixels break runs; negative classes are safe") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // 4x4 tile, row-major; -1 as a CLASS value must not read as absent:
+    // row0: pix 0,1 cls -1 (one run), pix 2 cls 5 (new run), pix 3 absent
+    // row1: pix 4 cls 5; pix 5 absent; pix 6,7 cls 5 (two runs)
+    // row2: fully absent
+    // row3: pix 12..15 cls 2 (one run of 4)
+    val pixs = Array(0, 1, 2, 4, 6, 7, 12, 13, 14, 15)
+    val clss = Array(-1, -1, 5, 5, 5, 5, 2, 2, 2, 2)
+    val out = graft.sql.RunStats.eval(
+      ArrayData.toArrayData(pixs), ArrayData.toArrayData(clss), 4)
+    assert(out.getInt(0) == 5, "horizontal run count")
+    assert(out.getInt(1) == 4, "longest horizontal run")
+    // columns: {0|4|12}, {1|13}, {2,6|14}, {7|15} -> 3+2+2+2
+    assert(out.getInt(2) == 9, "vertical run count")
+  }
+
+  test("HaarStats: exact subband sums; a NaN-touching block is skipped") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val v = Array[Float](
+      1, 2, 3, 40,
+      5, 6, Float.NaN, 8,
+      9, 10, 11, 12,
+      13, 14, 15, 16)
+    val bytes = graft.core.Codec.encodeF32(Array(v))
+    val out = graft.sql.HaarStats.eval(
+      bytes, UTF8String.fromString("f32"), 16, 0, 4)
+    // blocks (a b / c d): TL (1,2,5,6), TR skipped (NaN),
+    // BL (9,10,13,14), BR (11,12,15,16); per block lh=|a+b-c-d|=8,
+    // hl=|a-b+c-d|=2, hh=a-b-c+d=0
+    assert(out.getLong(0) == 14L + 46L + 54L, "ll_sum")
+    assert(out.getLong(1) == 24L, "lh_abs")
+    assert(out.getLong(2) == 6L, "hl_abs")
+    assert(out.getLong(3) == 0L, "hh_abs")
+    assert(out.getInt(4) == 3, "NaN block not skipped")
+  }
+
+  test("q167 run-length stats equal a scalar replica per tile") {
+    def clsAt(r: Long, c: Long): Int = cls(r * C + c + 1)
+    val expected = (0L until (R.toLong / T) * TX).map { t =>
+      val r0 = (t / TX) * T; val c0 = (t % TX) * T
+      var nRuns = 0; var maxRun = 0; var nV = 0
+      for (r <- r0 until r0 + T) {
+        var run = 0
+        for (c <- c0 until c0 + T) {
+          if (run > 0 && clsAt(r, c) == clsAt(r, c - 1)) run += 1
+          else { nRuns += 1; maxRun = math.max(maxRun, run); run = 1 }
+        }
+        maxRun = math.max(maxRun, run)
+      }
+      for (c <- c0 until c0 + T; r <- r0 until r0 + T)
+        if (!(r > r0 && clsAt(r, c) == clsAt(r - 1, c))) nV += 1
+      (t, nRuns, maxRun, nV)
+    }
+    val got = SparkEntry.queries("q167_rle_stats")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq
+    assert(got == expected)
+    // the field has real runs, not noise: some run spans many cells
+    assert(expected.map(_._3).max >= 8,
+      "fixture degenerate: class field has no long runs")
+  }
+
+  test("q168 Haar energy equals a scalar replica per tile") {
+    val expected = (0L until (R.toLong / T) * TX).map { t =>
+      val r0 = (t / TX) * T; val c0 = (t % TX) * T
+      var ll = 0L; var lh = 0L; var hl = 0L; var hh = 0L
+      for (r <- r0 until (r0 + T) by 2; c <- c0 until (c0 + T) by 2) {
+        def b(rr: Long, cc: Long): Long =
+          World.band(rr * C + cc + 1, 1).toLong
+        val (a, bb, cc2, d) = (b(r, c), b(r, c + 1), b(r + 1, c),
+          b(r + 1, c + 1))
+        ll += a + bb + cc2 + d
+        lh += math.abs(a + bb - cc2 - d)
+        hl += math.abs(a - bb + cc2 - d)
+        hh += math.abs(a - bb - cc2 + d)
+      }
+      (t, ll, lh, hl, hh, (T / 2) * (T / 2))
+    }
+    val got = SparkEntry.queries("q168_haar_energy")(spark, "unused")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    assert(got == expected)
+  }
 }
