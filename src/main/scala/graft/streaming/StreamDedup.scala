@@ -330,6 +330,37 @@ object StreamDedup {
         (col("w.end") - expr(s"INTERVAL '$gap'")).as("t_end"),
         col("n_events"))
 
+  /** Stream-stream INTERVAL JOIN — the attribution primitive (a click
+    * matches an impression of the same key when it lands inside
+    * [imp_ts, imp_ts + horizon]), the one stateful Structured Streaming
+    * operator family the surface above does not exercise: BOTH sides
+    * are unbounded, so the engine buffers each in join state and the
+    * time-range predicate plus the two watermarks are what make that
+    * state finite — an impression is evictable once the click-side
+    * watermark passes imp_ts + horizon, a click once the
+    * impression-side watermark passes its ts (Spark derives both
+    * bounds from the inequality itself; without the range constraint
+    * the state would grow without bound and Spark would reject the
+    * append-mode query). Late rows beyond the watermark are dropped,
+    * the same contract as every operator above. Inner join in append
+    * mode; inputs need (key LONG, ts TIMESTAMP).
+    *
+    * Scale shape: both sides hash-Exchange on `key`, state is
+    * per-key-and-horizon bounded, so 1000 executors hold disjoint key
+    * ranges — the same co-partitioning a batch q80-style banded join
+    * uses, made incremental. */
+  def attributionJoin(imps: DataFrame, clicks: DataFrame,
+      horizon: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val i = imps.withWatermark("ts", watermark).alias("i")
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    i.join(c,
+        expr("i.key = c.key AND " +
+          s"c.ts >= i.ts AND c.ts <= i.ts + INTERVAL '$horizon'"))
+      .select(col("i.key").as("key"), col("i.ts").as("imp_ts"),
+        col("c.ts").as("click_ts"))
+  }
+
   /** One funnel event (streaming twin of the batch q125 input rows). */
   final case class FunEv(user_id: Long, event_type: String,
       ts: java.sql.Timestamp)

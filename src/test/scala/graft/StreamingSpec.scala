@@ -35,6 +35,9 @@ case class FTile(tile_id: Int, bytes: Array[Byte], fmt: String,
 /** Streaming funnel event (q125's input shape). */
 case class FunnelEv(user_id: Long, event_type: String, ts: Timestamp)
 
+/** Stream-stream join input row (impression or click). */
+case class KeyEv(key: Long, ts: Timestamp)
+
 /** Structured Streaming surface: incremental exact dedup (state
   * bounded by watermark), near-dup flagging with custom per-bucket
   * state that PERSISTS ACROSS MICRO-BATCHES, and watermarked quality
@@ -246,6 +249,66 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (2L, 5L, 5L, 1L)),
         s"got $got")
     } finally q.stop()
+  }
+
+  test("stream-stream interval join (attribution): matches the batch " +
+    "predicate on in-watermark rows; late rows are dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[KeyEv]
+    val clicks = MemoryStream[KeyEv]
+    val q = StreamDedup.attributionJoin(imps.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("g_attr")
+      .outputMode("append").start()
+    def got(): Set[(Long, Long, Long)] = spark.table("g_attr").collect()
+      .map { r =>
+        (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 60000,
+          (r.getTimestamp(2).getTime - Base) / 60000)
+      }.toSet
+    try {
+      // batch 1, deliberately out of order within the horizon:
+      // key 1 impressions at 0 and 30; clicks at 5 (matches 0 only:
+      // 5 <= 0+10, 5 < 30) and 12 (matches NEITHER: > 0+10, < 30);
+      // key 2 impression 5 / click 6 (match)
+      imps.addData(KeyEv(1, ts(0)), KeyEv(1, ts(30)), KeyEv(2, ts(5)))
+      clicks.addData(KeyEv(1, ts(12)), KeyEv(1, ts(5)), KeyEv(2, ts(6)))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 0L, 5L), (2L, 5L, 6L)), s"batch1: ${got()}")
+
+      // batch 2: the click at 35 completes impression 30 (35 <= 40),
+      // and disjoint far-future rows push both watermarks to ~280
+      imps.addData(KeyEv(98, ts(300)))
+      clicks.addData(KeyEv(1, ts(35)), KeyEv(99, ts(300)))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 0L, 5L), (2L, 5L, 6L), (1L, 30L, 35L)),
+        s"batch2: ${got()}")
+
+      // batch 3: rows far behind the watermark (a click at 2 that would
+      // have matched impression 0, and a brand-new matching pair at 50)
+      // are DROPPED — the state for that horizon is already evicted
+      clicks.addData(KeyEv(1, ts(2)))
+      imps.addData(KeyEv(3, ts(50)))
+      clicks.addData(KeyEv(3, ts(55)))
+      q.processAllAvailable()
+      assert(got() == Set((1L, 0L, 5L), (2L, 5L, 6L), (1L, 30L, 35L)),
+        s"late rows must not join: ${got()}")
+    } finally q.stop()
+
+    // cross-check batches 1-2 against the identical BATCH predicate
+    val bi = Seq(KeyEv(1, ts(0)), KeyEv(1, ts(30)), KeyEv(2, ts(5)),
+      KeyEv(98, ts(300))).toDF().alias("i")
+    val bc = Seq(KeyEv(1, ts(12)), KeyEv(1, ts(5)), KeyEv(2, ts(6)),
+      KeyEv(1, ts(35)), KeyEv(99, ts(300))).toDF().alias("c")
+    val batch = bi.join(bc, org.apache.spark.sql.functions.expr(
+        "i.key = c.key AND c.ts >= i.ts AND " +
+          "c.ts <= i.ts + INTERVAL '10 minutes'"))
+      .select(col("i.key"), col("i.ts"), col("c.ts"))
+      .collect().map { r =>
+        (r.getLong(0), (r.getTimestamp(1).getTime - Base) / 60000,
+          (r.getTimestamp(2).getTime - Base) / 60000)
+      }.toSet
+    assert(batch == Set((1L, 0L, 5L), (2L, 5L, 6L), (1L, 30L, 35L)),
+      s"batch replica: $batch")
   }
 
   test("streaming funnel folds out-of-order events in event-time order " +
