@@ -204,4 +204,86 @@ object Geom {
     }
     best
   }
+
+  /** One Sutherland-Hodgman half-plane pass over a closed ring
+    * (textbook convex-clipper step): keeps vertices with coordinate
+    * `>= bound` (keepGE) or `<= bound` along the x (vertical=true) or
+    * y axis, inserting the boundary intersection on each crossing edge
+    * — intersection BEFORE the kept endpoint, the canonical emit order
+    * the DuckDB oracle reproduces with (2i, 2i+1) sort keys. The
+    * intersection arithmetic is written in the EXACT expression order
+    * the oracle uses (`s + (e - s) * ((bound - s_axis) / (e_axis -
+    * s_axis))`): every operation is IEEE-correctly-rounded in both
+    * engines, so results match bit for bit; on this repo's
+    * dyadic-by-construction geometry they are moreover EXACT dyadics.
+    * Returns the new vertex count; output in (ox, oy), sized >= 2*n. */
+  private def clipHalf(xs: Array[Double], ys: Array[Double], n: Int,
+      vertical: Boolean, bound: Double, keepGE: Boolean,
+      ox: Array[Double], oy: Array[Double]): Int = {
+    @inline def in(x: Double, y: Double): Boolean = {
+      val v = if (vertical) x else y
+      if (keepGE) v >= bound else v <= bound
+    }
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val j = if (i == 0) n - 1 else i - 1
+      val sx = xs(j); val sy = ys(j)
+      val ex = xs(i); val ey = ys(i)
+      val sIn = in(sx, sy); val eIn = in(ex, ey)
+      if (sIn != eIn) {
+        if (vertical) {
+          ox(m) = bound
+          oy(m) = sy + (ey - sy) * ((bound - sx) / (ex - sx))
+        } else {
+          ox(m) = sx + (ex - sx) * ((bound - sy) / (ey - sy))
+          oy(m) = bound
+        }
+        m += 1
+      }
+      if (eIn) { ox(m) = ex; oy(m) = ey; m += 1 }
+      i += 1
+    }
+    m
+  }
+
+  /** Area of polygon INTERSECT axis-aligned rect [rx0,rx1]x[ry0,ry1]
+    * plus the clipped vertex count — the vector-overlay primitive
+    * (zonal area weighting, coverage fractions, tile pruning) via
+    * Sutherland-Hodgman against the rect's four half-planes then the
+    * shoelace sum. Rings clip independently; the signed ring areas SUM
+    * (holes carry opposite orientation) and the absolute value is
+    * taken once at the end. Shoelace terms are x_prev*y_i - x_i*y_prev
+    * — the per-edge form the oracle's final self-join reproduces
+    * term-for-term. */
+  def clipRectArea(poly: Polygon, rx0: Double, ry0: Double,
+      rx1: Double, ry1: Double): (Double, Int) = {
+    var twice = 0.0
+    var nv = 0
+    var r = 0
+    while (r < poly.nRings) {
+      val (s, e) = poly.ringRange(r)
+      val n0 = e - s
+      // each pass at most doubles the count; 4 passes from n0
+      val cap = n0 * 16 + 16
+      val ax = new Array[Double](cap); val ay = new Array[Double](cap)
+      val bx = new Array[Double](cap); val by = new Array[Double](cap)
+      var i = 0
+      while (i < n0) { ax(i) = poly.xs(s + i); ay(i) = poly.ys(s + i); i += 1 }
+      var n = n0
+      n = clipHalf(ax, ay, n, vertical = true, rx0, keepGE = true, bx, by)
+      n = clipHalf(bx, by, n, vertical = true, rx1, keepGE = false, ax, ay)
+      n = clipHalf(ax, ay, n, vertical = false, ry0, keepGE = true, bx, by)
+      n = clipHalf(bx, by, n, vertical = false, ry1, keepGE = false, ax, ay)
+      nv += n
+      var k = 0
+      while (k < n) {
+        val j = if (k == 0) n - 1 else k - 1
+        twice += ax(j) * ay(k) - ax(k) * ay(j)
+        k += 1
+      }
+      r += 1
+    }
+    (math.abs(twice) / 2.0, nv)
+  }
 }

@@ -102,7 +102,8 @@ object Spatial {
     Q("q165_viewshed", q165, Some(q165Sql)),
     Q("q166_patch_props", q166, Some(q166Sql)),
     Q("q167_rle_stats", q167, Some(q167Sql)),
-    Q("q168_haar_energy", q168, Some(q168Sql))
+    Q("q168_haar_energy", q168, Some(q168Sql)),
+    Q("q169_overlay_area", q169, Some(q169Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4665,6 +4666,116 @@ object Spatial {
         col("h.lh_abs").as("lh_abs"), col("h.hl_abs").as("hl_abs"),
         col("h.hh_abs").as("hh_abs"), col("h.n_blocks").as("n_blocks"))
       .orderBy("tile_id")
+
+  // ---- q169: VECTOR OVERLAY AREA — exact polygon INTERSECT tile-rect
+  // area per (tile, region): the clip-and-measure primitive GIS calls
+  // Intersect/Tabulate Area (area-weighted zonal statistics, coverage
+  // fractions, "which tiles does this layer touch" pruning — the
+  // operator family SURVEY's U5 row marks n/a-in-reference, built here
+  // as a first-class overlay). Sutherland-Hodgman against the tile's
+  // four half-planes then the shoelace sum, ALL inside one codegen
+  // RectClipArea call per (tile, region) pair — work is O(edges) per
+  // pair, never per-pixel (the covering-vs-raycast lesson applied to
+  // vector measures). Scale shape: the frame is tiles x regions with
+  // polygons riding the expression as a broadcast reference — zero
+  // data shuffle beyond the presentation sort; at 100 TB the pair
+  // frame is pruned first by a bbox join (q102's shape) so only
+  // touching pairs clip.
+  //
+  // Exactness: the world's edges have power-of-two extents, so every
+  // clip intersection (s + (e-s)*((bound-s)/(e-s)) in both engines,
+  // identical op order) and every shoelace term is an EXACT dyadic
+  // double — sums are order-independent and the DuckDB oracle (the
+  // same four passes as chained window CTEs: per edge, the boundary
+  // intersection sorts at 2i and the kept endpoint at 2i+1) matches
+  // bit for bit. GeomSpec pins the partition property (per-region tile
+  // areas sum to the polygon's own shoelace area, exactly). ----------------
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val polys = World.polygons(spec)
+    // the q21 single-eval Generate shape: each pair's clip runs ONCE
+    // inside the exploded array (a filter on a plain projection would
+    // be pushed below it and evaluate the clip twice)
+    s.range(0, spec.nTiles).select(col("id").as("tile_id"))
+      .select(col("tile_id"), explode(array(polys.map(p =>
+        struct(lit(p.regionId).as("region_id"),
+          rect_clip_area(col("tile_id"), lit(p.regionId), polys, T, TX)
+            .as("ca"))): _*)).as("rc"))
+      .filter(col("rc.ca.area") > 0)
+      .select(col("tile_id"), col("rc.region_id").as("region_id"),
+        col("rc.ca.area").as("area"), col("rc.ca.nv").as("nv"))
+      .orderBy("tile_id", "region_id")
+  }
+
+  /** Ring vertices as a VALUES literal: (region, ring, i, x, y, n). */
+  private def ringVertsValues: String =
+    World.polygons(spec).flatMap { p =>
+      (0 until p.nRings).flatMap { r =>
+        val (s0, e0) = p.ringRange(r)
+        (s0 until e0).map { k =>
+          s"(${p.regionId}, $r, ${k - s0}, CAST(${p.xs(k)} AS DOUBLE), " +
+            s"CAST(${p.ys(k)} AS DOUBLE), ${e0 - s0})"
+        }
+      }
+    }.mkString(", ")
+
+  /** One Sutherland-Hodgman half-plane pass as SQL CTEs: `src` is the
+    * prior vertex CTE (tile_id, region, ring, i, x, y, n), `axis` "x"
+    * or "y", `bound` an expression over tile_id, `ge` the keep side.
+    * Emits c/e/dst CTE bodies; intersection arithmetic mirrors
+    * Geom.clipHalf's expression order exactly. */
+  private def clipPassSql(src: String, dst: String, axis: String,
+      bound: String, ge: Boolean): String = {
+    val op = if (ge) ">=" else "<="
+    val (ix, iy) =
+      if (axis == "x")
+        (s"($bound)",
+          s"(sy + (ey - sy) * ((($bound) - sx) / (ex - sx)))")
+      else
+        (s"(sx + (ex - sx) * ((($bound) - sy) / (ey - sy)))",
+          s"($bound)")
+    val (sIn, eIn) =
+      if (axis == "x") (s"sx $op ($bound)", s"ex $op ($bound)")
+      else (s"sy $op ($bound)", s"ey $op ($bound)")
+    s"""c_$dst AS (SELECT a.tile_id, a.region, a.ring, a.i,
+       |    b.x AS sx, b.y AS sy, a.x AS ex, a.y AS ey
+       |  FROM $src a JOIN $src b
+       |    ON b.tile_id = a.tile_id AND b.region = a.region
+       |   AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n),
+       |e_$dst AS (
+       |  SELECT tile_id, region, ring, 2 * i + 1 AS k, ex AS x, ey AS y
+       |  FROM c_$dst WHERE $eIn
+       |  UNION ALL
+       |  SELECT tile_id, region, ring, 2 * i AS k, $ix AS x, $iy AS y
+       |  FROM c_$dst WHERE ($eIn) <> ($sIn)),
+       |$dst AS (SELECT tile_id, region, ring,
+       |    ROW_NUMBER() OVER (PARTITION BY tile_id, region, ring
+       |      ORDER BY k) - 1 AS i, x, y,
+       |    COUNT(*) OVER (PARTITION BY tile_id, region, ring) AS n
+       |  FROM e_$dst)""".stripMargin
+  }
+
+  private def q169Sql: String = {
+    val x0 = s"CAST((tile_id % $TX) * $T AS DOUBLE)"
+    val y0 = s"CAST((tile_id // $TX) * $T AS DOUBLE)"
+    val x1 = s"CAST((tile_id % $TX) * $T + $T AS DOUBLE)"
+    val y1 = s"CAST((tile_id // $TX) * $T + $T AS DOUBLE)"
+    s"""WITH verts(region, ring, i, x, y, n) AS (VALUES $ringVertsValues),
+       |v0 AS (SELECT t.range AS tile_id, v.region, v.ring, v.i, v.x, v.y,
+       |    v.n FROM range(${spec.nTiles}) t, verts v),
+       |${clipPassSql("v0", "v1", "x", x0, ge = true)},
+       |${clipPassSql("v1", "v2", "x", x1, ge = false)},
+       |${clipPassSql("v2", "v3", "y", y0, ge = true)},
+       |${clipPassSql("v3", "v4", "y", y1, ge = false)}
+       |SELECT CAST(a.tile_id AS BIGINT) AS tile_id,
+       |  CAST(a.region AS INT) AS region_id,
+       |  ABS(SUM(b.x * a.y - a.x * b.y)) / 2.0 AS area,
+       |  CAST(COUNT(*) AS INT) AS nv
+       |FROM v4 a JOIN v4 b
+       |  ON b.tile_id = a.tile_id AND b.region = a.region
+       | AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n
+       |GROUP BY 1, 2 HAVING ABS(SUM(b.x * a.y - a.x * b.y)) > 0
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,

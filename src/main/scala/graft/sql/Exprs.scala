@@ -1376,6 +1376,59 @@ object Mode3x3 {
   }
 }
 
+/** VECTOR OVERLAY: exact area of region polygon INTERSECT tile rect —
+  * the per-(tile, region) clip-and-measure primitive (area-weighted
+  * zonal statistics, coverage fractions, tile pruning for vector
+  * layers): Sutherland-Hodgman against the tile's four half-planes
+  * then the shoelace sum (core/Geom.clipRectArea), all inside one
+  * codegen call per (tile, region) pair — work is O(edges), never
+  * per-pixel. On this repo's dyadic-by-construction geometry every
+  * intersection vertex and shoelace term is an exact double, so the
+  * DuckDB oracle (the same clip as four chained window-CTE passes)
+  * matches bit for bit. Returns struct(area, nv). */
+case class RectClipArea(left: Expression, right: Expression,
+    polys: Array[Polygon], tile: Int, tilesX: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("area", DoubleType, nullable = false),
+    StructField("nv", IntegerType, nullable = false)))
+
+  override def nullSafeEval(tileId: Any, regionId: Any): Any =
+    RectClipArea.eval(polys, tileId.asInstanceOf[Long],
+      regionId.asInstanceOf[Int], tile, tilesX)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polysRef = ctx.addReferenceObj("polys", polys,
+      classOf[Polygon].getName + "[]")
+    val cls = RectClipArea.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (tid, rid) =>
+      s"${ev.value} = $cls.eval($polysRef, $tid, $rid, $tile, $tilesX);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object RectClipArea {
+  def eval(polys: Array[Polygon], tileId: Long, regionId: Int,
+      tile: Int, tilesX: Int): InternalRow = {
+    val rx0 = ((tileId % tilesX) * tile).toDouble
+    val ry0 = ((tileId / tilesX) * tile).toDouble
+    var poly: Polygon = null
+    var i = 0
+    while (i < polys.length && poly == null) {
+      if (polys(i).regionId == regionId) poly = polys(i)
+      i += 1
+    }
+    require(poly != null, s"unknown region id $regionId")
+    val (area, nv) =
+      Geom.clipRectArea(poly, rx0, ry0, rx0 + tile, ry0 + tile)
+    InternalRow(area, nv)
+  }
+}
+
 /** Per-tile RUN-LENGTH statistics over a classified raster's sorted
   * (pix, cls) arrays (the ClumpLocal input contract: pix = row-major
   * in-tile position, cls = caller-defined integer class, any subset of
@@ -2676,6 +2729,14 @@ object GraftFunctions {
     * 0/1 kept flag per box, IoU >= thrNum/thrDen suppresses. */
   def greedy_nms(boxes: Column, thrNum: Int, thrDen: Int): Column =
     column(GreedyNms(expression(boxes), thrNum, thrDen))
+
+  /** Exact polygon-INTERSECT-tile-rect area + clipped vertex count:
+    * struct(area, nv) via Sutherland-Hodgman + shoelace, one codegen
+    * call per (tile, region) pair. */
+  def rect_clip_area(tileId: Column, regionId: Column,
+      polys: Array[Polygon], tile: Int, tilesX: Int): Column =
+    column(RectClipArea(expression(tileId), expression(regionId),
+      polys, tile, tilesX))
 
   /** Per-tile run-length stats over sorted (pix, cls) arrays:
     * struct(n_runs, max_run, n_vruns) of same-class runs, absent

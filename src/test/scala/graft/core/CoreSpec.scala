@@ -169,6 +169,66 @@ class GeomSpec extends AnyFunSuite with SeededChecks {
     assert(Geom.regionOf(Array(a, b), 2.5, 5.5) == 2)
     assert(Geom.regionOf(Array(a, b), 20.0, 5.5) == -1)
   }
+
+  test("clipRectArea: hand-computed triangle clips") {
+    // right triangle (0,0)-(8,0)-(0,8), area 32
+    val tri = Polygon(1, Array(0.0, 8.0, 0.0), Array(0.0, 0.0, 8.0))
+    // rect containing it entirely
+    assert(Geom.clipRectArea(tri, -1, -1, 10, 10)._1 == 32.0)
+    // disjoint rect
+    assert(Geom.clipRectArea(tri, 20, 20, 30, 30) == ((0.0, 0)))
+    // left half [0,4]x[0,8]: trapezoid with parallel sides 8 and 4
+    assert(Geom.clipRectArea(tri, 0, 0, 4, 8)._1 == 24.0)
+    // unit cell [3,4]x[3,4]: x+y <= 8 everywhere inside -> full cell
+    assert(Geom.clipRectArea(tri, 3, 3, 4, 4)._1 == 1.0)
+    // cell [3,4]x[4,5]: area below x+y=8 is int_3^4 (4-x) dx = 0.5
+    assert(Geom.clipRectArea(tri, 3, 4, 4, 5)._1 == 0.5)
+  }
+
+  test("clipRectArea: a hole subtracts (opposite-orientation ring)") {
+    // outer square (0,0)-(8,8) CW-in-screen with hole (2,2)-(6,6)
+    // reversed: clipped to a rect containing both, area 64 - 16
+    val p = Polygon(1,
+      Array(0.0, 8, 8, 0, /* hole, reversed */ 2, 2, 6, 6),
+      Array(0.0, 0, 8, 8, /* hole */ 2, 6, 6, 2),
+      ringStarts = Array(0, 4))
+    assert(Geom.clipRectArea(p, -1, -1, 9, 9)._1 == 48.0)
+    // a rect over the hole's interior only: zero coverage
+    assert(Geom.clipRectArea(p, 3, 3, 5, 5)._1 == 0.0)
+    // straddling the hole's left edge: [1,3]x[3,5] -> outer 4 - hole 2
+    assert(Geom.clipRectArea(p, 1, 3, 3, 5)._1 == 2.0)
+  }
+
+  test("clipRectArea: world tile areas partition each region exactly") {
+    val spec = graft.world.World.tiny
+    val polys = graft.world.World.polygons(spec)
+    val T = spec.tile
+    polys.foreach { p =>
+      // polygon's own shoelace area (exact dyadics end to end)
+      var twice = 0.0
+      val n = p.xs.length
+      for (i <- 0 until n) {
+        val j = (i + n - 1) % n
+        twice += p.xs(j) * p.ys(i) - p.xs(i) * p.ys(j)
+      }
+      val whole = math.abs(twice) / 2.0
+      val tiled = (0 until spec.nTiles).map { t =>
+        val rx0 = (t % spec.tilesX) * T
+        val ry0 = (t / spec.tilesX) * T
+        Geom.clipRectArea(p, rx0, ry0, rx0 + T, ry0 + T)._1
+      }.sum
+      assert(tiled == whole, s"region ${p.regionId}: $tiled != $whole")
+      assert(whole > 0)
+    }
+    // non-degenerate coverage: some tile is mostly inside a region
+    // (no tile can be FULLY inside: regions are 30 cols wide and tiles
+    // 16-aligned, so every tile touches a region boundary or the notch)
+    assert(polys.exists(p => (0 until spec.nTiles).exists { t =>
+      val rx0 = (t % spec.tilesX) * T
+      val ry0 = (t / spec.tilesX) * T
+      Geom.clipRectArea(p, rx0, ry0, rx0 + T, ry0 + T)._1 > 0.75 * T * T
+    }), "fixture degenerate: no tile mostly covered by a region")
+  }
 }
 
 class CoveringSpec extends AnyFunSuite with SeededChecks {
