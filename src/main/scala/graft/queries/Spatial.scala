@@ -103,7 +103,8 @@ object Spatial {
     Q("q166_patch_props", q166, Some(q166Sql)),
     Q("q167_rle_stats", q167, Some(q167Sql)),
     Q("q168_haar_energy", q168, Some(q168Sql)),
-    Q("q169_overlay_area", q169, Some(q169Sql))
+    Q("q169_overlay_area", q169, Some(q169Sql)),
+    Q("q170_zonal_weighted", q170, Some(q170Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4690,11 +4691,12 @@ object Spatial {
   // intersection sorts at 2i and the kept endpoint at 2i+1) matches
   // bit for bit. GeomSpec pins the partition property (per-region tile
   // areas sum to the polygon's own shoelace area, exactly). ----------------
-  private def q169(s: SparkSession, dir: String): DataFrame = {
+  /** The (tile, region, area, nv) coverage frame shared by q169/q170:
+    * the q21 single-eval Generate shape — each pair's clip runs ONCE
+    * inside the exploded array (a filter on a plain projection would
+    * be pushed below it and evaluate the clip twice). */
+  private def coverageDF(s: SparkSession): DataFrame = {
     val polys = World.polygons(spec)
-    // the q21 single-eval Generate shape: each pair's clip runs ONCE
-    // inside the exploded array (a filter on a plain projection would
-    // be pushed below it and evaluate the clip twice)
     s.range(0, spec.nTiles).select(col("id").as("tile_id"))
       .select(col("tile_id"), explode(array(polys.map(p =>
         struct(lit(p.regionId).as("region_id"),
@@ -4703,8 +4705,10 @@ object Spatial {
       .filter(col("rc.ca.area") > 0)
       .select(col("tile_id"), col("rc.region_id").as("region_id"),
         col("rc.ca.area").as("area"), col("rc.ca.nv").as("nv"))
-      .orderBy("tile_id", "region_id")
   }
+
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    coverageDF(s).orderBy("tile_id", "region_id")
 
   /** Ring vertices as a VALUES literal: (region, ring, i, x, y, n). */
   private def ringVertsValues: String =
@@ -4754,7 +4758,9 @@ object Spatial {
        |  FROM e_$dst)""".stripMargin
   }
 
-  private def q169Sql: String = {
+  /** Clip chain (verts .. v4) + `cov(tile_id, region_id, area, nv)` —
+    * the CTE prefix shared by q169/q170. */
+  private def clipCovCte: String = {
     val x0 = s"CAST((tile_id % $TX) * $T AS DOUBLE)"
     val y0 = s"CAST((tile_id // $TX) * $T AS DOUBLE)"
     val x1 = s"CAST((tile_id % $TX) * $T + $T AS DOUBLE)"
@@ -4765,17 +4771,62 @@ object Spatial {
        |${clipPassSql("v0", "v1", "x", x0, ge = true)},
        |${clipPassSql("v1", "v2", "x", x1, ge = false)},
        |${clipPassSql("v2", "v3", "y", y0, ge = true)},
-       |${clipPassSql("v3", "v4", "y", y1, ge = false)}
-       |SELECT CAST(a.tile_id AS BIGINT) AS tile_id,
-       |  CAST(a.region AS INT) AS region_id,
-       |  ABS(SUM(b.x * a.y - a.x * b.y)) / 2.0 AS area,
-       |  CAST(COUNT(*) AS INT) AS nv
-       |FROM v4 a JOIN v4 b
-       |  ON b.tile_id = a.tile_id AND b.region = a.region
-       | AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n
-       |GROUP BY 1, 2 HAVING ABS(SUM(b.x * a.y - a.x * b.y)) > 0
-       |ORDER BY 1, 2""".stripMargin
+       |${clipPassSql("v3", "v4", "y", y1, ge = false)},
+       |cov AS (SELECT CAST(a.tile_id AS BIGINT) AS tile_id,
+       |    CAST(a.region AS INT) AS region_id,
+       |    ABS(SUM(b.x * a.y - a.x * b.y)) / 2.0 AS area,
+       |    CAST(COUNT(*) AS INT) AS nv
+       |  FROM v4 a JOIN v4 b
+       |    ON b.tile_id = a.tile_id AND b.region = a.region
+       |   AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n
+       |  GROUP BY 1, 2 HAVING ABS(SUM(b.x * a.y - a.x * b.y)) > 0)""".stripMargin
   }
+
+  private def q169Sql: String =
+    s"""$clipCovCte
+       |SELECT tile_id, region_id, area, nv FROM cov
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q170: AREA-WEIGHTED ZONAL STATS — the overlay frame put to its
+  // real use (ArcGIS Tabulate Area / exactextractr's coverage_fraction
+  // path): per region, the coverage-weighted aggregate of a tiled
+  // raster — each tile's band SUM weighted by the fraction of the tile
+  // the region covers. This is the standard tile-granularity
+  // approximation that avoids per-pixel PIP entirely: the raster side
+  // reduces per tile (A6's map-side partial aggregation, one row per
+  // tile per partition into the Exchange), the vector side is q169's
+  // O(edges)-per-pair clip, and they meet in a join where the coverage
+  // frame is the SMALL side — broadcast, no raster reshuffle.
+  // Exactness: area/T² is a dyadic shift of an exact dyadic, the tile
+  // sum is a small integer, every product and partial sum stays exact
+  // in doubles — so the oracle compare is bit-for-bit despite three
+  // float columns. ----------------------------------------------------------
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val sums = spine(s)
+      .select(tileCol(cellCol).as("tile_id"),
+        bandCol(cellCol, 1).cast("long").as("v"))
+      .groupBy("tile_id")
+      .agg(sum("v").as("s"), count(lit(1)).as("npx"))
+    sums.join(broadcast(coverageDF(s)), Seq("tile_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(col("area")).as("total_area"),
+        sum(col("area") / (T * T) * col("s")).as("w_sum"))
+      .orderBy("region_id")
+  }
+
+  private def q170Sql: String =
+    s"""$clipCovCte,
+       |ts AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    CAST(SUM(CAST(${bandSql("cell_id", 1)} AS BIGINT)) AS BIGINT)
+       |      AS s
+       |  FROM (SELECT r.range + 1 AS cell_id FROM range($N) r)
+       |  GROUP BY 1)
+       |SELECT c.region_id, COUNT(*) AS n_tiles,
+       |  SUM(c.area) AS total_area,
+       |  SUM(c.area / ${T * T} * t.s) AS w_sum
+       |FROM cov c JOIN ts t ON c.tile_id = t.tile_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
