@@ -212,10 +212,10 @@ object Geom {
     * — intersection BEFORE the kept endpoint, the canonical emit order
     * the DuckDB oracle reproduces with (2i, 2i+1) sort keys. The
     * intersection arithmetic is written in the EXACT expression order
-    * the oracle uses (`s + (e - s) * ((bound - s_axis) / (e_axis -
-    * s_axis))`): every operation is IEEE-correctly-rounded in both
-    * engines, so results match bit for bit; on this repo's
-    * dyadic-by-construction geometry they are moreover EXACT dyadics.
+    * the oracle uses (slope form, see the inline comment): every
+    * operation is IEEE-correctly-rounded in both engines, so results
+    * match bit for bit; on this repo's dyadic-by-construction geometry
+    * they are moreover EXACT dyadics for any integer clip bound.
     * Returns the new vertex count; output in (ox, oy), sized >= 2*n. */
   private def clipHalf(xs: Array[Double], ys: Array[Double], n: Int,
       vertical: Boolean, bound: Double, keepGE: Boolean,
@@ -232,11 +232,19 @@ object Geom {
       val ex = xs(i); val ey = ys(i)
       val sIn = in(sx, sy); val eIn = in(ex, ey)
       if (sIn != eIn) {
+        // SLOPE form, not the parametric-t form: the ratio
+        // (e-s)_along / (e-s)_across is the LINE's slope, identical for
+        // every sub-segment a previous pass produced — with integer
+        // vertices and dyadic slopes (this world: 0, ±8, ∞) every
+        // intersection coordinate stays an exact dyadic for ANY integer
+        // clip bound, so shoelace sums are order-independent. The
+        // t-form ((bound-s)/(e-s)) rounds whenever the sub-segment
+        // length is not a power of two.
         if (vertical) {
           ox(m) = bound
-          oy(m) = sy + (ey - sy) * ((bound - sx) / (ex - sx))
+          oy(m) = sy + ((ey - sy) / (ex - sx)) * (bound - sx)
         } else {
-          ox(m) = sx + (ex - sx) * ((bound - sy) / (ey - sy))
+          ox(m) = sx + ((ex - sx) / (ey - sy)) * (bound - sy)
           oy(m) = bound
         }
         m += 1

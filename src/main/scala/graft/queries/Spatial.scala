@@ -104,7 +104,8 @@ object Spatial {
     Q("q167_rle_stats", q167, Some(q167Sql)),
     Q("q168_haar_energy", q168, Some(q168Sql)),
     Q("q169_overlay_area", q169, Some(q169Sql)),
-    Q("q170_zonal_weighted", q170, Some(q170Sql))
+    Q("q170_zonal_weighted", q170, Some(q170Sql)),
+    Q("q171_tabulate_intersect", q171, Some(q171Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4728,33 +4729,36 @@ object Spatial {
     * Emits c/e/dst CTE bodies; intersection arithmetic mirrors
     * Geom.clipHalf's expression order exactly. */
   private def clipPassSql(src: String, dst: String, axis: String,
-      bound: String, ge: Boolean): String = {
+      bound: String, ge: Boolean, carry: Seq[String] = Nil): String = {
     val op = if (ge) ">=" else "<="
+    val cA = carry.map(c => s", a.$c").mkString
+    val cP = carry.map(c => s", $c").mkString
+    // slope form, mirroring Geom.clipHalf exactly (see its comment)
     val (ix, iy) =
       if (axis == "x")
         (s"($bound)",
-          s"(sy + (ey - sy) * ((($bound) - sx) / (ex - sx)))")
+          s"(sy + ((ey - sy) / (ex - sx)) * (($bound) - sx))")
       else
-        (s"(sx + (ex - sx) * ((($bound) - sy) / (ey - sy)))",
+        (s"(sx + ((ex - sx) / (ey - sy)) * (($bound) - sy))",
           s"($bound)")
     val (sIn, eIn) =
       if (axis == "x") (s"sx $op ($bound)", s"ex $op ($bound)")
       else (s"sy $op ($bound)", s"ey $op ($bound)")
-    s"""c_$dst AS (SELECT a.tile_id, a.region, a.ring, a.i,
+    s"""c_$dst AS (SELECT a.tile_id, a.region, a.ring, a.i$cA,
        |    b.x AS sx, b.y AS sy, a.x AS ex, a.y AS ey
        |  FROM $src a JOIN $src b
        |    ON b.tile_id = a.tile_id AND b.region = a.region
        |   AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n),
        |e_$dst AS (
-       |  SELECT tile_id, region, ring, 2 * i + 1 AS k, ex AS x, ey AS y
+       |  SELECT tile_id, region, ring, 2 * i + 1 AS k, ex AS x, ey AS y$cP
        |  FROM c_$dst WHERE $eIn
        |  UNION ALL
-       |  SELECT tile_id, region, ring, 2 * i AS k, $ix AS x, $iy AS y
+       |  SELECT tile_id, region, ring, 2 * i AS k, $ix AS x, $iy AS y$cP
        |  FROM c_$dst WHERE ($eIn) <> ($sIn)),
        |$dst AS (SELECT tile_id, region, ring,
        |    ROW_NUMBER() OVER (PARTITION BY tile_id, region, ring
        |      ORDER BY k) - 1 AS i, x, y,
-       |    COUNT(*) OVER (PARTITION BY tile_id, region, ring) AS n
+       |    COUNT(*) OVER (PARTITION BY tile_id, region, ring) AS n$cP
        |  FROM e_$dst)""".stripMargin
   }
 
@@ -4813,6 +4817,64 @@ object Spatial {
         sum(col("area")).as("total_area"),
         sum(col("area") / (T * T) * col("s")).as("w_sum"))
       .orderBy("region_id")
+  }
+
+  // ---- q171: TWO-LAYER TABULATE INTERSECTION — q169's clip between
+  // two VECTOR layers (GIS Intersect proper: protected-area rectangles
+  // x region polygons, the "how much of each PA falls in each
+  // jurisdiction" table every conservation analysis starts with). The
+  // PA layer is synthetic with integer bounds deliberately NOT aligned
+  // to tile edges (World.paRect), so the clip lines exercise the
+  // slope-form exactness argument at arbitrary integer bounds — y
+  // coordinates stay integers, x coordinates gain at most 3 fractional
+  // bits (slopes are 0, +-8, inf), every shoelace term stays an exact
+  // dyadic, and the oracle (the same chained passes, rect bounds
+  // CARRIED as columns through each CTE) compares bit for bit.
+  // Scale shape: pairs frame = PAs x regions with the polygons riding
+  // the expression broadcast — at production cardinalities the pair
+  // list is bbox-pruned first (q102), clip work stays O(edges)/pair. ------
+  private val PaN = 8
+
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val polys = World.polygons(spec)
+    s.range(0, PaN).select(col("id").as("pa_id"))
+      .select(col("pa_id"), explode(array(polys.map(p =>
+        struct(lit(p.regionId).as("region_id"),
+          pa_clip_area(col("pa_id"), lit(p.regionId), polys, C, spec.rows)
+            .as("ca"))): _*)).as("rc"))
+      .filter(col("rc.ca.area") > 0)
+      .select(col("pa_id"), col("rc.region_id").as("region_id"),
+        col("rc.ca.area").as("area"), col("rc.ca.nv").as("nv"))
+      .orderBy("pa_id", "region_id")
+  }
+
+  private def q171Sql: String = {
+    val carry = Seq("bx0", "bx1", "by0", "by1")
+    s"""WITH verts(region, ring, i, x, y, n) AS (VALUES $ringVertsValues),
+       |pa AS (SELECT r.range AS pa_id,
+       |    ${h2Sql("r.range * 31 + 7")} % ${C - 32} AS px0,
+       |    ${h2Sql("r.range * 41 + 13")} % ${spec.rows - 24} AS py0,
+       |    8 + ${h2Sql("r.range * 37 + 11")} % 25 AS pw,
+       |    8 + ${h2Sql("r.range * 43 + 17")} % 17 AS ph
+       |  FROM range($PaN) r),
+       |v0 AS (SELECT p.pa_id AS tile_id, v.region, v.ring, v.i, v.x, v.y,
+       |    v.n,
+       |    CAST(p.px0 AS DOUBLE) AS bx0, CAST(p.px0 + p.pw AS DOUBLE) AS bx1,
+       |    CAST(p.py0 AS DOUBLE) AS by0, CAST(p.py0 + p.ph AS DOUBLE) AS by1
+       |  FROM pa p, verts v),
+       |${clipPassSql("v0", "v1", "x", "bx0", ge = true, carry)},
+       |${clipPassSql("v1", "v2", "x", "bx1", ge = false, carry)},
+       |${clipPassSql("v2", "v3", "y", "by0", ge = true, carry)},
+       |${clipPassSql("v3", "v4", "y", "by1", ge = false, carry)}
+       |SELECT CAST(a.tile_id AS BIGINT) AS pa_id,
+       |  CAST(a.region AS INT) AS region_id,
+       |  ABS(SUM(b.x * a.y - a.x * b.y)) / 2.0 AS area,
+       |  CAST(COUNT(*) AS INT) AS nv
+       |FROM v4 a JOIN v4 b
+       |  ON b.tile_id = a.tile_id AND b.region = a.region
+       | AND b.ring = a.ring AND b.i = (a.i + a.n - 1) % a.n
+       |GROUP BY 1, 2 HAVING ABS(SUM(b.x * a.y - a.x * b.y)) > 0
+       |ORDER BY 1, 2""".stripMargin
   }
 
   private def q170Sql: String =

@@ -1412,19 +1412,62 @@ case class RectClipArea(left: Expression, right: Expression,
 }
 
 object RectClipArea {
+  private[sql] def polyOf(polys: Array[Polygon], regionId: Int): Polygon = {
+    var i = 0
+    while (i < polys.length) {
+      if (polys(i).regionId == regionId) return polys(i)
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unknown region id $regionId")
+  }
+
   def eval(polys: Array[Polygon], tileId: Long, regionId: Int,
       tile: Int, tilesX: Int): InternalRow = {
     val rx0 = ((tileId % tilesX) * tile).toDouble
     val ry0 = ((tileId / tilesX) * tile).toDouble
-    var poly: Polygon = null
-    var i = 0
-    while (i < polys.length && poly == null) {
-      if (polys(i).regionId == regionId) poly = polys(i)
-      i += 1
-    }
-    require(poly != null, s"unknown region id $regionId")
-    val (area, nv) =
-      Geom.clipRectArea(poly, rx0, ry0, rx0 + tile, ry0 + tile)
+    val (area, nv) = Geom.clipRectArea(polyOf(polys, regionId),
+      rx0, ry0, rx0 + tile, ry0 + tile)
+    InternalRow(area, nv)
+  }
+}
+
+/** [[RectClipArea]]'s two-LAYER sibling: area of region polygon
+  * INTERSECT the synthetic protected-area rectangle `paId`
+  * (World.paRect — integer bounds NOT aligned to any tile edge), the
+  * Tabulate-Intersection primitive between two vector layers. Same
+  * clip core, same exactness argument (slope-form intersections stay
+  * exact dyadics for any integer clip bound). */
+case class PaClipArea(left: Expression, right: Expression,
+    polys: Array[Polygon], cols: Int, rows: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("area", DoubleType, nullable = false),
+    StructField("nv", IntegerType, nullable = false)))
+
+  override def nullSafeEval(paId: Any, regionId: Any): Any =
+    PaClipArea.eval(polys, paId.asInstanceOf[Long],
+      regionId.asInstanceOf[Int], cols, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polysRef = ctx.addReferenceObj("polys", polys,
+      classOf[Polygon].getName + "[]")
+    val cls = PaClipArea.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pid, rid) =>
+      s"${ev.value} = $cls.eval($polysRef, $pid, $rid, $cols, $rows);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PaClipArea {
+  def eval(polys: Array[Polygon], paId: Long, regionId: Int,
+      cols: Int, rows: Int): InternalRow = {
+    val (x0, y0, x1, y1) = graft.world.World.paRect(paId, cols, rows)
+    val (area, nv) = Geom.clipRectArea(RectClipArea.polyOf(polys, regionId),
+      x0, y0, x1, y1)
     InternalRow(area, nv)
   }
 }
@@ -2737,6 +2780,13 @@ object GraftFunctions {
       polys: Array[Polygon], tile: Int, tilesX: Int): Column =
     column(RectClipArea(expression(tileId), expression(regionId),
       polys, tile, tilesX))
+
+  /** Exact polygon-INTERSECT-protected-area-rect area (two-layer
+    * overlay): struct(area, nv), rect derived from World.paRect. */
+  def pa_clip_area(paId: Column, regionId: Column,
+      polys: Array[Polygon], cols: Int, rows: Int): Column =
+    column(PaClipArea(expression(paId), expression(regionId),
+      polys, cols, rows))
 
   /** Per-tile run-length stats over sorted (pix, cls) arrays:
     * struct(n_runs, max_run, n_vruns) of same-class runs, absent

@@ -110,6 +110,18 @@ object World {
   /** Predictor band b (1..5): small integer 0..255 (f32-exact). */
   def band(id: Long, b: Int): Double = (h(id * 7 + b) % 256).toDouble
 
+  /** Synthetic "protected area" rectangle k: integer (x0, y0, x1, y1)
+    * inside the grid, NOT tile-aligned (the q171 second vector layer —
+    * arbitrary integer bounds exercise clip lines that never coincide
+    * with tile edges). Same h2 chain in SQL via h2Sql. */
+  def paRect(k: Long, cols: Int, rows: Int): (Int, Int, Int, Int) = {
+    val x0 = (h2(k * 31 + 7) % (cols - 32)).toInt
+    val y0 = (h2(k * 41 + 13) % (rows - 24)).toInt
+    val w = (8 + h2(k * 37 + 11) % 25).toInt
+    val hh = (8 + h2(k * 43 + 17) % 17).toInt
+    (x0, y0, x0 + w, y0 + hh)
+  }
+
   /** Video frame f of a cell: dyadic k/512 evolving per frame (the
     * frame-sample fixture formula — exact in f32 and in DuckDB SQL).
     * Uses the nonlinear `h2`: with plain `h`, tiles whose cell ids are

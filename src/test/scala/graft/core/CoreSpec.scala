@@ -229,6 +229,28 @@ class GeomSpec extends AnyFunSuite with SeededChecks {
       Geom.clipRectArea(p, rx0, ry0, rx0 + T, ry0 + T)._1 > 0.75 * T * T
     }), "fixture degenerate: no tile mostly covered by a region")
   }
+
+  test("clipRectArea: unit-width slice decomposition of every PA rect " +
+    "sums exactly to the direct clip (arbitrary integer bounds)") {
+    val spec = graft.world.World.tiny
+    val polys = graft.world.World.polygons(spec)
+    var anyPartial = false
+    for (k <- 0L until 8L; p <- polys) {
+      val (x0, y0, x1, y1) =
+        graft.world.World.paRect(k, spec.cols, spec.rows)
+      assert(x0 >= 0 && y0 >= 0 && x1 <= spec.cols && y1 <= spec.rows,
+        s"PA $k out of grid: ($x0,$y0,$x1,$y1)")
+      val direct = Geom.clipRectArea(p, x0, y0, x1, y1)._1
+      // the same area through DIFFERENT clip bounds: one-column slices
+      val sliced = (x0 until x1).map(cx =>
+        Geom.clipRectArea(p, cx, y0, cx + 1, y1)._1).sum
+      assert(sliced == direct, s"PA $k region ${p.regionId}")
+      val paArea = ((x1 - x0).toLong * (y1 - y0)).toDouble
+      if (direct > 0 && direct < paArea) anyPartial = true
+    }
+    assert(anyPartial,
+      "fixture degenerate: no PA straddles a region boundary")
+  }
 }
 
 class CoveringSpec extends AnyFunSuite with SeededChecks {
