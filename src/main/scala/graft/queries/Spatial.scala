@@ -105,7 +105,8 @@ object Spatial {
     Q("q168_haar_energy", q168, Some(q168Sql)),
     Q("q169_overlay_area", q169, Some(q169Sql)),
     Q("q170_zonal_weighted", q170, Some(q170Sql)),
-    Q("q171_tabulate_intersect", q171, Some(q171Sql))
+    Q("q171_tabulate_intersect", q171, Some(q171Sql)),
+    Q("q172_convex_hull", q172, Some(q172Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4889,6 +4890,89 @@ object Spatial {
        |  SUM(c.area / ${T * T} * t.s) AS w_sum
        |FROM cov c JOIN ts t ON c.tile_id = t.tile_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q172: DISTRIBUTED CONVEX HULL — per-group hull of a point
+  // layer (the footprint/extent primitive: AOI outlines, minimum
+  // bounding geometry, cluster envelopes). The distributed shape is
+  // the two-level reduction convexity licenses: each (group, salt)
+  // slice hulls its own points FIRST (one Exchange whose payload the
+  // partial hull has already shrunk from O(points) to O(hull)), then
+  // the group hull runs over the tiny union of partial hulls —
+  // hull(union of hulls) = hull(points), the same algebra Clump's
+  // two-level labeling leans on. Both levels are the SAME ConvexHull
+  // expression (monotone chain, strict turns, canonical lex-min-start
+  // positive-shoelace order). Integer coords, exact integer cross
+  // products and shoelace — no float anywhere. The oracle recomputes
+  // the hull by GIFT WRAPPING (a different algorithm: per-vertex
+  // NOT-EXISTS next-point selection + a recursive walk), so the
+  // canonical vertex sequence, count, and area2 are pinned from an
+  // independent direction. ---------------------------------------------------
+  private val HullG = 5
+  private val HullPN = 120
+  private val HullSalts = 4
+
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.range(0, HullG.toLong * HullPN).select(
+      floor(col("id") / HullPN).cast("int").as("g"),
+      (World.h2Col(col("id") * 13 + 1) % C).cast("long").as("x"),
+      (World.h2Col(col("id") * 17 + 3) % spec.rows).cast("long").as("y"))
+    val packed = pts.select(col("g"),
+      (col("x") * 65536L + col("y")).as("p"),
+      ((col("x") + col("y") * 7) % HullSalts).as("salt"))
+    val partial = packed.groupBy("g", "salt")
+      .agg(collect_set(col("p")).as("ps"))
+      .select(col("g"),
+        explode(convex_hull(col("ps")).getField("verts")).as("p"))
+    partial.groupBy("g").agg(collect_set(col("p")).as("ps"))
+      .select(col("g"), convex_hull(col("ps")).as("h"))
+      .select(col("g"), col("h.area2").as("area2"),
+        size(col("h.verts")).as("n_hull"),
+        posexplode(col("h.verts")).as(Seq("seq", "p")))
+      .select(col("g"), col("seq"),
+        shiftrightunsigned(col("p"), 16).as("x"),
+        col("p").bitwiseAND(lit(65535L)).as("y"),
+        col("n_hull"), col("area2"))
+      .orderBy("g", "seq")
+  }
+
+  private def q172Sql: String = {
+    val crossQ = "(c.px - c.vx) * (q.y - c.vy) - (c.py - c.vy) * (q.x - c.vx)"
+    s"""WITH RECURSIVE pts AS (SELECT
+       |    CAST(r.range // $HullPN AS INT) AS g,
+       |    ${h2Sql("r.range * 13 + 1")} % $C AS x,
+       |    ${h2Sql("r.range * 17 + 3")} % ${spec.rows} AS y
+       |  FROM range(${HullG.toLong * HullPN}) r),
+       |d AS MATERIALIZED (SELECT DISTINCT g, x, y FROM pts),
+       |nxt AS MATERIALIZED (SELECT c.g, c.vx, c.vy, c.px, c.py FROM
+       |  (SELECT v.g, v.x AS vx, v.y AS vy, p.x AS px, p.y AS py
+       |     FROM d v JOIN d p ON p.g = v.g
+       |      AND (p.x <> v.x OR p.y <> v.y)) c
+       |  WHERE NOT EXISTS (SELECT 1 FROM d q WHERE q.g = c.g
+       |     AND (q.x <> c.vx OR q.y <> c.vy)
+       |     AND (q.x <> c.px OR q.y <> c.py)
+       |     AND ($crossQ < 0 OR ($crossQ = 0
+       |       AND (q.x - c.vx) * (q.x - c.vx) + (q.y - c.vy) * (q.y - c.vy)
+       |         > (c.px - c.vx) * (c.px - c.vx)
+       |           + (c.py - c.vy) * (c.py - c.vy))))),
+       |st AS MATERIALIZED (SELECT g, MIN(x * 65536 + y) AS sp FROM d GROUP BY g),
+       |walk(g, seq, x, y) AS (
+       |  SELECT g, 0, sp // 65536, sp % 65536 FROM st
+       |  UNION ALL
+       |  SELECT w.g, w.seq + 1, n.px, n.py
+       |  FROM walk w JOIN nxt n ON n.g = w.g AND n.vx = w.x AND n.vy = w.y
+       |  JOIN st s ON s.g = w.g
+       |  WHERE n.px * 65536 + n.py <> s.sp),
+       |hh AS (SELECT g, COUNT(*) AS nh FROM walk GROUP BY g),
+       |ar AS (SELECT a.g, SUM(b.x * a.y - a.x * b.y) AS t2
+       |  FROM walk a JOIN hh h ON h.g = a.g
+       |  JOIN walk b ON b.g = a.g AND b.seq = (a.seq + h.nh - 1) % h.nh
+       |  GROUP BY 1)
+       |SELECT w.g, CAST(w.seq AS INT) AS seq, CAST(w.x AS BIGINT) AS x,
+       |  CAST(w.y AS BIGINT) AS y, CAST(h.nh AS INT) AS n_hull,
+       |  CAST(ABS(a.t2) AS BIGINT) AS area2
+       |FROM walk w JOIN hh h ON h.g = w.g JOIN ar a ON a.g = w.g
+       |ORDER BY w.g, w.seq""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,

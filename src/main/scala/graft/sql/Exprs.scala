@@ -1633,6 +1633,91 @@ object HaarStats {
   }
 }
 
+/** CONVEX HULL of a packed point set (x << 16 | y, both in [0, 2^16))
+  * — Andrew's monotone chain (textbook, strict turns: collinear points
+  * excluded) canonicalized to start at the lexicographically smallest
+  * point with POSITIVE signed shoelace orientation, so engine and
+  * oracle (a gift-wrapping recursive CTE — a different algorithm)
+  * emit the identical vertex sequence. Returns struct(area2, verts):
+  * twice the hull area (exact integer shoelace) and the packed
+  * vertices in canonical order. One call per group — and because
+  * hull(union of hulls) = hull(all points), the same expression serves
+  * both levels of the two-level distributed shape (per-partition
+  * partial hulls, then the hull of their tiny union). Input must be
+  * distinct (collect_set) but need not be sorted. */
+case class ConvexHull(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("area2", LongType, nullable = false),
+    StructField("verts", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(ps: Any): Any =
+    ConvexHull.eval(ps.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = ConvexHull.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, ps => s"${ev.value} = $cls.eval($ps);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ConvexHull {
+  @inline private def cross(ox: Long, oy: Long, ax: Long, ay: Long,
+      bx: Long, by: Long): Long =
+    (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+  def eval(ps: ArrayData): InternalRow = {
+    val n = ps.numElements()
+    val pts = new Array[Long](n)
+    var i = 0
+    while (i < n) { pts(i) = ps.getLong(i); i += 1 }
+    java.util.Arrays.sort(pts) // packed sort == lexicographic (x, y)
+    @inline def px(p: Long): Long = p >>> 16
+    @inline def py(p: Long): Long = p & 0xFFFFL
+    val hull = new Array[Long](2 * math.max(n, 1))
+    var m = 0
+    // lower hull then upper hull, strict turns (collinear popped)
+    i = 0
+    while (i < n) {
+      while (m >= 2 && cross(px(hull(m - 2)), py(hull(m - 2)),
+        px(hull(m - 1)), py(hull(m - 1)), px(pts(i)), py(pts(i))) <= 0)
+        m -= 1
+      hull(m) = pts(i); m += 1
+      i += 1
+    }
+    val lower = m
+    i = n - 2
+    while (i >= 0) {
+      while (m > lower && cross(px(hull(m - 2)), py(hull(m - 2)),
+        px(hull(m - 1)), py(hull(m - 1)), px(pts(i)), py(pts(i))) <= 0)
+        m -= 1
+      hull(m) = pts(i); m += 1
+      i -= 1
+    }
+    val h = if (n <= 1) n else m - 1 // last point repeats the first
+    // canonical: start at lex-min (hull(0) already is), positive
+    // signed shoelace — reverse the tail if negative
+    var twice = 0L
+    var k = 0
+    while (k < h) {
+      val j = if (k == 0) h - 1 else k - 1
+      twice += px(hull(j)) * py(hull(k)) - px(hull(k)) * py(hull(j))
+      k += 1
+    }
+    val out = new Array[Long](h)
+    if (twice >= 0) System.arraycopy(hull, 0, out, 0, h)
+    else {
+      out(0) = hull(0)
+      var t = 1
+      while (t < h) { out(t) = hull(h - t); t += 1 }
+    }
+    InternalRow(math.abs(twice), ArrayData.toArrayData(out))
+  }
+}
+
 /** Greedy NON-MAX SUPPRESSION over one image's candidate boxes — the
   * standard object-detection postprocess (keep a box iff its IoU with
   * every higher-ranked KEPT box is below the threshold), the per-image
@@ -2800,6 +2885,12 @@ object GraftFunctions {
   def haar_stats(bytes: Column, fmt: Column, nPixels: Int, band: Int,
       tile: Int): Column =
     column(HaarStats(expression(bytes), expression(fmt), nPixels, band, tile))
+
+  /** Convex hull of distinct packed (x << 16 | y) points:
+    * struct(area2, verts) in canonical order (lex-min start, positive
+    * shoelace). Serves both levels of the partial-hull shape. */
+  def convex_hull(ps: Column): Column =
+    column(ConvexHull(expression(ps)))
 
   /** 16-bit SimHash over space-separated tokens in one pass. */
   def simhash16(text: Column): Column =
