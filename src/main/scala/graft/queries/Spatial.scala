@@ -106,7 +106,9 @@ object Spatial {
     Q("q169_overlay_area", q169, Some(q169Sql)),
     Q("q170_zonal_weighted", q170, Some(q170Sql)),
     Q("q171_tabulate_intersect", q171, Some(q171Sql)),
-    Q("q172_convex_hull", q172, Some(q172Sql))
+    Q("q172_convex_hull", q172, Some(q172Sql)),
+    Q("q173_farthest_pair", q173, Some(q173Sql)),
+    Q("q174_closest_pair", q174, Some(q174Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4973,6 +4975,142 @@ object Spatial {
        |FROM walk w JOIN hh h ON h.g = w.g JOIN ar a ON a.g = w.g
        |ORDER BY w.g, w.seq""".stripMargin
   }
+
+  // ---- q173: FARTHEST PAIR (diameter) of each group's point set —
+  // the extent/spread primitive (bounding diameter, cluster spread,
+  // antipodal footprint). The distributed shape piggybacks on q172's
+  // two-level hull reduction: every pair achieving the max pairwise
+  // distance has BOTH endpoints at strict hull vertices (squared
+  // distance is strictly convex along any segment, so an edge-interior
+  // point is strictly dominated by an edge endpoint for every probe),
+  // so after the partial-hull shuffle the exact diameter is a pair
+  // scan over the ~O(log n)-sized hull vertex frame — the O(n²) never
+  // happens. Everything is exact integer (dx²+dy² in long); ties
+  // canonicalized to the smallest (lo, hi) packed pair via the
+  // min(struct(-d2, lo, hi)) trick in BOTH engines. The oracle brutes
+  // ALL point pairs (not just hull vertices) — it independently
+  // validates the hull-vertex reduction claim, not just the arithmetic.
+  private val FpG = 5
+  private val FpPN = 150
+  private val FpSalts = 4
+
+  /** Two-level hull vertex frame shared by q173: (g, p) rows holding
+    * each group's strict hull vertices as packed x*65536+y longs. */
+  private def hullVerts(s: SparkSession, seedA: Int, seedB: Int,
+      grp: Int, perG: Int, range: Int): DataFrame = {
+    val pts = s.range(0, grp.toLong * perG).select(
+      floor(col("id") / perG).cast("int").as("g"),
+      (World.h2Col(col("id") * 19 + seedA) % range).cast("long").as("x"),
+      (World.h2Col(col("id") * 23 + seedB) % range).cast("long").as("y"))
+    pts.select(col("g"), (col("x") * 65536L + col("y")).as("p"),
+        ((col("x") + col("y") * 5) % FpSalts).as("salt"))
+      .groupBy("g", "salt").agg(collect_set(col("p")).as("ps"))
+      .select(col("g"),
+        explode(convex_hull(col("ps")).getField("verts")).as("p"))
+      .groupBy("g").agg(collect_set(col("p")).as("ps"))
+      .select(col("g"),
+        explode(convex_hull(col("ps")).getField("verts")).as("p"))
+  }
+
+  private def pairD2(lo: Column, hi: Column): Column = {
+    val ax = shiftrightunsigned(lo, 16); val ay = lo.bitwiseAND(lit(65535L))
+    val bx = shiftrightunsigned(hi, 16); val by = hi.bitwiseAND(lit(65535L))
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+  }
+
+  /** Canonical extreme pair per group: min(struct(sign*d2, lo, hi)) —
+    * sign = -1 picks the max distance, +1 the min; ties fall through to
+    * the smallest packed (lo, hi). Shared by q173/q174. */
+  private def extremePair(pairs: DataFrame, sign: Int): DataFrame =
+    pairs
+      .select(col("g"), struct((pairD2(col("lo"), col("hi")) * sign).as("sd2"),
+        col("lo").as("lo"), col("hi").as("hi")).as("c"))
+      .groupBy("g").agg(min(col("c")).as("c"))
+      .select(col("g"), (col("c.sd2") * sign).as("d2"),
+        shiftrightunsigned(col("c.lo"), 16).as("x1"),
+        col("c.lo").bitwiseAND(lit(65535L)).as("y1"),
+        shiftrightunsigned(col("c.hi"), 16).as("x2"),
+        col("c.hi").bitwiseAND(lit(65535L)).as("y2"))
+      .orderBy("g")
+
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val v = hullVerts(s, 5, 9, FpG, FpPN, 4096)
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.g") === col("b.g") && col("a.p") < col("b.p"))
+      .select(col("a.g").as("g"), col("a.p").as("lo"), col("b.p").as("hi"))
+    extremePair(pairs, -1)
+  }
+
+  /** Brute all-pairs oracle core shared by q173/q174: distinct points,
+    * every lo<hi pair with its exact integer d2, then the canonical
+    * extreme row per group via ROW_NUMBER. `desc` flips max/min. */
+  private def pairOracle(seedA: Int, seedB: Int, grp: Int, perG: Int,
+      range: Int, desc: Boolean): String = {
+    val ord = if (desc) "d2 DESC" else "d2 ASC"
+    s"""WITH pts AS (SELECT
+       |    CAST(r.range // $perG AS INT) AS g,
+       |    ${h2Sql(s"r.range * 19 + $seedA")} % $range AS x,
+       |    ${h2Sql(s"r.range * 23 + $seedB")} % $range AS y
+       |  FROM range(${grp.toLong * perG}) r),
+       |d AS (SELECT DISTINCT g, x, y FROM pts),
+       |pr AS (SELECT a.g, a.x * 65536 + a.y AS lo, b.x * 65536 + b.y AS hi,
+       |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+       |  FROM d a JOIN d b ON b.g = a.g
+       |    AND a.x * 65536 + a.y < b.x * 65536 + b.y),
+       |r AS (SELECT g, d2, lo, hi, ROW_NUMBER() OVER
+       |    (PARTITION BY g ORDER BY $ord, lo, hi) AS rn FROM pr)
+       |SELECT g, CAST(d2 AS BIGINT) AS d2,
+       |  CAST(lo // 65536 AS BIGINT) AS x1, CAST(lo % 65536 AS BIGINT) AS y1,
+       |  CAST(hi // 65536 AS BIGINT) AS x2, CAST(hi % 65536 AS BIGINT) AS y2
+       |FROM r WHERE rn = 1 ORDER BY g""".stripMargin
+  }
+
+  private def q173Sql: String = pairOracle(5, 9, FpG, FpPN, 4096, desc = true)
+
+  // ---- q174: CLOSEST PAIR via grid-bucketed candidate join — the
+  // proximity primitive (duplicate-station detection, merge-radius
+  // checks, spacing QA). The at-scale shape: bucket points into
+  // CpCell-sized grid cells, explode each point to its 3x3 cell
+  // neighborhood, and shuffle-join on (g, cell) so only
+  // near-neighborhood pairs are ever materialized — candidates scale
+  // with local density, never O(n²). Exactness license: any pair at
+  // distance < CpCell sits in the same or adjacent cells, so as long
+  // as each group's true min distance is under CpCell (the fixture
+  // gives ~sqrt(range²/n²) ≈ 14 << 256; CpSpec brute-verifies) every
+  // min-achieving pair survives the pruning, including all ties. The
+  // oracle brutes ALL pairs — validating the neighborhood-pruning
+  // claim itself. -----------------------------------------------------------
+  private val CpG = 5
+  private val CpPN = 300
+  private val CpCellShift = 8 // 256-unit cells; 4096-range => 16x16 grid
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.range(0, CpG.toLong * CpPN).select(
+      floor(col("id") / CpPN).cast("int").as("g"),
+      (World.h2Col(col("id") * 19 + 21) % 4096).cast("long").as("x"),
+      (World.h2Col(col("id") * 23 + 27) % 4096).cast("long").as("y"))
+    val d = pts.select(col("g"), (col("x") * 65536L + col("y")).as("p"),
+        shiftright(col("x"), CpCellShift).as("cx"),
+        shiftright(col("y"), CpCellShift).as("cy"))
+      .dropDuplicates("g", "p")
+    val offs = Seq(-1L, 0L, 1L)
+    val probe = d.select(col("g"), col("p"),
+        explode(array(offs.flatMap(dx => offs.map(dy =>
+          struct((col("cx") + dx).as("nx"), (col("cy") + dy).as("ny"))
+        )): _*)).as("nc"))
+      .filter(col("nc.nx") >= 0 && col("nc.nx") < 16 &&
+        col("nc.ny") >= 0 && col("nc.ny") < 16)
+      .select(col("g"), col("p"),
+        (col("nc.nx") * 16 + col("nc.ny")).as("cell"))
+    val build = d.select(col("g"), col("p").as("q"),
+      (col("cx") * 16 + col("cy")).as("cell"))
+    val pairs = probe.join(build, Seq("g", "cell"))
+      .filter(col("p") < col("q"))
+      .select(col("g"), col("p").as("lo"), col("q").as("hi"))
+    extremePair(pairs, 1)
+  }
+
+  private def q174Sql: String = pairOracle(21, 27, CpG, CpPN, 4096, desc = false)
 
   private def q168Sql: String =
     s"""$cellsCte,

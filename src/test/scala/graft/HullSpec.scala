@@ -43,6 +43,43 @@ class HullSpec extends AnyFunSuite {
     assert(a2 === 200L)
   }
 
+  test("q173 license: the diameter over hull vertices equals the " +
+    "diameter over all points (strict-convexity reduction)") {
+    import graft.world.World
+    for (g <- 0 until 5) {
+      val pts = (0 until 150).map { i =>
+        val id = g * 150L + i
+        pack(World.h2(id * 19 + 5) % 4096, World.h2(id * 23 + 9) % 4096)
+      }.distinct
+      def d2(a: Long, b: Long): Long = {
+        val dx = (a >>> 16) - (b >>> 16); val dy = (a & 0xFFFFL) - (b & 0xFFFFL)
+        dx * dx + dy * dy
+      }
+      val all = (for (a <- pts; b <- pts if a < b) yield d2(a, b)).max
+      val hv = hull(pts)._2
+      val hvMax = (for (a <- hv; b <- hv if a < b) yield d2(a, b)).max
+      assert(hvMax === all, s"group $g: hull-pair diameter != brute diameter")
+    }
+  }
+
+  test("q174 license: every group's true min distance is far below the " +
+    "256-unit cell size, so the 3x3-neighborhood pruning is exact") {
+    import graft.world.World
+    for (g <- 0 until 5) {
+      val pts = (0 until 300).map { i =>
+        val id = g * 300L + i
+        pack(World.h2(id * 19 + 21) % 4096, World.h2(id * 23 + 27) % 4096)
+      }.distinct
+      def d2(a: Long, b: Long): Long = {
+        val dx = (a >>> 16) - (b >>> 16); val dy = (a & 0xFFFFL) - (b & 0xFFFFL)
+        dx * dx + dy * dy
+      }
+      val min = (for (a <- pts; b <- pts if a < b) yield d2(a, b)).min
+      assert(min < 256L * 256L,
+        s"group $g: min d2 $min >= cell², the candidate join could miss it")
+    }
+  }
+
   test("hull(union of partial hulls) == hull(all points) — the 2-level algebra") {
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(400)(pack(rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
