@@ -108,7 +108,8 @@ object Spatial {
     Q("q171_tabulate_intersect", q171, Some(q171Sql)),
     Q("q172_convex_hull", q172, Some(q172Sql)),
     Q("q173_farthest_pair", q173, Some(q173Sql)),
-    Q("q174_closest_pair", q174, Some(q174Sql))
+    Q("q174_closest_pair", q174, Some(q174Sql)),
+    Q("q175_distance_transform", q175, Some(q175Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5111,6 +5112,51 @@ object Spatial {
   }
 
   private def q174Sql: String = pairOracle(21, 27, CpG, CpPN, 4096, desc = false)
+
+  // ---- q175: PER-TILE EXACT DISTANCE TRANSFORM — squared Euclidean
+  // distance from every pixel to its tile's nearest feature pixel
+  // (band 0 >= 254: ~2 features/tile, a few tiles legitimately empty →
+  // the -1 sentinel path runs). The proximity-raster primitive under
+  // buffer rings, distance-to-road covariates, edge-distance masks.
+  // Engine: the q147 economics — ONE tile-keyed Exchange, then the Edt
+  // expression runs Felzenszwalb's separable two-phase parabola-
+  // envelope dt once per tile (O(tile²), exact long cross-multiplied
+  // envelope comparisons) and a codegen unpack back to pixel rows. The
+  // oracle brutes O(pixels × features) per tile via a LEFT JOIN —
+  // different algorithm entirely, bit-exact on every pixel including
+  // the empty-tile sentinel. ------------------------------------------------
+  private val EdtThresh = 254
+
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val (tileId, pix) = graft.engine.Rasterize.derive(spec)
+    spine(s)
+      .select(tileId.as("tile_id"), pix.as("pix"),
+        bandCol(cellCol, 0).as("v"))
+      .groupBy("tile_id")
+      .agg(sort_array(collect_list(struct(col("pix"), col("v")))).as("pv"))
+      .select(col("tile_id"),
+        posexplode(graft.sql.GraftFunctions
+          .edt(col("pv.pix"), col("pv.v"), T, EdtThresh)).as(Seq("p", "d2")))
+      .select(graft.engine.Rasterize.cellOf(spec, col("tile_id"), col("p"))
+          .as("cell_id"),
+        col("d2"))
+      .orderBy("cell_id")
+  }
+
+  private def q175Sql: String = {
+    val r = s"((${rowSql("cell_id")} - 1) % $T)"
+    val c = s"(((cell_id - 1) % $C) % $T)"
+    s"""$cellsCte,
+       |px AS (SELECT cell_id, ${tileSql("cell_id")} AS tile_id,
+       |    $r AS r, $c AS c, ${bandSql("cell_id", 0)} AS v
+       |  FROM cells),
+       |ft AS (SELECT tile_id, r, c FROM px WHERE v >= $EdtThresh)
+       |SELECT p.cell_id,
+       |  CAST(COALESCE(MIN((p.r - f.r) * (p.r - f.r)
+       |    + (p.c - f.c) * (p.c - f.c)), -1) AS BIGINT) AS d2
+       |FROM px p LEFT JOIN ft f ON f.tile_id = p.tile_id
+       |GROUP BY p.cell_id ORDER BY p.cell_id""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,

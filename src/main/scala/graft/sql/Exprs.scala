@@ -1718,6 +1718,116 @@ object ConvexHull {
   }
 }
 
+/** Per-tile exact squared EUCLIDEAN DISTANCE TRANSFORM (the proximity
+  * raster primitive: distance-to-road, distance-to-edge masks, buffer
+  * rings). One call per TILE over the Rasterize collect shape: pixels
+  * whose band value >= `thresh` are features; every pixel gets the
+  * exact integer squared distance to the nearest feature IN ITS TILE,
+  * or -1 when the tile has none. Algorithm: Felzenszwalb-Huttenlocher
+  * two-phase separable dt (per-column vertical sweep, then a per-row
+  * lower envelope of parabolas) — O(tile²), NOT the O(pixels·features)
+  * brute force the DuckDB oracle runs, so the cross-check pins two
+  * different algorithms against each other. Envelope boundary
+  * comparisons are exact long cross-multiplications (numerators <
+  * 2^41, denominators <= 2·tile) — no float anywhere, so ties at
+  * equidistant parabola crossings are deterministic. */
+case class Edt(left: Expression, right: Expression, tile: Int, thresh: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Edt.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData],
+      tile, thresh)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Edt.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile, $thresh);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Edt {
+  private val Inf = 1L << 20 // > any in-tile distance; Inf² fits a long
+
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int, thresh: Int): ArrayData = {
+    val nPix = tile * tile
+    val feat = new Array[Boolean](nPix)
+    val n = pixs.numElements()
+    var i = 0
+    while (i < n) {
+      if (vs.getDouble(i) >= thresh) feat(pixs.getInt(i)) = true
+      i += 1
+    }
+    // phase 1: per-column vertical step distance (two linear sweeps)
+    val g = new Array[Long](nPix)
+    var c = 0
+    while (c < tile) {
+      var prev = Inf
+      var r = 0
+      while (r < tile) {
+        val p = r * tile + c
+        prev = if (feat(p)) 0L else math.min(Inf, prev + 1)
+        g(p) = prev
+        r += 1
+      }
+      prev = Inf
+      r = tile - 1
+      while (r >= 0) {
+        val p = r * tile + c
+        prev = math.min(g(p), prev + 1)
+        g(p) = prev
+        r -= 1
+      }
+      c += 1
+    }
+    // phase 2: per-row exact 1-D squared dt over f(c) = g(c)²
+    val out = new Array[Long](nPix)
+    val f = new Array[Long](tile)
+    val v = new Array[Int](tile) // parabola centers
+    val zn = new Array[Long](tile) // boundary numerators …
+    val zd = new Array[Long](tile) // … and (positive) denominators
+    val maxD2 = 2L * (tile - 1) * (tile - 1)
+    var r = 0
+    while (r < tile) {
+      c = 0
+      while (c < tile) { f(c) = g(r * tile + c) * g(r * tile + c); c += 1 }
+      var k = 0
+      v(0) = 0
+      var q = 1
+      while (q < tile) {
+        // boundary between parabola v(k) and q: s = num/den, den > 0
+        var num = f(q) + q.toLong * q - f(v(k)) - v(k).toLong * v(k)
+        var den = 2L * (q - v(k))
+        // pop while s <= z(k) (exact cross-multiplied compare)
+        while (k > 0 && num * zd(k) <= zn(k) * den) {
+          k -= 1
+          num = f(q) + q.toLong * q - f(v(k)) - v(k).toLong * v(k)
+          den = 2L * (q - v(k))
+        }
+        k += 1
+        v(k) = q; zn(k) = num; zd(k) = den
+        q += 1
+      }
+      val kMax = k
+      k = 0
+      c = 0
+      while (c < tile) {
+        while (k < kMax && zn(k + 1) < c * zd(k + 1)) k += 1
+        val d = (c - v(k)).toLong * (c - v(k)) + f(v(k))
+        out(r * tile + c) = if (d > maxD2) -1L else d
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Greedy NON-MAX SUPPRESSION over one image's candidate boxes — the
   * standard object-detection postprocess (keep a box iff its IoU with
   * every higher-ranked KEPT box is below the threshold), the per-image
@@ -2885,6 +2995,12 @@ object GraftFunctions {
   def haar_stats(bytes: Column, fmt: Column, nPixels: Int, band: Int,
       tile: Int): Column =
     column(HaarStats(expression(bytes), expression(fmt), nPixels, band, tile))
+
+  /** Per-tile exact squared Euclidean distance transform: dense
+    * tile²-long array of d2-to-nearest-feature (band >= thresh), -1
+    * when the tile holds no feature. */
+  def edt(pixs: Column, vs: Column, tile: Int, thresh: Int): Column =
+    column(Edt(expression(pixs), expression(vs), tile, thresh))
 
   /** Convex hull of distinct packed (x << 16 | y) points:
     * struct(area2, verts) in canonical order (lex-min start, positive
