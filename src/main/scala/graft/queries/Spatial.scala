@@ -109,7 +109,8 @@ object Spatial {
     Q("q172_convex_hull", q172, Some(q172Sql)),
     Q("q173_farthest_pair", q173, Some(q173Sql)),
     Q("q174_closest_pair", q174, Some(q174Sql)),
-    Q("q175_distance_transform", q175, Some(q175Sql))
+    Q("q175_distance_transform", q175, Some(q175Sql)),
+    Q("q176_dissolve_union_area", q176, Some(q176Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5157,6 +5158,85 @@ object Spatial {
        |FROM px p LEFT JOIN ft f ON f.tile_id = p.tile_id
        |GROUP BY p.cell_id ORDER BY p.cell_id""".stripMargin
   }
+
+  // ---- q176: DISSOLVE / UNION AREA — exact area of the union of each
+  // class's protected-area rectangles (GIS Dissolve: merge overlapping
+  // footprints, report merged area; the raw-vs-union gap is exactly the
+  // double-counted overlap). Engine: classic SLAB DECOMPOSITION made
+  // distributed — class-local x boundaries become slabs via one lead()
+  // window, rects range-join onto the slabs they span, and each
+  // (class, slab)'s y intervals are merged by a single fold (aggregate
+  // HOF over the sort_array'd intervals — sorted-merge sweep, all
+  // integer). Area = Σ slab_width × merged_y_length. The slab frame
+  // scales with distinct x bounds per class, never with area; the
+  // interval fold is the only per-slab work. The oracle computes union
+  // area by a DIFFERENT definition entirely — counting the distinct
+  // unit cells covered by ≥1 rectangle (union area of integer rects ==
+  // covered-cell count) — so sweep bookkeeping is pinned against
+  // point-set coverage, not re-derived. ------------------------------------
+  private val RuN = 40
+
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s.range(0, RuN).select(
+      (col("id") % 3).cast("int").as("cls"),
+      (World.h2Col(col("id") * 31 + 7) % (C - 32)).as("x0"),
+      (World.h2Col(col("id") * 41 + 13) % (spec.rows - 24)).as("y0"),
+      (lit(8) + World.h2Col(col("id") * 37 + 11) % 25).as("w"),
+      (lit(8) + World.h2Col(col("id") * 43 + 17) % 17).as("h"))
+      .select(col("cls"), col("x0"), col("y0"),
+        (col("x0") + col("w")).as("x1"), (col("y0") + col("h")).as("y1"))
+    val slabs = base.select(col("cls"),
+        explode(array(col("x0"), col("x1"))).as("xs"))
+      .distinct()
+      .withColumn("xe", lead("xs", 1).over(
+        Window.partitionBy("cls").orderBy("xs")))
+      .filter(col("xe").isNotNull)
+    val frag = slabs.join(base, Seq("cls"))
+      .filter(col("x0") <= col("xs") && col("x1") >= col("xe"))
+    val zero = struct(lit(0L).as("tot"), lit(-1L).as("cs"), lit(-1L).as("ce"))
+    val merged = frag.groupBy("cls", "xs", "xe")
+      .agg(sort_array(collect_list(struct(col("y0"), col("y1")))).as("iv"))
+      .select(col("cls"), (col("xe") - col("xs")).as("wd"),
+        aggregate(col("iv"), zero,
+          (acc, e) => struct(
+            when(acc("ce") < 0, lit(0L))
+              .when(e("y0") > acc("ce"),
+                acc("tot") + acc("ce") - acc("cs"))
+              .otherwise(acc("tot")).as("tot"),
+            when(acc("ce") < 0, e("y0"))
+              .when(e("y0") > acc("ce"), e("y0"))
+              .otherwise(acc("cs")).as("cs"),
+            when(acc("ce") < 0, e("y1"))
+              .when(e("y0") > acc("ce"), e("y1"))
+              .otherwise(greatest(acc("ce"), e("y1"))).as("ce")),
+          acc => when(acc("ce") < 0, lit(0L))
+            .otherwise(acc("tot") + acc("ce") - acc("cs"))).as("ylen"))
+    val union = merged.groupBy("cls")
+      .agg(sum(col("wd") * col("ylen")).as("union_area"))
+    val raw = base.groupBy("cls")
+      .agg(sum((col("x1") - col("x0")) * (col("y1") - col("y0")))
+        .as("raw_area"))
+    union.join(raw, Seq("cls")).orderBy("cls")
+  }
+
+  private def q176Sql: String =
+    s"""WITH rects AS (SELECT CAST(r.range % 3 AS INT) AS cls,
+       |    ${h2Sql("r.range * 31 + 7")} % ${C - 32} AS x0,
+       |    ${h2Sql("r.range * 41 + 13")} % ${spec.rows - 24} AS y0,
+       |    8 + ${h2Sql("r.range * 37 + 11")} % 25 AS w,
+       |    8 + ${h2Sql("r.range * 43 + 17")} % 17 AS h
+       |  FROM range($RuN) r),
+       |rr AS (SELECT cls, x0, y0, x0 + w AS x1, y0 + h AS y1 FROM rects),
+       |cx AS (SELECT c.range % $C AS x, c.range // $C AS y
+       |  FROM range(${C * spec.rows}) c),
+       |cov AS (SELECT DISTINCT r.cls, c.x, c.y FROM cx c JOIN rr r
+       |  ON c.x >= r.x0 AND c.x < r.x1 AND c.y >= r.y0 AND c.y < r.y1)
+       |SELECT v.cls, CAST(COUNT(*) AS BIGINT) AS union_area,
+       |  CAST(MIN(ra.s) AS BIGINT) AS raw_area
+       |FROM cov v JOIN (SELECT cls, SUM((x1 - x0) * (y1 - y0)) AS s
+       |  FROM rr GROUP BY 1) ra ON ra.cls = v.cls
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
