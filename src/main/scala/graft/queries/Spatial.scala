@@ -110,7 +110,8 @@ object Spatial {
     Q("q173_farthest_pair", q173, Some(q173Sql)),
     Q("q174_closest_pair", q174, Some(q174Sql)),
     Q("q175_distance_transform", q175, Some(q175Sql)),
-    Q("q176_dissolve_union_area", q176, Some(q176Sql))
+    Q("q176_dissolve_union_area", q176, Some(q176Sql)),
+    Q("q177_segment_intersect", q177, Some(q177Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5237,6 +5238,138 @@ object Spatial {
        |FROM cov v JOIN (SELECT cls, SUM((x1 - x0) * (y1 - y0)) AS s
        |  FROM rr GROUP BY 1) ra ON ra.cls = v.cls
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q177: SEGMENT-INTERSECTION JOIN — which road segments cross
+  // which boundary segments (the line×line spatial join under network
+  // conflation, crossing detection, topology validation). Exact
+  // integer predicate: the full orientation test (strict straddle OR a
+  // zero cross product with an on-segment bbox check, so endpoint
+  // touches and collinear overlaps count) composed from plain Column
+  // arithmetic — no UDF, no custom Expression, the whole predicate
+  // stays in codegen. Scale shape: each segment explodes to the
+  // 256-unit grid cells its bbox covers (≤ 3×3 here), the layers
+  // shuffle-join on the cell, and each qualifying pair is counted
+  // EXACTLY ONCE via canonical-cell ownership — the pair is kept only
+  // in cell (max of the two min-cell xs, max of the two min-cell ys),
+  // which is always inside both bbox cell ranges when the bboxes
+  // overlap. The oracle brutes ALL layer-A × layer-B pairs with the
+  // same predicate and NO cells — validating the bucketing + ownership
+  // dedup drops nothing and duplicates nothing. -----------------------------
+  private val SxN = 60
+  private val SxField = 1024
+  private val SxCellShift = 8
+
+  /** One segment layer: integer endpoints in [0, SxField)², length
+    * components in [-300, 300], clamped in-bounds. */
+  private def segLayer(s: SparkSession, m1: Int, m2: Int, m3: Int,
+      m4: Int): DataFrame = {
+    val ax = World.h2Col(col("id") * m1 + 1) % SxField
+    val ay = World.h2Col(col("id") * m2 + 2) % SxField
+    val bx = greatest(lit(0L),
+      least(lit(SxField - 1L), ax + World.h2Col(col("id") * m3 + 3) % 601 - 300))
+    val by = greatest(lit(0L),
+      least(lit(SxField - 1L), ay + World.h2Col(col("id") * m4 + 4) % 601 - 300))
+    s.range(0, SxN).select(col("id").as("sid"),
+      ax.as("ax"), ay.as("ay"), bx.as("bx"), by.as("by"))
+  }
+
+  /** Exact segment-intersection predicate over column arithmetic:
+    * strict straddle on both segments, or any zero orientation with the
+    * collinear-endpoint-in-bbox check. */
+  private def segIntersects(
+      ax: Column, ay: Column, bx: Column, by: Column,
+      cx: Column, cy: Column, dx: Column, dy: Column): Column = {
+    def orient(px: Column, py: Column, qx: Column, qy: Column,
+        rx: Column, ry: Column): Column =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def onSeg(px: Column, py: Column, qx: Column, qy: Column,
+        rx: Column, ry: Column): Column =
+      rx >= least(px, qx) && rx <= greatest(px, qx) &&
+        ry >= least(py, qy) && ry <= greatest(py, qy)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) ||
+      (o1 === 0 && onSeg(ax, ay, bx, by, cx, cy)) ||
+      (o2 === 0 && onSeg(ax, ay, bx, by, dx, dy)) ||
+      (o3 === 0 && onSeg(cx, cy, dx, dy, ax, ay)) ||
+      (o4 === 0 && onSeg(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Explode a segment layer to the grid cells its bbox covers,
+    * carrying the bbox min cell for ownership dedup. */
+  private def segCells(layer: DataFrame, p: String): DataFrame = {
+    val minCx = shiftright(least(col("ax"), col("bx")), SxCellShift)
+    val maxCx = shiftright(greatest(col("ax"), col("bx")), SxCellShift)
+    val minCy = shiftright(least(col("ay"), col("by")), SxCellShift)
+    val maxCy = shiftright(greatest(col("ay"), col("by")), SxCellShift)
+    layer
+      .withColumn("mcx", minCx).withColumn("mcy", minCy)
+      .withColumn("cx", explode(sequence(minCx, maxCx)))
+      .withColumn("cy", explode(sequence(col("mcy"), maxCy)))
+      .select(col("cx"), col("cy"), col("mcx"), col("mcy"),
+        col("sid").as(s"${p}id"), col("ax").as(s"${p}ax"),
+        col("ay").as(s"${p}ay"), col("bx").as(s"${p}bx"),
+        col("by").as(s"${p}by"))
+  }
+
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val a = segCells(segLayer(s, 53, 59, 61, 67), "a")
+      .withColumnRenamed("mcx", "amcx").withColumnRenamed("mcy", "amcy")
+    val b = segCells(segLayer(s, 71, 73, 79, 83), "b")
+      .withColumnRenamed("mcx", "bmcx").withColumnRenamed("mcy", "bmcy")
+    a.join(b, Seq("cx", "cy"))
+      .filter(col("cx") === greatest(col("amcx"), col("bmcx")) &&
+        col("cy") === greatest(col("amcy"), col("bmcy")))
+      .filter(segIntersects(
+        col("aax"), col("aay"), col("abx"), col("aby"),
+        col("bax"), col("bay"), col("bbx"), col("bby")))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  private def q177Sql: String = {
+    def layerSql(m1: Int, m2: Int, m3: Int, m4: Int) =
+      s"""SELECT r.range AS sid,
+         |    ${h2Sql(s"r.range * $m1 + 1")} % $SxField AS ax,
+         |    ${h2Sql(s"r.range * $m2 + 2")} % $SxField AS ay,
+         |    GREATEST(0, LEAST(${SxField - 1},
+         |      ${h2Sql(s"r.range * $m1 + 1")} % $SxField
+         |        + ${h2Sql(s"r.range * $m3 + 3")} % 601 - 300)) AS bx,
+         |    GREATEST(0, LEAST(${SxField - 1},
+         |      ${h2Sql(s"r.range * $m2 + 2")} % $SxField
+         |        + ${h2Sql(s"r.range * $m4 + 4")} % 601 - 300)) AS by
+         |  FROM range($SxN) r""".stripMargin
+    val o = Seq(
+      ("o1", "a.ax", "a.ay", "a.bx", "a.by", "b.ax", "b.ay"),
+      ("o2", "a.ax", "a.ay", "a.bx", "a.by", "b.bx", "b.by"),
+      ("o3", "b.ax", "b.ay", "b.bx", "b.by", "a.ax", "a.ay"),
+      ("o4", "b.ax", "b.ay", "b.bx", "b.by", "a.bx", "a.by"))
+      .map { case (n, px, py, qx, qy, rx, ry) =>
+        s"($qx - $px) * ($ry - $py) - ($qy - $py) * ($rx - $px) AS $n"
+      }.mkString(",\n|    ")
+    def onSeg(px: String, py: String, qx: String, qy: String,
+        rx: String, ry: String) =
+      s"($rx >= LEAST($px, $qx) AND $rx <= GREATEST($px, $qx) " +
+        s"AND $ry >= LEAST($py, $qy) AND $ry <= GREATEST($py, $qy))"
+    s"""WITH la AS (${layerSql(53, 59, 61, 67)}),
+       |lb AS (${layerSql(71, 73, 79, 83)}),
+       |pr AS (SELECT a.sid AS a_id, b.sid AS b_id,
+       |    a.ax AS aax, a.ay AS aay, a.bx AS abx, a.by AS aby,
+       |    b.ax AS bax, b.ay AS bay, b.bx AS bbx, b.by AS bby,
+       |    $o
+       |  FROM la a, lb b)
+       |SELECT a_id, b_id FROM pr
+       |WHERE (((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+       |    AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0)))
+       |  OR (o1 = 0 AND ${onSeg("aax", "aay", "abx", "aby", "bax", "bay")})
+       |  OR (o2 = 0 AND ${onSeg("aax", "aay", "abx", "aby", "bbx", "bby")})
+       |  OR (o3 = 0 AND ${onSeg("bax", "bay", "bbx", "bby", "aax", "aay")})
+       |  OR (o4 = 0 AND ${onSeg("bax", "bay", "bbx", "bby", "abx", "aby")})
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,
