@@ -52,7 +52,9 @@ object PlanDump {
     "q160_edge_density", "q161_pixel_trend", "q162_orientation_hist",
     "q163_median_filter", "q164_hist_match", "q165_viewshed",
     "q167_rle_stats", "q168_haar_energy", "q169_overlay_area",
-    "q170_zonal_weighted", "q171_tabulate_intersect")
+    "q170_zonal_weighted", "q171_tabulate_intersect", "q172_convex_hull",
+    "q173_farthest_pair", "q174_closest_pair", "q175_distance_transform",
+    "q176_dissolve_union_area", "q177_segment_intersect")
   // q166 is omitted for q140's reason below (the clump labels truncate
   // before the props aggregation).
   // q140 is omitted like q119/q56 (its Components loop truncates, so
