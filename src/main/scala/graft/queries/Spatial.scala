@@ -111,7 +111,8 @@ object Spatial {
     Q("q174_closest_pair", q174, Some(q174Sql)),
     Q("q175_distance_transform", q175, Some(q175Sql)),
     Q("q176_dissolve_union_area", q176, Some(q176Sql)),
-    Q("q177_segment_intersect", q177, Some(q177Sql))
+    Q("q177_segment_intersect", q177, Some(q177Sql)),
+    Q("q178_snap_to_segment", q178, Some(q178Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5262,14 +5263,14 @@ object Spatial {
   /** One segment layer: integer endpoints in [0, SxField)², length
     * components in [-300, 300], clamped in-bounds. */
   private def segLayer(s: SparkSession, m1: Int, m2: Int, m3: Int,
-      m4: Int): DataFrame = {
+      m4: Int, n: Long = SxN): DataFrame = {
     val ax = World.h2Col(col("id") * m1 + 1) % SxField
     val ay = World.h2Col(col("id") * m2 + 2) % SxField
     val bx = greatest(lit(0L),
       least(lit(SxField - 1L), ax + World.h2Col(col("id") * m3 + 3) % 601 - 300))
     val by = greatest(lit(0L),
       least(lit(SxField - 1L), ay + World.h2Col(col("id") * m4 + 4) % 601 - 300))
-    s.range(0, SxN).select(col("id").as("sid"),
+    s.range(0, n).select(col("id").as("sid"),
       ax.as("ax"), ay.as("ay"), bx.as("bx"), by.as("by"))
   }
 
@@ -5369,6 +5370,121 @@ object Spatial {
        |  OR (o3 = 0 AND ${onSeg("bax", "bay", "bbx", "bby", "aax", "aay")})
        |  OR (o4 = 0 AND ${onSeg("bax", "bay", "bbx", "bby", "abx", "aby")})
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  // ---- q178: SNAP TO NEAREST SEGMENT — linear referencing / map
+  // matching: each GPS-like point snaps to its nearest road segment,
+  // reporting the EXACT squared distance and the exact measure along
+  // the segment, both as integer rationals (num/den with den = |w|²,
+  // or den = 1 for endpoint/degenerate snaps) — no float enters the
+  // argmin. Selection is an aggregate-HOF fold over the candidate list
+  // with cross-multiplied comparisons (products ≤ 2^57; the 2^44
+  // sentinel keeps the first compare overflow-free), ties to the
+  // smallest segment id. Scale shape: q174's economics — points probe
+  // their 3×3 256-unit cell neighborhood, segments post their bbox
+  // cells, candidates join on the cell; pruning is licensed by every
+  // point's true min distance being < one cell (spec brute-verifies —
+  // then the nearest segment's closest point shares a neighborhood
+  // cell by the ∞-norm bound). The oracle brutes ALL point×segment
+  // pairs and picks the argmin by a NOT-EXISTS rational compare —
+  // no cells, no fold. ---------------------------------------------------------
+  private val SnapPts = 200
+  private val SnapSegs = 80
+
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.range(0, SnapPts).select(col("id").as("pid"),
+      (World.h2Col(col("id") * 107 + 5) % SxField).as("px"),
+      (World.h2Col(col("id") * 109 + 6) % SxField).as("py"))
+    val probe = pts
+      .withColumn("pcx", shiftright(col("px"), SxCellShift))
+      .withColumn("pcy", shiftright(col("py"), SxCellShift))
+      .withColumn("cx", explode(sequence(
+        greatest(col("pcx") - 1, lit(0L)),
+        least(col("pcx") + 1, lit((SxField >> SxCellShift) - 1L)))))
+      .withColumn("cy", explode(sequence(
+        greatest(col("pcy") - 1, lit(0L)),
+        least(col("pcy") + 1, lit((SxField >> SxCellShift) - 1L)))))
+      .select("pid", "px", "py", "cx", "cy")
+    val post = segCells(segLayer(s, 89, 97, 101, 103, SnapSegs), "s")
+      .select("cx", "cy", "sid", "sax", "say", "sbx", "sby")
+    val vx = col("px") - col("sax"); val vy = col("py") - col("say")
+    val wx = col("sbx") - col("sax"); val wy = col("sby") - col("say")
+    val ww = wx * wx + wy * wy
+    val dot = vx * wx + vy * wy
+    val vv = vx * vx + vy * vy
+    val pb2 = (col("px") - col("sbx")) * (col("px") - col("sbx")) +
+      (col("py") - col("sby")) * (col("py") - col("sby"))
+    val endish = ww === 0 || dot <= 0 || dot >= ww
+    val cand = probe.join(post, Seq("cx", "cy"))
+      .dropDuplicates("pid", "sid")
+      .select(col("pid"), col("sid"),
+        when(ww === 0 || dot <= 0, vv)
+          .when(dot >= ww, pb2)
+          .otherwise(vv * ww - dot * dot).as("num"),
+        when(endish, lit(1L)).otherwise(ww).as("den"),
+        when(ww === 0 || dot <= 0, lit(0L))
+          .when(dot >= ww, ww)
+          .otherwise(dot).as("m"))
+    val sent = struct(lit(1L << 44).as("num"), lit(1L).as("den"),
+      lit(0L).as("m"), lit(Long.MaxValue).as("sid"))
+    cand.groupBy("pid")
+      .agg(collect_list(struct(col("num"), col("den"), col("m"),
+        col("sid"))).as("cs"))
+      .select(col("pid"), aggregate(col("cs"), sent, (acc, e) => {
+        val better = e("num") * acc("den") < acc("num") * e("den") ||
+          (e("num") * acc("den") === acc("num") * e("den") &&
+            e("sid") < acc("sid"))
+        struct(when(better, e("num")).otherwise(acc("num")).as("num"),
+          when(better, e("den")).otherwise(acc("den")).as("den"),
+          when(better, e("m")).otherwise(acc("m")).as("m"),
+          when(better, e("sid")).otherwise(acc("sid")).as("sid"))
+      }).as("b"))
+      .select(col("pid"), col("b.sid").as("sid"), col("b.num").as("num"),
+        col("b.den").as("den"), col("b.m").as("m"))
+      .orderBy("pid")
+  }
+
+  private def q178Sql: String = {
+    def seg(m1: Int, m2: Int, m3: Int, m4: Int) =
+      s"""SELECT r.range AS sid,
+         |    ${h2Sql(s"r.range * $m1 + 1")} % $SxField AS ax,
+         |    ${h2Sql(s"r.range * $m2 + 2")} % $SxField AS ay,
+         |    GREATEST(0, LEAST(${SxField - 1},
+         |      ${h2Sql(s"r.range * $m1 + 1")} % $SxField
+         |        + ${h2Sql(s"r.range * $m3 + 3")} % 601 - 300)) AS bx,
+         |    GREATEST(0, LEAST(${SxField - 1},
+         |      ${h2Sql(s"r.range * $m2 + 2")} % $SxField
+         |        + ${h2Sql(s"r.range * $m4 + 4")} % 601 - 300)) AS by
+         |  FROM range($SnapSegs) r"""
+    s"""WITH pts AS (SELECT r.range AS pid,
+       |    ${h2Sql("r.range * 107 + 5")} % $SxField AS px,
+       |    ${h2Sql("r.range * 109 + 6")} % $SxField AS py
+       |  FROM range($SnapPts) r),
+       |segs AS (${seg(89, 97, 101, 103)}),
+       |cand AS (SELECT p.pid, s.sid,
+       |    (px - ax) * (px - ax) + (py - ay) * (py - ay) AS vv,
+       |    (bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS ww,
+       |    (px - ax) * (bx - ax) + (py - ay) * (by - ay) AS dt,
+       |    (px - bx) * (px - bx) + (py - by) * (py - by) AS pb2
+       |  FROM pts p, segs s),
+       |rt AS (SELECT pid, sid,
+       |    CASE WHEN ww = 0 OR dt <= 0 THEN vv
+       |         WHEN dt >= ww THEN pb2
+       |         ELSE vv * ww - dt * dt END AS num,
+       |    CASE WHEN ww = 0 OR dt <= 0 OR dt >= ww THEN 1
+       |         ELSE ww END AS den,
+       |    CASE WHEN ww = 0 OR dt <= 0 THEN 0
+       |         WHEN dt >= ww THEN ww
+       |         ELSE dt END AS m
+       |  FROM cand)
+       |SELECT c.pid, CAST(c.sid AS BIGINT) AS sid,
+       |  CAST(c.num AS BIGINT) AS num, CAST(c.den AS BIGINT) AS den,
+       |  CAST(c.m AS BIGINT) AS m
+       |FROM rt c
+       |WHERE NOT EXISTS (SELECT 1 FROM rt c2 WHERE c2.pid = c.pid
+       |  AND (c2.num * c.den < c.num * c2.den
+       |    OR (c2.num * c.den = c.num * c2.den AND c2.sid < c.sid)))
+       |ORDER BY c.pid""".stripMargin
   }
 
   private def q168Sql: String =

@@ -80,6 +80,38 @@ class HullSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 license: every point's true min segment distance is below " +
+    "one 256-unit cell, so the 3x3-neighborhood probe cannot miss the " +
+    "nearest segment") {
+    import graft.world.World
+    val segs = (0 until 80).map { i =>
+      val ax = World.h2(i * 89L + 1) % 1024
+      val ay = World.h2(i * 97L + 2) % 1024
+      val bx = math.max(0L, math.min(1023L, ax + World.h2(i * 101L + 3) % 601 - 300))
+      val by = math.max(0L, math.min(1023L, ay + World.h2(i * 103L + 4) % 601 - 300))
+      (ax, ay, bx, by)
+    }
+    // exact rational d² = num/den; compare to 256² by cross-multiply
+    def minOk(px: Long, py: Long): Boolean = segs.exists { case (ax, ay, bx, by) =>
+      val (vx, vy, wx, wy) = (px - ax, py - ay, bx - ax, by - ay)
+      val ww = wx * wx + wy * wy
+      val dot = vx * wx + vy * wy
+      val vv = vx * vx + vy * vy
+      val pb2 = (px - bx) * (px - bx) + (py - by) * (py - by)
+      val (num, den) =
+        if (ww == 0 || dot <= 0) (vv, 1L)
+        else if (dot >= ww) (pb2, 1L)
+        else (vv * ww - dot * dot, ww)
+      num < 65536L * den
+    }
+    for (p <- 0 until 200) {
+      val px = World.h2(p * 107L + 5) % 1024
+      val py = World.h2(p * 109L + 6) % 1024
+      assert(minOk(px, py),
+        s"point $p at ($px,$py): nearest segment >= 256 away — pruning unsafe")
+    }
+  }
+
   test("hull(union of partial hulls) == hull(all points) — the 2-level algebra") {
     val rnd = new scala.util.Random(42)
     val pts = Seq.fill(400)(pack(rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
