@@ -112,7 +112,8 @@ object Spatial {
     Q("q175_distance_transform", q175, Some(q175Sql)),
     Q("q176_dissolve_union_area", q176, Some(q176Sql)),
     Q("q177_segment_intersect", q177, Some(q177Sql)),
-    Q("q178_snap_to_segment", q178, Some(q178Sql))
+    Q("q178_snap_to_segment", q178, Some(q178Sql)),
+    Q("q179_lbp_texture", q179, Some(q179Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5485,6 +5486,55 @@ object Spatial {
        |  AND (c2.num * c.den < c.num * c2.den
        |    OR (c2.num * c.den = c.num * c2.den AND c2.sid < c.sid)))
        |ORDER BY c.pid""".stripMargin
+  }
+
+  // ---- q179: LOCAL BINARY PATTERN texture codes — the classic
+  // rotation-sensitive 8-bit texture descriptor (census transform
+  // family) under texture classification and training-image filtering:
+  // bit k set iff queen neighbor k (clockwise from top-left) >= the
+  // center pixel, out-of-grid neighbors contribute 0. Plus the
+  // uniformity measure u = circular 0<->1 transition count, derived
+  // from the code by plain bit arithmetic in BOTH engines (a uniform
+  // pattern has u <= 2 — the standard LBP histogram bucketing rule).
+  // Engine: the q93 halo-exchange frame (ONE shuffle), one Lbp
+  // expression call per tile patch, codegen bit ops for u. Oracle: the
+  // shared guarded-stencil fragments compute the same 8 comparisons
+  // straight from the band formulas. ---------------------------------------
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    def bit(i: Int): Column =
+      shiftright(col("lbp"), i).bitwiseAND(lit(1L))
+    val u = (0 until 8).map(i => abs(bit(i) - bit((i + 1) % 8)))
+      .reduce(_ + _).cast("int")
+    haloPatches(s, spec)
+      .select(col("dest_tile"),
+        posexplode(graft.sql.GraftFunctions
+          .lbp(col("pv.pos"), col("pv.v"), T)).as(Seq("p", "lbp")))
+      .filter(col("lbp") >= 0)
+      .select(patchCellId(spec).as("cell_id"), col("lbp"))
+      .withColumn("u", u)
+      .orderBy("cell_id")
+  }
+
+  private def q179Sql: String = {
+    val order = Seq((-1, -1), (-1, 0), (-1, 1), (0, 1),
+      (1, 1), (1, 0), (1, -1), (0, -1))
+    val code = order.zipWithIndex.map { case ((dy, dx), k) =>
+      s"(CASE WHEN ${nbrValidSql(dy, dx)} AND ${nbrBandSql(dy, dx)} >= ctr" +
+        s" THEN ${1 << k} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val u = (0 until 8).map { i =>
+      s"(CASE WHEN ((lbp >> $i) & 1) <> ((lbp >> ${(i + 1) % 8}) & 1)" +
+        " THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""$cellsCte,
+       |pts AS (SELECT cell_id,
+       |    CAST(FLOOR((cell_id - 1) / $C) AS BIGINT) AS r0,
+       |    (cell_id - 1) % $C AS c0 FROM cells),
+       |ctr AS (SELECT cell_id, r0, c0,
+       |    CAST(${bandSql("cell_id", 1)} AS BIGINT) AS ctr FROM pts),
+       |l AS (SELECT cell_id, $code AS lbp FROM ctr)
+       |SELECT cell_id, CAST(lbp AS BIGINT) AS lbp, CAST($u AS INT) AS u
+       |FROM l ORDER BY cell_id""".stripMargin
   }
 
   private def q168Sql: String =

@@ -1718,6 +1718,68 @@ object ConvexHull {
   }
 }
 
+/** Per-pixel LOCAL BINARY PATTERN codes over a halo-padded tile patch
+  * (the classic texture descriptor under texture classification and
+  * scene filtering): bit k of a pixel's 8-bit code is set iff its k-th
+  * queen neighbor (fixed clockwise-from-top-left order: (-1,-1),
+  * (-1,0), (-1,1), (0,1), (1,1), (1,0), (1,-1), (0,-1)) has value >=
+  * the center. Out-of-grid neighbors contribute bit 0 (absent patch
+  * positions, the same contract every stencil rider shares);
+  * out-of-grid cores come back -1 and are filtered. One call per tile
+  * patch over the q93 halo-exchange frame. */
+case class Lbp(left: Expression, right: Expression, tile: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(pixs: Any, vs: Any): Any =
+    Lbp.eval(pixs.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData], tile)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Lbp.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (pixs, vs) =>
+      s"${ev.value} = $cls.eval($pixs, $vs, $tile);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Lbp {
+  // clockwise from top-left; bit k = neighbor k >= center
+  private val Order: Array[(Int, Int)] = Array(
+    (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1))
+
+  def eval(pixs: ArrayData, vs: ArrayData, tile: Int): ArrayData = {
+    val p = tile + 2
+    val grid = PatchGrid.fill(pixs, vs, p)
+    val out = new Array[Long](tile * tile)
+    var r = 0
+    while (r < tile) {
+      var c = 0
+      while (c < tile) {
+        val v0 = grid((r + 1) * p + (c + 1))
+        if (v0 < 0) out(r * tile + c) = -1L
+        else {
+          var code = 0L
+          var k = 0
+          while (k < 8) {
+            val (dy, dx) = Order(k)
+            val nv = grid((r + 1 + dy) * p + (c + 1 + dx))
+            if (nv >= 0 && nv >= v0) code |= (1L << k)
+            k += 1
+          }
+          out(r * tile + c) = code
+        }
+        c += 1
+      }
+      r += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
 /** Per-tile exact squared EUCLIDEAN DISTANCE TRANSFORM (the proximity
   * raster primitive: distance-to-road, distance-to-edge masks, buffer
   * rings). One call per TILE over the Rasterize collect shape: pixels
@@ -2995,6 +3057,11 @@ object GraftFunctions {
   def haar_stats(bytes: Column, fmt: Column, nPixels: Int, band: Int,
       tile: Int): Column =
     column(HaarStats(expression(bytes), expression(fmt), nPixels, band, tile))
+
+  /** Per-pixel 8-bit local binary pattern codes over a halo-padded
+    * tile patch; -1 for out-of-grid cores. */
+  def lbp(pixs: Column, vs: Column, tile: Int): Column =
+    column(Lbp(expression(pixs), expression(vs), tile))
 
   /** Per-tile exact squared Euclidean distance transform: dense
     * tile²-long array of d2-to-nearest-feature (band >= thresh), -1

@@ -45,6 +45,25 @@ class EdtSpec extends AnyFunSuite {
     assert(run(8, (0 until 64).toSet).forall(_ == 0L))
   }
 
+  test("Lbp: corner core with absent neighbors gets only in-grid bits; " +
+    "flat patch is all-ones; order is clockwise from top-left") {
+    import graft.sql.Lbp
+    val tile = 2 // patch 4x4
+    def lbp(vals: Map[Int, Double]): Seq[Long] = {
+      val pixs = ArrayData.toArrayData(vals.keys.toArray.sorted)
+      val vs = ArrayData.toArrayData(vals.keys.toArray.sorted.map(vals))
+      Lbp.eval(pixs, vs, tile).toLongArray().toSeq
+    }
+    val p = tile + 2
+    val full = (for (r <- 0 until p; c <- 0 until p)
+      yield (r * p + c) -> 5.0).toMap
+    assert(lbp(full) === Seq(255L, 255L, 255L, 255L), "flat => all 8 bits")
+    // only the 4 core positions present (a grid-corner tile): core (0,0)
+    // sees neighbors right (bit 3), down-right (bit 4), down (bit 5)
+    val core = (for (r <- 1 to 2; c <- 1 to 2) yield (r * p + c) -> 5.0).toMap
+    assert(lbp(core).head === ((1L << 3) | (1L << 4) | (1L << 5)))
+  }
+
   test("single corner feature: exact squared distances across the tile") {
     val got = run(4, Set(0))
     val want = for (r <- 0 until 4; c <- 0 until 4)
