@@ -113,7 +113,8 @@ object Spatial {
     Q("q176_dissolve_union_area", q176, Some(q176Sql)),
     Q("q177_segment_intersect", q177, Some(q177Sql)),
     Q("q178_snap_to_segment", q178, Some(q178Sql)),
-    Q("q179_lbp_texture", q179, Some(q179Sql))
+    Q("q179_lbp_texture", q179, Some(q179Sql)),
+    Q("q180_quadtree_agg", q180, Some(q180Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5535,6 +5536,135 @@ object Spatial {
        |l AS (SELECT cell_id, $code AS lbp FROM ctr)
        |SELECT cell_id, CAST(lbp AS BIGINT) AS lbp, CAST($u AS INT) AS u
        |FROM l ORDER BY cell_id""".stripMargin
+  }
+
+  // ---- q180: ADAPTIVE QUADTREE AGGREGATION — multi-resolution raster
+  // summarization (the tiling decision under pyramid serving, variable-
+  // rate compression, adaptive sampling): a tile splits into quadrants
+  // wherever the exact integer variance test n·Σv² − (Σv)² > τ·n²
+  // fires, recursively 16→8→4→2, and each LEAF emits (level, coords,
+  // n, sum, D). The fixture field mixes four regimes in a 16-px
+  // checker (constant, slope-10 ramp, slope-20 ramp, hash noise) whose
+  // exact block variances land leaves at every level by construction
+  // (4250/1050 and 17000/4200/1000 against τ=4000 — all integer, no
+  // boundary flakiness). Scale shape: ONE pixel Exchange builds the
+  // 2×2 base blocks; every coarser level and every split decision
+  // rolls up from frames 4× smaller each step — the classic reduction
+  // pyramid, never a second pass over pixels. Oracle: the identical
+  // level CTEs + split joins in SQL. ----------------------------------------
+  private val QtTau = 4000L
+
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val x = (cellCol - 1) % C
+    val y = floor((cellCol - 1) / C).cast("long")
+    val regime = (shiftright(x, 4) + shiftright(y, 4)) % 4
+    val v = when(regime === 0, lit(7L))
+      .when(regime === 1, (x + y) * 10L)
+      .when(regime === 2, (x + y) * 20L)
+      .otherwise(World.h2Col(cellCol * 3 + 11) % 256)
+    val (tileId, pix) = graft.engine.Rasterize.derive(spec)
+    val px = spine(s).select(tileId.as("tile_id"),
+      shiftright(pix, 4).as("r"), (pix % T).as("c"), v.as("v"))
+    def roll(child: DataFrame): DataFrame = child
+      .groupBy(col("tile_id"), shiftright(col("br"), 1).as("nbr"),
+        shiftright(col("bc"), 1).as("nbc"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("q")).as("q"))
+      .withColumnRenamed("nbr", "br").withColumnRenamed("nbc", "bc")
+    val b2 = px.groupBy(col("tile_id"), shiftright(col("r"), 1).as("br"),
+        shiftright(col("c"), 1).as("bc"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val b4 = roll(b2)
+    val b8 = roll(b4)
+    val b16 = roll(b8)
+    def d(df: DataFrame): DataFrame = df.withColumn("d",
+      col("n") * col("q") - col("s") * col("s"))
+    def split(df: DataFrame): Column =
+      col("d") > lit(QtTau) * col("n") * col("n")
+    val (t2, t4, t8, t16) = (d(b2), d(b4), d(b8), d(b16))
+    def leafCols(df: DataFrame, size: Int): DataFrame =
+      df.select(col("tile_id"), lit(size).as("level"),
+        col("br"), col("bc"), col("n"), col("s"), col("d"))
+    // parent frames rename EVERY key (shared-lineage joins otherwise
+    // resolve both sides to one attribute — the "trivially true
+    // equals" trap), so each join below is an unambiguous equi-join
+    // on distinct names
+    def parentKeys(df: DataFrame): DataFrame = df.select(
+      col("tile_id").as("ptile"), col("br").as("pr"), col("bc").as("pc"))
+    def childOf(child: DataFrame, parents: DataFrame): DataFrame = child
+      .join(parents, col("tile_id") === col("ptile") &&
+        shiftright(col("br"), 1) === col("pr") &&
+        shiftright(col("bc"), 1) === col("pc"))
+      .select(col("tile_id"), col("br"), col("bc"),
+        col("n"), col("s"), col("d"))
+    val s16 = t16.filter(split(t16)).select(col("tile_id").as("ptile"))
+    val l16 = leafCols(t16.filter(!split(t16)), 16)
+    val t8k = t8.join(s16, col("tile_id") === col("ptile"))
+      .drop("ptile")
+    val s8 = parentKeys(t8k.filter(split(t8k)))
+    val l8 = leafCols(t8k.filter(!split(t8k)), 8)
+    val t4k = childOf(t4, s8)
+    val s4 = parentKeys(t4k.filter(split(t4k)))
+    val l4 = leafCols(t4k.filter(!split(t4k)), 4)
+    val l2 = leafCols(childOf(t2, s4), 2)
+    l16.unionAll(l8).unionAll(l4).unionAll(l2)
+      .orderBy("tile_id", "level", "br", "bc")
+  }
+
+  private def q180Sql: String = {
+    val x = s"((cell_id - 1) % $C)"
+    val y = s"((cell_id - 1) // $C)"
+    s"""$cellsCte,
+       |px AS (SELECT ${tileSql("cell_id")} AS tile_id,
+       |    ((${rowSql("cell_id")} - 1) % $T) AS r,
+       |    ((cell_id - 1) % $C) % $T AS c,
+       |    CASE ((($x) // 16) + (($y) // 16)) % 4
+       |      WHEN 0 THEN 7
+       |      WHEN 1 THEN (($x) + ($y)) * 10
+       |      WHEN 2 THEN (($x) + ($y)) * 20
+       |      ELSE ${h2Sql("cell_id * 3 + 11")} % 256 END AS v
+       |  FROM cells),
+       |b2 AS (SELECT tile_id, r // 2 AS br, c // 2 AS bc,
+       |    COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q
+       |  FROM px GROUP BY 1, 2, 3),
+       |b4 AS (SELECT tile_id, br // 2 AS br, bc // 2 AS bc,
+       |    SUM(n) AS n, SUM(s) AS s, SUM(q) AS q FROM b2 GROUP BY 1, 2, 3),
+       |b8 AS (SELECT tile_id, br // 2 AS br, bc // 2 AS bc,
+       |    SUM(n) AS n, SUM(s) AS s, SUM(q) AS q FROM b4 GROUP BY 1, 2, 3),
+       |b16 AS (SELECT tile_id, br // 2 AS br, bc // 2 AS bc,
+       |    SUM(n) AS n, SUM(s) AS s, SUM(q) AS q FROM b8 GROUP BY 1, 2, 3),
+       |t2 AS (SELECT *, n * q - s * s AS d, n * q - s * s > $QtTau * n * n
+       |    AS sp FROM b2),
+       |t4 AS (SELECT *, n * q - s * s AS d, n * q - s * s > $QtTau * n * n
+       |    AS sp FROM b4),
+       |t8 AS (SELECT *, n * q - s * s AS d, n * q - s * s > $QtTau * n * n
+       |    AS sp FROM b8),
+       |t16 AS (SELECT *, n * q - s * s AS d, n * q - s * s > $QtTau * n * n
+       |    AS sp FROM b16),
+       |l16 AS (SELECT tile_id, 16 AS level, br, bc, n, s, d FROM t16
+       |  WHERE NOT sp),
+       |l8 AS (SELECT t.tile_id, 8 AS level, t.br, t.bc, t.n, t.s, t.d
+       |  FROM t8 t JOIN t16 p ON p.tile_id = t.tile_id WHERE p.sp
+       |    AND NOT t.sp),
+       |k8 AS (SELECT t.tile_id, t.br, t.bc, t.sp FROM t8 t
+       |  JOIN t16 p ON p.tile_id = t.tile_id WHERE p.sp),
+       |l4 AS (SELECT t.tile_id, 4 AS level, t.br, t.bc, t.n, t.s, t.d
+       |  FROM t4 t JOIN k8 p ON p.tile_id = t.tile_id
+       |    AND p.br = t.br // 2 AND p.bc = t.bc // 2
+       |  WHERE p.sp AND NOT t.sp),
+       |k4 AS (SELECT t.tile_id, t.br, t.bc, t.sp FROM t4 t
+       |  JOIN k8 p ON p.tile_id = t.tile_id
+       |    AND p.br = t.br // 2 AND p.bc = t.bc // 2 WHERE p.sp),
+       |l2 AS (SELECT t.tile_id, 2 AS level, t.br, t.bc, t.n, t.s, t.d
+       |  FROM t2 t JOIN k4 p ON p.tile_id = t.tile_id
+       |    AND p.br = t.br // 2 AND p.bc = t.bc // 2 WHERE p.sp),
+       |u AS (SELECT * FROM l16 UNION ALL SELECT * FROM l8
+       |  UNION ALL SELECT * FROM l4 UNION ALL SELECT * FROM l2)
+       |SELECT tile_id, CAST(level AS INT) AS level, CAST(br AS BIGINT) AS br,
+       |  CAST(bc AS BIGINT) AS bc, CAST(n AS BIGINT) AS n,
+       |  CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d
+       |FROM u ORDER BY tile_id, level, br, bc""".stripMargin
   }
 
   private def q168Sql: String =
