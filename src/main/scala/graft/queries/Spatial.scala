@@ -114,7 +114,8 @@ object Spatial {
     Q("q177_segment_intersect", q177, Some(q177Sql)),
     Q("q178_snap_to_segment", q178, Some(q178Sql)),
     Q("q179_lbp_texture", q179, Some(q179Sql)),
-    Q("q180_quadtree_agg", q180, Some(q180Sql))
+    Q("q180_quadtree_agg", q180, Some(q180Sql)),
+    Q("q181_staypoints", q181, Some(q181Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5665,6 +5666,76 @@ object Spatial {
        |  CAST(bc AS BIGINT) AS bc, CAST(n AS BIGINT) AS n,
        |  CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d
        |FROM u ORDER BY tile_id, level, br, bc""".stripMargin
+  }
+
+  // ---- q181: TRAJECTORY STAY-POINT DETECTION — the trajectory-mining
+  // primitive (home/work discovery, POI visits, dwell analytics): a
+  // ping run stays in one segment while each step's squared
+  // displacement is <= R² (18: normal walk steps are |d| <= 3 per
+  // axis), and breaks where a jump exceeds it; maximal segments with
+  // >= 5 pings emit as stays with exact centroid numerators (Σx, Σy,
+  // n) and the visit span. Deterministic random-walk fixture: per-ping
+  // integer steps from the h2 chain with sparse ±40-magnitude jumps —
+  // positions are windowed prefix sums, all integer. Scale shape: ONE
+  // Exchange on entity for the two cumulative windows (position +
+  // segment id); the segment aggregation reuses the same partitioning
+  // (entity ⊆ grouping key), so no second shuffle. The oracle mirrors
+  // the windows in DuckDB SQL verbatim. --------------------------------------
+  private val SpE = 20
+  private val SpP = 100
+
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s.range(0, SpE.toLong * SpP).select(
+      (col("id") / SpP).cast("long").as("e"),
+      (col("id") % SpP).as("t"),
+      when(col("id") % SpP === 0, 0L).otherwise(
+        World.h2Col(col("id") * 13 + 1) % 7 - 3 +
+          when(World.h2Col(col("id") * 19 + 2) % 17 === 0,
+            World.h2Col(col("id") * 23 + 3) % 81 - 40).otherwise(0L))
+        .as("dx"),
+      when(col("id") % SpP === 0, 0L).otherwise(
+        World.h2Col(col("id") * 29 + 4) % 7 - 3 +
+          when(World.h2Col(col("id") * 19 + 2) % 17 === 0,
+            World.h2Col(col("id") * 31 + 5) % 81 - 40).otherwise(0L))
+        .as("dy"))
+    val w = Window.partitionBy("e").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = base.select(col("e"), col("t"),
+      (lit(500L) + sum(col("dx")).over(w)).as("x"),
+      (lit(500L) + sum(col("dy")).over(w)).as("y"),
+      sum(when(col("dx") * col("dx") + col("dy") * col("dy") > 18, 1L)
+        .otherwise(0L)).over(w).as("seg"))
+    walked.groupBy("e", "seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), min(col("t")).as("t0"),
+        max(col("t")).as("t1"))
+      .filter(col("n") >= 5)
+      .orderBy("e", "seg")
+  }
+
+  private def q181Sql: String = {
+    def step(m1: Int, a1: Int, m2: Int, a2: Int) =
+      s"""CASE WHEN r.range % $SpP = 0 THEN 0
+         |      ELSE ${h2Sql(s"r.range * $m1 + $a1")} % 7 - 3
+         |        + CASE WHEN ${h2Sql("r.range * 19 + 2")} % 17 = 0
+         |          THEN ${h2Sql(s"r.range * $m2 + $a2")} % 81 - 40
+         |          ELSE 0 END END"""
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${step(13, 1, 23, 3)} AS dx,
+       |    ${step(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |walked AS (SELECT e, t,
+       |    500 + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+       |    500 + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y,
+       |    SUM(CASE WHEN dx * dx + dy * dy > 18 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY e ORDER BY t) AS seg
+       |  FROM pings)
+       |SELECT e, CAST(seg AS BIGINT) AS seg, COUNT(*) AS n,
+       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |  CAST(MIN(t) AS BIGINT) AS t0, CAST(MAX(t) AS BIGINT) AS t1
+       |FROM walked GROUP BY 1, 2 HAVING COUNT(*) >= 5
+       |ORDER BY e, seg""".stripMargin
   }
 
   private def q168Sql: String =
