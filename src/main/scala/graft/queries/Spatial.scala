@@ -115,7 +115,8 @@ object Spatial {
     Q("q178_snap_to_segment", q178, Some(q178Sql)),
     Q("q179_lbp_texture", q179, Some(q179Sql)),
     Q("q180_quadtree_agg", q180, Some(q180Sql)),
-    Q("q181_staypoints", q181, Some(q181Sql))
+    Q("q181_staypoints", q181, Some(q181Sql)),
+    Q("q182_colocation_join", q182, Some(q182Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5684,7 +5685,10 @@ object Spatial {
   private val SpE = 20
   private val SpP = 100
 
-  private def q181(s: SparkSession, dir: String): DataFrame = {
+  /** The shared random-walk ping frame: (e, t, dx, dy, x, y, seg) with
+    * positions as windowed prefix sums from per-entity starts — ONE
+    * Exchange on entity. Engine twin of walkStepSql. */
+  private def walkPings(s: SparkSession, x0: Column, y0: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = s.range(0, SpE.toLong * SpP).select(
       (col("id") / SpP).cast("long").as("e"),
@@ -5701,26 +5705,33 @@ object Spatial {
         .as("dy"))
     val w = Window.partitionBy("e").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val walked = base.select(col("e"), col("t"),
-      (lit(500L) + sum(col("dx")).over(w)).as("x"),
-      (lit(500L) + sum(col("dy")).over(w)).as("y"),
+    base.select(col("e"), col("t"),
+      (x0 + sum(col("dx")).over(w)).as("x"),
+      (y0 + sum(col("dy")).over(w)).as("y"),
       sum(when(col("dx") * col("dx") + col("dy") * col("dy") > 18, 1L)
         .otherwise(0L)).over(w).as("seg"))
-    walked.groupBy("e", "seg")
+  }
+
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    walkPings(s, lit(500L), lit(500L)).groupBy("e", "seg")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), min(col("t")).as("t0"),
         max(col("t")).as("t1"))
       .filter(col("n") >= 5)
       .orderBy("e", "seg")
-  }
+
+  /** The q181/q182 walk-step formula in SQL (kept beside the engine's
+    * column twin in q181/q182). */
+  private def walkStepSql(m1: Int, a1: Int, m2: Int, a2: Int): String =
+    s"""CASE WHEN r.range % $SpP = 0 THEN 0
+       |      ELSE ${h2Sql(s"r.range * $m1 + $a1")} % 7 - 3
+       |        + CASE WHEN ${h2Sql("r.range * 19 + 2")} % 17 = 0
+       |          THEN ${h2Sql(s"r.range * $m2 + $a2")} % 81 - 40
+       |          ELSE 0 END END"""
 
   private def q181Sql: String = {
     def step(m1: Int, a1: Int, m2: Int, a2: Int) =
-      s"""CASE WHEN r.range % $SpP = 0 THEN 0
-         |      ELSE ${h2Sql(s"r.range * $m1 + $a1")} % 7 - 3
-         |        + CASE WHEN ${h2Sql("r.range * 19 + 2")} % 17 = 0
-         |          THEN ${h2Sql(s"r.range * $m2 + $a2")} % 81 - 40
-         |          ELSE 0 END END"""
+      walkStepSql(m1, a1, m2, a2)
     s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
        |    ${step(13, 1, 23, 3)} AS dx,
        |    ${step(29, 4, 31, 5)} AS dy
@@ -5736,6 +5747,72 @@ object Spatial {
        |  CAST(MIN(t) AS BIGINT) AS t0, CAST(MAX(t) AS BIGINT) AS t1
        |FROM walked GROUP BY 1, 2 HAVING COUNT(*) >= 5
        |ORDER BY e, seg""".stripMargin
+  }
+
+  // ---- q182: CO-LOCATION (RENDEZVOUS) JOIN — which entity pairs from
+  // two fleets were ever within distance R AND within W ticks of each
+  // other (contact tracing, convoy detection, rendezvous mining).
+  // Predicate is exact integer: d² <= 100 and |Δt| <= 2 on the shared
+  // random-walk frame, with per-entity scattered starts so contacts
+  // come from genuine trajectory crossings. Scale shape: both fleets
+  // bucket on (16-unit spatial cell, 4-tick time bucket); fleet A
+  // explodes to its 3×3×3 neighborhood and joins fleet B's home
+  // bucket — every qualifying ping pair matches via exactly ONE offset
+  // (B's home bucket is unique), so no dedup pass is needed; bucket
+  // sizes bound both the shuffle key cardinality and the candidate
+  // volume. Contacts aggregate per (a, b) with an exact Σd² checksum.
+  // The oracle brutes the full A×B ping cross product with the same
+  // predicate and no buckets. ------------------------------------------------
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val x0 = lit(1500L) + World.h2Col(col("e") * 1009 + 7) % 128
+    val y0 = lit(1500L) + World.h2Col(col("e") * 1013 + 8) % 128
+    val pings = walkPings(s, x0, y0).select("e", "t", "x", "y")
+    val a = pings.filter(col("e") < SpE / 2)
+      .withColumn("ocx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("ocy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("otb", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("e").as("a_e"), col("t").as("a_t"),
+        col("x").as("ax"), col("y").as("ay"),
+        (shiftright(col("x"), 4) + col("ocx")).as("cx"),
+        (shiftright(col("y"), 4) + col("ocy")).as("cy"),
+        (shiftright(col("t"), 2) + col("otb")).as("tb"))
+    val b = pings.filter(col("e") >= SpE / 2)
+      .select(col("e").as("b_e"), col("t").as("b_t"),
+        col("x").as("bx"), col("y").as("by"),
+        shiftright(col("x"), 4).as("cx"), shiftright(col("y"), 4).as("cy"),
+        shiftright(col("t"), 2).as("tb"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    a.join(b, Seq("cx", "cy", "tb"))
+      .filter(d2 <= 100 && abs(col("a_t") - col("b_t")) <= 2)
+      .groupBy("a_e", "b_e")
+      .agg(count(lit(1)).as("n"), min(col("a_t")).as("first_t"),
+        sum(d2).as("sum_d2"))
+      .orderBy("a_e", "b_e")
+  }
+
+  private def q182Sql: String = {
+    def walked(tbl: String, lo: Int, hi: Int) =
+      s"""SELECT e, t,
+         |    1500 + ${h2Sql("e * 1009 + 7")} % 128
+         |      + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+         |    1500 + ${h2Sql("e * 1013 + 8")} % 128
+         |      + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y
+         |  FROM $tbl WHERE e >= $lo AND e < $hi"""
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |wa AS (${walked("pings", 0, SpE / 2)}),
+       |wb AS (${walked("pings", SpE / 2, SpE)})
+       |SELECT a.e AS a_e, b.e AS b_e, COUNT(*) AS n,
+       |  CAST(MIN(a.t) AS BIGINT) AS first_t,
+       |  CAST(SUM((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+       |    AS BIGINT) AS sum_d2
+       |FROM wa a JOIN wb b
+       |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 100
+       | AND ABS(a.t - b.t) <= 2
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   private def q168Sql: String =
