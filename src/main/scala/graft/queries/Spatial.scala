@@ -5573,44 +5573,55 @@ object Spatial {
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
         sum(col("q")).as("q"))
       .withColumnRenamed("nbr", "br").withColumnRenamed("nbc", "bc")
-    val b2 = px.groupBy(col("tile_id"), shiftright(col("r"), 1).as("br"),
-        shiftright(col("c"), 1).as("bc"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-        sum(col("v") * col("v")).as("q"))
+    // ONE pass over pixels: the 2x2 base frame is lineage-truncated
+    // (materialized once), the whole pyramid of split flags rolls up
+    // from it through frames 4x smaller each level, and every base
+    // block is then classified by the deepest non-split ancestor and
+    // re-aggregated to its leaf — no branch ever rescans pixels (the
+    // earlier union-of-branches draft recomputed the pyramid 4x; this
+    // is the shape the comment above promises).
+    val b2 = graft.engine.Checkpoint.truncateOnce(s,
+      px.groupBy(col("tile_id"), shiftright(col("r"), 1).as("br"),
+          shiftright(col("c"), 1).as("bc"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+          sum(col("v") * col("v")).as("q")))
     val b4 = roll(b2)
     val b8 = roll(b4)
     val b16 = roll(b8)
-    def d(df: DataFrame): DataFrame = df.withColumn("d",
-      col("n") * col("q") - col("s") * col("s"))
-    def split(df: DataFrame): Column =
-      col("d") > lit(QtTau) * col("n") * col("n")
-    val (t2, t4, t8, t16) = (d(b2), d(b4), d(b8), d(b16))
-    def leafCols(df: DataFrame, size: Int): DataFrame =
-      df.select(col("tile_id"), lit(size).as("level"),
-        col("br"), col("bc"), col("n"), col("s"), col("d"))
-    // parent frames rename EVERY key (shared-lineage joins otherwise
-    // resolve both sides to one attribute — the "trivially true
-    // equals" trap), so each join below is an unambiguous equi-join
-    // on distinct names
-    def parentKeys(df: DataFrame): DataFrame = df.select(
-      col("tile_id").as("ptile"), col("br").as("pr"), col("bc").as("pc"))
-    def childOf(child: DataFrame, parents: DataFrame): DataFrame = child
-      .join(parents, col("tile_id") === col("ptile") &&
-        shiftright(col("br"), 1) === col("pr") &&
-        shiftright(col("bc"), 1) === col("pc"))
-      .select(col("tile_id"), col("br"), col("bc"),
-        col("n"), col("s"), col("d"))
-    val s16 = t16.filter(split(t16)).select(col("tile_id").as("ptile"))
-    val l16 = leafCols(t16.filter(!split(t16)), 16)
-    val t8k = t8.join(s16, col("tile_id") === col("ptile"))
-      .drop("ptile")
-    val s8 = parentKeys(t8k.filter(split(t8k)))
-    val l8 = leafCols(t8k.filter(!split(t8k)), 8)
-    val t4k = childOf(t4, s8)
-    val s4 = parentKeys(t4k.filter(split(t4k)))
-    val l4 = leafCols(t4k.filter(!split(t4k)), 4)
-    val l2 = leafCols(childOf(t2, s4), 2)
-    l16.unionAll(l8).unionAll(l4).unionAll(l2)
+    def split: Column =
+      (col("n") * col("q") - col("s") * col("s")) >
+        lit(QtTau) * col("n") * col("n")
+    // tiny per-level split-flag frames, every key renamed (shared
+    // lineage would otherwise collapse both join sides to one
+    // attribute — the "trivially true equals" trap)
+    val k16 = b16.select(col("tile_id").as("t16"), split.as("sp16"))
+    val k8 = b8.select(col("tile_id").as("t8"), col("br").as("r8"),
+      col("bc").as("c8"), split.as("sp8"))
+    val k4 = b4.select(col("tile_id").as("t4"), col("br").as("r4"),
+      col("bc").as("c4"), split.as("sp4"))
+    val lvl = when(!col("sp16"), 16).when(!col("sp8"), 8)
+      .when(!col("sp4"), 4).otherwise(2)
+    def atLeaf(c: Column): Column =
+      when(col("level") === 16, shiftright(c, 3))
+        .when(col("level") === 8, shiftright(c, 2))
+        .when(col("level") === 4, shiftright(c, 1))
+        .otherwise(c)
+    b2
+      .join(broadcast(k16), col("tile_id") === col("t16"))
+      .join(broadcast(k8), col("tile_id") === col("t8") &&
+        shiftright(col("br"), 2) === col("r8") &&
+        shiftright(col("bc"), 2) === col("c8"))
+      .join(broadcast(k4), col("tile_id") === col("t4") &&
+        shiftright(col("br"), 1) === col("r4") &&
+        shiftright(col("bc"), 1) === col("c4"))
+      .withColumn("level", lvl)
+      .groupBy(col("tile_id"), col("level"),
+        atLeaf(col("br")).as("br"), atLeaf(col("bc")).as("bc"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+        sum(col("q")).as("q"))
+      .select(col("tile_id"), col("level"), col("br"), col("bc"),
+        col("n"), col("s"),
+        (col("n") * col("q") - col("s") * col("s")).as("d"))
       .orderBy("tile_id", "level", "br", "bc")
   }
 

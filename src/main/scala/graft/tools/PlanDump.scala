@@ -54,7 +54,9 @@ object PlanDump {
     "q167_rle_stats", "q168_haar_energy", "q169_overlay_area",
     "q170_zonal_weighted", "q171_tabulate_intersect", "q172_convex_hull",
     "q173_farthest_pair", "q174_closest_pair", "q175_distance_transform",
-    "q176_dissolve_union_area", "q177_segment_intersect")
+    "q176_dissolve_union_area", "q177_segment_intersect",
+    "q178_snap_to_segment", "q179_lbp_texture", "q180_quadtree_agg",
+    "q181_staypoints", "q182_colocation_join")
   // q166 is omitted for q140's reason below (the clump labels truncate
   // before the props aggregation).
   // q140 is omitted like q119/q56 (its Components loop truncates, so
