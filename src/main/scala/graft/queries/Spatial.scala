@@ -116,7 +116,8 @@ object Spatial {
     Q("q179_lbp_texture", q179, Some(q179Sql)),
     Q("q180_quadtree_agg", q180, Some(q180Sql)),
     Q("q181_staypoints", q181, Some(q181Sql)),
-    Q("q182_colocation_join", q182, Some(q182Sql))
+    Q("q182_colocation_join", q182, Some(q182Sql)),
+    Q("q183_dbscan", q183, Some(q183Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5825,6 +5826,110 @@ object Spatial {
        | AND ABS(a.t - b.t) <= 2
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
+
+  // ---- q183: DBSCAN — density-based point clustering with noise (the
+  // unsupervised geospatial classic: settlement detection, POI
+  // densification, anomaly isolation). Deterministic semantics, all
+  // integer: a point is CORE iff >= 5 points (self included) sit
+  // within eps (d² <= 144); clusters are connected components of
+  // core-core eps-adjacency labeled by the shared min-label engine
+  // (the q56/q78/q119 machinery); a BORDER point joins the smallest
+  // label among its in-eps cores (the deterministic replacement for
+  // classic DBSCAN's scan-order border assignment); everything else is
+  // NOISE. Fixture: 8 box clusters of 40 points + 80 uniform noise
+  // points. Scale shape: neighbor counting and edge generation both
+  // ride ONE 3×3 cell-bucket join (eps < cell size licenses it — same
+  // argument as q174, here by construction: offsets are ±20); only
+  // core-core edges enter the CC loop. Oracle: brute pairs, recursive-
+  // CTE closure (the q119 pattern), min-label border CASE. -----------------
+  private val DbEps2 = 144L
+
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val k = floor(col("id") / 40).cast("long")
+    val pts = s.range(0, 400).select(col("id").as("pid"),
+      when(col("id") < 320,
+        World.h2Col(k * 211 + 9) % 1024 +
+          World.h2Col(col("id") * 227 + 11) % 41 - 20)
+        .otherwise(World.h2Col(col("id") * 233 + 13) % 1024).as("x"),
+      when(col("id") < 320,
+        World.h2Col(k * 223 + 10) % 1024 +
+          World.h2Col(col("id") * 229 + 12) % 41 - 20)
+        .otherwise(World.h2Col(col("id") * 239 + 14) % 1024).as("y"))
+    val probe = pts
+      .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("pid"), col("x"), col("y"),
+        (shiftright(col("x"), 4) + col("ox")).as("cx"),
+        (shiftright(col("y"), 4) + col("oy")).as("cy"))
+    val build = pts.select(col("pid").as("qid"), col("x").as("qx"),
+      col("y").as("qy"), shiftright(col("x"), 4).as("cx"),
+      shiftright(col("y"), 4).as("cy"))
+    val d2 = (col("x") - col("qx")) * (col("x") - col("qx")) +
+      (col("y") - col("qy")) * (col("y") - col("qy"))
+    val cand = probe.join(build, Seq("cx", "cy"))
+      .filter(d2 <= DbEps2)
+      .select(col("pid"), col("qid"))
+    val coreSet = cand.groupBy("pid").agg(count(lit(1)).as("nn"))
+      .filter(col("nn") >= 5).select(col("pid").as("cpid"))
+    val edges = cand
+      .join(broadcast(coreSet), col("pid") === col("cpid")).drop("cpid")
+      .join(broadcast(coreSet.withColumnRenamed("cpid", "cqid")),
+        col("qid") === col("cqid")).drop("cqid")
+      .filter(col("pid") < col("qid"))
+    val labels = graft.engine.Components
+      .minLabel(s, edges, "q183_dbscan")
+    val coreLbl = coreSet.join(labels,
+        col("cpid") === col("node_id"), "left")
+      .select(col("cpid"), coalesce(col("lbl"), col("cpid")).as("cl"))
+    val borderLbl = cand
+      .join(broadcast(coreLbl), col("qid") === col("cpid"))
+      .groupBy(col("pid")).agg(min(col("cl")).as("bcl"))
+    pts.select(col("pid"))
+      .join(broadcast(coreLbl.withColumnRenamed("cpid", "pid")
+        .withColumnRenamed("cl", "ccl")), Seq("pid"), "left")
+      .join(broadcast(borderLbl), Seq("pid"), "left")
+      .select(col("pid"),
+        when(col("ccl").isNotNull, 0)
+          .when(col("bcl").isNotNull, 1).otherwise(2).as("role"),
+        coalesce(col("ccl"), col("bcl"), lit(-1L)).as("cluster"))
+      .orderBy("pid")
+  }
+
+  private def q183Sql: String =
+    s"""WITH RECURSIVE pts AS (SELECT r.range AS pid,
+       |    CASE WHEN r.range < 320
+       |      THEN ${h2Sql("(r.range // 40) * 211 + 9")} % 1024
+       |        + ${h2Sql("r.range * 227 + 11")} % 41 - 20
+       |      ELSE ${h2Sql("r.range * 233 + 13")} % 1024 END AS x,
+       |    CASE WHEN r.range < 320
+       |      THEN ${h2Sql("(r.range // 40) * 223 + 10")} % 1024
+       |        + ${h2Sql("r.range * 229 + 12")} % 41 - 20
+       |      ELSE ${h2Sql("r.range * 239 + 14")} % 1024 END AS y
+       |  FROM range(400) r),
+       |pr AS (SELECT a.pid, b.pid AS qid FROM pts a JOIN pts b
+       |  ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |    <= $DbEps2),
+       |core AS (SELECT pid FROM pr GROUP BY pid HAVING COUNT(*) >= 5),
+       |e0 AS (SELECT p.pid AS ca, p.qid AS cb FROM pr p
+       |  JOIN core c1 ON c1.pid = p.pid JOIN core c2 ON c2.pid = p.qid
+       |  WHERE p.pid < p.qid),
+       |edges AS (SELECT ca, cb FROM e0 UNION ALL SELECT cb, ca FROM e0),
+       |reach(pid, lbl) AS (
+       |  SELECT pid, pid FROM core
+       |  UNION
+       |  SELECT e.cb, r.lbl FROM edges e JOIN reach r ON e.ca = r.pid),
+       |lab AS (SELECT pid, MIN(lbl) AS cl FROM reach GROUP BY 1),
+       |bord AS (SELECT p.pid, MIN(l.cl) AS bcl FROM pr p
+       |  JOIN lab l ON l.pid = p.qid
+       |  WHERE p.pid NOT IN (SELECT pid FROM core) GROUP BY 1)
+       |SELECT p.pid,
+       |  CAST(CASE WHEN l.cl IS NOT NULL THEN 0
+       |       WHEN b.bcl IS NOT NULL THEN 1 ELSE 2 END AS INT) AS role,
+       |  CAST(COALESCE(l.cl, b.bcl, -1) AS BIGINT) AS cluster
+       |FROM pts p
+       |LEFT JOIN lab l ON l.pid = p.pid
+       |LEFT JOIN bord b ON b.pid = p.pid
+       |ORDER BY p.pid""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
