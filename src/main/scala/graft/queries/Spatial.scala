@@ -117,7 +117,8 @@ object Spatial {
     Q("q180_quadtree_agg", q180, Some(q180Sql)),
     Q("q181_staypoints", q181, Some(q181Sql)),
     Q("q182_colocation_join", q182, Some(q182Sql)),
-    Q("q183_dbscan", q183, Some(q183Sql))
+    Q("q183_dbscan", q183, Some(q183Sql)),
+    Q("q184_convoy_runs", q184, Some(q184Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5930,6 +5931,90 @@ object Spatial {
        |LEFT JOIN lab l ON l.pid = p.pid
        |LEFT JOIN bord b ON b.pid = p.pid
        |ORDER BY p.pid""".stripMargin
+
+  // ---- q184: CONVOY DETECTION — entity pairs traveling TOGETHER for
+  // sustained stretches (convoy/flock mining; q182 finds that contacts
+  // exist, this finds they PERSIST): a pair is co-located at tick t
+  // when d² <= 400 at EQUAL t, and a convoy run is a maximal stretch
+  // of consecutive co-located ticks; pairs qualify with a run >= 5.
+  // The runs come from the gaps-and-islands idiom — island id =
+  // t − ROW_NUMBER() over (pair, ORDER BY t) — in BOTH engines, so the
+  // sequential notion costs two windowed passes, not a per-pair scan.
+  // Scale shape: contacts ride the q182 bucket join with t IN THE JOIN
+  // KEY (equal-tick contact needs no time-bucket explosion) and
+  // 32-unit cells re-licensing the 3×3 neighborhood for R = 20; the
+  // window partitions by (a, b) — the contact frame, already tiny
+  // relative to pings. Output per convoy pair: longest run (ties to
+  // the earliest start), its start tick, and the count of runs >= 5.
+  // Oracle: brute equal-tick pairs + the same windows. --------------------
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x0 = lit(1500L) + World.h2Col(col("e") * 1009 + 7) % 128
+    val y0 = lit(1500L) + World.h2Col(col("e") * 1013 + 8) % 128
+    val pings = walkPings(s, x0, y0).select("e", "t", "x", "y")
+    val a = pings.filter(col("e") < SpE / 2)
+      .withColumn("ocx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("ocy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("e").as("a_e"), col("t"),
+        col("x").as("ax"), col("y").as("ay"),
+        (shiftright(col("x"), 5) + col("ocx")).as("cx"),
+        (shiftright(col("y"), 5) + col("ocy")).as("cy"))
+    val b = pings.filter(col("e") >= SpE / 2)
+      .select(col("e").as("b_e"), col("t"),
+        col("x").as("bx"), col("y").as("by"),
+        shiftright(col("x"), 5).as("cx"), shiftright(col("y"), 5).as("cy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    val contacts = a.join(b, Seq("cx", "cy", "t")).filter(d2 <= 400)
+      .select(col("a_e"), col("b_e"), col("t"))
+    val w = Window.partitionBy("a_e", "b_e").orderBy("t")
+    val runs = contacts
+      .withColumn("isl", col("t") - row_number().over(w))
+      .groupBy("a_e", "b_e", "isl")
+      .agg(count(lit(1)).as("len"), min(col("t")).as("t0"))
+    runs.groupBy("a_e", "b_e")
+      .agg(max(struct(col("len"), (-col("t0")).as("nt0"))).as("best"),
+        sum(when(col("len") >= 5, 1L).otherwise(0L)).as("n_runs"))
+      .filter(col("best.len") >= 5)
+      .select(col("a_e"), col("b_e"), col("best.len").as("longest"),
+        (-col("best.nt0")).as("start_t"), col("n_runs"))
+      .orderBy("a_e", "b_e")
+  }
+
+  private def q184Sql: String = {
+    def walked(lo: Int, hi: Int) =
+      s"""SELECT e, t,
+         |    1500 + ${h2Sql("e * 1009 + 7")} % 128
+         |      + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+         |    1500 + ${h2Sql("e * 1013 + 8")} % 128
+         |      + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y
+         |  FROM pings WHERE e >= $lo AND e < $hi"""
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |wa AS (${walked(0, SpE / 2)}),
+       |wb AS (${walked(SpE / 2, SpE)}),
+       |contacts AS (SELECT a.e AS a_e, b.e AS b_e, a.t FROM wa a
+       |  JOIN wb b ON b.t = a.t
+       |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |      <= 400),
+       |runs AS (SELECT a_e, b_e,
+       |    t - ROW_NUMBER() OVER (PARTITION BY a_e, b_e ORDER BY t)
+       |      AS isl, t
+       |  FROM contacts),
+       |agg AS (SELECT a_e, b_e, isl, COUNT(*) AS len, MIN(t) AS t0
+       |  FROM runs GROUP BY 1, 2, 3),
+       |best AS (SELECT a_e, b_e, len, t0, ROW_NUMBER() OVER
+       |    (PARTITION BY a_e, b_e ORDER BY len DESC, t0 ASC) AS rn,
+       |    SUM(CASE WHEN len >= 5 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY a_e, b_e) AS n_runs
+       |  FROM agg)
+       |SELECT a_e, b_e, CAST(len AS BIGINT) AS longest,
+       |  CAST(t0 AS BIGINT) AS start_t, CAST(n_runs AS BIGINT) AS n_runs
+       |FROM best WHERE rn = 1 AND len >= 5
+       |ORDER BY a_e, b_e""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,
