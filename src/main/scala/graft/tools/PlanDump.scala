@@ -56,7 +56,12 @@ object PlanDump {
     "q173_farthest_pair", "q174_closest_pair", "q175_distance_transform",
     "q176_dissolve_union_area", "q177_segment_intersect",
     "q178_snap_to_segment", "q179_lbp_texture", "q180_quadtree_agg",
-    "q181_staypoints", "q182_colocation_join")
+    "q181_staypoints", "q182_colocation_join", "q184_convoy_runs")
+  // q183 is omitted like q119/q56: its registered plan ends in the
+  // Components min-label loop's checkpoint scan — the audit-worthy
+  // shapes (ONE 3×3 cell-bucket join feeding both the neighbor count
+  // and the core-core edge frame; broadcast core/label frames) are
+  // documented in the q183 header and pinned by the driver oracle.
   // q166 is omitted for q140's reason below (the clump labels truncate
   // before the props aggregation).
   // q140 is omitted like q119/q56 (its Components loop truncates, so
