@@ -118,7 +118,8 @@ object Spatial {
     Q("q181_staypoints", q181, Some(q181Sql)),
     Q("q182_colocation_join", q182, Some(q182Sql)),
     Q("q183_dbscan", q183, Some(q183Sql)),
-    Q("q184_convoy_runs", q184, Some(q184Sql))
+    Q("q184_convoy_runs", q184, Some(q184Sql)),
+    Q("q185_home_range", q185, Some(q185Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -4947,15 +4948,15 @@ object Spatial {
       .orderBy("g", "seq")
   }
 
-  private def q172Sql: String = {
+  /** The gift-wrapping hull oracle's shared middle: given a CTE
+    * `d(g, x, y)` of distinct per-group points, appends the NOT-EXISTS
+    * extreme-point table, the recursive boundary walk, and the vertex
+    * count + exact shoelace CTEs (`walk`, `hh`, `ar`). MATERIALIZED on
+    * every non-recursive CTE — the recursion would otherwise re-run
+    * the O(n²) next-point join at every step. Shared by q172/q185. */
+  private def giftWrapCtes: String = {
     val crossQ = "(c.px - c.vx) * (q.y - c.vy) - (c.py - c.vy) * (q.x - c.vx)"
-    s"""WITH RECURSIVE pts AS (SELECT
-       |    CAST(r.range // $HullPN AS INT) AS g,
-       |    ${h2Sql("r.range * 13 + 1")} % $C AS x,
-       |    ${h2Sql("r.range * 17 + 3")} % ${spec.rows} AS y
-       |  FROM range(${HullG.toLong * HullPN}) r),
-       |d AS MATERIALIZED (SELECT DISTINCT g, x, y FROM pts),
-       |nxt AS MATERIALIZED (SELECT c.g, c.vx, c.vy, c.px, c.py FROM
+    s"""nxt AS MATERIALIZED (SELECT c.g, c.vx, c.vy, c.px, c.py FROM
        |  (SELECT v.g, v.x AS vx, v.y AS vy, p.x AS px, p.y AS py
        |     FROM d v JOIN d p ON p.g = v.g
        |      AND (p.x <> v.x OR p.y <> v.y)) c
@@ -4978,13 +4979,22 @@ object Spatial {
        |ar AS (SELECT a.g, SUM(b.x * a.y - a.x * b.y) AS t2
        |  FROM walk a JOIN hh h ON h.g = a.g
        |  JOIN walk b ON b.g = a.g AND b.seq = (a.seq + h.nh - 1) % h.nh
-       |  GROUP BY 1)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def q172Sql: String =
+    s"""WITH RECURSIVE pts AS (SELECT
+       |    CAST(r.range // $HullPN AS INT) AS g,
+       |    ${h2Sql("r.range * 13 + 1")} % $C AS x,
+       |    ${h2Sql("r.range * 17 + 3")} % ${spec.rows} AS y
+       |  FROM range(${HullG.toLong * HullPN}) r),
+       |d AS MATERIALIZED (SELECT DISTINCT g, x, y FROM pts),
+       |$giftWrapCtes
        |SELECT w.g, CAST(w.seq AS INT) AS seq, CAST(w.x AS BIGINT) AS x,
        |  CAST(w.y AS BIGINT) AS y, CAST(h.nh AS INT) AS n_hull,
        |  CAST(ABS(a.t2) AS BIGINT) AS area2
        |FROM walk w JOIN hh h ON h.g = w.g JOIN ar a ON a.g = w.g
        |ORDER BY w.g, w.seq""".stripMargin
-  }
 
   // ---- q173: FARTHEST PAIR (diameter) of each group's point set —
   // the extent/spread primitive (bounding diameter, cluster spread,
@@ -6015,6 +6025,47 @@ object Spatial {
        |FROM best WHERE rn = 1 AND len >= 5
        |ORDER BY a_e, b_e""".stripMargin
   }
+
+  // ---- q185: HOME RANGE — per-entity minimum convex polygon over its
+  // trajectory (THE classic movement-ecology range estimator, and the
+  // trajectory family's composition with the q172 hull machinery):
+  // each entity's 100 walk positions reduce through the same salted
+  // two-level ConvexHull (hull of per-slice hulls == hull of the
+  // track), emitting the exact integer doubled area and hull vertex
+  // count. Positions are the q181 walk (starts 500, strictly positive
+  // throughout — the 16-bit packing needs non-negative coords).
+  // Oracle: the shared gift-wrapping CTE chain over the SQL walk —
+  // hull algebra validated from the trajectory side too. -------------------
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val packed = walkPings(s, lit(500L), lit(500L))
+      .select(col("e").as("g"), (col("x") * 65536L + col("y")).as("p"),
+        ((col("x") + col("y") * 5) % FpSalts).as("salt"))
+    packed.groupBy("g", "salt").agg(collect_set(col("p")).as("ps"))
+      .select(col("g"),
+        explode(convex_hull(col("ps")).getField("verts")).as("p"))
+      .groupBy("g").agg(collect_set(col("p")).as("ps"))
+      .select(col("g").as("e"), convex_hull(col("ps")).as("h"))
+      .select(col("e"), col("h.area2").as("area2"),
+        size(col("h.verts")).as("n_hull"))
+      .orderBy("e")
+  }
+
+  private def q185Sql: String =
+    s"""WITH RECURSIVE pings AS (SELECT r.range // $SpP AS e,
+       |    r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |walked AS (SELECT e, t,
+       |    500 + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+       |    500 + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y
+       |  FROM pings),
+       |d AS MATERIALIZED (SELECT DISTINCT e AS g, x, y FROM walked),
+       |$giftWrapCtes
+       |SELECT h.g AS e, CAST(ABS(a.t2) AS BIGINT) AS area2,
+       |  CAST(h.nh AS INT) AS n_hull
+       |FROM hh h JOIN ar a ON a.g = h.g
+       |ORDER BY e""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
