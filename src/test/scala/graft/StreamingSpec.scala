@@ -379,6 +379,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming stay-point detection folds shuffled pings in event-time " +
+    "order and converges to exactly the batch q181 stays") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{PingEv, StreamStay}
+    import graft.world.World
+    // the exact q181 walk, computed scalar-side (the fixture formulas)
+    val pings = (for (e <- 0 until 20) yield {
+      var x = 500L; var y = 500L
+      (0 until 100).map { t =>
+        val i = e * 100L + t
+        if (t > 0) {
+          val jump = World.h2(i * 19 + 2) % 17 == 0
+          x += World.h2(i * 13 + 1) % 7 - 3 +
+            (if (jump) World.h2(i * 23 + 3) % 81 - 40 else 0L)
+          y += World.h2(i * 29 + 4) % 7 - 3 +
+            (if (jump) World.h2(i * 31 + 5) % 81 - 40 else 0L)
+        }
+        PingEv(e, new Timestamp(Base + t * 1000L), x, y)
+      }
+    }).flatten
+    val in = MemoryStream[PingEv]
+    val q = StreamStay.stayPoints(in.toDF())
+      .writeStream.format("memory").queryName("g_stays")
+      .outputMode("append").start()
+    try {
+      // shuffled arrival (seeded), all within the 10-minute watermark
+      // slack of the 100-second tick range — nothing is late
+      val shuffled = new scala.util.Random(5).shuffle(pings)
+      val (h1, h2batch) = shuffled.splitAt(shuffled.size / 2)
+      in.addData(h1: _*)
+      q.processAllAvailable()
+      in.addData(h2batch: _*)
+      q.processAllAvailable()
+      // watermark dance: two sentinel stages ripen the buffers, then
+      // fire the open-segment timeouts (sentinel entity's own 1-ping
+      // segment stays silent: n < 5)
+      Seq(5000, 5001, 9000, 9001).foreach { sec =>
+        in.addData(PingEv(999, new Timestamp(Base + sec * 1000L), 0, 0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("g_stays").as[graft.streaming.StayRow]
+        .collect().map(r => (r.e, r.t0 - Base / 1000, r.t1 - Base / 1000,
+          r.n, r.sx, r.sy)).toSet
+      val batch = SparkEntry
+        .queries("q181_staypoints")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch,
+        s"stream stays != batch q181: only-stream=${got -- batch} " +
+          s"only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("watermarked quality windows aggregate per event-time window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
