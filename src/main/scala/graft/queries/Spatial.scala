@@ -119,7 +119,8 @@ object Spatial {
     Q("q182_colocation_join", q182, Some(q182Sql)),
     Q("q183_dbscan", q183, Some(q183Sql)),
     Q("q184_convoy_runs", q184, Some(q184Sql)),
-    Q("q185_home_range", q185, Some(q185Sql))
+    Q("q185_home_range", q185, Some(q185Sql)),
+    Q("q186_wkb_pip", q186, Some(q39Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -1021,6 +1022,31 @@ object Spatial {
        |SELECT region_id, COUNT(*) AS n_cells, MIN(cell_id) AS min_cell,
        |  MAX(cell_id) AS max_cell
        |FROM region_of GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q186: the vector path over WKB bytes (the PostGIS/GeoPackage
+  // binary geometry wire format — the fourth vector source beside WKT,
+  // .shp and GeoJSON): the same region layer enters as little-endian
+  // WKB POLYGON records, parsed by the pure-JVM Wkb codec, driving the
+  // identical codegen ray-cast PIP. The oracle is q39's SQL verbatim —
+  // a decode that drops, duplicates, reorders or perturbs ANY ring
+  // vertex flips cell assignments and fails the compare. -------------------
+  private lazy val wkbFixture: String = {
+    val dir = graft.util.TempDirs.create("graft_wkb_q186")
+    java.nio.file.Files.write(dir.resolve("regions.wkb"),
+      graft.sources.Wkb.encode(World.polygons(spec)))
+    s"$dir/regions.wkb"
+  }
+
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val polys = graft.sources.Ingest.wkbPolygons(s, wkbFixture)
+    spine(s)
+      .select(cellCol,
+        region_explode(pxCol(cellCol), pyCol(cellCol), polys).as("region_id"))
+      .groupBy("region_id")
+      .agg(count(lit(1)).as("n_cells"), min("cell_id").as("min_cell"),
+        max("cell_id").as("max_cell"))
+      .orderBy("region_id")
+  }
 
   // ---- q57: the vector path over the reference's ACTUAL format (S6,
   // readOGR R:884,893): region polygons enter as an ESRI shapefile,

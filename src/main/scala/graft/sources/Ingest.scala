@@ -72,6 +72,16 @@ object Ingest {
     GeoJson.decode(new String(text, java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** WKB boundary layer (the binary twin of the WKT path — PostGIS /
+    * GeoPackage export bytes; see [[Wkb]] for the supported subset).
+    * Same dimension-layer economics: collect + broadcast into PIP. */
+  def wkbPolygons(spark: SparkSession, path: String): Array[Polygon] = {
+    import spark.implicits._
+    val bytes = spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]].head()
+    Wkb.decode(bytes)
+  }
+
   private[graft] def parseWktLine(line: String): Polygon = {
     val comma = line.indexOf(',')
     require(comma > 0,

@@ -423,6 +423,61 @@ class IngestSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count(_ == "<innerBoundaryIs>") == 1)
   }
 
+  test("S6: WKB encode -> decode round-trips a holed + multi-ring layer " +
+    "exactly (ids, coords, ringStarts)") {
+    import graft.sources.Wkb
+    val layer = Array(
+      graft.core.Polygon(2,
+        Array[Double](5, 40, 40, 5, 15, 25, 25, 15),
+        Array[Double](5, 5, 40, 40, 15, 15, 25, 25), Array(0, 4)),
+      graft.core.Polygon(7, Array[Double](50, 60, 55),
+        Array[Double](10, 10, 20)))
+    val back = Wkb.decode(Wkb.encode(layer))
+    assert(back.length == 2)
+    layer.zip(back).foreach { case (a, b) =>
+      assert(a.regionId == b.regionId)
+      assert(a.xs.toSeq == b.xs.toSeq && a.ys.toSeq == b.ys.toSeq)
+      assert(a.ringStarts.toSeq == b.ringStarts.toSeq)
+    }
+  }
+
+  test("S6: WKB hand-built bytes — BIG-endian order byte and a " +
+    "MULTIPOLYGON with mixed-endian children flatten correctly; " +
+    "loud failures on bad type / unclosed ring") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.sources.Wkb
+    def poly(order: ByteOrder, pts: Seq[(Double, Double)]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(1 + 4 + 4 + 4 + 16 * (pts.size + 1))
+        .order(order)
+      bb.put(if (order == ByteOrder.LITTLE_ENDIAN) 1.toByte else 0.toByte)
+      bb.putInt(3); bb.putInt(1); bb.putInt(pts.size + 1)
+      pts.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+      bb.putDouble(pts.head._1); bb.putDouble(pts.head._2)
+      bb.array()
+    }
+    val tri = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))
+    val sq = Seq((20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0))
+    // record: rid 9 (LE) + big-endian MULTIPOLYGON of 2 mixed children
+    val kids = poly(ByteOrder.BIG_ENDIAN, tri) ++
+      poly(ByteOrder.LITTLE_ENDIAN, sq)
+    val head = ByteBuffer.allocate(4 + 1 + 4 + 4)
+    head.order(ByteOrder.LITTLE_ENDIAN).putInt(9)
+    head.order(ByteOrder.BIG_ENDIAN).put(0.toByte).putInt(6).putInt(2)
+    val rec = head.array() ++ kids
+    val out = Wkb.decode(rec)
+    assert(out.length == 1 && out(0).regionId == 9)
+    assert(out(0).ringStarts.toSeq == Seq(0, 3))
+    assert(out(0).xs.toSeq == Seq(0.0, 10.0, 5.0, 20.0, 30.0, 30.0, 20.0))
+    assert(out(0).ys.toSeq == Seq(0.0, 0.0, 8.0, 20.0, 20.0, 30.0, 30.0))
+    // loud failures
+    val badType = rec.clone(); badType(8) = 2 // LINESTRING in BE type slot
+    intercept[IllegalArgumentException](Wkb.decode(badType))
+    val unclosed = Wkb.encode(Array(out(0)))
+    // corrupt the last double of ring 0's closing vertex
+    unclosed(unclosed.length - 1) = (unclosed.last ^ 0x7f).toByte
+    intercept[IllegalArgumentException](Wkb.decode(unclosed))
+  }
+
   test("S6: GeoJSON encode -> decode round-trips a holed + multi-ring " +
     "layer exactly (ids, coords, ringStarts)") {
     import graft.sources.GeoJson
