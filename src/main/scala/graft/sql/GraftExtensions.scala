@@ -160,6 +160,27 @@ object GraftExtensions {
         AudioFingerprint(a(0),
           intLit(a(1), "graft_audio_fingerprint", "winSize"),
           intLit(a(2), "graft_audio_fingerprint", "nWin"))
+      },
+      entry("graft_convex_hull",
+        "graft_convex_hull(points) - struct(area2, verts) convex hull " +
+          "of distinct packed (x*65536+y) points in canonical lex-min " +
+          "CCW order; exact integer shoelace. Serves both levels of " +
+          "the partial-hull reduction", 1) { a =>
+        ConvexHull(a(0))
+      },
+      entry("graft_edt",
+        "graft_edt(pixs, vs, tile, thresh) - per-tile exact squared " +
+          "Euclidean distance transform to feature pixels (v >= " +
+          "thresh); -1 when the tile has none (tile/thresh literals)",
+        4) { a =>
+        Edt(a(0), a(1), intLit(a(2), "graft_edt", "tile"),
+          intLit(a(3), "graft_edt", "thresh"))
+      },
+      entry("graft_lbp",
+        "graft_lbp(pixs, vs, tile) - per-pixel 8-bit local binary " +
+          "pattern codes over a halo-padded tile patch; -1 for " +
+          "out-of-grid cores (tile literal)", 3) { a =>
+        Lbp(a(0), a(1), intLit(a(2), "graft_lbp", "tile"))
       })
 
   /** Register on a live session (runtime alternative to the

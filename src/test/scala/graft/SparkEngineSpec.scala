@@ -685,6 +685,23 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT graft_s2_parent(graft_s2_cell(0D, 0D, 4), 10)")
         .collect())
     assert(e3.getMessage.contains("coarser"))
+    // round-5 geometry/raster additions resolve through the SQL
+    // registry and agree with their expression twins
+    val hull = spark.sql(
+      "SELECT graft_convex_hull(array(0L, 655360L, 655370L, 10L, 327685L))" +
+        " AS h").collect()(0).getStruct(0)
+    assert(hull.getLong(0) == 200L, "10x10 square area2 via SQL")
+    assert(hull.getSeq[Long](1) == Seq(0L, 655360L, 655370L, 10L))
+    val edt = spark.sql(
+      "SELECT element_at(graft_edt(array(0, 1, 2, 3), " +
+        "array(255.0D, 0.0D, 0.0D, 0.0D), 2, 128), 4) AS far")
+      .collect()(0).getLong(0)
+    assert(edt == 2L, "corner-feature 2x2 tile: far corner d2 = 2")
+    val lbp = spark.sql(
+      "SELECT element_at(graft_lbp(array(5, 6, 9, 10), " +
+        "array(5.0D, 5.0D, 5.0D, 5.0D), 2), 1) AS c").collect()(0).getLong(0)
+    assert(lbp == ((1L << 3) | (1L << 4) | (1L << 5)),
+      "corner core sees its three present neighbors")
     // the spark.sql.extensions injection entry point wires up cleanly
     new GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
   }
