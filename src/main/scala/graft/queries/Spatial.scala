@@ -120,7 +120,8 @@ object Spatial {
     Q("q183_dbscan", q183, Some(q183Sql)),
     Q("q184_convoy_runs", q184, Some(q184Sql)),
     Q("q185_home_range", q185, Some(q185Sql)),
-    Q("q186_wkb_pip", q186, Some(q39Sql))
+    Q("q186_wkb_pip", q186, Some(q39Sql)),
+    Q("q187_moving_window", q187, Some(q187Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -6092,6 +6093,59 @@ object Spatial {
        |  CAST(h.nh AS INT) AS n_hull
        |FROM hh h JOIN ar a ON a.g = h.g
        |ORDER BY e""".stripMargin
+
+  // ---- q187: BOUNDED SLIDING-WINDOW AGGREGATES — the centered moving
+  // frame (ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), the one window
+  // shape the registry's cumulative/full-partition windows don't
+  // exercise: per ping, the 7-tick moving sum/max/count of the squared
+  // step displacement (a movement-smoothing pass — dwell vs transit
+  // emerges from the local displacement energy). Steps derive from
+  // positions by one lag (t=0 coalesces to 0, the walk's own
+  // convention), so the query is two windows over ONE entity-keyed
+  // Exchange; frame edges (t<3, t>96) carry n_frame < 7 — the
+  // truncated-frame semantics pinned exactly. All integers. Oracle:
+  // the identical LAG + bounded frame in DuckDB. ----------------------------
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy("e").orderBy("t")
+    val wf = wo.rowsBetween(-3, 3)
+    walkPings(s, lit(500L), lit(500L))
+      .select(col("e"), col("t"),
+        (coalesce(col("x") - lag("x", 1).over(wo), lit(0L)) *
+          coalesce(col("x") - lag("x", 1).over(wo), lit(0L)) +
+          coalesce(col("y") - lag("y", 1).over(wo), lit(0L)) *
+            coalesce(col("y") - lag("y", 1).over(wo), lit(0L))).as("sd2"))
+      .select(col("e"), col("t"),
+        sum(col("sd2")).over(wf).as("mv_sum"),
+        max(col("sd2")).over(wf).as("mv_max"),
+        count(lit(1)).over(wf).cast("long").as("n_frame"))
+      .orderBy("e", "t")
+  }
+
+  private def q187Sql: String =
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |walked AS (SELECT e, t,
+       |    500 + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+       |    500 + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y
+       |  FROM pings),
+       |st AS (SELECT e, t,
+       |    COALESCE(x - LAG(x, 1) OVER (PARTITION BY e ORDER BY t), 0)
+       |      AS ddx,
+       |    COALESCE(y - LAG(y, 1) OVER (PARTITION BY e ORDER BY t), 0)
+       |      AS ddy
+       |  FROM walked),
+       |sd AS (SELECT e, t, ddx * ddx + ddy * ddy AS sd2 FROM st)
+       |SELECT e, t,
+       |  CAST(SUM(sd2) OVER w AS BIGINT) AS mv_sum,
+       |  CAST(MAX(sd2) OVER w AS BIGINT) AS mv_max,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS n_frame
+       |FROM sd
+       |WINDOW w AS (PARTITION BY e ORDER BY t
+       |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |ORDER BY e, t""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
