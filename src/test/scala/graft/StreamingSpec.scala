@@ -433,6 +433,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming co-location join (stream-stream spatial interval join) " +
+    "finds exactly the batch q182 contacts from shuffled dual streams") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.streaming.{PingEv, StreamColocate}
+    import graft.world.World
+    // the q182 walk: scattered starts, 20 entities x 100 ticks
+    val pings = (for (e <- 0 until 20) yield {
+      var x = 1500L + World.h2(e * 1009L + 7) % 128
+      var y = 1500L + World.h2(e * 1013L + 8) % 128
+      (0 until 100).map { t =>
+        val i = e * 100L + t
+        if (t > 0) {
+          val jump = World.h2(i * 19 + 2) % 17 == 0
+          x += World.h2(i * 13 + 1) % 7 - 3 +
+            (if (jump) World.h2(i * 23 + 3) % 81 - 40 else 0L)
+          y += World.h2(i * 29 + 4) % 7 - 3 +
+            (if (jump) World.h2(i * 31 + 5) % 81 - 40 else 0L)
+        }
+        PingEv(e, new Timestamp(Base + t * 1000L), x, y)
+      }
+    }).flatten
+    val rnd = new scala.util.Random(11)
+    val inA = MemoryStream[PingEv]
+    val inB = MemoryStream[PingEv]
+    val q = StreamColocate.contacts(inA.toDF(), inB.toDF())
+      .writeStream.format("memory").queryName("g_coloc")
+      .outputMode("append").start()
+    try {
+      val fa = rnd.shuffle(pings.filter(_.e < 10))
+      val fb = rnd.shuffle(pings.filter(_.e >= 10))
+      inA.addData(fa.take(500): _*); inB.addData(fb.take(500): _*)
+      q.processAllAvailable()
+      inA.addData(fa.drop(500): _*); inB.addData(fb.drop(500): _*)
+      q.processAllAvailable()
+      val got = spark.table("g_coloc")
+        .groupBy("a_e", "b_e")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.min(
+            (col("a_ts").cast("long") - Base / 1000)).as("first_t"),
+          org.apache.spark.sql.functions.sum("d2").as("sum_d2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val batch = SparkEntry
+        .queries("q182_colocation_join")(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(got == batch,
+        s"stream contacts != batch q182: only-stream=${got -- batch} " +
+          s"only-batch=${batch -- got}")
+    } finally q.stop()
+  }
+
   test("watermarked quality windows aggregate per event-time window") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
