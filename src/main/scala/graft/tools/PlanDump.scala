@@ -56,7 +56,10 @@ object PlanDump {
     "q173_farthest_pair", "q174_closest_pair", "q175_distance_transform",
     "q176_dissolve_union_area", "q177_segment_intersect",
     "q178_snap_to_segment", "q179_lbp_texture", "q180_quadtree_agg",
-    "q181_staypoints", "q182_colocation_join", "q184_convoy_runs")
+    "q181_staypoints", "q182_colocation_join", "q184_convoy_runs",
+    "q185_home_range", "q187_moving_window")
+  // q186 is omitted: its plan is q39's shape verbatim (the WKB layer
+  // only changes which codec built the broadcast polygons).
   // q183 is omitted like q119/q56: its registered plan ends in the
   // Components min-label loop's checkpoint scan — the audit-worthy
   // shapes (ONE 3×3 cell-bucket join feeding both the neighbor count
