@@ -121,7 +121,9 @@ object Spatial {
     Q("q184_convoy_runs", q184, Some(q184Sql)),
     Q("q185_home_range", q185, Some(q185Sql)),
     Q("q186_wkb_pip", q186, Some(q39Sql)),
-    Q("q187_moving_window", q187, Some(q187Sql))
+    Q("q187_moving_window", q187, Some(q187Sql)),
+    Q("q188_track_hausdorff", q188, Some(q188Sql)),
+    Q("q189_repeat_visits", q189, Some(q189Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -5762,13 +5764,17 @@ object Spatial {
         .otherwise(0L)).over(w).as("seg"))
   }
 
-  private def q181(s: SparkSession, dir: String): DataFrame =
+  /** The q181 stay frame (>= 5-ping segments of the start-500 walk),
+    * shared with q189's revisit rollup. */
+  private def staysFrame(s: SparkSession): DataFrame =
     walkPings(s, lit(500L), lit(500L)).groupBy("e", "seg")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), min(col("t")).as("t0"),
         max(col("t")).as("t1"))
       .filter(col("n") >= 5)
-      .orderBy("e", "seg")
+
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    staysFrame(s).orderBy("e", "seg")
 
   /** The q181/q182 walk-step formula in SQL (kept beside the engine's
     * column twin in q181/q182). */
@@ -6146,6 +6152,118 @@ object Spatial {
        |WINDOW w AS (PARTITION BY e ORDER BY t
        |  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
        |ORDER BY e, t""".stripMargin
+
+  // ---- q188: TRACK SIMILARITY — pairwise discrete HAUSDORFF distance
+  // between entity trajectories (the track-matching primitive under
+  // route dedup, fleet-behavior clustering, map-trace conflation):
+  // H²(A,B) = max(h(A→B), h(B→A)) where h(A→B) = max over a∈A of the
+  // min squared distance to B — all exact integers, no DP, no float.
+  // Composed shape: the pings self-join on unordered entity pairs
+  // (e1 < e2), the directed min collapses per (pair, probe point, side)
+  // and two nested max aggregations finish — at 100-TB track counts the
+  // pair frame is bbox-prefiltered first (q102's shape); per-pair work
+  // is |A|·|B| exactly like the oracle, which recomputes it from the
+  // walk CTE with no composition. Output: the 10 most similar pairs
+  // (smallest H²), ties to the smaller (e1, e2). -----------------------------
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val x0 = lit(1500L) + World.h2Col(col("e") * 1009 + 7) % 128
+    val y0 = lit(1500L) + World.h2Col(col("e") * 1013 + 8) % 128
+    val pings = walkPings(s, x0, y0).select("e", "t", "x", "y")
+    val a = pings.select(col("e").as("ea"), col("t").as("ta"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = pings.select(col("e").as("eb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    // directed h(A→B) for BOTH orientations of each unordered pair in
+    // one frame: tag rows with (lo, hi, side)
+    val probes = a.join(b, col("ea") =!= col("eb"))
+      .select(least(col("ea"), col("eb")).as("e1"),
+        greatest(col("ea"), col("eb")).as("e2"),
+        when(col("ea") < col("eb"), 0).otherwise(1).as("side"),
+        col("ea").as("pe"), col("ta"), d2.as("d2"))
+      .groupBy("e1", "e2", "side", "pe", "ta")
+      .agg(min(col("d2")).as("nn"))
+    probes.groupBy("e1", "e2")
+      .agg(max(col("nn")).as("h2"))
+      .orderBy(col("h2"), col("e1"), col("e2"))
+      .limit(10)
+  }
+
+  private def q188Sql: String =
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |walked AS (SELECT e, t,
+       |    1500 + ${h2Sql("e * 1009 + 7")} % 128
+       |      + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+       |    1500 + ${h2Sql("e * 1013 + 8")} % 128
+       |      + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y
+       |  FROM pings),
+       |nn AS (SELECT a.e AS ea, b.e AS eb, a.t AS ta,
+       |    MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+       |      AS nn
+       |  FROM walked a JOIN walked b ON b.e <> a.e
+       |  GROUP BY 1, 2, 3),
+       |h AS (SELECT LEAST(ea, eb) AS e1, GREATEST(ea, eb) AS e2,
+       |    MAX(nn) AS h2
+       |  FROM nn GROUP BY 1, 2)
+       |SELECT e1, e2, CAST(h2 AS BIGINT) AS h2
+       |FROM h ORDER BY h2, e1, e2 LIMIT 10""".stripMargin
+
+  // ---- q189: REPEAT-VISIT ANALYSIS — the place-mining rollup on top
+  // of q181's stays (home/work discovery proper: which PLACES does an
+  // entity return to?): each stay maps to a 64-unit place cell via its
+  // exact integer centroid floor (sx div n, truncating — both engines
+  // on positive sums), stays collapse to (entity, place, visits), and
+  // each entity reports stay/place counts plus its top place (most
+  // visits, ties to the smallest place id via the min(struct) trick).
+  // One more tiny aggregation ladder over the q181 frame — no new
+  // shuffle of ping-sized data. Oracle: the q181 stays CTE + identical
+  // integer place math. --------------------------------------------------------
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val places = staysFrame(s)
+      .select(col("e"),
+        (shiftright(expr("sx div n"), 6) * 1024 +
+          shiftright(expr("sy div n"), 6)).as("pid"))
+      .groupBy("e", "pid").agg(count(lit(1)).as("visits"))
+    places.groupBy("e")
+      .agg(sum(col("visits")).as("n_stays"),
+        count(lit(1)).as("n_places"),
+        min(struct((-col("visits")).as("nv"), col("pid").as("pid")))
+          .as("top"))
+      .select(col("e"), col("n_stays"), col("n_places"),
+        col("top.pid").as("top_place"), (-col("top.nv")).as("top_visits"))
+      .orderBy("e")
+  }
+
+  private def q189Sql: String =
+    s"""WITH pings AS (SELECT r.range // $SpP AS e, r.range % $SpP AS t,
+       |    ${walkStepSql(13, 1, 23, 3)} AS dx,
+       |    ${walkStepSql(29, 4, 31, 5)} AS dy
+       |  FROM range(${SpE.toLong * SpP}) r),
+       |walked AS (SELECT e, t,
+       |    500 + SUM(dx) OVER (PARTITION BY e ORDER BY t) AS x,
+       |    500 + SUM(dy) OVER (PARTITION BY e ORDER BY t) AS y,
+       |    SUM(CASE WHEN dx * dx + dy * dy > 18 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY e ORDER BY t) AS seg
+       |  FROM pings),
+       |stays AS (SELECT e, seg, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy
+       |  FROM walked GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |places AS (SELECT e,
+       |    (sx // n // 64) * 1024 + (sy // n // 64) AS pid,
+       |    COUNT(*) AS visits
+       |  FROM stays GROUP BY 1, 2),
+       |top AS (SELECT e, pid, visits, ROW_NUMBER() OVER
+       |    (PARTITION BY e ORDER BY visits DESC, pid ASC) AS rn
+       |  FROM places)
+       |SELECT p.e, CAST(SUM(p.visits) AS BIGINT) AS n_stays,
+       |  CAST(COUNT(*) AS BIGINT) AS n_places,
+       |  CAST(MIN(t.pid) AS BIGINT) AS top_place,
+       |  CAST(MIN(t.visits) AS BIGINT) AS top_visits
+       |FROM places p JOIN top t ON t.e = p.e AND t.rn = 1
+       |GROUP BY p.e ORDER BY p.e""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
