@@ -123,7 +123,9 @@ object Spatial {
     Q("q186_wkb_pip", q186, Some(q39Sql)),
     Q("q187_moving_window", q187, Some(q187Sql)),
     Q("q188_track_hausdorff", q188, Some(q188Sql)),
-    Q("q189_repeat_visits", q189, Some(q189Sql))
+    Q("q189_repeat_visits", q189, Some(q189Sql)),
+    Q("q190_euler_characteristic", q190, Some(q190Sql)),
+    Q("q191_point_extract", q191, Some(q191Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -6264,6 +6266,133 @@ object Spatial {
        |  CAST(MIN(t.visits) AS BIGINT) AS top_visits
        |FROM places p JOIN top t ON t.e = p.e AND t.rn = 1
        |GROUP BY p.e ORDER BY p.e""".stripMargin
+
+  // ---- q190: EULER CHARACTERISTIC of the binary mask per tile — the
+  // topological fragmentation descriptor landscape ecology uses beside
+  // edge density (q160): χ = V − E + Q over 4-connectivity (set cells,
+  // 4-adjacent set pairs, fully-set 2×2 quads) equals components −
+  // holes, so χ falling while edge density rises separates
+  // perforation from true fragmentation. Ownership: every pair/quad
+  // belongs to its top-left cell's TILE (the q160 convention), so
+  // cross-tile features count exactly once and the global χ is the
+  // plain sum of tile rows. Engine: the q119 equi-join shape — the hot
+  // frame self-joins on derived keys cell+1 / cell+C / the 2×2 quad
+  // chain, never a spatial cross join. Oracle: guarded closed-form
+  // stencil counts straight from the band formula (no joins) — two
+  // genuinely different computations of the same topology. -----------------
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val hot = spine(s).filter(bandCol(cellCol, 1) >= EdgeThr)
+      .select(cellCol)
+    val notRightEdge = (col("a.cell_id") - 1) % C =!= (C - 1)
+    val right = hot.as("a").join(hot.as("b"),
+      col("b.cell_id") === col("a.cell_id") + 1 && notRightEdge)
+      .select(col("a.cell_id").as("cell_id"))
+    val down = hot.as("a").join(hot.as("b"),
+      col("b.cell_id") === col("a.cell_id") + C)
+      .select(col("a.cell_id").as("cell_id"))
+    // a full quad = this cell opens a right pair AND the cell below
+    // opens a right pair (all four corners hot)
+    val quad = right.as("a").join(right.as("b"),
+      col("b.cell_id") === col("a.cell_id") + C)
+      .select(col("a.cell_id").as("cell_id"))
+    def perTile(df: DataFrame, name: String): DataFrame = df
+      .groupBy(tileCol(col("cell_id")).as("tile_id"))
+      .agg(count(lit(1)).as(name))
+    perTile(hot, "v")
+      .join(perTile(right.union(down), "e_adj"), Seq("tile_id"), "left")
+      .join(perTile(quad, "q_quad"), Seq("tile_id"), "left")
+      .select(col("tile_id"), col("v"),
+        coalesce(col("e_adj"), lit(0L)).as("e_adj"),
+        coalesce(col("q_quad"), lit(0L)).as("q_quad"))
+      .withColumn("chi",
+        col("v") - col("e_adj") + col("q_quad"))
+      .orderBy("tile_id")
+  }
+
+  private def q190Sql: String = {
+    def hotS(id: String) = s"(${bandSql(id, 1)} >= $EdgeThr)"
+    val inR = s"((cell_id - 1) % $C <> ${C - 1})"
+    val inD = s"(cell_id + $C <= $N)"
+    val right = s"(CASE WHEN $inR AND ${hotS("cell_id")} AND " +
+      s"${hotS("cell_id + 1")} THEN 1 ELSE 0 END)"
+    val down = s"(CASE WHEN $inD AND ${hotS("cell_id")} AND " +
+      s"${hotS(s"cell_id + $C")} THEN 1 ELSE 0 END)"
+    val quad = s"(CASE WHEN $inR AND $inD AND ${hotS("cell_id")} AND " +
+      s"${hotS("cell_id + 1")} AND ${hotS(s"cell_id + $C")} AND " +
+      s"${hotS(s"cell_id + $C + 1")} THEN 1 ELSE 0 END)"
+    s"""$cellsCte
+       |SELECT ${tileSql("cell_id")} AS tile_id,
+       |  CAST(SUM(CASE WHEN ${hotS("cell_id")} THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS v,
+       |  CAST(SUM($right + $down) AS BIGINT) AS e_adj,
+       |  CAST(SUM($quad) AS BIGINT) AS q_quad,
+       |  CAST(SUM(CASE WHEN ${hotS("cell_id")} THEN 1 ELSE 0 END)
+       |    - SUM($right + $down) + SUM($quad) AS BIGINT) AS chi
+       |FROM cells
+       |GROUP BY 1 HAVING SUM(CASE WHEN ${hotS("cell_id")} THEN 1
+       |  ELSE 0 END) > 0
+       |ORDER BY 1""".stripMargin
+  }
+
+  // ---- q191: EXTRACT TO POINTS — bilinear raster sampling at
+  // arbitrary probe positions (the "extract values to points" GIS
+  // primitive: covariates at plot locations, training labels at
+  // station sites). Probes sit at quarter-cell positions so every
+  // bilinear weight is a 2-adic fraction (0, ¼, ½, ¾): weight×band
+  // products carry <= 8 fractional bits and the 4-term sum stays
+  // < 2^9, so EVERY partial sum is exact in double — the groupBy SUM
+  // is order-free and bit-identical to the oracle's closed-form
+  // left-associated expression. Engine shape: each probe explodes to
+  // its 4 surrounding cell centers with weights, the tiny frame
+  // BROADCASTS against the raster spine (extract = a broadcast join,
+  // never a raster shuffle), one partial-aggregated sum per probe.
+  // Oracle: the 4-term closed form per probe, no join. ---------------------
+  private val ExtractK = 40
+
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val probes = s.range(0, ExtractK).select(col("id").as("k"),
+      (World.h2Col(col("id") * 251 + 19) % ((C - 1) * 4)).as("qx"),
+      (World.h2Col(col("id") * 257 + 23) % ((spec.rows - 1) * 4)).as("qy"))
+    val corners = probes
+      .withColumn("o", explode(array((0 to 3).map { i =>
+        struct(lit(i % 2).as("dx"), lit(i / 2).as("dy"))
+      }: _*)))
+      .select(col("k"), col("qx"), col("qy"),
+        (expr("qx div 4") + col("o.dx")).as("cx"),
+        (expr("qy div 4") + col("o.dy")).as("cy"),
+        (when(col("o.dx") === 0, lit(1.0) - (col("qx") % 4) / 4.0)
+          .otherwise((col("qx") % 4) / 4.0) *
+          when(col("o.dy") === 0, lit(1.0) - (col("qy") % 4) / 4.0)
+            .otherwise((col("qy") % 4) / 4.0)).as("w"))
+      .select(col("k"), col("qx"), col("qy"), col("w"),
+        (col("cy") * C + col("cx") + 1).as("cell_id"))
+    spine(s).join(broadcast(corners), Seq("cell_id"))
+      .groupBy("k", "qx", "qy")
+      .agg(sum(col("w") * bandCol(cellCol, 1)).as("v"))
+      .select(col("k"), (col("qx") / 4.0 + 0.5).as("px"),
+        (col("qy") / 4.0 + 0.5).as("py"), col("v"))
+      .orderBy("k")
+  }
+
+  private def q191Sql: String = {
+    def cell(dx: Int, dy: Int) =
+      s"((qy // 4 + $dy) * $C + qx // 4 + $dx + 1)"
+    def w(dx: Int, dy: Int) = {
+      val wx = if (dx == 0) "(1.0 - (qx % 4) / 4.0)" else "((qx % 4) / 4.0)"
+      val wy = if (dy == 0) "(1.0 - (qy % 4) / 4.0)" else "((qy % 4) / 4.0)"
+      s"$wx * $wy"
+    }
+    val terms = Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (dx, dy) =>
+      s"${w(dx, dy)} * ${bandSql(cell(dx, dy), 1)}"
+    }.mkString(" + ")
+    s"""WITH probes AS (SELECT r.range AS k,
+       |    ${h2Sql("r.range * 251 + 19")} % ${(C - 1) * 4} AS qx,
+       |    ${h2Sql("r.range * 257 + 23")} % ${(spec.rows - 1) * 4} AS qy
+       |  FROM range($ExtractK) r)
+       |SELECT k, qx / 4.0 + 0.5 AS px, qy / 4.0 + 0.5 AS py,
+       |  $terms AS v
+       |FROM probes ORDER BY k""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,
