@@ -125,7 +125,8 @@ object Spatial {
     Q("q188_track_hausdorff", q188, Some(q188Sql)),
     Q("q189_repeat_visits", q189, Some(q189Sql)),
     Q("q190_euler_characteristic", q190, Some(q190Sql)),
-    Q("q191_point_extract", q191, Some(q191Sql))
+    Q("q191_point_extract", q191, Some(q191Sql)),
+    Q("q192_confusion_matrix", q192, Some(q192Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -564,7 +565,11 @@ object Spatial {
         s"ELSE ${treeSql(hi)} END)"
   }
 
-  private lazy val q29Sql: String = {
+  /** The fitted-tree classification chain as shared CTEs ending in
+    * `cls(cell_id, region_id, class, confidence)` — q29's oracle body,
+    * reused by q192's confusion matrix with the deployment floors
+    * disabled (`floors = false` scores the raw argmax). */
+  private def classCte(floors: Boolean): String = {
     val probCols = (1 to graft.engine.Pipeline.NumDrivers).map { d =>
       val cases = (1 to spec.nRegions)
         .map(r => s"WHEN $r THEN ${treeSql(tinyTrees((r, d)))}")
@@ -581,17 +586,22 @@ object Spatial {
        |  WHERE ${lossSql("c.cell_id")} > 0),
        |p AS (SELECT cell_id, region_id, loss,
        |  $probCols
-       |  FROM f)
-       |SELECT cell_id, region_id,
-       |  CAST(CASE WHEN loss < 0.005 THEN 0
-       |    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0
+       |  FROM f),
+       |cls AS (SELECT cell_id, region_id,
+       |  CAST(CASE ${if (floors) "WHEN loss < 0.005 THEN 0\n" +
+        "    WHEN GREATEST(p1, p2, p3, p4, p5) < 0.5 THEN 0" else ""}
        |    WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 AND p1 >= p5 THEN 1
        |    WHEN p2 >= p3 AND p2 >= p4 AND p2 >= p5 THEN 2
        |    WHEN p3 >= p4 AND p3 >= p5 THEN 3
        |    WHEN p4 >= p5 THEN 4 ELSE 5 END AS BIGINT) AS class,
        |  GREATEST(p1, p2, p3, p4, p5) AS confidence
-       |FROM p ORDER BY cell_id""".stripMargin
+       |FROM p)""".stripMargin
   }
+
+  private lazy val q29Sql: String =
+    s"""${classCte(floors = true)}
+       |SELECT cell_id, region_id, class, confidence
+       |FROM cls ORDER BY cell_id""".stripMargin
 
   /** q30: the expand fixed-point loop (G4, the ArcGIS "Expand" analog,
     * R:445-454) with documented tie-break (min class). The oracle is the
@@ -6393,6 +6403,48 @@ object Spatial {
        |  $terms AS v
        |FROM probes ORDER BY k""".stripMargin
   }
+
+  // ---- q192: CONFUSION MATRIX — the model-evaluation operator the
+  // registry's ML family lacked (fit q29, importance q33, but no
+  // accuracy assessment — the step every published classification,
+  // including the reference's, reports): per region, the resubstitution
+  // confusion counts between the fitted-forest vote and the training
+  // labels (dropped classes 6/7 excluded exactly as the fit excludes
+  // them; label cells outside the scoreable loss>0 frame drop with the
+  // join, the same universe q29 scores). The matrix evaluates the RAW
+  // ARGMAX — floors zeroed via Config — because floors are deployment
+  // thresholds, not classifier quality: on the tiny world no vote ever
+  // clears the 0.5 confidence floor (q29's whole output is class 0,
+  // oracle-confirmed), so the floored matrix would be a single
+  // uninformative column. Counts are exact; overall/producer/user
+  // accuracies and Cohen's kappa all derive from these rows by exact
+  // integer arithmetic, so the matrix is the one thing worth pinning.
+  // Oracle: the shared fitted-tree CASE chain (classCte, floors off)
+  // joined to the label formula — fit, vote and label filtering
+  // cross-checked end-to-end in one query. -----------------------------------
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val preds = graft.engine.Pipeline.fitPredictVote(s, spec,
+        graft.engine.Pipeline.Config(confidenceFloor = 0.0, lossFloor = 0.0))
+      .select(col("cell_id"), col("region_id"), col("class"))
+    val labels = spine(s)
+      .select(cellCol, trainCol(cellCol).as("label"))
+      .filter(col("label") > 0 && !col("label").isin(6, 7))
+    preds.join(labels, Seq("cell_id"))
+      .groupBy("region_id", "label", "class")
+      .agg(count(lit(1)).as("n"))
+      .select(col("region_id"), col("label").cast("long").as("label"),
+        col("class"), col("n"))
+      .orderBy("region_id", "label", "class")
+  }
+
+  private def q192Sql: String =
+    s"""${classCte(floors = false)},
+       |tr AS (SELECT cell_id, ${trainSql("cell_id")} AS label FROM cells
+       |  WHERE ${trainSql("cell_id")} BETWEEN 1 AND 5)
+       |SELECT c.region_id, CAST(t.label AS BIGINT) AS label, c.class,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM cls c JOIN tr t ON t.cell_id = c.cell_id
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   private def q168Sql: String =
     s"""$cellsCte,
