@@ -126,7 +126,8 @@ object Spatial {
     Q("q189_repeat_visits", q189, Some(q189Sql)),
     Q("q190_euler_characteristic", q190, Some(q190Sql)),
     Q("q191_point_extract", q191, Some(q191Sql)),
-    Q("q192_confusion_matrix", q192, Some(q192Sql))
+    Q("q192_confusion_matrix", q192, Some(q192Sql)),
+    Q("q193_affine_warp", q193, Some(q193Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -6445,6 +6446,56 @@ object Spatial {
        |  CAST(COUNT(*) AS BIGINT) AS n
        |FROM cls c JOIN tr t ON t.cell_id = c.cell_id
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q193: AFFINE RASTER WARP — resample the raster onto a
+  // transformed grid by nearest neighbor (the generic "warp" under
+  // reprojection, co-registration, augmentation-with-geometry; q130's
+  // flips/rotations are its axis-aligned special cases): each target
+  // cell maps through the exact dyadic affine
+  //   src = A·(t − c) + c,  A = [[3/4, 1/4], [−1/4, 3/4]]
+  // (a scaled rotation; numerators are offset +4096 before the
+  // truncating div so negative-operand division semantics never
+  // enter), out-of-range sources drop. Scale shape: the warp is an
+  // EQUI-JOIN of the target frame on the DERIVED source cell id
+  // against the source raster — never a gather by position arithmetic
+  // inside one executor's memory; at production scale both sides
+  // co-partition on cell ranges and the join is the whole cost. The
+  // oracle computes the identical closed form per target cell straight
+  // from the band formula — join machinery vs pure arithmetic. -------------
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val cx = C / 2
+    val cy = spec.rows / 2
+    val sx = (expr(s"(3 * ((cell_id - 1) % $C - $cx) " +
+      s"+ (((cell_id - 1) div $C) - $cy) + 4096) div 4") - 1024) + cx
+    val sy = (expr(s"(3 * (((cell_id - 1) div $C) - $cy) " +
+      s"- ((cell_id - 1) % $C - $cx) + 4096) div 4") - 1024) + cy
+    val targets = spine(s).select(cellCol.as("tcell"),
+        sx.as("sx"), sy.as("sy"))
+      .filter(col("sx") >= 0 && col("sx") < C &&
+        col("sy") >= 0 && col("sy") < spec.rows)
+      .select(col("tcell"), (col("sy") * C + col("sx") + 1).as("cell_id"))
+    val source = spine(s).select(cellCol,
+      bandCol(cellCol, 1).cast("long").as("v"))
+    targets.join(source, Seq("cell_id"))
+      .select(col("tcell"), col("cell_id").as("src_cell"), col("v"))
+      .orderBy("tcell")
+  }
+
+  private def q193Sql: String = {
+    val cx = C / 2
+    val cy = spec.rows / 2
+    val tx = s"((cell_id - 1) % $C)"
+    val ty = s"((cell_id - 1) // $C)"
+    val sx = s"(((3 * ($tx - $cx) + ($ty - $cy) + 4096) // 4) - 1024 + $cx)"
+    val sy = s"(((3 * ($ty - $cy) - ($tx - $cx) + 4096) // 4) - 1024 + $cy)"
+    s"""$cellsCte,
+       |m AS (SELECT cell_id AS tcell, $sx AS sx, $sy AS sy FROM cells),
+       |v AS (SELECT tcell, sy * $C + sx + 1 AS src_cell FROM m
+       |  WHERE sx >= 0 AND sx < $C AND sy >= 0 AND sy < ${spec.rows})
+       |SELECT tcell, CAST(src_cell AS BIGINT) AS src_cell,
+       |  CAST(${bandSql("src_cell", 1)} AS BIGINT) AS v
+       |FROM v ORDER BY tcell""".stripMargin
+  }
 
   private def q168Sql: String =
     s"""$cellsCte,
