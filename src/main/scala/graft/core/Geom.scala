@@ -187,6 +187,31 @@ final case class Polygon(regionId: Int, xs: Array[Double], ys: Array[Double],
     }
     inside
   }
+
+  /** Signed WINDING NUMBER at a point (the NONZERO fill rule's count —
+    * the dual of `contains`' even-odd parity; SVG/OGC distinguish the
+    * two and they differ exactly where same-orientation rings overlap):
+    * each upward ray crossing counts +1, each downward −1, with the
+    * identical crossing and x-intersection tests as the even-odd path
+    * so the dyadic-exactness argument carries over unchanged. */
+  def winding(px: Double, py: Double): Int = {
+    if (px < minX || px > maxX || py < minY || py > maxY) return 0
+    var w = 0
+    val n = xs.length
+    val prev = prevIdx
+    var i = 0
+    while (i < n) {
+      val j = prev(i)
+      val y1 = ys(j); val y2 = ys(i)
+      if ((y1 > py) != (y2 > py)) {
+        val x1 = xs(j); val x2 = xs(i)
+        val xInt = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+        if (px < xInt) w += (if (y2 > y1) 1 else -1)
+      }
+      i += 1
+    }
+    w
+  }
 }
 
 object Geom {
@@ -199,6 +224,21 @@ object Geom {
     while (i < polys.length) {
       val p = polys(i)
       if ((best == -1 || p.regionId < best) && p.contains(px, py))
+        best = p.regionId
+      i += 1
+    }
+    best
+  }
+
+  /** Region of a point under the NONZERO (winding-number) fill rule;
+    * lowest region id wins ties, -1 when no polygon's winding is
+    * nonzero. The q194 dual of [[regionOf]]'s even-odd rule. */
+  def windRegionOf(polys: Array[Polygon], px: Double, py: Double): Int = {
+    var best = -1
+    var i = 0
+    while (i < polys.length) {
+      val p = polys(i)
+      if ((best == -1 || p.regionId < best) && p.winding(px, py) != 0)
         best = p.regionId
       i += 1
     }

@@ -127,7 +127,8 @@ object Spatial {
     Q("q190_euler_characteristic", q190, Some(q190Sql)),
     Q("q191_point_extract", q191, Some(q191Sql)),
     Q("q192_confusion_matrix", q192, Some(q192Sql)),
-    Q("q193_affine_warp", q193, Some(q193Sql))
+    Q("q193_affine_warp", q193, Some(q193Sql)),
+    Q("q194_fill_rules", q194, Some(q194Sql))
   )
 
   // ---- shared builders ----------------------------------------------------
@@ -6495,6 +6496,82 @@ object Spatial {
        |SELECT tcell, CAST(src_cell AS BIGINT) AS src_cell,
        |  CAST(${bandSql("src_cell", 1)} AS BIGINT) AS v
        |FROM v ORDER BY tcell""".stripMargin
+  }
+
+  // ---- q194: FILL RULES — even-odd vs NONZERO winding side by side
+  // (SVG/OGC's two polygon-interior semantics; a renderer or overlay
+  // engine must implement both, and layers from the wild disagree
+  // exactly where same-orientation rings overlap): region 1's two
+  // overlapping CCW squares are the discriminating case (even-odd
+  // empties the 10×10 overlap, nonzero keeps it at winding 2), region
+  // 2's outer-CCW + hole-CW is the agreeing case (winding 0 in the
+  // hole — both rules exclude it), region 3 is the disjoint control.
+  // Both rules evaluate in ONE projection over the spine (RegionOf and
+  // the new WindRegion expression share the broadcast layer); counts
+  // per (rule, region) plus the per-region differ count pin the exact
+  // disagreement set. Oracle: the same edge VALUES with parity HAVING
+  // for even-odd and SUM of signed crossings for nonzero. -------------------
+  private lazy val fillPolys: Array[graft.core.Polygon] = Array(
+    // two overlapping CCW squares in ONE polygon's ring set
+    graft.core.Polygon(1,
+      Array[Double](10, 30, 30, 10, 20, 40, 40, 20),
+      Array[Double](10, 10, 30, 30, 20, 20, 40, 40), Array(0, 4)),
+    // outer CCW + hole CW: the conventional holed polygon
+    graft.core.Polygon(2,
+      Array[Double](50, 80, 80, 50, 60, 60, 70, 70),
+      Array[Double](10, 10, 40, 40, 20, 30, 30, 20), Array(0, 4)),
+    // disjoint control square
+    graft.core.Polygon(3,
+      Array[Double](5, 25, 25, 5), Array[Double](50, 50, 60, 60)))
+
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val both = spine(s).select(
+      region_of_neg1(pxCol(cellCol), pyCol(cellCol), fillPolys).as("eo"),
+      graft.sql.GraftFunctions
+        .wind_region(pxCol(cellCol), pyCol(cellCol), fillPolys).as("wn"))
+    val eo = both.filter(col("eo") >= 0).groupBy(col("eo").as("region_id"))
+      .agg(count(lit(1)).as("n")).withColumn("rule", lit("evenodd"))
+    val wn = both.filter(col("wn") >= 0).groupBy(col("wn").as("region_id"))
+      .agg(count(lit(1)).as("n")).withColumn("rule", lit("nonzero"))
+    val diff = both.filter(col("eo") =!= col("wn"))
+      .groupBy(greatest(col("eo"), col("wn")).as("region_id"))
+      .agg(count(lit(1)).as("n")).withColumn("rule", lit("differ"))
+    eo.unionByName(wn).unionByName(diff)
+      .select(col("rule"), col("region_id"), col("n"))
+      .orderBy("rule", "region_id")
+  }
+
+  private def q194Sql: String = {
+    val edges = edgesValuesOf(fillPolys)
+    s"""$cellsCte,
+       |edges(region_id, x1, y1, x2, y2) AS (VALUES $edges),
+       |pts AS (SELECT cell_id, ${pxSql("cell_id")} AS px,
+       |    ${pySql("cell_id")} AS py FROM cells),
+       |cr AS (SELECT p.cell_id, e.region_id,
+       |    COUNT(*) AS k,
+       |    SUM(CASE WHEN e.y2 > e.y1 THEN 1 ELSE -1 END) AS w
+       |  FROM pts p JOIN edges e
+       |    ON ((e.y1 > p.py) != (e.y2 > p.py))
+       |   AND p.px < e.x1 + (e.x2 - e.x1) * (p.py - e.y1) / (e.y2 - e.y1)
+       |  GROUP BY 1, 2),
+       |eo AS (SELECT cell_id, MIN(region_id) AS r FROM cr
+       |  WHERE k % 2 = 1 GROUP BY 1),
+       |wn AS (SELECT cell_id, MIN(region_id) AS r FROM cr
+       |  WHERE w <> 0 GROUP BY 1),
+       |u AS (
+       |  SELECT 'evenodd' AS rule, r AS region_id, COUNT(*) AS n
+       |    FROM eo GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'nonzero', r, COUNT(*) FROM wn GROUP BY 2
+       |  UNION ALL
+       |  SELECT 'differ', GREATEST(COALESCE(e.r, -1), COALESCE(w.r, -1)),
+       |      COUNT(*)
+       |    FROM eo e FULL JOIN wn w ON w.cell_id = e.cell_id
+       |    WHERE COALESCE(e.r, -1) <> COALESCE(w.r, -1)
+       |    GROUP BY 2)
+       |SELECT rule, CAST(region_id AS INT) AS region_id,
+       |  CAST(n AS BIGINT) AS n
+       |FROM u ORDER BY rule, region_id""".stripMargin
   }
 
   private def q168Sql: String =

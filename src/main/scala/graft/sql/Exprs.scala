@@ -97,6 +97,32 @@ case class RegionOf(left: Expression, right: Expression, polys: Array[Polygon],
     copy(left = newLeft, right = newRight)
 }
 
+/** Region lookup under the NONZERO (winding-number) fill rule — the
+  * q194 dual of RegionOf's even-odd parity (Geom.windRegionOf): -1
+  * when every polygon's winding is zero. Same broadcast-polys,
+  * codegen-call shape as RegionOf. */
+case class WindRegion(left: Expression, right: Expression,
+    polys: Array[Polygon])
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(px: Any, py: Any): Any =
+    Geom.windRegionOf(polys, px.asInstanceOf[Double], py.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polysRef = ctx.addReferenceObj("polys", polys,
+      classOf[Polygon].getName + "[]")
+    val geom = Geom.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (px, py) =>
+      s"${ev.value} = $geom.windRegionOf($polysRef, $px, $py);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random access into an f32 tile payload: float element at flat index
   * (band * nPixels + pixel). Pairs with an exploded pixel index to give
   * the fused scan->decode->classify pipeline zero per-cell allocation:
@@ -3057,6 +3083,10 @@ object GraftFunctions {
   def haar_stats(bytes: Column, fmt: Column, nPixels: Int, band: Int,
       tile: Int): Column =
     column(HaarStats(expression(bytes), expression(fmt), nPixels, band, tile))
+
+  /** Region id under the nonzero (winding) fill rule; -1 outside. */
+  def wind_region(px: Column, py: Column, polys: Array[Polygon]): Column =
+    column(WindRegion(expression(px), expression(py), polys))
 
   /** Per-pixel 8-bit local binary pattern codes over a halo-padded
     * tile patch; -1 for out-of-grid cores. */

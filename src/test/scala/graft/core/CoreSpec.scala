@@ -251,6 +251,32 @@ class GeomSpec extends AnyFunSuite with SeededChecks {
     assert(anyPartial,
       "fixture degenerate: no PA straddles a region boundary")
   }
+
+  test("winding number: agrees with even-odd on simple and holed rings, " +
+    "diverges exactly on same-orientation overlap") {
+    import graft.core.{Geom, Polygon}
+    val simple = Polygon(1, Array[Double](0, 10, 10, 0),
+      Array[Double](0, 0, 10, 10))
+    val holed = Polygon(2, Array[Double](0, 10, 10, 0, 3, 3, 7, 7),
+      Array[Double](0, 0, 10, 10, 3, 7, 7, 3), Array(0, 4))
+    val overlap = Polygon(3, Array[Double](0, 10, 10, 0, 5, 15, 15, 5),
+      Array[Double](0, 0, 10, 10, 5, 5, 15, 15), Array(0, 4))
+    val probes = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x + 0.5, y + 0.5)
+    probes.foreach { case (x, y) =>
+      assert((simple.winding(x, y) != 0) == simple.contains(x, y))
+      assert((holed.winding(x, y) != 0) == holed.contains(x, y))
+    }
+    // the overlap square: even-odd empties it, winding counts 2
+    assert(!overlap.contains(7.5, 7.5) && overlap.winding(7.5, 7.5) == 2)
+    assert(overlap.contains(2.5, 2.5) && overlap.winding(2.5, 2.5) == 1)
+    // the overlap zone (5..10)² is inside BOTH polygons: lowest id wins
+    assert(Geom.windRegionOf(Array(simple, overlap), 7.5, 7.5) == 1)
+    // alone, the nonzero rule keeps the overlap zone (even-odd wouldn't)
+    assert(Geom.windRegionOf(Array(overlap), 7.5, 7.5) == 3)
+    assert(Geom.windRegionOf(Array(simple, overlap), 12.5, 7.5) == 3)
+    assert(Geom.windRegionOf(Array(simple, overlap), 20.5, 2.5) == -1)
+  }
 }
 
 class CoveringSpec extends AnyFunSuite with SeededChecks {
