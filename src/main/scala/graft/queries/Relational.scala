@@ -78,7 +78,8 @@ object Relational {
     Q("q136_cube_report", q136, Some(q136Sql)),
     Q("q137_transitions", q137, Some(q137Sql)),
     Q("q138_retention", q138, Some(q138Sql)),
-    Q("q155_mann_kendall", q155, Some(q155Sql))
+    Q("q155_mann_kendall", q155, Some(q155Sql)),
+    Q("q195_unpivot", q195, Some(q195Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1568,4 +1569,41 @@ object Relational {
       |FROM ties JOIN s ON ties.user_id = s.user_id
       |  JOIN sen ON ties.user_id = sen.user_id
       |ORDER BY 1""".stripMargin
+
+  // --- q195: UNPIVOT/MELT — the wide→long dual of q16's pivot, via
+  // Spark's NATIVE Dataset.unpivot (not a hand-rolled stack/explode):
+  // lineitem's four measure columns melt to (measure, value) rows and
+  // aggregate per (returnflag, measure). Aggregates are order-free on
+  // doubles by construction — COUNT plus MIN/MAX only (a SUM over
+  // melted cents would be association-dependent and driver-red). The
+  // oracle reconstructs the melt as a UNION ALL of per-measure
+  // selects — the pre-UNPIVOT formulation every warehouse migration
+  // rewrites away. ----------------------------------------------------------
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .orderBy("l_returnflag", "measure")
+
+  private val q195Sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+      |    FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+      |SELECT l_returnflag, measure, COUNT(*) AS n,
+      |  MIN(value) AS mn, MAX(value) AS mx
+      |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }
