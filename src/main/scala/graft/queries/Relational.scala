@@ -79,7 +79,8 @@ object Relational {
     Q("q137_transitions", q137, Some(q137Sql)),
     Q("q138_retention", q138, Some(q138Sql)),
     Q("q155_mann_kendall", q155, Some(q155Sql)),
-    Q("q195_unpivot", q195, Some(q195Sql))
+    Q("q195_unpivot", q195, Some(q195Sql)),
+    Q("q196_grouping_sets", q196, Some(q196Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1591,6 +1592,35 @@ object Relational {
       .agg(count(lit(1)).as("n"), min(col("value")).as("mn"),
         max(col("value")).as("mx"))
       .orderBy("l_returnflag", "measure")
+
+  // --- q196: explicit GROUPING SETS — the general form the q107
+  // rollup and q136 cube are shorthands for, with a NON-hierarchical,
+  // NON-power-set selection ((flag,status), (flag), (status)) that
+  // neither shorthand can express (no grand total on purpose: its
+  // absence proves the set list is honored, not expanded to a cube).
+  // grouping_id() disambiguates which set produced each row — REQUIRED
+  // for correctness because a NULL group key is otherwise ambiguous
+  // with a real NULL. Engine: Spark 4's native Dataset.groupingSets.
+  // Oracle: DuckDB GROUPING SETS with the same id arithmetic. ---------------
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+      .orderBy("gid", "l_returnflag", "l_linestatus")
+
+  private val q196Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+      |    AS gid,
+      |  COUNT(*) AS n, SUM(l_quantity) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus))
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
   private val q195Sql =
     """WITH m AS (
