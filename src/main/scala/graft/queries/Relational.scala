@@ -80,7 +80,9 @@ object Relational {
     Q("q138_retention", q138, Some(q138Sql)),
     Q("q155_mann_kendall", q155, Some(q155Sql)),
     Q("q195_unpivot", q195, Some(q195Sql)),
-    Q("q196_grouping_sets", q196, Some(q196Sql))
+    Q("q196_grouping_sets", q196, Some(q196Sql)),
+    Q("q197_rank_windows", q197, Some(q197Sql)),
+    Q("q198_intersect_except", q198, Some(q198Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1621,6 +1623,94 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
       |  (l_returnflag), (l_linestatus))
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  // --- q197: the RANKING-WINDOW family in one frame — rank,
+  // dense_rank, ntile(4), percent_rank, cume_dist over (nation,
+  // ORDER BY acctbal DESC, custkey) on customer. The unique custkey
+  // tie-break makes every function deterministic; percent_rank and
+  // cume_dist are emitted as EXACT INTEGER numerators against the
+  //群-size/rank denominators ((rank−1) and cume count vs (n−1) and n)
+  // so no float ratio enters the compare. A top-per-group filter keeps
+  // the pinned surface small while still crossing ntile bucket
+  // boundaries. Oracle: the identical windows in DuckDB. --------------------
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        (count(lit(1)).over(Window.partitionBy("c_nationkey")) - 1)
+          .as("pr_den"),
+        count(lit(1)).over(Window.partitionBy("c_nationkey"))
+          .as("cd_den"),
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cd_num"))
+      .withColumn("pr_num", col("rnk") - 1)
+      .filter(col("rnk") <= 12)
+      .select("c_nationkey", "c_custkey", "rnk", "drnk", "quartile",
+        "pr_num", "pr_den", "cd_num", "cd_den")
+      .orderBy("c_nationkey", "rnk")
+  }
+
+  private val q197Sql =
+    """WITH w AS (SELECT c_nationkey, c_custkey,
+      |    RANK() OVER win AS rnk,
+      |    DENSE_RANK() OVER win AS drnk,
+      |    NTILE(4) OVER win AS quartile,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) - 1 AS pr_den,
+      |    COUNT(*) OVER (PARTITION BY c_nationkey) AS cd_den,
+      |    COUNT(*) OVER (win RANGE BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cd_num
+      |  FROM customer
+      |  WINDOW win AS (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey))
+      |SELECT c_nationkey, c_custkey, CAST(rnk AS INT) AS rnk,
+      |  CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile,
+      |  CAST(rnk - 1 AS INT) AS pr_num, CAST(pr_den AS BIGINT) AS pr_den,
+      |  CAST(cd_num AS BIGINT) AS cd_num, CAST(cd_den AS BIGINT) AS cd_den
+      |FROM w WHERE rnk <= 12
+      |ORDER BY c_nationkey, rnk""".stripMargin
+
+  // --- q198: INTERSECT / EXCEPT — the set operators SURVEY §2.7 marks
+  // n/a in the reference, implemented anyway for engine completeness
+  // (Spark's native INTERSECT [DISTINCT] and EXCEPT [DISTINCT]): the
+  // customer-key sets of two disjoint order-priority slices, reported
+  // as one tagged union of both set differences and the intersection —
+  // counts pin the set algebra (|A∩B| + |A\B| = |A|distinct). --------------
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val b = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(col("o_custkey"))
+    a.intersect(b).withColumn("which", lit("both"))
+      .unionByName(a.except(b).withColumn("which", lit("only_urgent")))
+      .unionByName(b.except(a).withColumn("which", lit("only_high")))
+      .groupBy("which")
+      .agg(count(lit(1)).as("n"), min(col("o_custkey")).as("mn"),
+        max(col("o_custkey")).as("mx"), sum(col("o_custkey")).as("s"))
+      .orderBy("which")
+  }
+
+  private val q198Sql =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |    WHERE o_orderpriority = '1-URGENT'),
+      |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+      |u AS (
+      |  SELECT 'both' AS which, o_custkey FROM
+      |    (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT 'only_urgent', o_custkey FROM
+      |    (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT 'only_high', o_custkey FROM
+      |    (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a))
+      |SELECT which, COUNT(*) AS n, MIN(o_custkey) AS mn,
+      |  MAX(o_custkey) AS mx, SUM(o_custkey) AS s
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val q195Sql =
     """WITH m AS (
