@@ -1629,7 +1629,7 @@ object Relational {
   // ORDER BY acctbal DESC, custkey) on customer. The unique custkey
   // tie-break makes every function deterministic; percent_rank and
   // cume_dist are emitted as EXACT INTEGER numerators against the
-  //群-size/rank denominators ((rank−1) and cume count vs (n−1) and n)
+  // group-size/rank denominators ((rank-1) and cume count vs (n-1), n)
   // so no float ratio enters the compare. A top-per-group filter keeps
   // the pinned surface small while still crossing ntile bucket
   // boundaries. Oracle: the identical windows in DuckDB. --------------------
@@ -1709,7 +1709,7 @@ object Relational {
       |  SELECT 'only_high', o_custkey FROM
       |    (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a))
       |SELECT which, COUNT(*) AS n, MIN(o_custkey) AS mn,
-      |  MAX(o_custkey) AS mx, SUM(o_custkey) AS s
+      |  MAX(o_custkey) AS mx, CAST(SUM(o_custkey) AS BIGINT) AS s
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
   private val q195Sql =
