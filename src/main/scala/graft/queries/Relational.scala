@@ -82,7 +82,8 @@ object Relational {
     Q("q195_unpivot", q195, Some(q195Sql)),
     Q("q196_grouping_sets", q196, Some(q196Sql)),
     Q("q197_rank_windows", q197, Some(q197Sql)),
-    Q("q198_intersect_except", q198, Some(q198Sql))
+    Q("q198_intersect_except", q198, Some(q198Sql)),
+    Q("q199_heavy_hitters", q199, Some(q199Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1711,6 +1712,39 @@ object Relational {
       |SELECT which, COUNT(*) AS n, MIN(o_custkey) AS mn,
       |  MAX(o_custkey) AS mx, CAST(SUM(o_custkey) AS BIGINT) AS s
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- q199: EXACT HEAVY HITTERS by the two-pass Misra-Gries shape —
+  // the frequent-items operator count-min (q91) cannot close (CMS
+  // answers point queries; it cannot ENUMERATE the heavy set): pass 1
+  // runs the MG sketch as one typed aggregation (capacity = the
+  // threshold denominator, so NO key with count > n/denom can be
+  // evicted regardless of partitioning or merge order — the MG
+  // invariant), pass 2 exact-counts only the ≤ k candidates through a
+  // broadcast semi-join and applies the integer threshold
+  // denom·count > n. Output = the exact heavy-hitter set, partition-
+  // layout-invariant by the guarantee + re-filter. Oracle: the full
+  // GROUP BY ... HAVING the sketch exists to avoid. ------------------------
+  private val HhDenom = 1400
+
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keys = t(s, dir, "lineitem").select(col("l_partkey")).as[Long]
+    val total = keys.count()
+    val cands = keys
+      .select(new graft.engine.HeavyHitters.MgAgg(HhDenom).toColumn)
+      .head()
+    keys.toDF("l_partkey")
+      .join(broadcast(cands.toSeq.toDF("l_partkey")), Seq("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhDenom > total)
+      .orderBy("l_partkey")
+  }
+
+  private val q199Sql =
+    s"""SELECT l_partkey, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY 1
+      |HAVING COUNT(*) * $HhDenom > (SELECT COUNT(*) FROM lineitem)
+      |ORDER BY 1""".stripMargin
 
   private val q195Sql =
     """WITH m AS (
