@@ -83,7 +83,8 @@ object Relational {
     Q("q196_grouping_sets", q196, Some(q196Sql)),
     Q("q197_rank_windows", q197, Some(q197Sql)),
     Q("q198_intersect_except", q198, Some(q198Sql)),
-    Q("q199_heavy_hitters", q199, Some(q199Sql))
+    Q("q199_heavy_hitters", q199, Some(q199Sql)),
+    Q("q200_incremental_agg", q200, Some(q200Sql))
   )
 
   // --- q109: PER-GROUP exact quantiles — q88's histogram refinement
@@ -1745,6 +1746,55 @@ object Relational {
       |FROM lineitem GROUP BY 1
       |HAVING COUNT(*) * $HhDenom > (SELECT COUNT(*) FROM lineitem)
       |ORDER BY 1""".stripMargin
+
+  // --- q200: INCREMENTAL VIEW MAINTENANCE — merge a CDC delta into a
+  // materialized aggregate WITHOUT rescanning the base (the streaming-
+  // warehouse primitive behind every "refresh incrementally" claim):
+  // the delta batch (deterministic h2-sampled deletes of existing rows
+  // + modified-copy inserts) aggregates ALONE with ±1 signs and merges
+  // with the base aggregate by one tiny grouped sum — additive
+  // measures only (counts and integer-valued qty sums, so double
+  // addition is exact and order-free). The ORACLE materializes the
+  // post-change table instead — anti-join the deletes, union the
+  // inserts, aggregate from scratch — so incremental-merge algebra is
+  // checked against full recomputation, the IVM gold-standard test,
+  // with zero shared shape. --------------------------------------------------
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import graft.world.World
+    val li = t(s, dir, "lineitem")
+    val rowKey = col("l_orderkey") * 7 + col("l_linenumber")
+    val base = li.select(col("l_returnflag"), col("l_quantity"))
+    val deletes = li.filter(World.h2Col(rowKey) % 37 === 0)
+      .select(col("l_returnflag"), col("l_quantity"),
+        lit(-1L).as("sign"))
+    val inserts = li.filter(World.h2Col(rowKey) % 41 === 0)
+      .select(col("l_returnflag"), (col("l_quantity") + 5).as("l_quantity"),
+        lit(1L).as("sign"))
+    val baseAgg = base.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    val deltaAgg = deletes.unionByName(inserts).groupBy("l_returnflag")
+      .agg(sum(col("sign") * col("l_quantity")).as("qty"),
+        sum(col("sign")).as("n"))
+    baseAgg.unionByName(deltaAgg)
+      .groupBy("l_returnflag")
+      .agg(sum(col("qty")).as("qty"), sum(col("n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q200Sql = {
+    def h(k: String) = s"((($k) * 2654435761) % 4294967296)"
+    def h2(k: String) = h(s"${h(k)} // 65536")
+    val key = "(l_orderkey * 7 + l_linenumber)"
+    s"""WITH post AS (
+      |  SELECT l_returnflag, l_quantity FROM lineitem
+      |    WHERE ${h2(key)} % 37 <> 0
+      |  UNION ALL
+      |  SELECT l_returnflag, l_quantity + 5 FROM lineitem
+      |    WHERE ${h2(key)} % 41 = 0)
+      |SELECT l_returnflag, SUM(l_quantity) AS qty,
+      |  COUNT(*) AS n
+      |FROM post GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   private val q195Sql =
     """WITH m AS (

@@ -61,7 +61,8 @@ object PlanDump {
     "q189_repeat_visits", "q190_euler_characteristic",
     "q191_point_extract", "q192_confusion_matrix", "q193_affine_warp",
     "q194_fill_rules", "q195_unpivot", "q196_grouping_sets",
-    "q197_rank_windows", "q198_intersect_except", "q199_heavy_hitters")
+    "q197_rank_windows", "q198_intersect_except", "q199_heavy_hitters",
+    "q200_incremental_agg")
   // q186 is omitted: its plan is q39's shape verbatim (the WKB layer
   // only changes which codec built the broadcast polygons).
   // q183 is omitted like q119/q56: its registered plan ends in the
