@@ -190,7 +190,7 @@ object TextOps {
       .minhash_sigs(col("text"), mhParams, MersennePrime)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), sig.as("sig"),
-        array_distinct(shingles(col("text"))).as("sh"))
+        shPacked(col("text")).as("sh"))
       .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
         col("sig").getItem(1).as("mh1"), col("sh"))
       .truncated(s)
@@ -198,7 +198,8 @@ object TextOps {
       col("sh").as("sha"))
     val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
       col("sh").as("shb"))
-    val inter = size(array_intersect(col("sha"), col("shb")))
+    val inter = graft.sql.GraftFunctions
+      .sorted_inter_size(col("sha"), col("shb"))
     val union = size(col("sha")) + size(col("shb")) - inter
     // Shuffled equi-join on the signature key — at 10^12 docs neither
     // side fits in memory, so no data-side broadcast; a hot signature
@@ -250,6 +251,23 @@ object TextOps {
     (ascii(substring(g, 1, 1)).cast("long") * 961 +
       ascii(substring(g, 2, 1)).cast("long") * 31 +
       ascii(substring(g, 3, 1)).cast("long"))
+
+  /** The distinct 3-gram SET as SORTED packed 63-bit longs (the Sh3Set
+    * codegen expression): each of the three codepoints fits 21 bits
+    * (Unicode max 0x10FFFF), so cp0·2^42 + cp1·2^21 + cp2 is INJECTIVE
+    * over all 3-char strings — the packed set has exactly the string
+    * set's cardinality and exactly its pairwise intersection sizes, so
+    * any Jaccard computed from it is bit-identical to the string-list
+    * formulation the oracle runs. Used by the q54/q56 verify joins: an
+    * 8-byte long per gram instead of a 3-char UTF8String (~19 bytes
+    * with offsets) both on the wire (the shingle sets ARE the shuffle
+    * payload of the signature-bucket self-join) and in the per-pair
+    * intersect, which becomes an allocation-free sorted merge-count
+    * (SortedInterSize) instead of array_intersect's per-pair boxed hash
+    * set — guide §2.3 "narrower types / shuffle fewer bytes" + §1.2
+    * "per-task work". */
+  private def shPacked(text: Column): Column =
+    graft.sql.GraftFunctions.sh3_set(text)
 
   private val shinglesSql =
     "list_transform(generate_series(1, length(text) - 2), i -> substr(text, i, 3))"
@@ -1068,7 +1086,7 @@ object TextOps {
       .minhash_sigs(col("text"), mhParams, MersennePrime)
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), sig.as("sig"),
-        array_distinct(shingles(col("text"))).as("sh"))
+        shPacked(col("text")).as("sh"))
       .select(col("doc_id"), col("sig").getItem(0).as("mh0"),
         col("sig").getItem(1).as("mh1"), col("sh"))
       .truncated(s)
@@ -1076,12 +1094,24 @@ object TextOps {
       col("sh").as("sha"))
     val b = docs.select(col("mh0"), col("mh1"), col("doc_id").as("doc_b"),
       col("sh").as("shb"))
-    val inter = size(array_intersect(col("sha"), col("shb")))
+    val inter = graft.sql.GraftFunctions
+      .sorted_inter_size(col("sha"), col("shb"))
     val union = size(col("sha")) + size(col("shb")) - inter
+    // SIZE GATE before the per-pair intersect: J = I/(|A|+|B|-I) with
+    // I <= min(|A|,|B|) gives J <= min/max, so any pair with
+    // 5*min(|A|,|B|) < 4*max(|A|,|B|) (exact integers, = min/max < 0.8)
+    // cannot reach the 0.8 threshold and is dropped WITHOUT building
+    // the intersection hash set — the conjuncts evaluate left-to-right
+    // in codegen, so only size-compatible candidates pay the O(|A|+|B|)
+    // intersect. Pure pruning: the kept pairs' Jaccard test is
+    // unchanged, so the surviving edge set is identical.
+    val sza = size(col("sha"))
+    val szb = size(col("shb"))
     val verified = graft.engine.Salted
       .skewJoin(a, b, Seq("mh0", "mh1"), col("doc_a"),
         salts = 8, hotThreshold = 64)
       .filter(col("doc_a") < col("doc_b") &&
+        least(sza, szb) * 5 >= greatest(sza, szb) * 4 &&
         inter.cast("double") / union >= JacThreshold)
       .select(col("doc_a"), col("doc_b"))
     // cluster + keeper selection via the shared min-label propagation

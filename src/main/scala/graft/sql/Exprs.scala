@@ -2639,6 +2639,109 @@ object MinHashSigs {
   }
 }
 
+/** The DISTINCT 3-char-shingle set of a document as a SORTED array of
+  * packed 63-bit longs, in one pass over its code points: each shingle
+  * packs as cp0·2^42 + cp1·2^21 + cp2 (every Unicode code point fits 21
+  * bits, so the packing is INJECTIVE — the packed set has exactly the
+  * string shingle set's cardinality and exactly its pairwise
+  * intersection sizes). Equivalent to
+  * `array_sort(array_distinct(transform(shingles(text), pack)))` but
+  * with zero per-shingle allocation (no UTF8String windows, no boxed
+  * hash set): one primitive long[] of window codes, sorted and deduped
+  * in place. Sorted ascending so [[SortedInterSize]] can merge-count
+  * pairs without building a per-pair hash set. Null for texts shorter
+  * than one window, matching MinHashSigs (no shingles exist). */
+case class Sh3Set(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    Sh3Set.eval(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Sh3Set.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, t => {
+      val r = ctx.freshName("shSet")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $cls.eval($t);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Sh3Set {
+  /** Code-point walk (not charAt), the MinHashSigs discipline. */
+  def eval(t: UTF8String): ArrayData = {
+    val cps = t.toString.codePoints().toArray
+    val n = cps.length
+    if (n < 3) return null
+    val codes = new Array[Long](n - 2)
+    var i = 0
+    while (i + 2 < n) {
+      codes(i) = (cps(i).toLong << 42) | (cps(i + 1).toLong << 21) |
+        cps(i + 2).toLong
+      i += 1
+    }
+    java.util.Arrays.sort(codes)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < codes.length) {
+      if (w == 0 || codes(i) != codes(w - 1)) { codes(w) = codes(i); w += 1 }
+      i += 1
+    }
+    ArrayData.toArrayData(
+      if (w == codes.length) codes else java.util.Arrays.copyOf(codes, w))
+  }
+}
+
+/** |A ∩ B| of two SORTED DISTINCT long arrays by linear merge — the
+  * per-pair verify kernel of the MinHash dedup family. Equivalent to
+  * `size(array_intersect(a, b))` on distinct inputs, but with zero
+  * per-pair allocation: `array_intersect` builds a boxed hash set per
+  * evaluation, which at millions of candidate pairs × thousands of
+  * shingles per document is the dominant cost of the verify stage
+  * (guide §1.2 "per-task work"). Inputs MUST be sorted ascending and
+  * duplicate-free ([[Sh3Set]] emits exactly that); violating either
+  * undercounts, so the only producers are the sorted-set expressions. */
+case class SortedInterSize(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedInterSize.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SortedInterSize.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls.eval($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object SortedInterSize {
+  def eval(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** 16-bit SimHash over space-separated tokens in ONE pass: token code =
   * cp0*961 + cp1*31 + cp2 over the token's first three code points
   * (missing -> 0, matching ascii(substr(tk, i, 1)) with '' -> 0); per
@@ -3114,4 +3217,12 @@ object GraftFunctions {
       prime: Long): Column =
     column(MinHashSigs(expression(text), params.map(_._1).toArray,
       params.map(_._2).toArray, prime))
+
+  /** Distinct 3-char-shingle set as a sorted packed-long array. */
+  def sh3_set(text: Column): Column =
+    column(Sh3Set(expression(text)))
+
+  /** |A ∩ B| of two sorted distinct long arrays (zero allocation). */
+  def sorted_inter_size(a: Column, b: Column): Column =
+    column(SortedInterSize(expression(a), expression(b)))
 }
