@@ -44,7 +44,7 @@ object PageRank {
       nodes.join(outdeg, Seq("node"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val rd = ranks.join(deg, Seq("node"))
       val contrib = rd.filter(col("outdeg") > 0)
         .join(edges, col("node") === col("src"))
@@ -54,11 +54,19 @@ object PageRank {
       val dang = rd.filter(col("outdeg") === 0)
         .agg(coalesce(sum("r"), lit(0L)).as("ds"))
         .select(expr(s"(ds * 85) div (100 * $nV)").as("share"))
-      ranks = Checkpoint.truncate(s,
-        nodes.join(contrib, Seq("node"), "left").crossJoin(dang)
-          .select(col("node"),
-            (lit(150000L) + coalesce(col("cs"), lit(0L)) + col("share"))
-              .as("r")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(150000L) + coalesce(col("cs"), lit(0L)) + col("share"))
+            .as("r"))
+      // truncate every OTHER iteration: ranks is referenced twice per
+      // iteration (contrib + dangling), so one un-truncated level costs
+      // at most a double evaluation of one small join over materialized
+      // leaves, while halving the eager checkpoint jobs of the loop;
+      // deeper un-truncated nesting would compound 2^k references,
+      // hence never more than one deferred level
+      ranks = if (i % 2 == 0 || i == iters) Checkpoint.truncate(s, next)
+              else next
     }
     ranks
   }

@@ -1524,15 +1524,33 @@ object Relational {
           ((col("t2") - col("tus")).cast("double") / lit(1000000.0)))
           .as("slope"),
         col("eid"), col("e2"))
-    val sStat = pairs.groupBy("user_id").agg(sum("sgn").as("s_stat"))
-    val sl = pairs.filter(col("slope").isNotNull)
-    val w = Window.partitionBy("user_id").orderBy("slope", "eid", "e2")
-    val sen = sl
-      .withColumn("rn", row_number().over(w))
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("user_id")))
-      .filter(col("rn") === // lower median: rn = (m+1) div 2
-        floor((col("m") + lit(1)) / lit(2)).cast("int"))
-      .select(col("user_id"), col("slope").as("sen_slope"))
+    // S-statistic and Sen median in ONE pass over the O(events²/user)
+    // pair frame: one exchange on user_id feeds the ranking window, the
+    // per-user counts (same partition spec, no extra exchange) and the
+    // final aggregation (already partitioned by the window's exchange).
+    // The separate sStat-aggregate + filtered-median branches evaluated
+    // the pair self-join TWICE and shuffled it twice. NULL slopes
+    // (non-positive dt) sort FIRST, so among-non-null rank = rn - nNull
+    // and the lower median sits at rn = nNull + (m+1) div 2 — the same
+    // element the filtered formulation selected; rows tied inside the
+    // null prefix never influence that index. A user with pairs but no
+    // positive-dt pair has no median row (the when() never fires) and
+    // is dropped by the isNotNull filter, exactly like the old inner
+    // join against the filtered sen frame.
+    val wAll = Window.partitionBy("user_id")
+      .orderBy(asc_nulls_first("slope"), col("eid"), col("e2"))
+    val wPart = Window.partitionBy("user_id")
+    val senStat = pairs
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("m", count(col("slope")).over(wPart))
+      .withColumn("nn", count(lit(1)).over(wPart))
+      .groupBy("user_id")
+      .agg(sum("sgn").as("s_stat"),
+        max(when(col("rn") ===
+            (col("nn") - col("m") +
+              floor((col("m") + lit(1)) / lit(2))).cast("int"),
+          col("slope"))).as("sen_slope"))
+      .filter(col("sen_slope").isNotNull)
     val ties = ev.groupBy("user_id", "v").agg(count(lit(1)).as("t"))
       .groupBy("user_id")
       .agg(sum(col("t")).as("n"),
@@ -1540,7 +1558,7 @@ object Relational {
       .select(col("user_id"), col("n"),
         (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
           .as("var18"))
-    ties.join(sStat, "user_id").join(sen, "user_id")
+    ties.join(senStat, "user_id")
       .select(col("user_id"), col("n"), col("s_stat"), col("var18"),
         col("sen_slope"))
       .orderBy("user_id")

@@ -2581,7 +2581,11 @@ object Spatial {
     // also exactly what a 100-TB run does with a derived edge list it
     // is about to iterate over.
     val edges = graft.engine.Checkpoint.truncateOnce(s, d8Edges(s))
-    graft.engine.Propagate.sumRounds(s, nodes, edges, AccRounds)
+    // D8 emits exactly one out-edge per non-sink cell (functional), so
+    // the path-doubling kernel computes the identical 8-round
+    // accumulation with 3 self-joins + 1 aggregation instead of 8
+    // join+aggregate rounds (see Propagate.sumRoundsFunctional).
+    graft.engine.Propagate.sumRoundsFunctional(s, nodes, edges, AccRounds)
       .select(col("node").as("cell_id"), col("acc"))
       .orderBy("cell_id")
   }
@@ -5924,9 +5928,14 @@ object Spatial {
       shiftright(col("y"), 4).as("cy"))
     val d2 = (col("x") - col("qx")) * (col("x") - col("qx")) +
       (col("y") - col("qy")) * (col("y") - col("qy"))
-    val cand = probe.join(build, Seq("cx", "cy"))
-      .filter(d2 <= DbEps2)
-      .select(col("pid"), col("qid"))
+    // materialized ONCE: the eps-neighborhood pair frame feeds three
+    // consumers (core counting, core-core edge generation, border
+    // assignment) — un-truncated, each consumer re-evaluates the 3×3
+    // bucket join and its broadcast builds
+    val cand = graft.engine.Checkpoint.truncate(s,
+      probe.join(build, Seq("cx", "cy"))
+        .filter(d2 <= DbEps2)
+        .select(col("pid"), col("qid")))
     val coreSet = cand.groupBy("pid").agg(count(lit(1)).as("nn"))
       .filter(col("nn") >= 5).select(col("pid").as("cpid"))
     val edges = cand
