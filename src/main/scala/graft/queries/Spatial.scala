@@ -2464,7 +2464,11 @@ object Spatial {
     * cell is ~a hundred integer ops inside one codegen projection with
     * ZERO shuffle, the 100-TB shape (the oracle instead stages an `el`
     * CTE and left-joins it 8 times, which is fine at oracle scale). */
-  private def d8Candidates(s: SparkSession): DataFrame = {
+  // NOTE: d8Candidates/d8Pick below are retained as the EXECUTABLE SPEC
+  // of sql/Exprs.D8Pick (D8PickSpec asserts frame equality over every
+  // grid cell); the query path itself uses the compact expression via
+  // d8pickDF — see its scaladoc for the Janino 64 KB rationale.
+  private[graft] def d8Candidates(s: SparkSession): DataFrame = {
     // stage the 9 elevation evaluations as columns first (self + 8
     // neighbors; out-of-grid neighbor elevations are computed but
     // guarded out below), so the candidate projection references each
@@ -2510,7 +2514,7 @@ object Spatial {
   /** dir/dst when-chain over a candidate row — checking codes in
     * ascending order makes equal-weighted-drop ties break to the
     * smallest code, identically in both engines. */
-  private def d8Pick: (Column, Column, Column) = {
+  private[graft] def d8Pick: (Column, Column, Column) = {
     val best = greatest(D8.map { case (code, _, _, _) => col(s"wd$code") }: _*)
     val dir = D8.foldLeft(when(best === 0, 0)) { case (c, (code, _, _, _)) =>
       c.when(col(s"wd$code") === best, code)
@@ -2531,13 +2535,22 @@ object Spatial {
     (best, chain(c => c.toString, "0"), chain(c => s"n$c", "-1"))
   }
 
-  private def q126(s: SparkSession, dir: String): DataFrame = {
-    val (best, dirC, dstC) = d8Pick
-    d8Candidates(s)
-      .select(cellCol, best.as("wdrop"), dirC.as("dir"), dstC.as("dst"))
-      .select(cellCol, col("dir"), col("dst"), col("wdrop"))
+  /** The D8 pick as ONE compact codegen expression (sql/Exprs.D8Pick):
+    * the equivalent Column composition ([[d8Candidates]] + [[d8Pick]])
+    * generated a whole-stage method past Janino's 64 KB limit — every
+    * fresh plan paid a multi-second failed compile, then evaluated the
+    * ~2000-node tree interpreted (measured 4.5 s per q127 edge
+    * materialization at sf0.1). D8PickSpec pins bit-equality against
+    * the original composition over every grid cell. */
+  private def d8pickDF(s: SparkSession): DataFrame =
+    spine(s).select(cellCol, graft.sql.GraftFunctions
+      .d8_pick(cellCol, spec.rows, C, TerrB, TerrCX).as("d8"))
+
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    d8pickDF(s)
+      .select(cellCol, col("d8.dir").as("dir"), col("d8.dst").as("dst"),
+        col("d8.wdrop").as("wdrop"))
       .orderBy("cell_id")
-  }
 
   private def q126Sql: String = {
     val (best, dirS, dstS) = d8PickSql
@@ -2552,13 +2565,10 @@ object Spatial {
   }
 
   /** D8 drainage edges `(src, dst)` — one out-edge per non-sink cell. */
-  private def d8Edges(s: SparkSession): DataFrame = {
-    val (best, _, dstC) = d8Pick
-    d8Candidates(s)
-      .select(cellCol.as("src"), best.as("wdrop"), dstC.as("dst"))
-      .filter(col("wdrop") > 0)
-      .select(col("src"), col("dst"))
-  }
+  private def d8Edges(s: SparkSession): DataFrame =
+    d8pickDF(s)
+      .filter(col("d8.wdrop") > 0)
+      .select(cellCol.as("src"), col("d8.dst").as("dst"))
 
   private def d8EdgesSql: String = {
     val (best, _, dstS) = d8PickSql
@@ -2609,11 +2619,10 @@ object Spatial {
   }
 
   private def q128(s: SparkSession, dir: String): DataFrame = {
-    val (best, _, dstC) = d8Pick
-    val ptr0 = d8Candidates(s)
-      .select(cellCol.as("node"), best.as("wdrop"), dstC.as("dst"))
-      .select(col("node"),
-        when(col("wdrop") > 0, col("dst")).otherwise(col("node")).as("p"))
+    val ptr0 = d8pickDF(s)
+      .select(cellCol.as("node"),
+        when(col("d8.wdrop") > 0, col("d8.dst")).otherwise(col("cell_id"))
+          .as("p"))
     // Same one-shot pre-loop truncation as q127: the doubling
     // self-join would otherwise re-plan the deep D8 pick tree on BOTH
     // join sides.

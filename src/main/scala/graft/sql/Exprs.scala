@@ -2912,6 +2912,97 @@ case class DotF64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** D8 steepest-descent pick for the deterministic bilinear-value-noise
+  * terrain (q126/q127/q128): struct(wdrop, dir, dst) of the weighted-
+  * drop winner among a cell's 8 neighbors, ESRI codes, ties to the
+  * smallest code, (0, 0, -1)-style sentinels where no strictly-downhill
+  * neighbor exists (wdrop 0, dir 0, dst -1).
+  *
+  * Exists for CODEGEN SIZE, not semantics: the equivalent Column
+  * formulation (9 bilinear elevation trees, 4 corner hashes each, then
+  * 16 guarded candidate columns and two 8-way when-chains) generated a
+  * whole-stage method past Janino's 64 KB limit — every fresh plan paid
+  * a multi-second failed compile and then ran the 2000-node tree
+  * INTERPRETED (guide §4: prefer compiled scalar work in the hot path).
+  * This expression emits one static call; the scalar below is the same
+  * integer math term for term (D8PickSpec pins equality against the
+  * original Column composition over every grid cell, and the DuckDB
+  * oracles pin it independently). Integer-exact: all arithmetic is
+  * Long, division only by positive constants on non-negative values. */
+case class D8Pick(child: Expression, rows: Int, cols: Int,
+    terrB: Int, terrCX: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("wdrop", LongType, nullable = false),
+    StructField("dir", IntegerType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  override def nullSafeEval(id: Any): Any =
+    D8Pick.eval(id.asInstanceOf[Long], rows, cols, terrB, terrCX)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = D8Pick.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, id =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$cls.eval($id, $rows, $cols, $terrB, $terrCX);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object D8Pick {
+  // (ESRI code, dx, dy, integer weight) in ascending-code order — the
+  // iteration order IS the tie-break (first strict max wins, matching
+  // the ascending when-chain of the original Column pick)
+  private val D8: Array[(Int, Int, Int, Long)] = Array(
+    (1, 1, 0, 10L), (2, 1, 1, 7L), (4, 0, 1, 10L), (8, -1, 1, 7L),
+    (16, -1, 0, 10L), (32, -1, -1, 7L), (64, 0, -1, 10L), (128, 1, -1, 7L))
+
+  private val KN = 2654435761L
+  private val M32 = 4294967296L
+  @inline private def h(k: Long): Long = (k * KN) % M32
+  // h(k) is non-negative for the non-negative lattice keys used here,
+  // so / 65536 equals the Column form's floor(h(k) / 65536)
+  @inline private def h2(k: Long): Long = h(h(k) / 65536L)
+
+  /** Bilinear value-noise elevation at 0-based grid (x, y) — the exact
+    * integer math of Spatial.elevCol (64 x the interpolated value). */
+  def elev(x: Long, y: Long, terrB: Int, terrCX: Int): Long = {
+    val cx = x / terrB; val cy = y / terrB
+    val fx = x % terrB; val fy = y % terrB
+    @inline def corner(i: Int, j: Int): Long =
+      h2(((cy + j) * terrCX + cx + i) * 53 + 11) % 4000
+    (terrB - fx) * (terrB - fy) * corner(0, 0) +
+      fx * (terrB - fy) * corner(1, 0) +
+      (terrB - fx) * fy * corner(0, 1) +
+      fx * fy * corner(1, 1)
+  }
+
+  def eval(id: Long, rows: Int, cols: Int, terrB: Int,
+      terrCX: Int): InternalRow = {
+    val x = (id - 1) % cols
+    val y = (id - 1) / cols
+    val ec = elev(x, y, terrB, terrCX)
+    var best = 0L; var dir = 0; var dst = -1L
+    var i = 0
+    while (i < 8) {
+      val (code, dx, dy, w) = D8(i)
+      val nx = x + dx; val ny = y + dy
+      if (nx >= 0 && nx < cols && ny >= 0 && ny < rows) {
+        val drop = ec - elev(nx, ny, terrB, terrCX)
+        val wd = drop * w
+        if (drop > 0 && wd > best) {
+          best = wd; dir = code; dst = id + dx + dy.toLong * cols
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](best, dir, dst))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn => column, toExpression => expression}
 
@@ -3148,6 +3239,12 @@ object GraftFunctions {
     * level one — union-find over same-class 4-neighbors of ONE tile). */
   def clump_local(pixs: Column, clss: Column, tile: Int): Column =
     column(ClumpLocal(expression(pixs), expression(clss), tile))
+
+  /** D8 steepest-descent pick over the bilinear value-noise terrain:
+    * struct(wdrop, dir, dst) — see [[D8Pick]]'s codegen-size rationale. */
+  def d8_pick(id: Column, rows: Int, cols: Int, terrB: Int,
+      terrCX: Int): Column =
+    column(D8Pick(expression(id), rows, cols, terrB, terrCX))
 
   /** Per-tile summed-area table over (pos, value) arrays: tile² longs,
     * out[r·t+c] = box sum from the tile origin (absent pixels = 0). */

@@ -1011,6 +1011,35 @@ class SparkEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "x" -> "x", "y" -> "x"))
   }
 
+  test("Components.minLabel union-find seeding: a 400-edge hashed graph " +
+    "(long chains + separate components) matches a scalar union-find " +
+    "ground truth exactly") {
+    import spark.implicits._
+    // deterministic graph mixing chain, star and cross-partition edges
+    val edges = (0 until 400).map { i =>
+      val a = (i * 2654435761L) % 997
+      val b = if (i % 3 == 0) (a + 1) % 997 else (i * 40503L) % 997
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    // scalar ground truth: union-find, label = component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val expect = parent.keys.map(n => n -> find(n)).toMap
+    val got = graft.engine.Components
+      .minLabel(spark, edges.toDF("p", "q"), "test_cc_seeded")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
   test("grid_h3 expression matches H3Lite; res-4 parent bit math nests") {
     import graft.core.H3Lite
     import graft.sql.GraftFunctions.grid_h3
