@@ -63,6 +63,16 @@ object Expand {
       .repartition(col("cell_id")))
     var iters = 0
     var converged = false
+    // Adoption is detected by an accumulator counted DURING adoptedT's
+    // materialization instead of a separate count() action per round
+    // (the Components convergence discipline — one driver action fewer
+    // per round). Exactness: only the zero/nonzero bit is consumed, and
+    // that bit is retry-immune — the adopted partitions are
+    // deterministic (a min-aggregate over deterministic inputs), so any
+    // task attempt that counted a row saw a row the committed partition
+    // also contains; over-counting can inflate the magnitude, never
+    // turn an empty round nonzero.
+    val adoptAcc = s.sparkContext.longAccumulator("expand_adopted")
     while (iters < maxIters && !converged) {
       val uncertain = cur.filter(col("final_class") === 0)
         .select(col("cell_id"),
@@ -80,14 +90,25 @@ object Expand {
               col("final_class").as("nbr_class")),
           Seq("nbr_id"))
         .groupBy("cell_id").agg(min("nbr_class").as("adopted"))
-      val adoptedT = truncate(s, adopted)
-      val nAdopted = adoptedT.count()
-      if (nAdopted == 0) converged = true
+      val before = adoptAcc.value
+      val counted = adopted.mapPartitions { it =>
+        it.map { r => adoptAcc.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(adopted.schema))
+      val adoptedT = truncate(s, counted)
+      if (adoptAcc.value == before) converged = true
       else {
-        cur = truncate(s, cur.join(adoptedT, Seq("cell_id"), "left")
+        val folded = cur.join(adoptedT, Seq("cell_id"), "left")
           .select(col("cell_id"),
             when(col("final_class") === 0, coalesce(col("adopted"), lit(0L)))
-              .otherwise(col("final_class")).as("final_class")))
+              .otherwise(col("final_class")).as("final_class"))
+        // truncate every OTHER round: cur is referenced three times per
+        // round (uncertain, positive neighbors, fold join), so one
+        // deferred level costs re-reading materialized leaves a few
+        // extra times — cheap — while halving the loop's eager
+        // checkpoint actions; deeper deferral would compound 3^k
+        // references, hence never more than one level
+        cur = if (iters % 2 == 1 || iters == maxIters - 1) truncate(s, folded)
+              else folded
         iters += 1
       }
     }

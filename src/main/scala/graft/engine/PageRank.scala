@@ -43,15 +43,26 @@ object PageRank {
     val deg = Checkpoint.truncate(s,
       nodes.join(outdeg, Seq("node"), "left")
         .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+    // Pre-join the static out-degree onto the edge list ONCE (truncated,
+    // partitioning captured) so each iteration joins ranks against a
+    // single (src, dst, outdeg) frame instead of ranks ⋈ deg ⋈ edges —
+    // one join per iteration saved, k times (guide §2.4). The dangling
+    // probe reads deg (static) rather than the rd join for the same
+    // reason, and `deg` doubles as the re-attach spine so `next` keeps
+    // one left join.
+    val edgesDeg = Checkpoint.truncate(s,
+      edges.join(deg.filter(col("outdeg") > 0), edges("src") === deg("node"))
+        .select(col("src"), col("dst"), col("outdeg")))
+    val dangNodes = Checkpoint.truncate(s,
+      deg.filter(col("outdeg") === 0).select(col("node")))
     var ranks = nodes.select(col("node"), lit(1000000L).as("r"))
     for (i <- 1 to iters) {
-      val rd = ranks.join(deg, Seq("node"))
-      val contrib = rd.filter(col("outdeg") > 0)
-        .join(edges, col("node") === col("src"))
+      val contrib = ranks
+        .join(edgesDeg, col("node") === col("src"))
         .select(col("dst"),
           expr("(r * 85) div (outdeg * 100)").as("c"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("cs"))
-      val dang = rd.filter(col("outdeg") === 0)
+      val dang = ranks.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("r"), lit(0L)).as("ds"))
         .select(expr(s"(ds * 85) div (100 * $nV)").as("share"))
       val next = nodes.join(contrib, Seq("node"), "left")

@@ -115,4 +115,81 @@ object TopK {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
   }
+
+  /** Per-group top-k of (score: double, id: long) under the window
+    * order (score DESC, id ASC), as a partial aggregation — the [[Agg]]
+    * economics for DOUBLE scores that cannot ride the 32-bit pack
+    * (q53's cosine similarities): the window formulation materializes,
+    * shuffles and sorts the full pair frame (4M rows at sf0.1) to keep
+    * 3 rows per group; this buffer keeps at most k (score, id) pairs
+    * per group map-side, so only O(groups * k) rows cross the wire.
+    *
+    * finish() returns the ids ALONE in rank order — callers derive
+    * rank = position + 1 via posexplode, which is exactly the
+    * row_number the window assigned: ties in score are broken by the
+    * smaller id, and -0.0 is normalized to 0.0 on entry so score
+    * equality agrees with SQL double equality (NaN scores are the
+    * caller's contract to exclude, as the window form also assumed).
+    * Buffer layout: [n, bits1, id1, ..., bitsk, idk] best-first
+    * (raw double bits, compared as decoded doubles). */
+  final class PairAgg(k: Int)
+    extends Aggregator[(Double, Long), Array[Long], Array[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: Array[Long] = new Array[Long](1 + 2 * k)
+
+    @inline private def better(s1: Double, i1: Long, s2: Double,
+        i2: Long): Boolean = s1 > s2 || (s1 == s2 && i1 < i2)
+
+    private def insert(b: Array[Long], s: Double, id: Long): Array[Long] = {
+      val n = b(0).toInt
+      if (n == k) {
+        val ws = java.lang.Double.longBitsToDouble(b(1 + 2 * (n - 1)))
+        val wi = b(2 + 2 * (n - 1))
+        if (!better(s, id, ws, wi)) return b // reject vs current worst
+      }
+      // find slot (groups are small: k is 3-ish, linear scan)
+      var pos = 0
+      while (pos < n && !better(s, id,
+        java.lang.Double.longBitsToDouble(b(1 + 2 * pos)),
+        b(2 + 2 * pos))) pos += 1
+      val keep = math.min(n + 1, k)
+      var i = keep - 1
+      while (i > pos) {
+        b(1 + 2 * i) = b(1 + 2 * (i - 1))
+        b(2 + 2 * i) = b(2 + 2 * (i - 1))
+        i -= 1
+      }
+      b(1 + 2 * pos) = java.lang.Double.doubleToRawLongBits(s)
+      b(2 + 2 * pos) = id
+      b(0) = keep
+      b
+    }
+
+    override def reduce(b: Array[Long], v: (Double, Long)): Array[Long] =
+      insert(b, v._1 + 0.0, v._2) // + 0.0 folds -0.0 into 0.0
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val nb = b(0).toInt
+      var i = 0
+      while (i < nb) {
+        insert(a, java.lang.Double.longBitsToDouble(b(1 + 2 * i)),
+          b(2 + 2 * i))
+        i += 1
+      }
+      a
+    }
+
+    override def finish(r: Array[Long]): Array[Long] = {
+      val n = r(0).toInt
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = r(2 + 2 * i); i += 1 }
+      out
+    }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] = bufferEncoder
+  }
 }

@@ -1040,20 +1040,28 @@ object TextOps {
   // --- q53: brute-force cosine top-k (k = 3) — the exhaustive ANN
   // baseline the bucketed/IVF variants are measured against -------------
   private def q53(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = normedEmb(s, dir).truncated(s)
     val a = e.select(col("vec_id").as("vec_id"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("nn_id"), col("v").as("vb"),
       col("norm").as("nb"))
     val sim = dot_f64(col("va"), col("vb")) / (col("na") * col("nb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nn_id"))
+    // top-3 as a partial aggregation (TopK.PairAgg) instead of a
+    // ROW_NUMBER window: the window materialized, shuffled and sorted
+    // the full n² pair frame (4M rows at sf0.1, measured 4.4 s in one
+    // job) to keep 3 rows per vector; the aggregator keeps at most 3
+    // (sim, id) pairs per group map-side — same (sim DESC, nn_id ASC)
+    // order, rank = position + 1, so rows are identical (the q47
+    // scale-shape argument applied to k = 3).
+    val top3 = udaf(new graft.engine.TopK.PairAgg(3))
     a.crossJoin(broadcast(b))
       .filter(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"), sim.as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .select("vec_id", "rk", "nn_id")
+      .groupBy("vec_id")
+      .agg(top3(col("sim"), col("nn_id")).as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("rk"),
+        col("col").as("nn_id"))
       .orderBy("vec_id", "rk")
   }
 

@@ -137,6 +137,30 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.getOrElse(largest, 0) < sizes(largest),
       "largest domain should be down-sampled")
   }
+
+  test("TopK.PairAgg (double scores) equals the ROW_NUMBER window it " +
+    "replaces in q53 — including score ties and negative scores") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // deterministic (group, score, id) rows with engineered ties:
+    // score quantized to 1/8ths so equal doubles occur within groups
+    val rows = (0 until 4000).map { i =>
+      val g = i % 37L
+      val score = (((i * 2654435761L) % 33L) - 16L).toDouble / 8.0
+      (g, score, i.toLong)
+    }
+    val df = rows.toDF("g", "sim", "id")
+    val w = Window.partitionBy("g").orderBy(col("sim").desc, col("id"))
+    val expected = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).select("g", "rk", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val top3 = udaf(new graft.engine.TopK.PairAgg(3))
+    val got = df.groupBy("g").agg(top3(col("sim"), col("id")).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("int").as("rk"), col("col"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
 }
 
 object TopKSpec {
