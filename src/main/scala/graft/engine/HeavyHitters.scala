@@ -19,10 +19,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * with an exact second pass... it does not, because pass two also
   * re-filters by the exact threshold).
   *
-  * The buffer rides the default product/map encoder — fine at the
-  * registry's scale; a production deployment would swap in an open
-  * hash map with a Kryo encoder, same algebra. Decrements cost O(k)
-  * but fire at most n/k times: amortized O(1) per element. */
+  * The buffer is an immutable Map under Kryo encoders (see
+  * bufferEncoder below) — fine at the registry's scale; a production
+  * deployment would swap the MAP ITSELF for a mutable open hash map
+  * (same algebra, same encoders). Decrements cost O(k) but fire at
+  * most n/k times: amortized O(1) per element. */
 object HeavyHitters {
 
   final class MgAgg(k: Int)

@@ -1496,15 +1496,19 @@ object Relational {
   // time-ordered series, the tie-corrected variance numerator
   // var18 = n(n−1)(2n+5) − Σₖ tₖ(tₖ−1)(2tₖ+5) kept as its EXACT integer
   // (the /18 and the z-score are the caller's one-liner), and Sen's
-  // slope = the median pairwise slope (vⱼ−vᵢ)/Δt. Pair order is pinned
-  // by (ts, event_id); the lower median is selected by rank so both
-  // engines pick the same element — slopes are identical IEEE divides
-  // of identical doubles, never accumulated. Scale shape: the pair
-  // frame is a self-join on user_id — O(nᵤ²) per user BY DESIGN (the MK
-  // statistic is pairwise; nᵤ here ≤ 86, and real deployments window
-  // the series before testing). One SMJ on user_id, the median via one
-  // per-user window over the pair frame, the tie term from a (user,
-  // value) group — all partial-aggregated. --------------------------------
+  // slope = the median pairwise slope (vⱼ−vᵢ)/Δt. Scale shape: the
+  // pairwise work is O(nᵤ²) per user BY DESIGN (the MK statistic is
+  // pairwise; nᵤ here ≤ 86, and real deployments window the series
+  // before testing) — but it runs in REGISTERS, not rows: one
+  // collect_list aggregation per user (one exchange total), then the
+  // codegen MannKendall expression computes S, the tie-corrected
+  // variance and the Sen median scalar-side. The previous
+  // formulation materialized the O(nᵤ²) pair frame as 4M rows at
+  // sf0.1, shuffled it and SORTED it under a ranking window to pick
+  // one median element per user (measured 5 s in the sweep); the
+  // expression does the identical IEEE arithmetic on the collected
+  // series (see MannKendall's scaladoc for the equivalence argument,
+  // incl. the signed-zero and value-tie cases). -----------------------------
   private def q155(s: SparkSession, dir: String): DataFrame = {
     // ts arrives TIMESTAMP_NTZ from the driver's parquet; the cast
     // reads it in the session tz (Verify pins UTC), matching DuckDB's
@@ -1512,55 +1516,20 @@ object Relational {
     val ev = t(s, dir, "events").select(col("user_id"),
       unix_micros(col("ts").cast("timestamp")).as("tus"),
       col("event_id").as("eid"), col("value").as("v"))
-    val b = ev.select(col("user_id").as("uid2"), col("tus").as("t2"),
-      col("eid").as("e2"), col("v").as("v2"))
-    val pairs = ev.join(b, col("user_id") === col("uid2") &&
-        (col("tus") < col("t2") ||
-          (col("tus") === col("t2") && col("eid") < col("e2"))))
-      .select(col("user_id"),
-        when(col("v2") > col("v"), 1L).when(col("v2") < col("v"), -1L)
-          .otherwise(0L).as("sgn"),
-        when(col("t2") > col("tus"), (col("v2") - col("v")) /
-          ((col("t2") - col("tus")).cast("double") / lit(1000000.0)))
-          .as("slope"),
-        col("eid"), col("e2"))
-    // S-statistic and Sen median in ONE pass over the O(events²/user)
-    // pair frame: one exchange on user_id feeds the ranking window, the
-    // per-user counts (same partition spec, no extra exchange) and the
-    // final aggregation (already partitioned by the window's exchange).
-    // The separate sStat-aggregate + filtered-median branches evaluated
-    // the pair self-join TWICE and shuffled it twice. NULL slopes
-    // (non-positive dt) sort FIRST, so among-non-null rank = rn - nNull
-    // and the lower median sits at rn = nNull + (m+1) div 2 — the same
-    // element the filtered formulation selected; rows tied inside the
-    // null prefix never influence that index. A user with pairs but no
-    // positive-dt pair has no median row (the when() never fires) and
-    // is dropped by the isNotNull filter, exactly like the old inner
-    // join against the filtered sen frame.
-    val wAll = Window.partitionBy("user_id")
-      .orderBy(asc_nulls_first("slope"), col("eid"), col("e2"))
-    val wPart = Window.partitionBy("user_id")
-    val senStat = pairs
-      .withColumn("rn", row_number().over(wAll))
-      .withColumn("m", count(col("slope")).over(wPart))
-      .withColumn("nn", count(lit(1)).over(wPart))
-      .groupBy("user_id")
-      .agg(sum("sgn").as("s_stat"),
-        max(when(col("rn") ===
-            (col("nn") - col("m") +
-              floor((col("m") + lit(1)) / lit(2))).cast("int"),
-          col("slope"))).as("sen_slope"))
-      .filter(col("sen_slope").isNotNull)
-    val ties = ev.groupBy("user_id", "v").agg(count(lit(1)).as("t"))
-      .groupBy("user_id")
-      .agg(sum(col("t")).as("n"),
-        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tt"))
-      .select(col("user_id"), col("n"),
-        (col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tt"))
-          .as("var18"))
-    ties.join(senStat, "user_id")
-      .select(col("user_id"), col("n"), col("s_stat"), col("var18"),
-        col("sen_slope"))
+    // sort_array orders by (tus, eid) — eid unique per user pins the
+    // pair order the self-join condition expressed (tus < t2 OR
+    // (tus = t2 AND eid < e2)); users with no positive-dt pair return
+    // NULL and drop, exactly like the old inner join against the
+    // filtered median frame.
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("tus"), col("eid"), col("v")))).as("e"))
+      .select(col("user_id"), graft.sql.GraftFunctions
+        .mann_kendall(col("e.tus"), col("e.v")).as("mk"))
+      .filter(col("mk").isNotNull)
+      .select(col("user_id"), col("mk.n").as("n"),
+        col("mk.s_stat").as("s_stat"), col("mk.var18").as("var18"),
+        col("mk.sen_slope").as("sen_slope"))
       .orderBy("user_id")
   }
 

@@ -3003,6 +3003,99 @@ object D8Pick {
   }
 }
 
+/** Mann-Kendall trend + Sen's slope over ONE user's time-ordered
+  * series, evaluated scalar-side (q155): input is the (tus, v) arrays
+  * of a `sort_array(collect_list(struct(tus, eid, v)))` aggregation —
+  * already ordered by (tus, eid), i.e. exactly the i<j pair order of
+  * the self-join formulation it replaces. Returns
+  * struct(s_stat, n, var18, sen_slope), or NULL when the user has no
+  * positive-dt pair (the old inner join against the filtered median
+  * frame dropped precisely those users).
+  *
+  * Why an expression: the pair frame is O(events²/user) BY DESIGN (the
+  * MK statistic is pairwise; series are windowed upstream in real
+  * deployments — the operator's stated license), and the dataframe
+  * formulation materialized those 4M rows at sf0.1, shuffled them, and
+  * SORTED them under a ranking window just to pick one median element
+  * per user. Here the same pair arithmetic runs in registers inside
+  * the collect aggregation's output projection: one exchange total,
+  * nothing pair-sized ever materialized. Term-for-term identical
+  * float math: slope = (vⱼ-vᵢ) / ((tusⱼ-tusᵢ) / 1e6) in IEEE order;
+  * the Sen value is the (m+1) div 2-th smallest slope, which is the
+  * value the rank formulation selected regardless of its eid/e2 tie
+  * ordering (ties share the value); positive-dt slopes can produce
+  * only +0.0 (x - x = +0.0, dt > 0), so the double sort cannot drift
+  * on signed zeros; ties in v group by primitive == (matching SQL
+  * grouping — fixture values are never NaN). */
+case class MannKendall(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s_stat", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("var18", LongType, nullable = false),
+    StructField("sen_slope", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(tus: Any, vs: Any): Any =
+    MannKendall.eval(tus.asInstanceOf[ArrayData], vs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MannKendall.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (t, v) => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        $cls.eval($t, $v);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MannKendall {
+  def eval(tusA: ArrayData, vsA: ArrayData): InternalRow = {
+    val n = tusA.numElements()
+    val tus = tusA.toLongArray()
+    val vs = vsA.toDoubleArray()
+    var s = 0L
+    var m = 0
+    val slopes = new Array[Double](n * (n - 1) / 2)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val vi = vs(i); val vj = vs(j)
+        if (vj > vi) s += 1L else if (vj < vi) s -= 1L
+        val dt = tus(j) - tus(i)
+        if (dt > 0) {
+          slopes(m) = (vj - vi) / (dt.toDouble / 1000000.0)
+          m += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return null
+    // tie variance: group equal values via a sorted copy
+    val sv = new Array[Double](n)
+    System.arraycopy(vs, 0, sv, 0, n)
+    java.util.Arrays.sort(sv)
+    var var18 = n.toLong * (n - 1) * (2L * n + 5)
+    var k = 0
+    while (k < n) {
+      var t = 1L
+      while (k + 1 < n && sv(k + 1) == sv(k)) { t += 1; k += 1 }
+      var18 -= t * (t - 1) * (2 * t + 5)
+      k += 1
+    }
+    java.util.Arrays.sort(slopes, 0, m)
+    val sen = slopes((m + 1) / 2 - 1) // lower median, 1-based (m+1) div 2
+    new GenericInternalRow(Array[Any](s, n.toLong, var18, sen))
+  }
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{toColumn => column, toExpression => expression}
 
@@ -3239,6 +3332,12 @@ object GraftFunctions {
     * level one — union-find over same-class 4-neighbors of ONE tile). */
   def clump_local(pixs: Column, clss: Column, tile: Int): Column =
     column(ClumpLocal(expression(pixs), expression(clss), tile))
+
+  /** Mann-Kendall trend stats over one user's time-ordered (tus, v)
+    * arrays: struct(s_stat, n, var18, sen_slope), NULL when no
+    * positive-dt pair — see [[MannKendall]]. */
+  def mann_kendall(tus: Column, vs: Column): Column =
+    column(MannKendall(expression(tus), expression(vs)))
 
   /** D8 steepest-descent pick over the bilinear value-noise terrain:
     * struct(wdrop, dir, dst) — see [[D8Pick]]'s codegen-size rationale. */

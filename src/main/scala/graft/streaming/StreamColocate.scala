@@ -21,6 +21,14 @@ object StreamColocate {
   def contacts(fleetA: DataFrame, fleetB: DataFrame, r2: Long = 100L,
       cellShift: Int = 4, slack: String = "2 seconds",
       watermark: String = "10 minutes"): DataFrame = {
+    // the 3x3 cell-neighborhood join is exhaustive only while the
+    // contact radius fits inside one cell — fail loudly on misuse
+    // instead of silently dropping qualifying contacts (the q174/q183
+    // licensing argument)
+    require(r2 <= (1L << cellShift) * (1L << cellShift),
+      s"contact radius² $r2 exceeds cell size² ${1L << (2 * cellShift)} " +
+        s"(cellShift=$cellShift): the 3x3 neighborhood join would miss " +
+        "qualifying contacts; raise cellShift")
     val offs = Seq(-1L, 0L, 1L)
     val a = fleetA.withWatermark("ts", watermark)
       .withColumn("oc", explode(array(offs.flatMap(dx => offs.map(dy =>

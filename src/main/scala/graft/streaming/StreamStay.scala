@@ -67,7 +67,16 @@ object StreamStay {
     ripe.sortBy(_._1).foreach { case (tMs, x, y) =>
       val dx = x - st.lastX
       val dy = y - st.lastY
-      if (st.lastT >= 0 && dx * dx + dy * dy > r2) close()
+      // close on an EVENT-TIME GAP as well as on displacement: a ping
+      // more than one tick after the segment's last ping continues a
+      // segment the close-timeout contract already declared closed —
+      // without this, buffered out-of-order arrivals (whose wakeup
+      // overwrites the close timeout) could merge into it, making
+      // output depend on micro-batch interleaving. With it, the
+      // hold-nonEmpty and timeout paths produce identical stays
+      // regardless of arrival order.
+      if (st.lastT >= 0 &&
+          (tMs > st.lastT + TickMs || dx * dx + dy * dy > r2)) close()
       val opening = st.n == 0
       st = StaySt(tMs, x, y, st.n + 1, st.sx + x, st.sy + y,
         if (opening) tMs else st.t0, Nil)
