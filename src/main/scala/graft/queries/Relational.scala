@@ -300,14 +300,26 @@ object Relational {
   private def q92(s: SparkSession, dir: String): DataFrame = {
     val tag = (dir.hashCode.toLong & 0xFFFFFFFFL).toString
     val (to, tc) = (s"graft_b_orders_$tag", s"graft_b_customer_$tag")
-    graft.engine.Layout.writeBucketed(
-      t(s, dir, "orders").select("o_custkey", "o_totalprice"),
-      to, graft.util.TempDirs.create(s"b_orders_$tag").toString,
-      "o_custkey", 8)
-    graft.engine.Layout.writeBucketed(
-      t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-      tc, graft.util.TempDirs.create(s"b_customer_$tag").toString,
-      "c_custkey", 8)
+    // the two bucketed writes are independent jobs — submit them from
+    // two driver threads so the second write's tasks back-fill
+    // executors freed by the first write's tail (guide §2.6: overlap
+    // independent jobs; Spark's scheduler interleaves them FIFO)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fo = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = graft.engine.Layout.writeBucketed(
+          t(s, dir, "orders").select("o_custkey", "o_totalprice"),
+          to, graft.util.TempDirs.create(s"b_orders_$tag").toString,
+          "o_custkey", 8)
+      })
+      val fc = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = graft.engine.Layout.writeBucketed(
+          t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          tc, graft.util.TempDirs.create(s"b_customer_$tag").toString,
+          "c_custkey", 8)
+      })
+      fo.get(); fc.get()
+    } finally pool.shutdown()
     s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_orders"),
