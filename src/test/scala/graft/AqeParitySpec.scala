@@ -31,9 +31,19 @@ class AqeParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     "q56_dedup_components", "q53_ann_topk", "q155_mann_kendall",
     "q30_expand_fixpoint", "q115_pagerank")
 
-  test("round-6-touched queries return identical rows with AQE on/off") {
+  /** The 10 most shuffle-intensive UNTOUCHED queries by Exchange
+    * mentions in PLANS.md (q89 34, q121 34, q124 32, q52 22, q45 22,
+    * q180 22, q125 22, q190 20, q103 20, q54 18), plus q59 whose
+    * first-colliding-band gate this round added — VERDICT r05 next #4
+    * asked for AQE parity over exactly this set. */
+  private val shuffleHeavy = Seq("q89_ann_ivfpq", "q121_triangle_count",
+    "q124_bm25_topk", "q52_ann_ivf", "q45_lsh_candidates",
+    "q180_quadtree_agg", "q125_funnel", "q190_euler_characteristic",
+    "q103_class_balance", "q54_jaccard_neardup", "q59_neardup_bucketed")
+
+  private def assertParity(names: Seq[String]): Unit = {
     val all = SparkEntry.queries
-    touched.foreach { name =>
+    names.foreach { name =>
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       val on = all(name)(spark, sfDir).collect().map(_.toString).sorted
       spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -42,5 +52,14 @@ class AqeParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(on.length == off.length, s"$name: row count differs on/off AQE")
       assert(on.sameElements(off), s"$name: rows differ with AQE on vs off")
     }
+  }
+
+  test("round-6-touched queries return identical rows with AQE on/off") {
+    assertParity(touched)
+  }
+
+  test("10 most shuffle-intensive untouched queries (+ q59) return " +
+    "identical rows with AQE on/off") {
+    assertParity(shuffleHeavy)
   }
 }
